@@ -1,0 +1,235 @@
+"""Outlier flag generators + the repeat-until-clean protocol.
+
+Reference: all tests inherit FlagBase (diive/core/base/flagbase.py:17-150).
+Per iteration a test yields flag {0=ok, 2=rejected}; with ``repeat=True``
+the test re-runs on the filtered series (rejected -> NaN) until an
+iteration finds 0 new outliers (flagbase.py:122-140); the overall flag is
+2 where the point was rejected in any iteration, else 0 for tested points
+(row-sum of the per-iteration hard flags, flagbase.py:134-136).
+
+Spark mapping: each test is a pure DataFrame->DataFrame flag expression;
+the repeat protocol is a bounded driver-side loop over a working column,
+with ``localCheckpoint`` between iterations to truncate lineage
+(SURVEY.md §4.2.4).  Aggregates used are ordering-insensitive, so results
+are deterministic under any partitioning.
+
+Parity traps honored:
+- z-score uses the **population** std (np.std ddof=0,
+  diive/core/funcs/funcs.py:37-41) — ``stddev_pop``, not samp;
+- rejection is strict ``z > thres`` (zscore.py:195);
+- LocalSD uses rolling **median** ± n_sd * rolling **sample** std over a
+  centered window with min_periods=3 on the *non-null* rows
+  (localsd.py:80-91), strict inequalities;
+- AbsoluteLimits rejects outside [lo, hi] (absolutelimits.py:191 is the
+  authoritative logic; the ``ok`` line :189 has a `|` bug we do not copy).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..conventions import FLAG_HARD, FLAG_OK, KEY_COLS
+
+MAX_ITERATIONS = 30  # safety bound for data-dependent repeat loops
+
+
+def _finalize_flag(df: DataFrame, rejected: Column, value_col: str, flag_col: str) -> DataFrame:
+    """0 where tested-ok, 2 where rejected, NULL where value was NULL
+    (flagbase.py:80-88 conventions)."""
+    v = F.col(value_col)
+    return df.withColumn(
+        flag_col,
+        F.when(v.isNull(), F.lit(None).cast("int"))
+        .when(rejected, F.lit(FLAG_HARD))
+        .otherwise(F.lit(FLAG_OK)),
+    )
+
+
+def zscore_flag(
+    df: DataFrame,
+    thres: float = 4.0,
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    strata_col: str | None = None,
+    flag_col: str = "flag_zscore",
+) -> DataFrame:
+    """Single-pass z-score flag: z = |(v - mean) / std_pop| over the
+    series population (funcs.py:37-41), reject z > thres (zscore.py:195).
+    ``strata_col`` partitions the population (daytime/nighttime analog,
+    zscore.py:25-136)."""
+    parts = list(key_cols) + ([strata_col] if strata_col else [])
+    w = Window.partitionBy(*parts)
+    v = F.col(value_col)
+    z = F.abs((v - F.avg(v).over(w)) / F.stddev_pop(v).over(w))
+    return _finalize_flag(df, z > thres, value_col, flag_col)
+
+
+def zscore_increments_flag(
+    df: DataFrame,
+    thres: float = 30.0,
+    axis_col: str = "pos",
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_zscore_incr",
+) -> DataFrame:
+    """z-score on the first difference v_t - v_{t-1}
+    (diive/pkgs/outlierdetection/incremental.py:17-88)."""
+    keys = list(key_cols)
+    wo = Window.partitionBy(*keys).orderBy(axis_col)
+    wk = Window.partitionBy(*keys)
+    d = F.col(value_col) - F.lag(value_col).over(wo)
+    tmp = df.withColumn("_incr", d)
+    z = F.abs((F.col("_incr") - F.avg("_incr").over(wk)) / F.stddev_pop("_incr").over(wk))
+    out = tmp.withColumn(
+        flag_col,
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+        .when(F.col("_incr").isNotNull() & (z > thres), F.lit(FLAG_HARD))
+        .otherwise(F.lit(FLAG_OK)),
+    )
+    return out.drop("_incr")
+
+
+def local_sd_flag(
+    df: DataFrame,
+    winsize: int,
+    n_sd: float = 7.0,
+    axis_col: str = "pos",
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_localsd",
+) -> DataFrame:
+    """Hampel-style LocalSD flag (localsd.py:73-101): rolling median and
+    rolling sample SD over a centered *row* window of the non-null rows
+    (the reference drops NaN first, :77-78), min_periods=3; reject outside
+    (median - n_sd*sd, median + n_sd*sd), strict.
+
+    Window frame = [-(w//2), +(w-1)//2] rows, matching pandas
+    ``rolling(window=w, center=True)`` label alignment.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    nn = df.where(v.isNotNull())
+    frame = (
+        Window.partitionBy(*keys)
+        .orderBy(axis_col)
+        .rowsBetween(-(winsize // 2), (winsize - 1) // 2)
+    )
+    # exact median == percentile 0.5 with linear interpolation (pandas
+    # parity); Spark disallows median() over a frame but allows percentile
+    rmed = F.percentile(v, F.lit(0.5)).over(frame)
+    rsd = F.stddev_samp(v).over(frame)
+    cnt = F.count(v).over(frame)
+    upper, lower = rmed + rsd * n_sd, rmed - rsd * n_sd
+    flagged = nn.withColumn(
+        flag_col,
+        F.when(cnt < 3, F.lit(None).cast("int"))
+        .when((v > upper) | (v < lower), F.lit(FLAG_HARD))
+        .otherwise(F.lit(FLAG_OK)),
+    ).select(*keys, axis_col, flag_col)
+    return df.join(flagged, on=keys + [axis_col], how="left")
+
+
+def abs_limits_flag(
+    df: DataFrame,
+    lo: float,
+    hi: float,
+    value_col: str = "value",
+    flag_col: str = "flag_abslim",
+) -> DataFrame:
+    """Reject outside [lo, hi] (absolutelimits.py:191)."""
+    v = F.col(value_col)
+    return _finalize_flag(df, (v < lo) | (v > hi), value_col, flag_col)
+
+
+def abs_limits_stratified_flag(
+    df: DataFrame,
+    limits: dict[object, tuple[float, float]],
+    strata_col: str,
+    value_col: str = "value",
+    flag_col: str = "flag_abslim_strat",
+) -> DataFrame:
+    """Per-stratum absolute limits (AbsoluteLimitsDaytimeNighttime,
+    absolutelimits.py:20-134)."""
+    v = F.col(value_col)
+    rejected = F.lit(False)
+    for stratum, (lo, hi) in limits.items():
+        rejected = F.when(
+            F.col(strata_col) == F.lit(stratum), (v < lo) | (v > hi)
+        ).otherwise(rejected)
+    return _finalize_flag(df, rejected, value_col, flag_col)
+
+
+def missing_vals_flag(
+    df: DataFrame, value_col: str = "value", flag_col: str = "flag_missing"
+) -> DataFrame:
+    """Flag 2 where value is NULL (diive/pkgs/qaqc/flags.py:8-67)."""
+    return df.withColumn(
+        flag_col,
+        F.when(F.col(value_col).isNull(), F.lit(FLAG_HARD)).otherwise(F.lit(FLAG_OK)),
+    )
+
+
+def manual_removal_flag(
+    df: DataFrame,
+    ranges: Sequence[tuple[int, int]],
+    axis_col: str = "pos",
+    value_col: str = "value",
+    flag_col: str = "flag_manual",
+) -> DataFrame:
+    """Flag 2 inside configured [from, to] axis ranges
+    (diive/pkgs/outlierdetection/manualremoval.py:18-99)."""
+    a = F.col(axis_col)
+    rejected = F.lit(False)
+    for lo, hi in ranges:
+        rejected = rejected | a.between(lo, hi)
+    return _finalize_flag(df, rejected, value_col, flag_col)
+
+
+def repeat_until_clean(
+    df: DataFrame,
+    flag_fn,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag",
+    max_iterations: int = MAX_ITERATIONS,
+) -> tuple[DataFrame, int]:
+    """The FlagBase repeat protocol (flagbase.py:122-140): re-run
+    ``flag_fn`` on the filtered series until an iteration rejects nothing.
+
+    ``flag_fn(df, value_col, flag_col)`` must return df + a flag column
+    computed on ``value_col``.  Returns (df + overall ``flag_col``,
+    n_iterations).  The overall flag is 2 where rejected in any iteration,
+    0 for other tested points, NULL where the original value was NULL.
+    """
+    work = df.withColumn("_work", F.col(value_col)).withColumn(
+        "_rejected_any", F.lit(False)
+    )
+    n_iter = 0
+    for _ in range(max_iterations):
+        n_iter += 1
+        flagged = flag_fn(work, "_work", "_iterflag")
+        flagged = flagged.withColumn(
+            "_rej", F.coalesce(F.col("_iterflag") == FLAG_HARD, F.lit(False))
+        )
+        flagged = flagged.localCheckpoint(eager=True)
+        n_new = flagged.where(F.col("_rej")).count()
+        work = (
+            flagged.withColumn(
+                "_work", F.when(F.col("_rej"), F.lit(None)).otherwise(F.col("_work"))
+            )
+            .withColumn("_rejected_any", F.col("_rejected_any") | F.col("_rej"))
+            .drop("_iterflag", "_rej")
+        )
+        if n_new == 0:
+            break
+    out = work.withColumn(
+        flag_col,
+        F.when(F.col(value_col).isNull(), F.lit(None).cast("int"))
+        .when(F.col("_rejected_any"), F.lit(FLAG_HARD))
+        .otherwise(F.lit(FLAG_OK)),
+    )
+    return out.drop("_work", "_rejected_any"), n_iter

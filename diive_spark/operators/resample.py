@@ -1,0 +1,165 @@
+"""Min-count-gated bucket rollup — the engine's core downsample operator.
+
+Re-creates the semantics of the reference's resampling
+(diive/core/times/resampling.py:13-132 ``resample_series_to_30MIN`` and
+diive/core/dfun/frames.py:323-393 ``resample_df``) as a declarative
+bucket-groupBy that Catalyst can push partial (map-side) aggregation into:
+
+- bins are ``floor((axis - origin) / every)`` over an integer axis
+  (sequence position, or unix seconds for timestamps);
+- per-bin value count is always computed (pandas ``.count()``,
+  resampling.py:88);
+- the minimum-count gate is ``mincounts = int(maxcounts * mincounts_perc)``
+  where ``maxcounts`` is the maximum number of *grid rows* in any bin of
+  the series (resampling.py:76-79); the 30MIN path additionally applies
+  the floor rule ``mincounts = 1 if mincounts < 3`` (resampling.py:81-83);
+- bin labels: END (label='right', resampling.py:86-93) or START
+  (label='left', frames.py:357-360).
+
+Scale notes: the groupBy shuffles on ``(key, bin)`` once; partial
+aggregation happens map-side (verified via ``explain`` — HashAggregate
+partial/final pair inside WholeStageCodegen).  ``maxcounts`` is derived
+from the *already aggregated* (small) bin table with a per-key window —
+no second scan of the raw data.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import Column, DataFrame, Window
+
+from ..conventions import KEY_COLS, LABEL_RIGHT
+
+#: partial aggregates that compose losslessly across tiers
+PARTIAL_COLS = ("n", "n_grid", "sum", "sumsq", "min", "max")
+
+
+def with_bin(
+    df: DataFrame,
+    axis_col: str,
+    every: int,
+    origin: int = 0,
+    label: str = LABEL_RIGHT,
+) -> DataFrame:
+    """Add ``bin_start``/``bin_end``/``bin_label`` (long) bucket columns."""
+    b = F.floor((F.col(axis_col) - F.lit(origin)) / F.lit(every))
+    start = (b * every + origin).cast("long")
+    end = (start + every).cast("long")
+    return (
+        df.withColumn("bin_start", start)
+        .withColumn("bin_end", end)
+        .withColumn("bin_label", end if label == LABEL_RIGHT else start)
+    )
+
+
+def _sd_from_partials(n: Column, s: Column, ss: Column) -> Column:
+    """Sample SD (ddof=1, pandas default — diive/core/dfun/stats.py:87)
+    from (count, sum, sum-of-squares) partials."""
+    var = (ss - s * s / n) / (n - 1)
+    return F.when(n >= 2, F.sqrt(F.greatest(var, F.lit(0.0)))).otherwise(
+        F.lit(None).cast("double")
+    )
+
+
+def bucket_rollup(
+    df: DataFrame,
+    every: int,
+    axis_col: str = "pos",
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    mincounts_perc: float = 0.9,
+    min_floor_rule: bool = True,
+    label: str = LABEL_RIGHT,
+    origin: int = 0,
+    percentiles: Sequence[float] | None = None,
+) -> DataFrame:
+    """Downsample a long series table to ``every``-sized bins.
+
+    Returns one row per (key..., bin) that passes the min-count gate, with
+    columns ``bin_start, bin_end, bin_label, n, n_grid, sum, sumsq, min,
+    max, mean, sd`` (+ ``p{XX}`` exact percentiles if requested).
+
+    ``n`` counts non-null values (pandas ``.count()``); ``n_grid`` counts
+    grid rows (the dummy-1s series of resampling.py:76-77) and feeds the
+    ``maxcounts`` derivation.  Gate: ``n >= mincounts`` per series
+    (resampling.py:96-97).
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    binned = with_bin(df, axis_col, every, origin, label)
+
+    aggs = [
+        F.count(v).alias("n"),
+        F.count(F.lit(1)).alias("n_grid"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sumsq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    ]
+    if percentiles:
+        aggs.append(
+            F.percentile(v, F.array(*[F.lit(p) for p in percentiles])).alias("_pcts")
+        )
+    agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
+
+    # maxcounts per series from the (small) aggregated bin table
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    maxc = F.max("n_grid").over(wk)
+    minc = F.floor(maxc * F.lit(mincounts_perc)).cast("long")
+    if min_floor_rule:
+        minc = F.when(minc < 3, F.lit(1)).otherwise(minc)  # resampling.py:81-83
+
+    out = (
+        agg.withColumn("mincounts", minc)
+        .where(F.col("n") >= F.col("mincounts"))
+        .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
+        .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
+    )
+    if percentiles:
+        for i, p in enumerate(percentiles):
+            out = out.withColumn(f"p{int(round(p * 100)):02d}", F.col("_pcts")[i])
+        out = out.drop("_pcts")
+    return out.drop("mincounts")
+
+
+def compose_rollup(
+    tier_df: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+    mincounts_perc: float = 0.9,
+    min_floor_rule: bool = True,
+    label: str = LABEL_RIGHT,
+    origin: int = 0,
+) -> DataFrame:
+    """Build tier N+1 from tier N **partials only** — no raw re-scan.
+
+    count/sum/sumsq/min/max compose losslessly (SURVEY.md §7.1 M2);
+    mean/SD are re-derived from the composed partials, so they equal a
+    direct rollup of the raw series bit-for-bit up to float summation
+    order.  ``every`` is in raw-axis units and must be a multiple of the
+    input tier's bin width.
+    """
+    keys = list(key_cols)
+    binned = with_bin(tier_df, "bin_start", every, origin, label)
+    agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(
+        F.sum("n").alias("n"),
+        F.sum("n_grid").alias("n_grid"),
+        F.sum("sum").alias("sum"),
+        F.sum("sumsq").alias("sumsq"),
+        F.min("min").alias("min"),
+        F.max("max").alias("max"),
+    )
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    maxc = F.max("n_grid").over(wk)
+    minc = F.floor(maxc * F.lit(mincounts_perc)).cast("long")
+    if min_floor_rule:
+        minc = F.when(minc < 3, F.lit(1)).otherwise(minc)
+    return (
+        agg.withColumn("mincounts", minc)
+        .where(F.col("n") >= F.col("mincounts"))
+        .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
+        .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
+        .drop("mincounts")
+    )

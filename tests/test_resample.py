@@ -1,0 +1,106 @@
+"""bucket_rollup / compose_rollup vs a pure-pandas oracle implementing the
+reference semantics (diive/core/times/resampling.py:13-132):
+mincounts = int(maxcounts * perc), floor rule -> 1 if < 3, gate on value
+count, label = bin END."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from diive_spark.operators.resample import bucket_rollup, compose_rollup
+
+from .conftest import assert_frame_close, seeded_series
+
+
+def pandas_rollup(pdf: pd.DataFrame, every: int, perc: float, floor_rule=True):
+    """Independent oracle (reference semantics re-derived, not imported)."""
+    out = []
+    for (src, doc), g in pdf.groupby(["source", "doc_id"]):
+        b = g["pos"] // every
+        grid_counts = g.groupby(b).size()
+        maxc = grid_counts.max()
+        minc = int(maxc * perc)
+        if floor_rule and minc < 3:
+            minc = 1
+        agg = g.groupby(b)["value"].agg(["count", "mean", "sum", "min", "max", "std"])
+        agg = agg[agg["count"] >= minc]
+        for bi, row in agg.iterrows():
+            out.append(
+                {
+                    "source": src,
+                    "doc_id": doc,
+                    "bin_start": bi * every,
+                    "n": row["count"],
+                    "mean": row["mean"],
+                    "sd": row["std"],
+                    "min": row["min"],
+                    "max": row["max"],
+                }
+            )
+    return pd.DataFrame(out)
+
+
+@pytest.mark.parametrize("every,perc", [(60, 0.9), (60, 0.25), (128, 0.5)])
+def test_rollup_matches_pandas_oracle(spark, tiny_series, tiny_series_pd, every, perc):
+    got = (
+        bucket_rollup(tiny_series, every=every, mincounts_perc=perc)
+        .select("source", "doc_id", "bin_start", "n", "mean", "sd", "min", "max")
+        .toPandas()
+    )
+    exp = pandas_rollup(tiny_series_pd, every, perc)
+    assert_frame_close(got, exp, ["source", "doc_id", "bin_start"], atol=1e-9, rtol=1e-9)
+
+
+def test_label_conventions(spark, tiny_series):
+    right = bucket_rollup(tiny_series, every=60, label="right").limit(1).first()
+    assert right["bin_label"] == right["bin_end"]
+    left = bucket_rollup(tiny_series, every=60, label="left").limit(1).first()
+    assert left["bin_label"] == left["bin_start"]
+
+
+def test_compose_equals_direct(spark, tiny_series):
+    """1h-from-1m partial composition == direct 1h rollup from raw."""
+    t1m = bucket_rollup(tiny_series, every=60, mincounts_perc=0.0, min_floor_rule=False)
+    t1h_composed = (
+        compose_rollup(t1m, every=3600, mincounts_perc=0.9)
+        .select("source", "doc_id", "bin_start", "n", "mean", "sd", "min", "max")
+        .toPandas()
+    )
+    t1h_direct = (
+        bucket_rollup(tiny_series, every=3600, mincounts_perc=0.9)
+        .select("source", "doc_id", "bin_start", "n", "mean", "sd", "min", "max")
+        .toPandas()
+    )
+    assert_frame_close(
+        t1h_composed, t1h_direct, ["source", "doc_id", "bin_start"], atol=1e-8, rtol=1e-8
+    )
+
+
+def test_mincount_gate_drops_sparse_bins(spark):
+    pdf = seeded_series(n=200, gap_frac=0.0)
+    pdf.loc[pdf["pos"] >= 150, "value"] = np.nan  # last bin of 60: only nulls
+    sdf = spark.createDataFrame(pdf)
+    got = bucket_rollup(sdf, every=60, mincounts_perc=0.9).toPandas()
+    # bins: [0,60) full, [60,120) full, [120,180) has 30 values of 60 grid,
+    # [180,200) partial grid (20 rows) → maxc=60, minc=54 → only 2 bins pass
+    assert sorted(got["bin_start"]) == [0, 60]
+
+
+def test_percentiles_match_pandas_interpolation(spark):
+    pdf = seeded_series(n=360, gap_frac=0.05)
+    sdf = spark.createDataFrame(pdf)
+    got = (
+        bucket_rollup(sdf, every=120, mincounts_perc=0.0, min_floor_rule=False,
+                      percentiles=[0.25, 0.5, 0.95])
+        .select("bin_start", "p25", "p50", "p95")
+        .toPandas()
+        .sort_values("bin_start")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        seg = pdf[(pdf["pos"] >= row["bin_start"]) & (pdf["pos"] < row["bin_start"] + 120)]
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            exp = seg["value"].quantile(q)  # pandas linear interpolation
+            assert abs(row[col] - exp) < 1e-9, (q, row["bin_start"])
