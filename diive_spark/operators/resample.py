@@ -54,6 +54,35 @@ def with_bin(
     )
 
 
+def apply_mincount_gate(
+    bin_df: DataFrame,
+    mincounts_perc: float,
+    min_floor_rule: bool = True,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Apply diive's min-count gate to an already-aggregated bin table.
+
+    mincounts = int(maxcounts * perc) where maxcounts = max ``n_grid``
+    over the series' bins (resampling.py:76-79); floor rule: 1 if < 3
+    (resampling.py:81-83); keep bins with ``n >= mincounts``
+    (resampling.py:96-97).  Because the gate only needs per-bin counts,
+    it can run over stored tier partials at read time — which keeps tier
+    composition lossless (gate at tier N must NOT drop bins feeding
+    tier N+1, or composed aggregates diverge from direct rollups).
+    """
+    keys = list(key_cols)
+    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+    maxc = F.max("n_grid").over(wk)
+    minc = F.floor(maxc * F.lit(mincounts_perc)).cast("long")
+    if min_floor_rule:
+        minc = F.when(minc < 3, F.lit(1)).otherwise(minc)
+    return (
+        bin_df.withColumn("_minc", minc)
+        .where(F.col("n") >= F.col("_minc"))
+        .drop("_minc")
+    )
+
+
 def _sd_from_partials(n: Column, s: Column, ss: Column) -> Column:
     """Sample SD (ddof=1, pandas default — diive/core/dfun/stats.py:87)
     from (count, sum, sum-of-squares) partials."""
@@ -104,16 +133,8 @@ def bucket_rollup(
         )
     agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
 
-    # maxcounts per series from the (small) aggregated bin table
-    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    maxc = F.max("n_grid").over(wk)
-    minc = F.floor(maxc * F.lit(mincounts_perc)).cast("long")
-    if min_floor_rule:
-        minc = F.when(minc < 3, F.lit(1)).otherwise(minc)  # resampling.py:81-83
-
     out = (
-        agg.withColumn("mincounts", minc)
-        .where(F.col("n") >= F.col("mincounts"))
+        apply_mincount_gate(agg, mincounts_perc, min_floor_rule, keys)
         .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
         .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
     )
@@ -121,7 +142,7 @@ def bucket_rollup(
         for i, p in enumerate(percentiles):
             out = out.withColumn(f"p{int(round(p * 100)):02d}", F.col("_pcts")[i])
         out = out.drop("_pcts")
-    return out.drop("mincounts")
+    return out
 
 
 def compose_rollup(
@@ -151,15 +172,8 @@ def compose_rollup(
         F.min("min").alias("min"),
         F.max("max").alias("max"),
     )
-    wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-    maxc = F.max("n_grid").over(wk)
-    minc = F.floor(maxc * F.lit(mincounts_perc)).cast("long")
-    if min_floor_rule:
-        minc = F.when(minc < 3, F.lit(1)).otherwise(minc)
     return (
-        agg.withColumn("mincounts", minc)
-        .where(F.col("n") >= F.col("mincounts"))
+        apply_mincount_gate(agg, mincounts_perc, min_floor_rule, keys)
         .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
         .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
-        .drop("mincounts")
     )

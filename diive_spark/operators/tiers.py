@@ -1,0 +1,272 @@
+"""Retention tiers: raw -> 1m -> 1h -> 1d continuous aggregates with
+incremental, resumable, per-partition materialization + lineage/metrics.
+
+North-rule requirements covered here:
+- retention tiers materialized as **incremental merges into partitioned
+  tables** with explicit partitioning.  Production target is Iceberg
+  ``MERGE INTO`` with ``PARTITIONED BY (source, bucket(N, doc_id))``;
+  this sandbox has no Iceberg jars, so the store runs on parquet with
+  Spark's *dynamic partition overwrite* — the same idempotent
+  replace-only-touched-partitions semantics (each partition's rewrite is
+  the MERGE analog).  The storage backend is isolated behind
+  :class:`TierStore` so an Iceberg catalog can be dropped in by replacing
+  ``_write_partitions``.
+- **resumable from checkpoint with per-partition lineage and metrics
+  tables**: every materialized partition records (tier, partition,
+  input fingerprint, row count, duration); a resumed run skips
+  partitions whose fingerprint is unchanged and recomputes the rest.
+- tier N+1 is composed from tier N partials (compose_rollup) — the raw
+  series is scanned exactly once per cascade.
+
+Reference analog: the tag/metadata propagation and QCF accounting of
+diive/pkgs/qaqc/meteoscreening.py:499-506 and diive/pkgs/qaqc/qcf.py:148-200;
+the cascade itself is the target-only requirement (BASELINE.json:14).
+
+Skew note (100 TB design): the ``source`` distribution is Zipf-skewed by
+construction.  The rollup groupBy key is (source, doc_id, bin) — doc_id
+has very high cardinality, so the shuffle is naturally well-spread and
+needs no salting; AQE skew-join handles stragglers.  Salting IS needed
+for aggregations keyed by ``source`` alone — provided via
+:func:`salted_source_agg`.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..conventions import KEY_COLS
+from ..functions.gorilla import gorilla_decode_values, gorilla_encode_values
+from .resample import apply_mincount_gate, bucket_rollup, compose_rollup
+
+TIER_COLS = [
+    "doc_id", "bin_start", "bin_end", "bin_label",
+    "n", "n_grid", "sum", "sumsq", "min", "max", "mean", "sd", "source",
+]
+
+
+@dataclass(frozen=True)
+class TierSpec:
+    name: str
+    every: int              # bin width in raw axis units
+    mincounts_perc: float   # applied at READ time (read_gated), not storage
+    from_tier: str | None   # None => built from the raw series
+
+
+DEFAULT_CASCADE = (
+    TierSpec("tier_1m", 60, 0.25, None),
+    TierSpec("tier_1h", 3600, 0.25, "tier_1m"),
+    TierSpec("tier_1d", 86400, 0.25, "tier_1h"),
+)
+
+
+class TierStore:
+    """Partitioned tier tables + lineage + metrics under a root dir."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 key_cols: Sequence[str] = KEY_COLS,
+                 partition_col: str = "source"):
+        self.spark = spark
+        self.root = root
+        self.key_cols = list(key_cols)
+        self.partition_col = partition_col
+        os.makedirs(root, exist_ok=True)
+        self._lineage_path = os.path.join(root, "_lineage.jsonl")
+        self._metrics_path = os.path.join(root, "_metrics.jsonl")
+
+    # ------------------------------------------------------------ lineage
+    def lineage(self) -> list[dict]:
+        if not os.path.exists(self._lineage_path):
+            return []
+        with open(self._lineage_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def _append(self, path: str, rec: dict) -> None:
+        with open(path, "a") as f:
+            f.write(json.dumps(rec) + "\n")
+
+    def lineage_df(self) -> DataFrame:
+        rows = self.lineage()
+        if not rows:
+            return self.spark.createDataFrame(
+                [], "tier string, partition string, fingerprint string, "
+                    "n_rows long, wall_s double, ts double")
+        return self.spark.createDataFrame(rows)
+
+    def _completed(self, tier: str) -> dict[str, str]:
+        """partition -> latest fingerprint recorded for *tier*."""
+        out: dict[str, str] = {}
+        for rec in self.lineage():
+            if rec["tier"] == tier:
+                out[rec["partition"]] = rec["fingerprint"]
+        return out
+
+    # ------------------------------------------------------- fingerprints
+    def _fingerprints(self, df: DataFrame, axis_col: str) -> dict[str, str]:
+        """Order-insensitive per-partition content fingerprint of the
+        input: xor-of-hashes + count (one cheap aggregate pass)."""
+        rows = (
+            df.groupBy(self.partition_col)
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                # bit_xor: order-insensitive and overflow-free (ANSI-safe)
+                F.bit_xor(F.xxhash64(*self.key_cols, axis_col)).alias("h"),
+            )
+            .collect()
+        )
+        return {r[self.partition_col]: f"{r['n']}:{r['h']}" for r in rows}
+
+    # ------------------------------------------------------------- writes
+    def path(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def _write_partitions(self, df: DataFrame, tier: str) -> None:
+        """MERGE INTO analog: dynamic partition overwrite replaces only
+        the partitions present in *df* (idempotent per partition)."""
+        (
+            df.write.mode("overwrite")
+            .partitionBy(self.partition_col)
+            .parquet(self.path(tier))
+        )
+
+    def read(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self.path(tier))
+
+    def read_gated(self, tier: str, mincounts_perc: float,
+                   min_floor_rule: bool = True) -> DataFrame:
+        """Tier bins passing diive's min-count gate
+        (resampling.py:76-97) — the user-facing rollup view."""
+        return apply_mincount_gate(
+            self.read(tier), mincounts_perc, min_floor_rule, self.key_cols
+        )
+
+    # ------------------------------------------------------- raw (gorilla)
+    def write_raw(self, tokens_df: DataFrame) -> None:
+        """Raw tier: Gorilla-compressed token arrays + crc32 checksum,
+        partitioned like the aggregate tiers."""
+        raw = tokens_df.select(
+            "doc_id", "n_tok",
+            gorilla_encode_values("tokens").alias("payload"), "source",
+        ).withColumn("checksum", F.crc32("payload"))
+        self._write_partitions(raw, "raw")
+
+    def read_raw_decoded(self) -> DataFrame:
+        """Decode the raw tier back to (doc_id, tokens, n_tok, source)."""
+        return self.read("raw").select(
+            "doc_id",
+            gorilla_decode_values("payload").alias("tokens"),
+            "n_tok",
+            "source",
+        )
+
+    # ------------------------------------------------------------ cascade
+    def materialize_cascade(
+        self,
+        series_df: DataFrame,
+        cascade: Sequence[TierSpec] = DEFAULT_CASCADE,
+        axis_col: str = "pos",
+        value_col: str = "value",
+        resume: bool = True,
+    ) -> dict[str, dict]:
+        """Materialize all tiers incrementally.  Returns per-tier metrics
+        {tier: {partitions_computed, partitions_skipped, n_rows, wall_s,
+        points_per_sec}}."""
+        report: dict[str, dict] = {}
+        fps = self._fingerprints(series_df, axis_col)
+        for spec in cascade:
+            t0 = time.monotonic()
+            done = self._completed(spec.name) if resume else {}
+            todo = [p for p, fp in fps.items() if done.get(p) != fp]
+            skipped = [p for p in fps if p not in todo]
+            if not todo:
+                report[spec.name] = {
+                    "partitions_computed": 0,
+                    "partitions_skipped": len(skipped),
+                    "n_rows": 0, "wall_s": 0.0, "points_per_sec": 0.0,
+                }
+                continue
+            # Tiers store UNGATED partials: gating a lower tier before
+            # composing the next would diverge from diive's per-tier gate
+            # on raw values.  The gate is applied at read time
+            # (read_gated), a cheap filter over the small bin table.
+            if spec.from_tier is None:
+                src = series_df.where(F.col(self.partition_col).isin(todo))
+                out = bucket_rollup(
+                    src, every=spec.every, axis_col=axis_col,
+                    value_col=value_col, key_cols=self.key_cols,
+                    mincounts_perc=0.0, min_floor_rule=False,
+                )
+            else:
+                src = self.read(spec.from_tier).where(
+                    F.col(self.partition_col).isin(todo)
+                )
+                out = compose_rollup(
+                    src, every=spec.every, key_cols=self.key_cols,
+                    mincounts_perc=0.0, min_floor_rule=False,
+                )
+            self._write_partitions(out.select(*TIER_COLS), spec.name)
+            n_rows = self.read(spec.name).where(
+                F.col(self.partition_col).isin(todo)
+            ).count()
+            wall = time.monotonic() - t0
+            ts = time.time()
+            for p in todo:
+                self._append(self._lineage_path, {
+                    "tier": spec.name, "partition": p, "fingerprint": fps[p],
+                    "n_rows": n_rows, "wall_s": wall, "ts": ts,
+                })
+            metrics = {
+                "partitions_computed": len(todo),
+                "partitions_skipped": len(skipped),
+                "n_rows": n_rows,
+                "wall_s": wall,
+                "points_per_sec": n_rows / wall if wall > 0 else 0.0,
+            }
+            self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
+            report[spec.name] = metrics
+        return report
+
+
+def salted_source_agg(
+    df: DataFrame,
+    aggs: dict[str, F.Column] | None = None,
+    source_col: str = "source",
+    doc_col: str = "doc_id",
+    n_salts: int = 16,
+    value_col: str = "value",
+) -> DataFrame:
+    """Two-stage salted aggregation for the skew-prone ``source`` key
+    (SURVEY.md §4.2.6): stage 1 aggregates on (source, salt) where
+    salt = hash(doc_id) % n_salts — spreading the hot source over
+    ``n_salts`` reducers — stage 2 combines the partials.
+
+    Returns per-source: n, sum, mean, min, max (composable set).
+    """
+    salt = F.pmod(F.xxhash64(doc_col), F.lit(n_salts)).alias("_salt")
+    v = F.col(value_col)
+    stage1 = (
+        df.select(source_col, salt, v.alias("_v"))
+        .groupBy(source_col, "_salt")
+        .agg(
+            F.count("_v").alias("n"),
+            F.sum("_v").alias("sum"),
+            F.min("_v").alias("min"),
+            F.max("_v").alias("max"),
+        )
+    )
+    return (
+        stage1.groupBy(source_col)
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("sum").alias("sum"),
+            F.min("min").alias("min"),
+            F.max("max").alias("max"),
+        )
+        .withColumn("mean", F.col("sum") / F.col("n"))
+    )

@@ -1,0 +1,84 @@
+"""Tier cascade: correctness of composed tiers, raw Gorilla round trip,
+and resume-from-lineage (kill/restart analog)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+import pytest
+
+from diive_spark.operators.resample import bucket_rollup
+from diive_spark.operators.tiers import DEFAULT_CASCADE, TierStore, salted_source_agg
+
+from .conftest import assert_frame_close
+
+
+@pytest.fixture()
+def store(spark, tmp_path):
+    return TierStore(spark, str(tmp_path / "tiers"))
+
+
+def test_cascade_and_resume(spark, store, tiny_tokens, tiny_series):
+    report1 = store.materialize_cascade(tiny_series)
+    assert report1["tier_1m"]["partitions_computed"] > 0
+    assert report1["tier_1m"]["n_rows"] > 0
+
+    # gated tier_1h view == direct gated rollup from raw (tiers store
+    # ungated partials; the gate applies at read time)
+    t1h_direct = (
+        bucket_rollup(tiny_series, every=3600, mincounts_perc=0.25)
+        .select("source", "doc_id", "bin_start", "n", "mean", "sd")
+        .toPandas()
+    )
+    t1h_stored = (
+        store.read_gated("tier_1h", mincounts_perc=0.25)
+        .select("source", "doc_id", "bin_start", "n", "mean", "sd")
+        .toPandas()
+    )
+    assert_frame_close(
+        t1h_stored, t1h_direct, ["source", "doc_id", "bin_start"], atol=1e-8, rtol=1e-8
+    )
+
+    # resume with unchanged input: nothing recomputed
+    report2 = store.materialize_cascade(tiny_series)
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        assert report2[tier]["partitions_computed"] == 0
+        assert report2[tier]["partitions_skipped"] > 0
+
+
+def test_partial_then_resume_completes(spark, store, tiny_series):
+    """Kill/restart analog: first run covers only one source partition;
+    the resumed full run computes exactly the missing partitions and the
+    final store equals a from-scratch full build."""
+    one = tiny_series.where(F.col("source") == "web")
+    store.materialize_cascade(one)
+    report = store.materialize_cascade(tiny_series)
+    assert report["tier_1m"]["partitions_skipped"] == 1  # 'web' skipped
+    assert report["tier_1m"]["partitions_computed"] >= 1
+
+    full = bucket_rollup(tiny_series, every=60, mincounts_perc=0.0, min_floor_rule=False)
+    assert store.read("tier_1m").count() == full.count()
+
+
+def test_raw_tier_roundtrip_and_checksum(spark, store, tiny_tokens):
+    store.write_raw(tiny_tokens)
+    raw = store.read("raw")
+    assert raw.where(F.col("checksum") != F.crc32("payload")).count() == 0
+    decoded = store.read_raw_decoded()
+    joined = decoded.alias("d").join(tiny_tokens.alias("t"), on="doc_id")
+    assert joined.where(~(F.col("d.tokens") == F.col("t.tokens"))).count() == 0
+
+
+def test_salted_source_agg_matches_plain(spark, tiny_series):
+    salted = salted_source_agg(tiny_series).toPandas()
+    plain = (
+        tiny_series.groupBy("source")
+        .agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+        .withColumn("mean", F.col("sum") / F.col("n"))
+        .toPandas()
+    )
+    assert_frame_close(salted, plain, ["source"], atol=1e-9, rtol=1e-9)
