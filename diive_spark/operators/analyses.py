@@ -1,0 +1,334 @@
+"""Analysis operators: stats battery, percentile ladders, histograms,
+binned aggregations, correlations, rolling/lagged feature synthesis.
+
+Reference semantics (diive):
+- sstats battery: diive/core/dfun/stats.py:70-103 — n, missing, mean,
+  sample SD/VAR (pandas ddof=1), sd/mean, sum, median, min, max,
+  P01/05/25/75/95/99 with pandas linear interpolation == Spark exact
+  ``percentile``.
+- percentiles 0..100: diive/pkgs/analyses/quantiles.py:8-31.
+- Histogram: diive/pkgs/analyses/histogram.py:14-122 (np.histogram
+  convention: n equal bins over [min, max], last bin right-closed);
+  peakbins = top-5 bins by count (:79-86).
+- daily_correlation: diive/pkgs/analyses/correlation.py:8-55 — Pearson r
+  per calendar bucket.
+- FindOptimumRange: diive/pkgs/analyses/optimumrange.py:20-160 —
+  quantile-bin x, median y per bin, rolling mean over bins, arg-extreme.
+- SortingBinsMethod: diive/pkgs/analyses/decoupling.py:27-101 — decile
+  var1, nested decile var2, mean var3 per (bin, subbin).
+- QuantileXYAggZ: diive/pkgs/analyses/quantilexyaggz.py:8-162 — quantile
+  classes on x and y, z aggregate per class pair, min-count filter.
+- rolling/lagged variants: diive/core/dfun/frames.py:728-747 (rolling,
+  min_periods=ceil(N/2)), :760-850 (lag range features).
+- diel cycle: diive/pkgs/flux/co2_penalty.py:386-393 — group by
+  time-of-day; on the position axis: ``pos % period``.
+- DOY cumulatives: diive/core/times/times.py:1108-1138 — per-partition
+  running sum + cross-partition mean/SD envelope.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+from ..conventions import KEY_COLS
+
+PCT_BATTERY = [0.01, 0.05, 0.25, 0.50, 0.75, 0.95, 0.99]
+
+
+def sstats(
+    df: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Per-series stats battery (stats.py:70-103) in one aggregate pass."""
+    v = F.col(value_col)
+    pcts = F.percentile(v, F.array(*[F.lit(p) for p in PCT_BATTERY]))
+    out = df.groupBy(*key_cols).agg(
+        F.min(axis_col).alias("startpos"),
+        F.max(axis_col).alias("endpos"),
+        (F.max(axis_col) - F.min(axis_col)).alias("period"),
+        F.count(v).alias("nov"),
+        F.count(F.when(v.isNull(), 1)).alias("missing"),
+        (F.count(F.when(v.isNull(), 1)) * 100.0 / F.count(F.lit(1))).alias("missing_perc"),
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("sd"),
+        F.var_samp(v).alias("var"),
+        (F.stddev_samp(v) / F.avg(v)).alias("sd_over_mean"),
+        F.sum(v).alias("sum"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+        pcts.alias("_p"),
+    )
+    names = ["p01", "p05", "p25", "median", "p75", "p95", "p99"]
+    for i, name in enumerate(names):
+        out = out.withColumn(name, F.col("_p")[i])
+    return out.drop("_p")
+
+
+def percentile_ladder(
+    df: DataFrame, value_col: str = "value", key_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Value at every integer percentile 0..100 (quantiles.py:8-31),
+    exploded to (percentile, value) rows."""
+    v = F.col(value_col)
+    qs = [i / 100.0 for i in range(101)]
+    agg = df.groupBy(*key_cols).agg(
+        F.percentile(v, F.array(*[F.lit(q) for q in qs])).alias("_p")
+    )
+    return agg.select(
+        *key_cols, F.posexplode("_p").alias("percentile", "value")
+    )
+
+
+def histogram(
+    df: DataFrame,
+    n_bins: int = 10,
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    lo: float | None = None,
+    hi: float | None = None,
+) -> DataFrame:
+    """np.histogram-convention fixed-range histogram (histogram.py:14-122):
+    n equal bins over [lo, hi] (default data min/max per group), values on
+    a bin edge fall in the right bin except the max which joins the last
+    bin.  Returns (key..., bin_idx, bin_lo, bin_hi, count)."""
+    keys = list(key_cols)
+    v = F.col(value_col)
+    if lo is None or hi is None:
+        w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        df = df.withColumn("_lo", F.min(v).over(w)).withColumn("_hi", F.max(v).over(w))
+    else:
+        df = df.withColumn("_lo", F.lit(float(lo))).withColumn("_hi", F.lit(float(hi)))
+    width = (F.col("_hi") - F.col("_lo")) / n_bins
+    raw_idx = F.floor((v - F.col("_lo")) / width)
+    idx = F.least(raw_idx, F.lit(n_bins - 1))  # max value joins last bin
+    return (
+        df.where(v.isNotNull() & (v >= F.col("_lo")) & (v <= F.col("_hi")))
+        .groupBy(*keys, idx.alias("bin_idx"), "_lo", "_hi")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("bin_lo", F.col("_lo") + F.col("bin_idx") * (F.col("_hi") - F.col("_lo")) / n_bins)
+        .withColumn("bin_hi", F.col("_lo") + (F.col("bin_idx") + 1) * (F.col("_hi") - F.col("_lo")) / n_bins)
+        .drop("_lo", "_hi")
+    )
+
+
+def peak_bins(hist_df: DataFrame, k: int = 5, key_cols: Sequence[str] = ()) -> DataFrame:
+    """Top-k histogram bins by count (histogram.py:79-86), deterministic
+    tie-break on bin_idx."""
+    keys = list(key_cols)
+    if keys:
+        w = Window.partitionBy(*keys).orderBy(F.col("count").desc(), F.col("bin_idx"))
+        return hist_df.withColumn("_rk", F.row_number().over(w)).where(
+            F.col("_rk") <= k
+        ).drop("_rk")
+    return hist_df.orderBy(F.col("count").desc(), F.col("bin_idx")).limit(k)
+
+
+def bucket_correlation(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    bucket: int,
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Pearson r of two columns per axis bucket (daily_correlation,
+    correlation.py:8-55: per-calendar-day corr ≙ per-bucket corr)."""
+    b = F.floor(F.col(axis_col) / bucket).alias("bucket")
+    return df.groupBy(*key_cols, b).agg(
+        F.corr(a_col, b_col).alias("r"),
+        F.count(F.when(F.col(a_col).isNotNull() & F.col(b_col).isNotNull(), 1)).alias("n"),
+    )
+
+
+def diel_cycle(
+    df: DataFrame,
+    period: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Group by position-within-cycle (time-of-day analog,
+    co2_penalty.py:386-393): mean/sd/count per phase."""
+    phase = F.pmod(F.col(axis_col), F.lit(period)).alias("phase")
+    v = F.col(value_col)
+    return df.groupBy(*key_cols, phase).agg(
+        F.avg(v).alias("mean"),
+        F.stddev_samp(v).alias("sd"),
+        F.count(v).alias("n"),
+    )
+
+
+def quantile_bins(
+    df: DataFrame, col: str, n: int, out_col: str, key_cols: Sequence[str] = ()
+) -> DataFrame:
+    """``ntile(n)`` quantile classes over non-null values (pandas qcut
+    analog used throughout diive's binned analyses)."""
+    keys = list(key_cols)
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(col)
+    return df.where(F.col(col).isNotNull()).withColumn(out_col, F.ntile(n).over(w))
+
+
+def sorting_bins(
+    df: DataFrame,
+    var1: str,
+    var2: str,
+    var3: str,
+    n_bins: int = 10,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Decoupling / SortingBinsMethod (decoupling.py:27-101): decile-bin
+    var1; within each bin, decile-bin var2; mean of var3 per (bin, subbin)."""
+    keys = list(key_cols)
+    b1 = quantile_bins(
+        df.where(F.col(var2).isNotNull() & F.col(var3).isNotNull()),
+        var1, n_bins, "bin1", keys,
+    )
+    b2 = quantile_bins(b1, var2, n_bins, "bin2", keys + ["bin1"])
+    return b2.groupBy(*keys, "bin1", "bin2").agg(
+        F.avg(var3).alias(f"{var3}_mean"),
+        F.count(var3).alias("n"),
+    )
+
+
+def quantile_xy_agg_z(
+    df: DataFrame,
+    x: str,
+    y: str,
+    z: str,
+    n_x: int = 10,
+    n_y: int = 10,
+    agg: str = "mean",
+    min_n: int = 1,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """QuantileXYAggZ (quantilexyaggz.py:8-162): independent quantile
+    classes on x and y, z-aggregate per class pair, min-count filter."""
+    keys = list(key_cols)
+    good = df.where(
+        F.col(x).isNotNull() & F.col(y).isNotNull() & F.col(z).isNotNull()
+    )
+    bx = quantile_bins(good, x, n_x, "xbin", keys)
+    bxy = quantile_bins(bx, y, n_y, "ybin", keys)
+    zc = F.col(z)
+    aggfn = {
+        "mean": F.avg(zc), "median": F.median(zc), "sum": F.sum(zc),
+        "min": F.min(zc), "max": F.max(zc), "count": F.count(zc),
+    }[agg]
+    return (
+        bxy.groupBy(*keys, "xbin", "ybin")
+        .agg(aggfn.alias(f"{z}_{agg}"), F.count(zc).alias("n"))
+        .where(F.col("n") >= min_n)
+    )
+
+
+def find_optimum_range(
+    df: DataFrame,
+    x: str,
+    y: str,
+    n_bins: int = 20,
+    rolling_win: int | None = None,
+    maximize: bool = True,
+) -> DataFrame:
+    """FindOptimumRange (optimumrange.py:20-160): quantile-bin x, median
+    of y per bin, centered rolling mean over the (small) bin table, pick
+    the extreme bin.  Returns one row: optimum bin + x-range."""
+    binned = quantile_bins(
+        df.where(F.col(y).isNotNull()), x, n_bins, "xbin"
+    )
+    per_bin = binned.groupBy("xbin").agg(
+        F.median(y).alias("y_med"),
+        F.min(x).alias("x_lo"),
+        F.max(x).alias("x_hi"),
+        F.count(y).alias("n"),
+    )
+    win = rolling_win or max(3, int(n_bins * 0.1) | 1)
+    wr = Window.orderBy("xbin").rowsBetween(-(win // 2), win // 2)
+    smoothed = per_bin.withColumn("y_smooth", F.avg("y_med").over(wr))
+    order = F.col("y_smooth").desc() if maximize else F.col("y_smooth").asc()
+    wrank = Window.orderBy(order, F.col("xbin"))
+    return (
+        smoothed.withColumn("_rk", F.row_number().over(wrank))
+        .where(F.col("_rk") == 1)
+        .drop("_rk")
+    )
+
+
+def rolling_variants(
+    df: DataFrame,
+    win: int,
+    aggs: Sequence[str] = ("mean",),
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Trailing rolling aggregates over N records with
+    min_periods = ceil(N/2) (frames.py:728-747)."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(axis_col).rowsBetween(-(win - 1), 0)
+    v = F.col(value_col)
+    min_periods = math.ceil(win / 2)
+    cnt = F.count(v).over(w)
+    fns = {"mean": F.avg, "max": F.max, "min": F.min, "sum": F.sum,
+           "sd": F.stddev_samp}
+    out = df
+    for a in aggs:
+        expr = fns[a](v).over(w)
+        out = out.withColumn(
+            f"{value_col}_roll{a}{win}",
+            F.when(cnt >= min_periods, expr),
+        )
+    return out
+
+
+def lagged_variants(
+    df: DataFrame,
+    lags: Sequence[int],
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Shifted feature copies for each lag in *lags* (frames.py:760-850);
+    positive lag = value from k records earlier."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    out = df
+    for k in lags:
+        col = F.lag(value_col, k).over(w) if k >= 0 else F.lead(value_col, -k).over(w)
+        out = out.withColumn(f"{value_col}_lag{k}", col)
+    return out
+
+
+def cumulative_per_partition(
+    df: DataFrame,
+    partition_col: str,
+    value_col: str = "value",
+    axis_col: str = "pos",
+) -> DataFrame:
+    """Running sum per partition (DOY cumulatives analog,
+    times.py:1108-1138): cumsum over the ordered axis within each
+    partition, plus the cross-partition mean±SD envelope per axis point."""
+    w = (
+        Window.partitionBy(partition_col)
+        .orderBy(axis_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = df.withColumn("cumsum", F.sum(value_col).over(w))
+    env = Window.partitionBy(axis_col)
+    return (
+        out.withColumn("cum_mean", F.avg("cumsum").over(env))
+        .withColumn("cum_sd", F.stddev_samp("cumsum").over(env))
+    )
+
+
+def add_record_number(
+    df: DataFrame, axis_col: str = "pos", key_cols: Sequence[str] = KEY_COLS
+) -> DataFrame:
+    """1..N record counter per series (frames.py:750-757)."""
+    w = Window.partitionBy(*key_cols).orderBy(axis_col)
+    return df.withColumn("record_number", F.row_number().over(w))

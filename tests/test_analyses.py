@@ -1,0 +1,135 @@
+"""Analyses battery vs pandas/numpy oracles (reference semantics)."""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from diive_spark.functions.circular import circular_agg
+from diive_spark.operators.analyses import (
+    bucket_correlation,
+    diel_cycle,
+    histogram,
+    peak_bins,
+    percentile_ladder,
+    rolling_variants,
+    sstats,
+)
+from diive_spark.operators.corrections import decode_bitfield, setto_threshold
+
+from .conftest import seeded_series
+
+
+def test_sstats_matches_pandas(spark):
+    pdf = seeded_series(n=400, gap_frac=0.1)
+    got = sstats(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    s = pdf["value"]
+    assert got["nov"] == s.count()
+    assert got["missing"] == s.isnull().sum()
+    assert abs(got["mean"] - s.mean()) < 1e-9
+    assert abs(got["sd"] - s.std()) < 1e-9            # ddof=1
+    assert abs(got["var"] - s.var()) < 1e-9
+    assert abs(got["median"] - s.quantile(0.5)) < 1e-9
+    for q, col in [(0.01, "p01"), (0.05, "p05"), (0.25, "p25"),
+                   (0.75, "p75"), (0.95, "p95"), (0.99, "p99")]:
+        assert abs(got[col] - s.quantile(q)) < 1e-9, q
+
+
+def test_percentile_ladder(spark):
+    pdf = seeded_series(n=300, gap_frac=0.0)
+    got = (
+        percentile_ladder(spark.createDataFrame(pdf))
+        .toPandas()
+        .sort_values("percentile")
+        .reset_index(drop=True)
+    )
+    assert len(got) == 101
+    for i in (0, 13, 50, 77, 100):
+        assert abs(got.loc[i, "value"] - pdf["value"].quantile(i / 100)) < 1e-9
+
+
+def test_histogram_matches_numpy(spark):
+    pdf = seeded_series(n=500, gap_frac=0.05)
+    got = (
+        histogram(spark.createDataFrame(pdf), n_bins=12)
+        .toPandas()
+        .sort_values("bin_idx")
+    )
+    counts, edges = np.histogram(pdf["value"].dropna(), bins=12)
+    got_counts = np.zeros(12, dtype=int)
+    got_counts[got["bin_idx"].astype(int)] = got["count"]
+    np.testing.assert_array_equal(got_counts, counts)
+    top = peak_bins(histogram(spark.createDataFrame(pdf), n_bins=12), k=5).toPandas()
+    assert len(top) == 5
+    assert set(top["count"]) <= set(counts)
+
+
+def test_bucket_correlation_matches_pandas(spark):
+    rng = np.random.default_rng(3)
+    n = 600
+    a = rng.normal(0, 1, n)
+    b = 0.5 * a + rng.normal(0, 1, n)
+    pdf = pd.DataFrame({"pos": np.arange(n), "a": a, "b": b})
+    got = (
+        bucket_correlation(spark.createDataFrame(pdf), "a", "b", bucket=100)
+        .toPandas()
+        .sort_values("bucket")
+        .reset_index(drop=True)
+    )
+    for _, row in got.iterrows():
+        seg = pdf[(pdf["pos"] // 100) == row["bucket"]]
+        assert abs(row["r"] - seg["a"].corr(seg["b"])) < 1e-9
+
+
+def test_rolling_matches_pandas_min_periods(spark):
+    pdf = seeded_series(n=200, gap_frac=0.15)
+    win = 10
+    got = (
+        rolling_variants(spark.createDataFrame(pdf), win=win, aggs=("mean", "max"))
+        .toPandas()
+        .sort_values("pos")
+        .reset_index(drop=True)
+    )
+    exp_mean = pdf["value"].rolling(win, min_periods=math.ceil(win / 2)).mean()
+    exp_max = pdf["value"].rolling(win, min_periods=math.ceil(win / 2)).max()
+    np.testing.assert_allclose(
+        got[f"value_rollmean{win}"].values, exp_mean.values, atol=1e-9, equal_nan=True
+    )
+    np.testing.assert_allclose(
+        got[f"value_rollmax{win}"].values, exp_max.values, atol=1e-9, equal_nan=True
+    )
+
+
+def test_diel_cycle_phase_count(spark):
+    pdf = seeded_series(n=480, gap_frac=0.0)
+    got = diel_cycle(spark.createDataFrame(pdf), period=48).toPandas()
+    assert len(got) == 48
+    assert (got["n"] == 10).all()
+
+
+def test_circular_agg_kanda(spark):
+    # angles clustered around 350/10 degrees: arithmetic mean is ~180 (wrong),
+    # circular mean must be ~0/360
+    angles = [350.0, 355.0, 5.0, 10.0]
+    df = spark.createDataFrame([(a,) for a in angles], "wd double")
+    got = df.agg(circular_agg("wd", "mean")).first()[0]
+    ph = np.radians(np.array(angles))
+    exp = np.degrees(np.arctan2(np.sin(ph).mean(), np.cos(ph).mean())) % 360
+    assert abs(got - exp) < 1e-9
+
+
+def test_setto_threshold_and_bitfield(spark):
+    pdf = seeded_series(n=100, gap_frac=0.0)
+    sdf = spark.createDataFrame(pdf)
+    clamped = setto_threshold(sdf, threshold=55.0, mode="above", flag_col="flag_thr")
+    row = clamped.agg(F.max("value").alias("m"),
+                      F.sum(F.when(F.col("flag_thr") == 1, 1).otherwise(0)).alias("nf")).first()
+    assert row["m"] <= 55.0
+    assert row["nf"] == (pdf["value"] > 55.0).sum()
+
+    bits = spark.createDataFrame([(0b1011010,)], "x int")
+    out = decode_bitfield(bits, "x", 1, 4, gain=0.5).first()
+    assert out["decoded"] == ((0b1011010 >> 1) & 0b111) * 0.5
