@@ -1,0 +1,261 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+These are target-side additions (not in the reference, which has only
+index-level dedup — diive/core/times/times.py:802-819): the operations a
+100 TB pre-training corpus needs, built Spark-first:
+
+- exact dedup: hash-groupBy on content digest (md5 for DuckDB-oracle
+  parity), keep-first by id.
+- MinHash + LSH near-dup: shingle -> 64-bit hash -> k permuted minhashes
+  (one groupBy, k aggregate expressions — no UDFs) -> band buckets ->
+  candidate pairs via self-join on (band, band_hash) -> signature-level
+  jaccard estimate filter.
+- SimHash: per-word hash bit votes -> 64-bit fingerprint; near-dup pairs
+  via 4x16-bit chunk banding (pigeonhole guarantees recall for hamming
+  distance <= 3).
+- exact n-gram Jaccard for candidate verification.
+
+Scale notes: every stage is shuffle-bounded by design — signatures are
+one groupBy over exploded shingles; candidate generation joins on band
+buckets (tiny fraction of the cross product); verification only touches
+candidate pairs.  ANSI-safe arithmetic throughout (minhash permutations
+stay under 2^62).
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+_MERSENNE = (1 << 31) - 1  # permutation modulus (fits ANSI long math)
+
+
+def _rand_coeffs(k: int, seed: int) -> list[tuple[int, int]]:
+    import random
+
+    rng = random.Random(seed)
+    return [(rng.randrange(1, _MERSENNE), rng.randrange(0, _MERSENNE)) for _ in range(k)]
+
+
+def exact_dedup(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Exact content dedup: md5 digest groupBy, keep the lowest id
+    (deterministic keep-first).  Adds ``dup_count`` per kept row."""
+    digest = F.md5(F.col(text_col)).alias("_digest")
+    w = Window.partitionBy("_digest").orderBy(id_col)
+    return (
+        df.withColumn("_digest", digest)
+        .withColumn("_rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count(F.lit(1)).over(Window.partitionBy("_digest")))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_digest")
+    )
+
+
+def word_shingles(
+    df: DataFrame, n: int = 3, text_col: str = "text", out_col: str = "shingles"
+) -> DataFrame:
+    """Word n-gram shingles, JVM-side (no UDF): lowercase, split on
+    whitespace, sliding concat of n words."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp = df.withColumn("_w", words)
+    ngrams = F.expr(
+        f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+    )
+    return tmp.withColumn(out_col, F.array_distinct(ngrams)).drop("_w")
+
+
+def minhash_signatures(
+    df: DataFrame,
+    k: int = 64,
+    n_shingle: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """k-permutation MinHash signature per doc: explode shingles once,
+    aggregate k mins of (a_i * h + b_i) mod p in a single groupBy."""
+    coeffs = _rand_coeffs(k, seed)
+    sh = word_shingles(df, n=n_shingle, text_col=text_col)
+    exploded = sh.select(
+        id_col, F.explode("shingles").alias("_s")
+    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
+    aggs = [
+        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE))).alias(f"mh{i}")
+        for i, (a, b) in enumerate(coeffs)
+    ]
+    return exploded.groupBy(id_col).agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    sig_df: DataFrame,
+    bands: int = 16,
+    id_col: str = "doc_id",
+    est_threshold: float = 0.7,
+) -> DataFrame:
+    """Candidate near-dup pairs via LSH banding + signature jaccard
+    estimate.  ``k = bands * rows_per_band`` minhash columns required.
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    mh_cols = [c for c in sig_df.columns if c.startswith("mh")]
+    k = len(mh_cols)
+    r = k // bands
+    band_cols = [
+        F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
+        for b in range(bands)
+    ]
+    banded = sig_df.select(id_col, F.array(*mh_cols).alias("sig"), *band_cols)
+    stacked = banded.select(
+        id_col,
+        "sig",
+        F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
+            "band_idx", "band_hash"
+        ),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            on=[
+                F.col("a.band_idx") == F.col("b.band_idx"),
+                F.col("a.band_hash") == F.col("b.band_hash"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = (
+        F.aggregate(
+            F.zip_with("sig_a", "sig_b", lambda x, y: (x == y).cast("int")),
+            F.lit(0),
+            lambda acc, x: acc + x,
+        )
+        / F.lit(float(len(mh_cols)))
+    )
+    return (
+        pairs.withColumn("est_jaccard", est)
+        .where(F.col("est_jaccard") >= est_threshold)
+        .select("id_a", "id_b", "est_jaccard")
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    k: int = 64,
+    bands: int = 16,
+    n_shingle: int = 3,
+    est_threshold: float = 0.7,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """End-to-end MinHash near-dedup: docs joined to their canonical id
+    (the min id among LSH-confirmed neighbors; single-hop union — for
+    multi-hop chains run to fixpoint with iterate_components)."""
+    sigs = minhash_signatures(df, k=k, n_shingle=n_shingle,
+                              text_col=text_col, id_col=id_col)
+    pairs = minhash_lsh_pairs(sigs, bands=bands, id_col=id_col,
+                              est_threshold=est_threshold)
+    edges = pairs.select(
+        F.col("id_a").alias("node"), F.col("id_b").alias("peer")
+    ).unionByName(pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("peer")))
+    canon = edges.groupBy("node").agg(
+        F.least(F.min("peer"), F.first("node")).alias("canonical")
+    )
+    return df.join(
+        canon, on=F.col(id_col) == F.col("node"), how="left"
+    ).withColumn(
+        "canonical_id", F.coalesce(F.col("canonical"), F.col(id_col))
+    ).drop("node", "canonical")
+
+
+def simhash(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id",
+    n_bits: int = 64,
+) -> DataFrame:
+    """64-bit SimHash fingerprint: per-word 64-bit hash, each bit votes
+    +1/-1, fingerprint bit = sign of the vote sum.  One explode + one
+    groupBy with n_bits aggregate expressions — no UDFs."""
+    words = df.select(
+        id_col,
+        F.explode(F.split(F.lower(F.trim(F.col(text_col))), r"\s+")).alias("_w"),
+    ).withColumn("_h", F.xxhash64("_w"))
+    votes = [
+        F.sum(
+            (F.shiftright(F.col("_h"), i).bitwiseAND(F.lit(1)) * 2 - 1)
+        ).alias(f"v{i}")
+        for i in range(n_bits)
+    ]
+    agg = words.groupBy(id_col).agg(*votes)
+    fp = None
+    for i in range(n_bits):
+        bit = F.when(F.col(f"v{i}") > 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp.bitwiseXOR(term)
+    return agg.select(id_col, fp.alias("simhash"))
+
+
+def simhash_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    chunk banding (pigeonhole: hd<=3 -> at least one identical chunk)."""
+    chunks = [
+        F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
+        for i in range(4)
+    ]
+    t = sim_df.select(id_col, "simhash", *chunks)
+    stacked = t.select(
+        id_col, "simhash",
+        F.posexplode(F.array(*[F.col(f"c{i}") for i in range(4)])).alias("chunk_idx", "chunk"),
+    )
+    a, b = stacked.alias("a"), stacked.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (
+        a.join(
+            b,
+            on=[
+                F.col("a.chunk_idx") == F.col("b.chunk_idx"),
+                F.col("a.chunk") == F.col("b.chunk"),
+                F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
+            ],
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            ham.alias("hamming"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .where(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard(
+    df: DataFrame,
+    pairs: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Exact n-gram Jaccard for candidate pairs: join shingle arrays onto
+    the (small) pair table, JVM array intersection/union."""
+    sh = word_shingles(df, n=n, text_col=text_col).select(
+        F.col(id_col), F.col("shingles")
+    )
+    j = (
+        pairs.join(sh.withColumnRenamed("shingles", "sh_a"),
+                   on=F.col("id_a") == F.col(id_col)).drop(id_col)
+        .join(sh.withColumnRenamed("shingles", "sh_b"),
+              on=F.col("id_b") == F.col(id_col)).drop(id_col)
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.withColumn(
+        "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    ).drop("sh_a", "sh_b")

@@ -1,0 +1,164 @@
+"""Similarity search over an embedding column (array<float>).
+
+Target-side addition for training-data pipelines: approximate nearest
+neighbors over ``embeddings(vec_id, embedding, label)``.
+
+- brute-force cosine top-k (the correctness baseline): JVM-side dot
+  products via zip_with + aggregate — no Python in the hot path; the
+  query side is broadcast.
+- LSH-bucketed variant (the scale path): random-hyperplane signatures
+  bucket the corpus; each query only scans its bucket (+ optional
+  multi-probe neighbors).  At 10^9 vectors the bucket join replaces the
+  full cross product.
+- embedding-cosine near-dup pairs: all pairs above a cosine threshold
+  via LSH buckets.
+"""
+
+from __future__ import annotations
+
+import random
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x * y).cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _norm(a):
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: (x * x).cast("double")),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
+def with_normalized(df: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """L2-normalize once so cosine == dot."""
+    nrm = _norm(F.col(vec_col))
+    return df.withColumn(
+        "_unit",
+        F.when(nrm > 0, F.transform(F.col(vec_col), lambda x: x / nrm)),
+    )
+
+
+def cosine_topk_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Exact top-k by cosine: broadcast the (small) query set against the
+    corpus; rank per query.  Returns (query_id, vec_id, cosine, rank)."""
+    c = with_normalized(corpus, vec_col).select(
+        F.col(id_col).alias("vec_id"), F.col("_unit").alias("_cu")
+    )
+    q = with_normalized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    )
+    scored = c.join(F.broadcast(q), on=F.col("vec_id") != F.col("query_id")).withColumn(
+        "cosine", _dot(F.col("_cu"), F.col("_qu"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int) -> list[list[float]]:
+    rng = random.Random(seed)
+    return [[rng.gauss(0, 1) for _ in range(dim)] for _ in range(n_planes)]
+
+
+def with_lsh_bucket(
+    df: DataFrame,
+    dim: int,
+    n_planes: int = 12,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    out_col: str = "lsh_bucket",
+) -> DataFrame:
+    """Random-hyperplane LSH: bucket id = sign bits of n_planes dot
+    products, packed into a long.  Pure column expressions."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = _dot(F.col(vec_col), F.array(*[F.lit(float(x)) for x in p]))
+        bit = F.when(d >= 0, F.lit(1)).otherwise(F.lit(0)).cast("long")
+        bucket = bucket + F.shiftleft(bit, i)
+    return df.withColumn(out_col, bucket)
+
+
+def cosine_topk_lsh(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Approximate top-k: only corpus vectors in the query's LSH bucket
+    are scored.  Recall grows with fewer planes / multi-probe; this is
+    the 10^9-vector scale path (bucket equi-join, broadcast queries)."""
+    c = with_lsh_bucket(
+        with_normalized(corpus, vec_col), dim, n_planes, seed, "_unit"
+    ).select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("_cu"), "lsh_bucket")
+    q = with_lsh_bucket(
+        with_normalized(queries, vec_col), dim, n_planes, seed, "_unit"
+    ).select(F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu"), "lsh_bucket")
+    scored = (
+        c.join(F.broadcast(q), on="lsh_bucket")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("_cu"), F.col("_qu")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
+def cosine_near_dup_pairs(
+    df: DataFrame,
+    dim: int,
+    threshold: float = 0.95,
+    n_planes: int = 10,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (cosine >= threshold) via
+    LSH bucket self-join — the embedding analog of minhash_lsh_pairs."""
+    b = with_lsh_bucket(
+        with_normalized(df, vec_col), dim, n_planes, seed, "_unit"
+    ).select(F.col(id_col).alias("vid"), F.col("_unit").alias("_u"), "lsh_bucket")
+    a, c = b.alias("a"), b.alias("b")
+    return (
+        a.join(
+            c,
+            on=[
+                F.col("a.lsh_bucket") == F.col("b.lsh_bucket"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .withColumn("cosine", _dot(F.col("a._u"), F.col("b._u")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            "cosine",
+        )
+    )

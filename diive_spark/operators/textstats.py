@@ -1,0 +1,116 @@
+"""Text analysis operators for training-data pipelines (target-side):
+language ID (stopword-hit heuristic), quality scoring, token counting,
+document fingerprinting.  All JVM-side column expressions — no UDFs.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Minimal stopword inventories for the n-gram/stopword-hit language
+# heuristic.  Public knowledge (most-frequent function words).
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "in", "is", "that", "it", "was", "for"],
+    "de": ["der", "die", "und", "das", "ist", "nicht", "ein", "mit", "auf", "den"],
+    "fr": ["le", "la", "et", "les", "des", "est", "un", "une", "dans", "que"],
+    "es": ["el", "la", "de", "que", "los", "en", "un", "una", "por", "con"],
+}
+
+
+def with_words(df: DataFrame, text_col: str = "text") -> DataFrame:
+    return df.withColumn("_words", F.split(F.lower(F.trim(F.col(text_col))), r"\s+"))
+
+
+def token_count(
+    df: DataFrame, text_col: str = "text", out_prefix: str = "tok"
+) -> DataFrame:
+    """Token counting: whitespace tokens + a BPE-ish regex count
+    (word pieces, numbers, punctuation as separate tokens) + the
+    chars/4 heuristic."""
+    t = F.col(text_col)
+    ws = F.size(F.split(F.trim(t), r"\s+"))
+    bpe_ish = F.size(
+        F.regexp_extract_all(t, F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"), 0)
+    )
+    return (
+        df.withColumn(f"{out_prefix}_ws", ws)
+        .withColumn(f"{out_prefix}_bpe", bpe_ish)
+        .withColumn(f"{out_prefix}_chars4", (F.length(t) / 4.0))
+    )
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality features + combined score in [0,1]:
+    length band, mean word length band, punctuation ratio, uppercase
+    ratio, stopword(en) ratio, digit ratio."""
+    t = F.col(text_col)
+    n_chars = F.length(t)
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    n_words = F.size(words)
+    mean_wlen = n_chars / F.greatest(n_words, F.lit(1))
+    n_punct = F.length(t) - F.length(F.regexp_replace(t, r"[^\w\s]", ""))
+    punct_ratio = n_punct / F.greatest(n_chars, F.lit(1))
+    n_upper = F.length(t) - F.length(F.regexp_replace(t, r"[A-Z]", ""))
+    upper_ratio = n_upper / F.greatest(n_chars, F.lit(1))
+    n_digit = F.length(t) - F.length(F.regexp_replace(t, r"[0-9]", ""))
+    digit_ratio = n_digit / F.greatest(n_chars, F.lit(1))
+    sw = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    sw_hits = F.size(F.filter(words, lambda w: F.array_contains(sw, w)))
+    sw_ratio = sw_hits / F.greatest(n_words, F.lit(1))
+
+    len_ok = F.when((n_words >= 10) & (n_words <= 100000), 1.0).otherwise(0.3)
+    wlen_ok = F.when((mean_wlen >= 3) & (mean_wlen <= 12), 1.0).otherwise(0.4)
+    punct_ok = F.when(punct_ratio <= 0.2, 1.0).otherwise(0.4)
+    upper_ok = F.when(upper_ratio <= 0.3, 1.0).otherwise(0.5)
+    sw_ok = F.when(sw_ratio >= 0.05, 1.0).otherwise(0.6)
+    score = (len_ok * wlen_ok * punct_ok * upper_ok * sw_ok)
+    return (
+        df.withColumn("n_words", n_words)
+        .withColumn("mean_word_len", mean_wlen)
+        .withColumn("punct_ratio", punct_ratio)
+        .withColumn("upper_ratio", upper_ratio)
+        .withColumn("digit_ratio", digit_ratio)
+        .withColumn("stopword_ratio", sw_ratio)
+        .withColumn("quality", score)
+    )
+
+
+def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language heuristic: per language, the fraction of
+    words that are in its stopword list; predicted language = argmax
+    (ties -> 'und' undetermined when max hit rate < 2%)."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp = df.withColumn("_words", words).withColumn(
+        "_nw", F.greatest(F.size(words), F.lit(1))
+    )
+    langs = sorted(STOPWORDS)
+    for lang in langs:
+        sw = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+        hits = F.size(F.filter(F.col("_words"), lambda w: F.array_contains(sw, w)))
+        tmp = tmp.withColumn(f"hit_{lang}", hits / F.col("_nw"))
+    best = F.greatest(*[F.col(f"hit_{lang}") for lang in langs])
+    pred = F.lit("und")
+    for lang in reversed(langs):  # earlier langs win ties
+        pred = F.when(F.col(f"hit_{lang}") == best, F.lit(lang)).otherwise(pred)
+    pred = F.when(best < 0.02, F.lit("und")).otherwise(pred)
+    return tmp.withColumn("lang_pred", pred).drop("_words", "_nw")
+
+
+def doc_fingerprint(
+    df: DataFrame, text_col: str = "text", n_hashes: int = 4
+) -> DataFrame:
+    """Rolling-hash document fingerprint: xxhash64 of the full text plus
+    the min word-trigram hash (a 1-element winnowing sketch) — cheap
+    near-identity signature for clustering/sharding."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp = df.withColumn("_w", words)
+    tri = F.expr(
+        "transform(sequence(0, greatest(size(_w) - 3, 0)), "
+        "i -> xxhash64(concat_ws(' ', slice(_w, i + 1, 3))))"
+    )
+    return (
+        tmp.withColumn("fp_full", F.xxhash64(F.col(text_col)))
+        .withColumn("fp_min_trigram", F.array_min(tri))
+        .drop("_w")
+    )

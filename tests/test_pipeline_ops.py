@@ -1,0 +1,167 @@
+"""Training-data pipeline ops: dedup (exact/minhash/simhash/jaccard),
+similarity search, text stats, multimodal plumbing."""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from diive_spark.operators.dedup import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard,
+    simhash,
+    simhash_pairs,
+)
+from diive_spark.operators.multimodal import extract_features, fake_media_table, frame_sample_plan
+from diive_spark.operators.similarity import (
+    cosine_near_dup_pairs,
+    cosine_topk_bruteforce,
+    cosine_topk_lsh,
+)
+from diive_spark.operators.textstats import doc_fingerprint, language_id, quality_score, token_count
+
+
+WORDS = "alpha bravo charlie delta echo foxtrot golf hotel india juliet kilo lima".split()
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rng = np.random.default_rng(9)
+    rows = []
+    base_texts = []
+    for i in range(40):
+        words = rng.choice(WORDS, size=30)
+        base_texts.append(" ".join(words))
+        rows.append((i, base_texts[-1]))
+    # exact duplicates of doc 0 and 1
+    rows.append((100, base_texts[0]))
+    rows.append((101, base_texts[1]))
+    # near duplicate of doc 2: one word changed
+    w = base_texts[2].split()
+    w[5] = "zulu"
+    rows.append((102, " ".join(w)))
+    return spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+
+def test_exact_dedup(spark, docs):
+    out = exact_dedup(docs)
+    assert out.count() == docs.count() - 2
+    kept = {r["doc_id"] for r in out.collect()}
+    assert 0 in kept and 100 not in kept
+    assert out.where(F.col("dup_count") == 2).count() == 2  # docs 0 and 1
+
+
+def test_minhash_finds_exact_and_near_dups(spark, docs):
+    sigs = minhash_signatures(docs, k=64)
+    pairs = minhash_lsh_pairs(sigs, bands=16, est_threshold=0.5).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in found
+    assert (1, 101) in found
+    assert (2, 102) in found  # near dup
+    # exact dups estimate jaccard 1.0
+    exact = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 100)]
+    assert exact["est_jaccard"].iloc[0] == 1.0
+
+
+def test_minhash_dedup_canonical(spark, docs):
+    out = minhash_dedup(docs, est_threshold=0.5)
+    m = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert m[100] == 0 and m[101] == 1 and m[102] == 2
+    assert m[5] == 5  # non-dup maps to itself
+
+
+def test_simhash_near_dups(spark, docs):
+    fp = simhash(docs)
+    pairs = simhash_pairs(fp, max_hamming=10).toPandas()
+    found = {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+    assert (0, 100) in found  # identical text -> hamming 0
+    ham0 = pairs[(pairs["id_a"] == 0) & (pairs["id_b"] == 100)]["hamming"].iloc[0]
+    assert ham0 == 0
+
+
+def test_ngram_jaccard_exact_values(spark, docs):
+    pairs = spark.createDataFrame(
+        [(0, 100), (2, 102)], "id_a long, id_b long"
+    )
+    out = ngram_jaccard(docs, pairs).toPandas().set_index(["id_a", "id_b"])
+    assert out.loc[(0, 100), "jaccard"] == 1.0
+    assert 0.5 < out.loc[(2, 102), "jaccard"] < 1.0
+
+
+@pytest.fixture(scope="module")
+def vecs(spark):
+    rng = np.random.default_rng(21)
+    base = rng.normal(0, 1, (30, 16)).astype(np.float32)
+    base[7] = base[3] + rng.normal(0, 0.01, 16)  # near-dup pair (3, 7)
+    pdf = pd.DataFrame(
+        {"vec_id": range(30), "embedding": [list(map(float, v)) for v in base]}
+    )
+    return spark.createDataFrame(pdf).cache()
+
+
+def test_cosine_topk_bruteforce_matches_numpy(spark, vecs):
+    got = cosine_topk_bruteforce(vecs, vecs.where(F.col("vec_id") == 3), k=5).toPandas()
+    emb = np.array(vecs.orderBy("vec_id").toPandas()["embedding"].tolist())
+    unit = emb / np.linalg.norm(emb, axis=1, keepdims=True)
+    sims = unit @ unit[3]
+    sims[3] = -np.inf
+    exp_top = np.argsort(-sims)[:5]
+    assert list(got.sort_values("rank")["vec_id"]) == list(exp_top)
+    np.testing.assert_allclose(
+        got.sort_values("rank")["cosine"].values, np.sort(sims)[::-1][:5], atol=1e-6
+    )
+
+
+def test_cosine_lsh_finds_near_dup(spark, vecs):
+    got = cosine_topk_lsh(vecs, vecs.where(F.col("vec_id") == 3), dim=16,
+                          k=3, n_planes=6).toPandas()
+    # the 0.9999-cosine twin lands in the same bucket with high prob
+    assert 7 in set(got["vec_id"])
+    pairs = cosine_near_dup_pairs(vecs, dim=16, threshold=0.99, n_planes=6).toPandas()
+    assert (3, 7) in {(a, b) for a, b in zip(pairs["id_a"], pairs["id_b"])}
+
+
+def test_textstats(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "The cat and the dog played in the garden of the house."),
+            (2, "Der Hund und die Katze spielen in dem Garten mit der Maus."),
+            (3, "x9$ !!"),
+        ],
+        "doc_id long, text string",
+    )
+    tc = token_count(df).toPandas().set_index("doc_id")
+    assert tc.loc[1, "tok_ws"] == 12
+    assert tc.loc[3, "tok_bpe"] == 5  # x, 9, $, !, !
+    li = language_id(df).toPandas().set_index("doc_id")
+    assert li.loc[1, "lang_pred"] == "en"
+    assert li.loc[2, "lang_pred"] == "de"
+    q = quality_score(df).toPandas().set_index("doc_id")
+    assert q.loc[1, "quality"] > q.loc[3, "quality"]
+    fp = doc_fingerprint(df).toPandas()
+    assert fp["fp_full"].nunique() == 3
+
+
+def test_multimodal_plumbing(spark):
+    media = fake_media_table(spark, n=12)
+    feats = extract_features(media, feature_dim=8).toPandas()
+    assert len(feats) == 12
+    assert feats["decode_ok"].all()
+    assert all(len(f) == 8 for f in feats["feature"])
+    # deterministic: same payload -> same features
+    feats2 = extract_features(media, feature_dim=8).toPandas()
+    pd.testing.assert_frame_equal(
+        feats.sort_values("media_id").reset_index(drop=True),
+        feats2.sort_values("media_id").reset_index(drop=True),
+    )
+    # real-codec path fails closed without PIL
+    closed = extract_features(media, use_real_codec=True).toPandas()
+    assert not closed["decode_ok"].any()
+    plan = frame_sample_plan(media, every_ms=1000).toPandas()
+    n_videos = (media.toPandas()["media_type"] == "video").sum()
+    assert len(plan) == n_videos * 6  # 0..5000 ms inclusive
