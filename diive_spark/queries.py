@@ -1,0 +1,880 @@
+"""Driver-contract query catalog: Spark implementations (library-backed)
+paired with DuckDB oracle SQL twins.
+
+Every SQL-expressible operator from SURVEY.md §2 gets a (queries entry,
+oracle_sql entry) pair; the driver runs both at sf=0.01 and compares
+row-count + schema + order-insensitive value hash.  Column names are
+aligned on both sides; every float is rounded to 6 decimals on both
+sides so cross-engine summation-order noise cannot flip the hash.
+
+The time-series operators run over a *derived series view* of the
+``events`` table, built identically in Spark and SQL:
+
+    source  = event_type
+    doc_id  = CAST(user_id % 8 AS STRING)
+    pos     = row_number() over (partition by source, doc_id
+                                 order by event_id) - 1
+    value   = NULL where value < 5.0 (deterministic ~10% gaps) else value
+
+Non-SQL-expressible ops (Gorilla codec round trip, MinHash/SimHash LSH,
+embedding LSH, tier-store resume) are registered without oracle SQL —
+the driver records a rows-only check for them.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession, Window
+
+from .operators import analyses, corrections, dedup, gaps, outliers, qcf, resample
+from .operators import similarity, textstats
+
+KEYS = ["source", "doc_id"]
+
+# ---------------------------------------------------------------- helpers
+SERIES_SQL = """
+    SELECT event_type AS source,
+           CAST(user_id % 8 AS VARCHAR) AS doc_id,
+           CAST(row_number() OVER (PARTITION BY event_type, user_id % 8
+                                   ORDER BY event_id) AS BIGINT) - 1 AS pos,
+           CASE WHEN value < 5.0 THEN NULL ELSE value END AS value
+    FROM events
+"""
+
+
+def series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("source", "doc_id").orderBy("event_id")
+    return (
+        ev.select(
+            F.col("event_type").alias("source"),
+            F.pmod(F.col("user_id"), F.lit(8)).cast("string").alias("doc_id"),
+            "event_id",
+            "value",
+        )
+        .withColumn("pos", F.row_number().over(w) - 1)
+        .withColumn(
+            "value",
+            F.when(F.col("value") < 5.0, F.lit(None).cast("double")).otherwise(
+                F.col("value")
+            ),
+        )
+        .select("source", "doc_id", "pos", "value")
+    )
+
+
+def _r(col, n=6):
+    return F.round(col, n)
+
+
+def _load(spark, sf_dir, name):
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ================================================================ queries
+def q_rollup(spark, sf_dir):
+    """Min-count-gated bucket rollup (resample_series_to_30MIN semantics,
+    reference diive/core/times/resampling.py:13-132)."""
+    out = resample.bucket_rollup(
+        series(spark, sf_dir), every=60, mincounts_perc=0.25, min_floor_rule=True
+    )
+    return out.select(
+        "source", "doc_id", "bin_start", "n",
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("sd")).alias("sd"),
+        _r(F.col("min")).alias("min_v"),
+        _r(F.col("max")).alias("max_v"),
+        _r(F.col("sum")).alias("sum_v"),
+    )
+
+
+SQL_ROLLUP = f"""
+WITH series AS ({SERIES_SQL}),
+binned AS (
+  SELECT source, doc_id, CAST(floor(pos / 60) * 60 AS BIGINT) AS bin_start, value
+  FROM series),
+agg AS (
+  SELECT source, doc_id, bin_start,
+         count(value) AS n, count(*) AS n_grid,
+         avg(value) AS mean, stddev_samp(value) AS sd,
+         min(value) AS min_v, max(value) AS max_v, sum(value) AS sum_v
+  FROM binned GROUP BY 1, 2, 3),
+gated AS (
+  SELECT *,
+         CAST(floor(max(n_grid) OVER (PARTITION BY source, doc_id) * 0.25) AS BIGINT)
+           AS minc
+  FROM agg)
+SELECT source, doc_id, bin_start, n,
+       round(mean, 6) AS mean, round(sd, 6) AS sd,
+       round(min_v, 6) AS min_v, round(max_v, 6) AS max_v,
+       round(sum_v, 6) AS sum_v
+FROM gated
+WHERE n >= (CASE WHEN minc < 3 THEN 1 ELSE minc END)
+"""
+
+
+def q_rollup_compose(spark, sf_dir):
+    """Tier composition: 720-bucket built from 60-bucket partials must
+    equal the direct rollup (SURVEY.md §7.1 M2)."""
+    t1 = resample.bucket_rollup(
+        series(spark, sf_dir), every=60, mincounts_perc=0.0, min_floor_rule=False
+    )
+    t2 = resample.compose_rollup(t1, every=720, mincounts_perc=0.25)
+    return t2.select(
+        "source", "doc_id", "bin_start", "n",
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("sd")).alias("sd"),
+    )
+
+
+SQL_ROLLUP_COMPOSE = f"""
+WITH series AS ({SERIES_SQL}),
+agg AS (
+  SELECT source, doc_id, CAST(floor(pos / 720) * 720 AS BIGINT) AS bin_start,
+         count(value) AS n, count(*) AS n_grid,
+         avg(value) AS mean, stddev_samp(value) AS sd
+  FROM series GROUP BY 1, 2, 3),
+gated AS (
+  SELECT *, CAST(floor(max(n_grid) OVER (PARTITION BY source, doc_id) * 0.25) AS BIGINT) AS minc
+  FROM agg)
+SELECT source, doc_id, bin_start, n, round(mean, 6) AS mean, round(sd, 6) AS sd
+FROM gated WHERE n >= (CASE WHEN minc < 3 THEN 1 ELSE minc END)
+"""
+
+
+def q_sstats(spark, sf_dir):
+    """Stats battery (diive/core/dfun/stats.py:70-103) per source."""
+    out = analyses.sstats(series(spark, sf_dir), key_cols=["source"])
+    return out.select(
+        "source", "nov", "missing",
+        _r(F.col("missing_perc")).alias("missing_perc"),
+        _r(F.col("mean")).alias("mean"),
+        _r(F.col("sd")).alias("sd"),
+        _r(F.col("var")).alias("var_v"),
+        _r(F.col("sum")).alias("sum_v"),
+        _r(F.col("median")).alias("median"),
+        _r(F.col("min")).alias("min_v"),
+        _r(F.col("max")).alias("max_v"),
+        _r(F.col("p05")).alias("p05"),
+        _r(F.col("p95")).alias("p95"),
+    )
+
+
+SQL_SSTATS = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       count(value) AS nov,
+       count(*) - count(value) AS missing,
+       round((count(*) - count(value)) * 100.0 / count(*), 6) AS missing_perc,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS sd,
+       round(var_samp(value), 6) AS var_v,
+       round(sum(value), 6) AS sum_v,
+       round(quantile_cont(value, 0.5), 6) AS median,
+       round(min(value), 6) AS min_v,
+       round(max(value), 6) AS max_v,
+       round(quantile_cont(value, 0.05), 6) AS p05,
+       round(quantile_cont(value, 0.95), 6) AS p95
+FROM series GROUP BY source
+"""
+
+
+def q_percentile_ladder(spark, sf_dir):
+    """Integer-percentile ladder 0..100 (quantiles.py:8-31) on
+    lineitem.l_extendedprice."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = analyses.percentile_ladder(li, value_col="l_extendedprice")
+    return out.select(
+        F.col("percentile").cast("int").alias("percentile"),
+        _r(F.col("value")).alias("value"),
+    )
+
+
+_FRACTIONS = ", ".join(f"{i / 100.0:.2f}" for i in range(101))
+SQL_PERCENTILE_LADDER = f"""
+WITH q AS (SELECT quantile_cont(l_extendedprice, [{_FRACTIONS}]) AS v
+           FROM lineitem)
+SELECT CAST(generate_subscripts(v, 1) - 1 AS INTEGER) AS percentile,
+       round(unnest(v), 6) AS value
+FROM q
+"""
+
+
+def q_histogram(spark, sf_dir):
+    """np.histogram-convention histogram (histogram.py:14-122) of
+    events.value, 20 bins over the global [min, max]."""
+    ev = _load(spark, sf_dir, "events")
+    out = analyses.histogram(ev, n_bins=20, value_col="value")
+    return out.select(
+        F.col("bin_idx").cast("long").alias("bin_idx"),
+        "count",
+        _r(F.col("bin_lo")).alias("bin_lo"),
+    )
+
+
+SQL_HISTOGRAM = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events)
+SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT) AS bin_idx,
+       count(*) AS count,
+       round(lo + least(floor((value - lo) / ((hi - lo) / 20)), 19)
+                * (hi - lo) / 20, 6) AS bin_lo
+FROM events, b
+WHERE value IS NOT NULL
+GROUP BY 1, 3
+"""
+
+
+def q_gapfinder(spark, sf_dir):
+    """Gaps-and-islands run table (gapfinder.py:58-95), gaps <= 5."""
+    return gaps.gap_runs(series(spark, sf_dir), limit=5).select(
+        "source", "doc_id", "gap_start", "gap_end", "gap_length"
+    )
+
+
+SQL_GAPFINDER = f"""
+WITH series AS ({SERIES_SQL}),
+runs AS (
+  SELECT *, count(CASE WHEN value IS NOT NULL THEN 1 END)
+              OVER (PARTITION BY source, doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM series)
+SELECT source, doc_id, min(pos) AS gap_start, max(pos) AS gap_end,
+       count(*) AS gap_length
+FROM runs WHERE value IS NULL
+GROUP BY source, doc_id, run_id
+HAVING count(*) <= 5
+"""
+
+
+def q_interpolate(spark, sf_dir):
+    """Limit-gated linear interpolation (interpolate.py:8-35 intent):
+    emit only the filled rows."""
+    out = gaps.interpolate_limited(series(spark, sf_dir), limit=3)
+    return out.where(F.col("value_gf_flag") == 1).select(
+        "source", "doc_id", "pos", _r(F.col("value_gf")).alias("filled")
+    )
+
+
+SQL_INTERPOLATE = f"""
+WITH series AS ({SERIES_SQL}),
+runs AS (
+  SELECT *, count(CASE WHEN value IS NOT NULL THEN 1 END)
+              OVER (PARTITION BY source, doc_id ORDER BY pos
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM series),
+glen AS (
+  SELECT *, CASE WHEN value IS NULL THEN
+      count(*) OVER (PARTITION BY source, doc_id, run_id,
+                     CASE WHEN value IS NULL THEN 1 ELSE 0 END) END AS gap_len
+  FROM runs),
+ctx AS (
+  SELECT *,
+    last_value(value IGNORE NULLS) OVER
+      (PARTITION BY source, doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_v,
+    last_value(CASE WHEN value IS NOT NULL THEN pos END IGNORE NULLS) OVER
+      (PARTITION BY source, doc_id ORDER BY pos
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_p,
+    first_value(value IGNORE NULLS) OVER
+      (PARTITION BY source, doc_id ORDER BY pos
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_v,
+    first_value(CASE WHEN value IS NOT NULL THEN pos END IGNORE NULLS) OVER
+      (PARTITION BY source, doc_id ORDER BY pos
+       ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_p
+  FROM glen)
+SELECT source, doc_id, pos,
+       round(prev_v + (next_v - prev_v) * (pos - prev_p)
+             / (next_p - prev_p), 6) AS filled
+FROM ctx
+WHERE value IS NULL AND gap_len <= 3
+  AND prev_v IS NOT NULL AND next_v IS NOT NULL
+"""
+
+
+def q_zscore(spark, sf_dir):
+    """z-score flag, population std (funcs.py:37-41): rejected rows."""
+    out = outliers.zscore_flag(series(spark, sf_dir), thres=2.5)
+    return out.where(F.col("flag_zscore") == 2).select("source", "doc_id", "pos")
+
+
+SQL_ZSCORE = f"""
+WITH series AS ({SERIES_SQL}),
+z AS (
+  SELECT *, abs((value - avg(value) OVER w) / stddev_pop(value) OVER w) AS zs
+  FROM series
+  WINDOW w AS (PARTITION BY source, doc_id))
+SELECT source, doc_id, pos FROM z WHERE zs > 2.5
+"""
+
+
+def q_zscore_increments(spark, sf_dir):
+    """z-score on first differences (incremental.py:17-88)."""
+    out = outliers.zscore_increments_flag(series(spark, sf_dir), thres=2.5)
+    return out.where(F.col("flag_zscore_incr") == 2).select("source", "doc_id", "pos")
+
+
+SQL_ZSCORE_INCR = f"""
+WITH series AS ({SERIES_SQL}),
+d AS (
+  SELECT *, value - lag(value) OVER (PARTITION BY source, doc_id ORDER BY pos) AS incr
+  FROM series),
+z AS (
+  SELECT *, abs((incr - avg(incr) OVER w) / stddev_pop(incr) OVER w) AS zs
+  FROM d WINDOW w AS (PARTITION BY source, doc_id))
+SELECT source, doc_id, pos
+FROM z WHERE value IS NOT NULL AND incr IS NOT NULL AND zs > 2.5
+"""
+
+
+def q_localsd(spark, sf_dir):
+    """LocalSD / Hampel flag (localsd.py:73-101): rejected rows."""
+    out = outliers.local_sd_flag(series(spark, sf_dir), winsize=30, n_sd=3.0)
+    return out.where(F.col("flag_localsd") == 2).select("source", "doc_id", "pos")
+
+
+SQL_LOCALSD = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT * FROM series WHERE value IS NOT NULL),
+r AS (
+  SELECT *,
+    median(value) OVER w AS rmed,
+    stddev_samp(value) OVER w AS rsd,
+    count(value) OVER w AS cnt
+  FROM nn
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+               ROWS BETWEEN 15 PRECEDING AND 14 FOLLOWING))
+SELECT source, doc_id, pos
+FROM r
+WHERE cnt >= 3 AND (value > rmed + 3.0 * rsd OR value < rmed - 3.0 * rsd)
+"""
+
+
+def q_abs_limits(spark, sf_dir):
+    """Absolute limits flag (absolutelimits.py:191), counts per series."""
+    out = outliers.abs_limits_flag(series(spark, sf_dir), lo=20.0, hi=200.0)
+    return out.groupBy("source", "doc_id").agg(
+        F.count(F.when(F.col("flag_abslim") == 2, 1)).alias("n_rejected"),
+        F.count(F.when(F.col("flag_abslim") == 0, 1)).alias("n_ok"),
+    )
+
+
+SQL_ABS_LIMITS = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source, doc_id,
+       count(CASE WHEN value < 20.0 OR value > 200.0 THEN 1 END) AS n_rejected,
+       count(CASE WHEN value >= 20.0 AND value <= 200.0 THEN 1 END) AS n_ok
+FROM series GROUP BY 1, 2
+"""
+
+
+def q_qcf(spark, sf_dir):
+    """QCF combiner truth table (qcf.py:241-292) over deterministic flag
+    exprs; per-source qcf counts."""
+    s = series(spark, sf_dir)
+    flagged = (
+        s.withColumn("f1", F.when(F.col("value").isNull(), None)
+                     .when(F.col("value") > 180.0, 2).otherwise(0))
+        .withColumn("f2", F.when(F.col("value").isNull(), None)
+                    .when(F.col("value") > 120.0, 1).otherwise(0))
+        .withColumn("f3", F.when(F.col("value").isNull(), None)
+                    .when(F.col("pos") % 7 == 0, 1).otherwise(0))
+    )
+    out = qcf.qcf_flag(flagged, ["f1", "f2", "f3"])
+    return out.groupBy("source", "qcf").agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_QCF = f"""
+WITH series AS ({SERIES_SQL}),
+flags AS (
+  SELECT *,
+    CASE WHEN value IS NULL THEN NULL WHEN value > 180.0 THEN 2 ELSE 0 END AS f1,
+    CASE WHEN value IS NULL THEN NULL WHEN value > 120.0 THEN 1 ELSE 0 END AS f2,
+    CASE WHEN value IS NULL THEN NULL WHEN pos % 7 = 0 THEN 1 ELSE 0 END AS f3
+  FROM series),
+sums AS (
+  SELECT *,
+    (CASE WHEN f1 = 2 THEN 2 ELSE 0 END + CASE WHEN f2 = 2 THEN 2 ELSE 0 END
+       + CASE WHEN f3 = 2 THEN 2 ELSE 0 END) AS hard,
+    (CASE WHEN f1 = 1 THEN 1 ELSE 0 END + CASE WHEN f2 = 1 THEN 1 ELSE 0 END
+       + CASE WHEN f3 = 1 THEN 1 ELSE 0 END) AS soft
+  FROM flags),
+q AS (
+  SELECT *,
+    CASE WHEN soft >= 1 AND soft <= 3 AND hard = 0 THEN 1
+         WHEN hard >= 2 THEN 2
+         WHEN soft > 3 THEN 2
+         WHEN hard + soft = 0 THEN 0
+         ELSE NULL END AS qcf
+  FROM sums)
+SELECT source, qcf, count(*) AS n FROM q GROUP BY 1, 2
+"""
+
+
+def q_daily_corr(spark, sf_dir):
+    """Per-day Pearson correlation (correlation.py:8-55) of lineitem
+    quantity vs extended price."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = li.groupBy(F.to_date("l_shipdate").alias("day")).agg(
+        _r(F.corr("l_quantity", "l_extendedprice")).alias("r"),
+        F.count(F.lit(1)).alias("n"),
+    )
+    return out.select(F.col("day").cast("string").alias("day"), "r", "n")
+
+
+SQL_DAILY_CORR = """
+SELECT CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS day,
+       round(corr(l_quantity, l_extendedprice), 6) AS r,
+       count(*) AS n
+FROM lineitem GROUP BY 1
+"""
+
+
+def q_diel_cycle(spark, sf_dir):
+    """Diel-cycle aggregation (co2_penalty.py:386-393): phase = pos % 24."""
+    out = analyses.diel_cycle(series(spark, sf_dir), period=24, key_cols=["source"])
+    return out.select(
+        "source", "phase", _r(F.col("mean")).alias("mean"),
+        _r(F.col("sd")).alias("sd"), "n",
+    )
+
+
+SQL_DIEL = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source, pos % 24 AS phase,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS sd,
+       count(value) AS n
+FROM series GROUP BY 1, 2
+"""
+
+
+def q_circular_mean(spark, sf_dir):
+    """Kanda circular mean (funcs.py:52-85) of a derived wind direction
+    per event_type."""
+    ev = _load(spark, sf_dir, "events")
+    wd = ev.withColumn("wd", F.pmod(F.col("value") * 7.3, F.lit(360.0)))
+    from .functions.circular import circular_agg
+
+    return wd.groupBy(F.col("event_type").alias("source")).agg(
+        _r(circular_agg("wd", "mean")).alias("wd_mean")
+    )
+
+
+SQL_CIRCULAR = """
+SELECT event_type AS source,
+       round(CASE WHEN degrees(atan2(avg(sin(radians(((value * 7.3) % 360 + 360) % 360))),
+                                     avg(cos(radians(((value * 7.3) % 360 + 360) % 360))))) < 0
+                  THEN degrees(atan2(avg(sin(radians(((value * 7.3) % 360 + 360) % 360))),
+                                     avg(cos(radians(((value * 7.3) % 360 + 360) % 360))))) + 360
+                  ELSE degrees(atan2(avg(sin(radians(((value * 7.3) % 360 + 360) % 360))),
+                                     avg(cos(radians(((value * 7.3) % 360 + 360) % 360))))) END, 6)
+         AS wd_mean
+FROM events GROUP BY 1
+"""
+
+
+def q_setto_threshold(spark, sf_dir):
+    """Threshold clamp correction (setto_threshold.py:9-73): per-source
+    corrected count + post-clamp sum."""
+    s = series(spark, sf_dir)
+    out = corrections.setto_threshold(s, threshold=150.0, mode="above",
+                                      flag_col="flag_thr")
+    return out.groupBy("source").agg(
+        F.count(F.when(F.col("flag_thr") == 1, 1)).alias("n_corrected"),
+        _r(F.sum("value")).alias("sum_after"),
+    )
+
+
+SQL_SETTO_THRESHOLD = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       count(CASE WHEN value > 150.0 THEN 1 END) AS n_corrected,
+       -- NB: DuckDB least() SKIPS NULLs, so spell the clamp out
+       round(sum(CASE WHEN value > 150.0 THEN 150.0 ELSE value END), 6) AS sum_after
+FROM series GROUP BY 1
+"""
+
+
+def q_dedup_keep_last(spark, sf_dir):
+    """Dedup keep-last (times.py:802-819): events deduped on
+    (user_id, ts) keeping the highest event_id; per-user kept count."""
+    ev = _load(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    kept = ev.withColumn("_rn", F.row_number().over(w)).where(F.col("_rn") == 1)
+    return kept.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("event_id").alias("id_sum"),
+    )
+
+
+SQL_DEDUP_KEEP_LAST = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
+  FROM events)
+SELECT user_id, count(*) AS n_kept, sum(event_id) AS id_sum
+FROM ranked WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_freq_detect(spark, sf_dir):
+    """Frequency detection: mode of successive deltas + >=90% share rule
+    (times.py:635-799, :792) over event timestamps per type."""
+    ev = _load(spark, sf_dir, "events")
+    t = ev.select(
+        F.col("event_type").alias("source"),
+        F.lit("all").alias("doc_id"),
+        # ts is TIMESTAMP_NTZ in the parquet; cast via LTZ (session UTC)
+        (F.unix_micros(F.col("ts").cast("timestamp")) + F.col("event_id")).alias("axis"),
+    )
+    from .operators.timegrid import detect_freq
+
+    out = detect_freq(t, axis_col="axis", key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "freq_mode", _r(F.col("mode_share")).alias("mode_share"), "n_deltas"
+    )
+
+
+SQL_FREQ_DETECT = """
+WITH t AS (
+  SELECT event_type AS source, epoch_us(ts) + event_id AS axis FROM events),
+d AS (
+  SELECT source, axis - lag(axis) OVER (PARTITION BY source ORDER BY axis) AS delta
+  FROM t),
+counts AS (
+  SELECT source, delta, count(*) AS c FROM d WHERE delta IS NOT NULL GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, delta) AS rk,
+         sum(c) OVER (PARTITION BY source) AS tot
+  FROM counts)
+SELECT source, delta AS freq_mode, round(c * 1.0 / tot, 6) AS mode_share,
+       tot AS n_deltas
+FROM ranked WHERE rk = 1
+"""
+
+
+def q_grid_completion(spark, sf_dir):
+    """Grid completion accounting (times.py:822-847): rows after
+    reindexing onto the full [min,max] grid vs observed rows."""
+    from .operators.timegrid import complete_grid
+
+    s = series(spark, sf_dir)
+    g = complete_grid(s, step=1)
+    return g.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).alias("n_grid_rows"),
+        F.count("value").alias("n_values"),
+    )
+
+
+SQL_GRID_COMPLETION = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source, doc_id,
+       max(pos) - min(pos) + 1 AS n_grid_rows,
+       count(value) AS n_values
+FROM series GROUP BY 1, 2
+"""
+
+
+def q_rolling_mean(spark, sf_dir):
+    """Rolling mean over 10 records, min_periods=5 (frames.py:728-747):
+    per-source checksum of the rolling column."""
+    out = analyses.rolling_variants(series(spark, sf_dir), win=10, aggs=("mean",))
+    return out.groupBy("source").agg(
+        _r(F.sum("value_rollmean10")).alias("roll_sum"),
+        F.count("value_rollmean10").alias("roll_n"),
+    )
+
+
+SQL_ROLLING_MEAN = f"""
+WITH series AS ({SERIES_SQL}),
+r AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w >= 5 THEN avg(value) OVER w END AS roll
+  FROM series
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+               ROWS BETWEEN 9 PRECEDING AND CURRENT ROW))
+SELECT source, round(sum(roll), 6) AS roll_sum, count(roll) AS roll_n
+FROM r GROUP BY 1
+"""
+
+
+def q_lookup_fill(spark, sf_dir):
+    """Lookup-table gap fill (uncertainty.py:291-355 analog): filled
+    values from the (source, pos-bucket) median table."""
+    out = gaps.lookup_table_fill(series(spark, sf_dir), bucket=64, min_vals=5)
+    return out.where(F.col("value").isNull() & F.col("value_ltf").isNotNull()).select(
+        "source", "doc_id", "pos", _r(F.col("value_ltf")).alias("filled")
+    )
+
+
+SQL_LOOKUP_FILL = f"""
+WITH series AS ({SERIES_SQL}),
+lt AS (
+  SELECT source, CAST(floor(pos / 64) AS BIGINT) AS bkt,
+         quantile_cont(value, 0.5) AS fill_v, count(value) AS n
+  FROM series WHERE value IS NOT NULL GROUP BY 1, 2)
+SELECT s.source, s.doc_id, s.pos, round(lt.fill_v, 6) AS filled
+FROM series s JOIN lt ON s.source = lt.source
+                     AND CAST(floor(s.pos / 64) AS BIGINT) = lt.bkt
+WHERE s.value IS NULL AND lt.n >= 5
+"""
+
+
+def q_exact_dedup_docs(spark, sf_dir):
+    """Exact dedup on documents (hash-groupBy keep-first)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = dedup.exact_dedup(docs, text_col="text", id_col="doc_id")
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_unique"),
+        F.sum("dup_count").alias("covered"),
+    )
+
+
+SQL_EXACT_DEDUP = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
+         count(*) OVER (PARTITION BY md5(text)) AS dup_count
+  FROM documents)
+SELECT source, count(*) AS n_unique, sum(dup_count) AS covered
+FROM ranked WHERE rn = 1 GROUP BY 1
+"""
+
+
+def q_token_count(spark, sf_dir):
+    """Token counting (whitespace + BPE-ish regex + chars/4)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.token_count(docs)
+    return out.select(
+        "doc_id", F.col("tok_ws").cast("long").alias("tok_ws"),
+        F.col("tok_bpe").cast("long").alias("tok_bpe"),
+        _r(F.col("tok_chars4")).alias("tok_chars4"),
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS tok_ws,
+       CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS BIGINT)
+         AS tok_bpe,
+       round(length(text) / 4.0, 6) AS tok_chars4
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Stopword-hit language ID heuristic: predicted language counts."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.language_id(docs)
+    return out.groupBy("lang_pred").agg(F.count(F.lit(1)).alias("n"))
+
+
+def _sql_lang_hits(lang: str, words: list[str]) -> str:
+    arr = ", ".join(f"'{w}'" for w in words)
+    return (
+        f"len(list_filter(regexp_split_to_array(lower(trim(text)), '\\s+'), "
+        f"w -> list_contains([{arr}], w))) * 1.0 / "
+        f"greatest(len(regexp_split_to_array(lower(trim(text)), '\\s+')), 1) AS hit_{lang}"
+    )
+
+
+SQL_LANG_ID = f"""
+WITH hits AS (
+  SELECT doc_id,
+         {_sql_lang_hits('de', textstats.STOPWORDS['de'])},
+         {_sql_lang_hits('en', textstats.STOPWORDS['en'])},
+         {_sql_lang_hits('es', textstats.STOPWORDS['es'])},
+         {_sql_lang_hits('fr', textstats.STOPWORDS['fr'])}
+  FROM documents),
+pred AS (
+  SELECT doc_id,
+    CASE WHEN greatest(hit_de, hit_en, hit_es, hit_fr) < 0.02 THEN 'und'
+         WHEN hit_de = greatest(hit_de, hit_en, hit_es, hit_fr) THEN 'de'
+         WHEN hit_en = greatest(hit_de, hit_en, hit_es, hit_fr) THEN 'en'
+         WHEN hit_es = greatest(hit_de, hit_en, hit_es, hit_fr) THEN 'es'
+         ELSE 'fr' END AS lang_pred
+  FROM hits)
+SELECT lang_pred, count(*) AS n FROM pred GROUP BY 1
+"""
+
+
+def q_quality_features(spark, sf_dir):
+    """Quality-score features (length/punct/digit ratios)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.quality_score(docs)
+    return out.select(
+        "doc_id",
+        F.col("n_words").cast("long").alias("n_words"),
+        _r(F.col("mean_word_len")).alias("mean_word_len"),
+        _r(F.col("digit_ratio")).alias("digit_ratio"),
+    )
+
+
+SQL_QUALITY_FEATURES = r"""
+SELECT doc_id,
+       CAST(len(regexp_split_to_array(lower(trim(text)), '\s+')) AS BIGINT) AS n_words,
+       round(length(text) * 1.0
+             / greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')), 1), 6)
+         AS mean_word_len,
+       round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
+             / greatest(length(text), 1), 6) AS digit_ratio
+FROM documents
+"""
+
+
+def q_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-5 for 3 fixed query vectors."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = similarity.cosine_topk_bruteforce(emb, queries, k=5)
+    return out.select(
+        "query_id", "vec_id", "rank", F.round(F.col("cosine"), 4).alias("cosine")
+    )
+
+
+SQL_COSINE_TOPK = """
+WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
+           WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(e.embedding, q.qe) AS cos_raw
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, round(cos_raw, 4) AS cosine
+FROM ranked WHERE rank <= 5
+"""
+
+
+def q_ngram_jaccard_docs(spark, sf_dir):
+    """Exact word-trigram Jaccard for a fixed candidate pair set."""
+    docs = _load(spark, sf_dir, "documents")
+    pairs = spark.createDataFrame(
+        [(0, 1), (2, 3), (10, 11), (100, 101)], "id_a long, id_b long"
+    )
+    out = dedup.ngram_jaccard(docs, pairs, n=3)
+    return out.select("id_a", "id_b", _r(F.col("jaccard")).alias("jaccard"))
+
+
+SQL_NGRAM_JACCARD = r"""
+WITH sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 1, 1) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(lower(trim(text)), '\s+'), i, i + 2), ' ')))
+           AS shingles
+  FROM documents),
+pairs(id_a, id_b) AS (VALUES (0, 1), (2, 3), (10, 11), (100, 101))
+SELECT p.id_a, p.id_b,
+       round(CASE WHEN len(list_distinct(a.shingles || b.shingles)) > 0
+                  THEN len(list_intersect(a.shingles, b.shingles)) * 1.0
+                       / len(list_distinct(a.shingles || b.shingles))
+                  ELSE 0.0 END, 6) AS jaccard
+FROM pairs p
+JOIN sh a ON a.doc_id = p.id_a
+JOIN sh b ON b.doc_id = p.id_b
+"""
+
+
+# ----------------------------------------------- rows-only (no oracle SQL)
+def q_gorilla_roundtrip(spark, sf_dir):
+    """Gorilla codec round trip over real token-like data (per-row
+    invariant, BASELINE.json input_hint) — emits per-source mismatch
+    counts (must be 0) and compression ratio."""
+    from .datagen import tokens_table
+    from .functions.gorilla import gorilla_decode_values, gorilla_encode_values
+
+    toks = tokens_table(spark, n_docs=200, seed=42)
+    enc = toks.withColumn("payload", gorilla_encode_values("tokens"))
+    dec = enc.withColumn("decoded", gorilla_decode_values("payload"))
+    return dec.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(~(F.col("decoded") == F.col("tokens")), 1)).alias("n_mismatch"),
+        F.round(F.sum(F.length("payload")) / F.sum(F.col("n_tok") * 4), 4).alias(
+            "compression_ratio"
+        ),
+    )
+
+
+def q_minhash_dedup_docs(spark, sf_dir):
+    """MinHash+LSH near-dedup over documents (no SQL oracle — LSH is
+    permutation-seeded)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = dedup.minhash_dedup(docs, est_threshold=0.6)
+    return out.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("canonical_id") != F.col("doc_id"), 1)).alias("n_dups"),
+    )
+
+
+def q_simhash_docs(spark, sf_dir):
+    """SimHash fingerprints + near-pair count (rows-only)."""
+    docs = _load(spark, sf_dir, "documents")
+    fp = dedup.simhash(docs)
+    pairs = dedup.simhash_pairs(fp, max_hamming=3)
+    return spark.createDataFrame(
+        [(fp.count(), pairs.count())], "n_fingerprints long, n_near_pairs long"
+    )
+
+
+def q_cosine_lsh_topk(spark, sf_dir):
+    """LSH-bucketed approximate top-k (rows-only; recall depends on
+    seeded hyperplanes)."""
+    emb = _load(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = similarity.cosine_topk_lsh(emb, queries, dim=64, k=5, n_planes=8)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_tier_cascade(spark, sf_dir):
+    """Retention cascade smoke over the derived series: gated tier row
+    counts (rows-only; exercises the TierStore write/read path)."""
+    import tempfile
+
+    from .operators.tiers import TierStore
+
+    st = TierStore(spark, tempfile.mkdtemp(prefix="tiers_q_"))
+    st.materialize_cascade(series(spark, sf_dir))
+    rows = []
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        rows.append((tier, st.read_gated(tier, 0.25).count()))
+    return spark.createDataFrame(rows, "tier string, n_gated_bins long")
+
+
+QUERIES = {
+    "rollup_mincount_gate": (q_rollup, SQL_ROLLUP),
+    "rollup_compose_tiers": (q_rollup_compose, SQL_ROLLUP_COMPOSE),
+    "sstats_battery": (q_sstats, SQL_SSTATS),
+    "percentile_ladder": (q_percentile_ladder, SQL_PERCENTILE_LADDER),
+    "histogram_fixed_bins": (q_histogram, SQL_HISTOGRAM),
+    "gapfinder_runs": (q_gapfinder, SQL_GAPFINDER),
+    "interpolate_limited": (q_interpolate, SQL_INTERPOLATE),
+    "zscore_outliers": (q_zscore, SQL_ZSCORE),
+    "zscore_increments": (q_zscore_increments, SQL_ZSCORE_INCR),
+    "localsd_hampel": (q_localsd, SQL_LOCALSD),
+    "absolute_limits": (q_abs_limits, SQL_ABS_LIMITS),
+    "qcf_combiner": (q_qcf, SQL_QCF),
+    "daily_correlation": (q_daily_corr, SQL_DAILY_CORR),
+    "diel_cycle": (q_diel_cycle, SQL_DIEL),
+    "circular_mean_kanda": (q_circular_mean, SQL_CIRCULAR),
+    "setto_threshold": (q_setto_threshold, SQL_SETTO_THRESHOLD),
+    "dedup_keep_last": (q_dedup_keep_last, SQL_DEDUP_KEEP_LAST),
+    "freq_detect": (q_freq_detect, SQL_FREQ_DETECT),
+    "grid_completion": (q_grid_completion, SQL_GRID_COMPLETION),
+    "rolling_mean_gated": (q_rolling_mean, SQL_ROLLING_MEAN),
+    "lookup_table_fill": (q_lookup_fill, SQL_LOOKUP_FILL),
+    "dedup_exact": (q_exact_dedup_docs, SQL_EXACT_DEDUP),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "language_id": (q_lang_id, SQL_LANG_ID),
+    "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
+    "similarity_topk_cosine": (q_cosine_topk, SQL_COSINE_TOPK),
+    "ngram_jaccard": (q_ngram_jaccard_docs, SQL_NGRAM_JACCARD),
+    # rows-only (non-SQL-expressible / seeded internals)
+    "gorilla_roundtrip": (q_gorilla_roundtrip, None),
+    "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
+    "dedup_simhash": (q_simhash_docs, None),
+    "similarity_topk_lsh": (q_cosine_lsh_topk, None),
+    "tier_cascade": (q_tier_cascade, None),
+}
