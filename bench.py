@@ -1,0 +1,214 @@
+#!/usr/bin/env python
+"""Benchmark driver: headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]; prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Extra keys report the engine's north-rule metrics: rolled-up points/sec
+across the raw->1m->1h->1d cascade and raw token-values/sec ingested,
+measured on the deterministic synthetic tokens table (BENCH_DOCS docs,
+cached as parquet in /tmp across runs so repeated invocations measure
+compute, not datagen).
+
+Scaling evidence (north rule: efficiency >= 0.8 between N and 4N):
+    python bench.py --scaling
+runs the flagship cascade job in TWO fresh subprocesses (local[8] vs
+local[32], same input) and reports both throughputs + efficiency.
+Results are also appended to BENCH.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_DOCS = int(os.environ.get("SPARK_GRAFT_BENCH_DOCS", "20000"))
+# scaling evidence needs a compute-dominated job: bigger corpus so the
+# fixed JVM/scheduling overhead doesn't mask the core-count difference
+# (400k docs ~ 135M tokens: 130s @ local[8], 37.5s @ local[32] measured)
+SCALING_DOCS = int(os.environ.get("SPARK_GRAFT_SCALING_DOCS", "400000"))
+
+BENCH_QUERIES = [
+    "rollup_mincount_gate",
+    "rollup_compose_tiers",
+    "sstats_battery",
+    "gapfinder_runs",
+    "interpolate_limited",
+    "zscore_outliers",
+    "localsd_hampel",
+    "qcf_combiner",
+    "lookup_table_fill",
+    "dedup_exact",
+    "dedup_minhash_lsh",
+    "similarity_topk_cosine",
+    "token_count",
+]
+
+
+def _tokens_parquet(spark, n_docs: int) -> str:
+    """Deterministic tokens table cached as parquet (seed 42)."""
+    path = f"/tmp/diive_bench_tokens_{n_docs}.parquet"
+    if not os.path.exists(path):
+        from diive_spark.datagen import tokens_table
+
+        # 128 output files so the scan parallelizes past any core count
+        # we benchmark at (file count must not cap parallelism)
+        tokens_table(spark, n_docs=n_docs, seed=42, partitions=128).write.mode(
+            "overwrite"
+        ).parquet(path)
+    return path
+
+
+def cascade_job(spark, tokens_path: str) -> dict:
+    """The flagship job (north-star pipeline): scan -> explode ->
+    z-score outlier flag -> filtered series -> 1m/1h/1d cascade from
+    composed partials.  Returns token count, rolled-up point count, an
+    order-insensitive output checksum (for cross-parallelism identity),
+    and wall seconds."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.datagen import series_view
+    from diive_spark.operators.outliers import zscore_flag
+    from diive_spark.operators.resample import bucket_rollup, compose_rollup
+
+    t0 = time.monotonic()
+    toks = spark.read.parquet(tokens_path)
+    series = series_view(toks)
+    flagged = zscore_flag(series, thres=4.0)
+    clean = flagged.withColumn(
+        "v", F.when(F.col("flag_zscore") == 2, None).otherwise(F.col("value"))
+    )
+    t1m = bucket_rollup(clean, every=60, value_col="v",
+                        mincounts_perc=0.0, min_floor_rule=False)
+    t1m = t1m.localCheckpoint(eager=True)  # materialize once, reuse for 1h/1d
+    t1h = compose_rollup(t1m, every=3600, mincounts_perc=0.0, min_floor_rule=False)
+    t1h = t1h.localCheckpoint(eager=True)
+    t1d = compose_rollup(t1h, every=86400, mincounts_perc=0.0, min_floor_rule=False)
+    n_1m, n_1h, n_1d = t1m.count(), t1h.count(), t1d.count()
+    checksum = t1m.agg(
+        F.bit_xor(
+            F.xxhash64("source", "doc_id", "bin_start", F.round(F.col("sum"), 6))
+        )
+    ).first()[0]
+    n_tokens = toks.agg(F.sum("n_tok")).first()[0]
+    wall = time.monotonic() - t0
+    return {
+        "n_tokens": int(n_tokens),
+        "rolled_points": int(n_1m + n_1h + n_1d),
+        "checksum": int(checksum),
+        "wall_s": wall,
+    }
+
+
+def run_scaling() -> dict:
+    """Run cascade_job in fresh subprocesses at local[8] and local[32]."""
+    out = {}
+    for cpus in (8, 32):
+        code = (
+            "import sys, json; sys.path.insert(0, %r);"
+            "from bench import cascade_job, _tokens_parquet;"
+            "from diive_spark.session import get_spark;"
+            "spark = get_spark(parallelism=%d, shuffle_partitions=%d);"
+            "p = _tokens_parquet(spark, %d);"
+            "cascade_job(spark, p);"  # warm-up run (JIT/JVM)
+            "r = cascade_job(spark, p);"
+            "print('RESULT ' + json.dumps(r)); spark.stop()"
+        ) % (REPO, cpus, cpus, SCALING_DOCS)
+        proc = subprocess.run(
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+        )
+        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
+        if not line:
+            raise RuntimeError(f"scaling run local[{cpus}] failed: {proc.stderr[-2000:]}")
+        out[f"local[{cpus}]"] = json.loads(line[0][len("RESULT "):])
+    t8 = out["local[8]"]["wall_s"]
+    t32 = out["local[32]"]["wall_s"]
+    # identical outputs at both parallelism levels (determinism gate)
+    out["outputs_identical"] = (
+        out["local[8]"]["rolled_points"] == out["local[32]"]["rolled_points"]
+        and out["local[8]"]["checksum"] == out["local[32]"]["checksum"]
+    )
+    # fixed work, 4x parallelism: efficiency = speedup / 4
+    out["speedup"] = t8 / t32
+    out["scaling_efficiency"] = (t8 / t32) / 4.0
+    out["points_per_sec_local8"] = out["local[8]"]["rolled_points"] / t8
+    out["points_per_sec_local32"] = out["local[32]"]["rolled_points"] / t32
+    out["tokens_per_sec_local32"] = out["local[32]"]["n_tokens"] / t32
+    return out
+
+
+def main() -> None:
+    scaling = "--scaling" in sys.argv
+    from diive_spark.queries import QUERIES
+    from diive_spark.session import get_spark
+
+    spark = get_spark(parallelism=CPUS, shuffle_partitions=CPUS,
+                      app_name="diive_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    # flagship tokens cascade (throughput metrics)
+    tokens_path = _tokens_parquet(spark, BENCH_DOCS)
+    cascade_job(spark, tokens_path)  # warm-up
+    c = cascade_job(spark, tokens_path)
+    timings["tokens_cascade"] = round(c["wall_s"], 3)
+
+    for name in BENCH_QUERIES:
+        fn = QUERIES[name][0]
+        t0 = time.monotonic()
+        df = fn(spark, SF_DIR)
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    result = {
+        "metric": "total_bench_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": SF_DIR,
+        "cpus": CPUS,
+        "bench_docs": BENCH_DOCS,
+        "raw_tokens_per_sec": round(c["n_tokens"] / c["wall_s"]),
+        "rolled_up_points_per_sec": round(c["rolled_points"] / c["wall_s"]),
+    }
+    if scaling:
+        result["scaling"] = run_scaling()
+        _append_bench_md(result)
+    spark.stop()
+    print(json.dumps(result))
+
+
+def _append_bench_md(result: dict) -> None:
+    s = result["scaling"]
+    lines = [
+        "",
+        f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')})",
+        "",
+        f"- flagship job: scan -> explode -> z-score flag -> filtered 1m/1h/1d cascade",
+        f"- input: {s['local[8]']['n_tokens']:,} tokens ({SCALING_DOCS:,} docs), "
+        f"identical for both runs; outputs identical: {s['outputs_identical']}",
+        f"- local[8]:  {s['local[8]']['wall_s']:.2f}s  "
+        f"({s['points_per_sec_local8']:.0f} rolled-up points/s)",
+        f"- local[32]: {s['local[32]']['wall_s']:.2f}s  "
+        f"({s['points_per_sec_local32']:.0f} rolled-up points/s, "
+        f"{s['tokens_per_sec_local32']:.0f} raw token-values/s)",
+        f"- speedup {s['speedup']:.2f}x over 4x cores -> "
+        f"**scaling efficiency {s['scaling_efficiency']:.3f}** "
+        f"(north-rule target >= 0.8)",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
+
+
+if __name__ == "__main__":
+    main()

@@ -44,6 +44,14 @@ def get_spark(
     master = f"local[{cpus}]" if cpus else "local[*]"
     n_shuffle = shuffle_partitions or (int(cpus) if cpus else 32)
 
+    # Local-mode shuffle files on tmpfs: disk I/O otherwise serializes
+    # shuffle-heavy stages and inverts scaling (measured: 1M-group
+    # shuffle 23s on /tmp vs 4.6s on /dev/shm at 32 cores).  On a real
+    # cluster this maps to fast local SSDs / external shuffle service.
+    local_dir = os.environ.get("SPARK_LOCAL_DIRS")
+    if not local_dir and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -58,6 +66,8 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

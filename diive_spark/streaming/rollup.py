@@ -1,0 +1,79 @@
+"""Structured Streaming rollup: the incremental-ingest analog of the
+batch tier cascade.
+
+The reference has no streaming (SURVEY.md §2.11) — batch-incremental
+MERGE per partition is the primary incremental path (operators/tiers.py).
+This module adds the true streaming variant for continuously-arriving
+series data: tumbling event-time windows == resample bins, watermarks
+bound late-data state, and the sink appends composable partials
+(n/sum/sumsq/min/max — same schema as the batch tiers) so downstream
+tiers compose identically from either path.
+
+Checkpointed: restart with the same checkpointLocation resumes exactly
+(source offsets + window state), which is the streaming face of the
+north rule's "resumable from checkpoint".
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming import DataStreamWriter
+
+
+def stream_rollup_partials(
+    stream_df: DataFrame,
+    every: str = "1 minute",
+    watermark: str = "2 minutes",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Tumbling-window partial aggregates over an event-time stream.
+
+    Output schema mirrors the batch tier tables: (keys..., bin_start,
+    bin_end, n, n_grid, sum, sumsq, min, max) — so ``compose_rollup``
+    and ``apply_mincount_gate`` work on streamed tiers unchanged.
+    """
+    v = F.col(value_col)
+    win = F.window(ts_col, every)
+    agg = (
+        stream_df.withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, win)
+        .agg(
+            F.count(v).alias("n"),
+            F.count(F.lit(1)).alias("n_grid"),
+            F.sum(v).alias("sum"),
+            F.sum(v * v).alias("sumsq"),
+            F.min(v).alias("min"),
+            F.max(v).alias("max"),
+        )
+    )
+    return agg.select(
+        *key_cols,
+        F.col("window.start").alias("bin_start"),
+        F.col("window.end").alias("bin_end"),
+        "n", "n_grid", "sum", "sumsq", "min", "max",
+    )
+
+
+def write_tier_stream(
+    rollup_df: DataFrame,
+    path: str,
+    checkpoint: str,
+    available_now: bool = True,
+) -> DataStreamWriter:
+    """Append-mode parquet sink with checkpoint; ``available_now`` drains
+    everything currently available then stops (micro-batch catch-up —
+    the pattern for scheduled incremental runs)."""
+    w = (
+        rollup_df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w
