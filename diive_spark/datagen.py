@@ -138,7 +138,7 @@ def meteo_table(spark: SparkSession, seed: int = 42) -> DataFrame:
     (TA, SW_IN, RH, NEE, USTAR)."""
     rng = np.random.Generator(np.random.Philox(key=[seed, 2022]))
     idx = pd.date_range("2022-07-01 00:15", periods=1488, freq="30min")
-    frac_day = (idx.hour * 60 + idx.minute) / 1440.0
+    frac_day = np.asarray(idx.hour * 60 + idx.minute) / 1440.0
     diel = np.sin((frac_day - 0.25) * 2 * np.pi)
     ta = 15 + 8 * diel + rng.normal(0, 1.2, 1488)
     sw_in = np.clip(800 * diel, 0, None) + np.clip(rng.normal(0, 30, 1488), 0, None)
