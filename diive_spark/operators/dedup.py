@@ -75,18 +75,22 @@ def minhash_signatures(
     id_col: str = "doc_id",
     seed: int = 42,
 ) -> DataFrame:
-    """k-permutation MinHash signature per doc: explode shingles once,
-    aggregate k mins of (a_i * h + b_i) mod p in a single groupBy."""
+    """k-permutation MinHash signature per doc, computed entirely
+    row-local (no explode, no groupBy, no shuffle): hash each shingle
+    once, then per permutation i take array_min of (a_i*h + b_i) mod p.
+    Scales embarrassingly — each task only touches its own rows."""
     coeffs = _rand_coeffs(k, seed)
     sh = word_shingles(df, n=n_shingle, text_col=text_col)
-    exploded = sh.select(
-        id_col, F.explode("shingles").alias("_s")
-    ).withColumn("_h", F.pmod(F.xxhash64("_s"), F.lit(_MERSENNE)))
-    aggs = [
-        F.min(F.pmod(F.col("_h") * a + b, F.lit(_MERSENNE))).alias(f"mh{i}")
+    hashed = sh.withColumn(
+        "_h", F.transform("shingles", lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE)))
+    )
+    sig_cols = [
+        F.array_min(
+            F.transform("_h", lambda x: F.pmod(x * a + b, F.lit(_MERSENNE)))
+        ).alias(f"mh{i}")
         for i, (a, b) in enumerate(coeffs)
     ]
-    return exploded.groupBy(id_col).agg(*aggs)
+    return hashed.select(id_col, *sig_cols)
 
 
 def minhash_lsh_pairs(
