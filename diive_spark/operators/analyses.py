@@ -165,12 +165,20 @@ def diel_cycle(
 
 
 def quantile_bins(
-    df: DataFrame, col: str, n: int, out_col: str, key_cols: Sequence[str] = ()
+    df: DataFrame,
+    col: str,
+    n: int,
+    out_col: str,
+    key_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """``ntile(n)`` quantile classes over non-null values (pandas qcut
-    analog used throughout diive's binned analyses)."""
+    analog used throughout diive's binned analyses).  Pass
+    ``tiebreak_cols`` (a unique key) to make bin assignment of tied
+    values deterministic across engines/partitionings."""
     keys = list(key_cols)
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(col)
+    order = [F.col(col)] + [F.col(c) for c in tiebreak_cols]
+    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(*order)
     return df.where(F.col(col).isNotNull()).withColumn(out_col, F.ntile(n).over(w))
 
 
@@ -181,15 +189,16 @@ def sorting_bins(
     var3: str,
     n_bins: int = 10,
     key_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """Decoupling / SortingBinsMethod (decoupling.py:27-101): decile-bin
     var1; within each bin, decile-bin var2; mean of var3 per (bin, subbin)."""
     keys = list(key_cols)
     b1 = quantile_bins(
         df.where(F.col(var2).isNotNull() & F.col(var3).isNotNull()),
-        var1, n_bins, "bin1", keys,
+        var1, n_bins, "bin1", keys, tiebreak_cols,
     )
-    b2 = quantile_bins(b1, var2, n_bins, "bin2", keys + ["bin1"])
+    b2 = quantile_bins(b1, var2, n_bins, "bin2", keys + ["bin1"], tiebreak_cols)
     return b2.groupBy(*keys, "bin1", "bin2").agg(
         F.avg(var3).alias(f"{var3}_mean"),
         F.count(var3).alias("n"),
@@ -206,6 +215,7 @@ def quantile_xy_agg_z(
     agg: str = "mean",
     min_n: int = 1,
     key_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """QuantileXYAggZ (quantilexyaggz.py:8-162): independent quantile
     classes on x and y, z-aggregate per class pair, min-count filter."""
@@ -213,8 +223,8 @@ def quantile_xy_agg_z(
     good = df.where(
         F.col(x).isNotNull() & F.col(y).isNotNull() & F.col(z).isNotNull()
     )
-    bx = quantile_bins(good, x, n_x, "xbin", keys)
-    bxy = quantile_bins(bx, y, n_y, "ybin", keys)
+    bx = quantile_bins(good, x, n_x, "xbin", keys, tiebreak_cols)
+    bxy = quantile_bins(bx, y, n_y, "ybin", keys, tiebreak_cols)
     zc = F.col(z)
     aggfn = {
         "mean": F.avg(zc), "median": F.median(zc), "sum": F.sum(zc),

@@ -777,6 +777,272 @@ JOIN sh b ON b.doc_id = p.id_b
 """
 
 
+def q_lagged_variants(spark, sf_dir):
+    """Lagged feature columns (frames.py:760-850): per-source checksum
+    of value - lag3(value)."""
+    out = analyses.lagged_variants(series(spark, sf_dir), lags=[1, 3])
+    d = F.col("value") - F.col("value_lag3")
+    return out.groupBy("source").agg(
+        _r(F.sum(d)).alias("diff3_sum"), F.count(d).alias("diff3_n")
+    )
+
+
+SQL_LAGGED = f"""
+WITH series AS ({SERIES_SQL}),
+l AS (
+  SELECT *, lag(value, 3) OVER (PARTITION BY source, doc_id ORDER BY pos) AS v3
+  FROM series)
+SELECT source, round(sum(value - v3), 6) AS diff3_sum,
+       count(CASE WHEN value IS NOT NULL AND v3 IS NOT NULL THEN 1 END) AS diff3_n
+FROM l GROUP BY 1
+"""
+
+
+def q_backfill_limited(spark, sf_dir):
+    """Limited backfill (meteoscreening.py:597-615): per-source checksum
+    of the bfill(limit=3) column."""
+    out = gaps.backfill_limited(series(spark, sf_dir), limit=3)
+    return out.groupBy("source").agg(
+        _r(F.sum("value_bf")).alias("bf_sum"), F.count("value_bf").alias("bf_n")
+    )
+
+
+SQL_BACKFILL = f"""
+WITH series AS ({SERIES_SQL}),
+b AS (
+  SELECT *, coalesce(value,
+      first_value(value IGNORE NULLS) OVER
+        (PARTITION BY source, doc_id ORDER BY pos
+         ROWS BETWEEN 1 FOLLOWING AND 3 FOLLOWING)) AS bf
+  FROM series)
+SELECT source, round(sum(bf), 6) AS bf_sum, count(bf) AS bf_n
+FROM b GROUP BY 1
+"""
+
+
+def q_banded_uncertainty(spark, sf_dir):
+    """Banded random uncertainty (uncertainty.py:218-289): std over the
+    ±20-position band where >= 5 values; per-source checksum."""
+    from .operators.flux import random_uncertainty_banded
+
+    out = random_uncertainty_banded(series(spark, sf_dir), band=20, min_vals=5)
+    return out.groupBy("source").agg(
+        _r(F.sum("unc")).alias("unc_sum"), F.count("unc").alias("unc_n")
+    )
+
+
+SQL_BANDED_UNC = f"""
+WITH series AS ({SERIES_SQL}),
+b AS (
+  SELECT *,
+    CASE WHEN count(value) OVER w >= 5 THEN stddev_samp(value) OVER w END AS unc
+  FROM series
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+               RANGE BETWEEN 20 PRECEDING AND 20 FOLLOWING))
+SELECT source, round(sum(unc), 6) AS unc_sum, count(unc) AS unc_n
+FROM b GROUP BY 1
+"""
+
+
+def q_ustar_scenarios(spark, sf_dir):
+    """USTAR threshold scenario sweep (ustarthreshold.py:14-130) on
+    lineitem: ustar=l_discount, value=l_quantity."""
+    from .operators.flux import ustar_scenarios
+
+    li = _load(spark, sf_dir, "lineitem").select(
+        F.col("l_discount").alias("ustar"), F.col("l_quantity").alias("value")
+    )
+    out = ustar_scenarios(li, thresholds=[0.02, 0.05, 0.08])
+    return out.select(
+        _r(F.col("ustar_threshold"), 2).alias("ustar_threshold"),
+        "n_survivors", "n_total",
+        _r(F.col("mean_surviving")).alias("mean_surviving"),
+    )
+
+
+SQL_USTAR = """
+SELECT round(u.t, 2) AS ustar_threshold,
+       count(CASE WHEN l_discount >= u.t THEN l_quantity END) AS n_survivors,
+       count(l_quantity) AS n_total,
+       round(avg(CASE WHEN l_discount >= u.t THEN l_quantity END), 6)
+         AS mean_surviving
+FROM lineitem, (VALUES (0.02), (0.05), (0.08)) u(t)
+GROUP BY u.t
+"""
+
+
+def q_crosscov_scan(spark, sf_dir):
+    """Lagged cross-covariance scan (fluxdetectionlimit.py:211-231):
+    autocovariance of the series at lags 0..5 per source."""
+    from .operators.flux import lagged_crosscovariance
+
+    out = lagged_crosscovariance(
+        series(spark, sf_dir), "value", "value", lags=list(range(0, 6)),
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "lag", _r(F.col("cov")).alias("cov"), "n"
+    )
+
+
+def _sql_crosscov() -> str:
+    selects = []
+    for k in range(0, 6):
+        selects.append(f"""
+  SELECT source, doc_id, {k} AS lag,
+         round(covar_samp(value, v{k}), 6) AS cov,
+         count(CASE WHEN value IS NOT NULL AND v{k} IS NOT NULL THEN 1 END) AS n
+  FROM l GROUP BY source, doc_id""")
+    leads = ", ".join(
+        f"lead(value, {k}) OVER (PARTITION BY source, doc_id ORDER BY pos) AS v{k}"
+        for k in range(0, 6)
+    )
+    return f"""
+WITH series AS ({SERIES_SQL}),
+l AS (SELECT source, doc_id, pos, value, {leads} FROM series)
+{' UNION ALL '.join(selects)}
+"""
+
+
+SQL_CROSSCOV = _sql_crosscov()
+
+
+def q_daily_full_gate(spark, sf_dir):
+    """Full-bucket-gated daily aggregate (criticaldays.py:291-300):
+    50-wide buckets kept only when complete."""
+    from .operators.flux import daily_full_gate
+
+    out = daily_full_gate(series(spark, sf_dir), bucket=50, required=50)
+    return out.select(
+        "source", "doc_id", "day_bucket", "n", _r(F.col("mean")).alias("mean")
+    )
+
+
+SQL_DAILY_GATE = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source, doc_id, CAST(floor(pos / 50) AS BIGINT) AS day_bucket,
+       count(value) AS n, round(avg(value), 6) AS mean
+FROM series GROUP BY 1, 2, 3
+HAVING count(value) = 50
+"""
+
+
+def q_sorting_bins(spark, sf_dir):
+    """Nested quantile binning / decoupling (decoupling.py:27-101) on
+    lineitem: quintiles of extendedprice, nested quintiles of quantity,
+    mean discount per cell."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = analyses.sorting_bins(
+        li, "l_extendedprice", "l_quantity", "l_discount", n_bins=5,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "bin1", "bin2", _r(F.col("l_discount_mean")).alias("discount_mean"), "n"
+    )
+
+
+SQL_SORTING_BINS = """
+WITH b1 AS (
+  SELECT *, ntile(5) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         AS bin1
+  FROM lineitem
+  WHERE l_quantity IS NOT NULL AND l_discount IS NOT NULL
+    AND l_extendedprice IS NOT NULL),
+b2 AS (
+  SELECT *, ntile(5) OVER (PARTITION BY bin1
+                           ORDER BY l_quantity, l_orderkey, l_linenumber) AS bin2
+  FROM b1)
+SELECT bin1, bin2, round(avg(l_discount), 6) AS discount_mean, count(*) AS n
+FROM b2 GROUP BY 1, 2
+"""
+
+
+def q_quantile_xy(spark, sf_dir):
+    """QuantileXYAggZ (quantilexyaggz.py:8-162) on lineitem."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = analyses.quantile_xy_agg_z(
+        li, x="l_extendedprice", y="l_quantity", z="l_discount",
+        n_x=4, n_y=4, agg="mean", min_n=10,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "xbin", "ybin", _r(F.col("l_discount_mean")).alias("z_mean"), "n"
+    )
+
+
+SQL_QUANTILE_XY = """
+WITH g AS (
+  SELECT * FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL
+    AND l_discount IS NOT NULL),
+bx AS (
+  SELECT *, ntile(4) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         AS xbin
+  FROM g),
+bxy AS (
+  SELECT *, ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS ybin
+  FROM bx)
+SELECT xbin, ybin, round(avg(l_discount), 6) AS z_mean, count(*) AS n
+FROM bxy GROUP BY 1, 2
+HAVING count(*) >= 10
+"""
+
+
+def q_peak_bins(spark, sf_dir):
+    """Top-5 histogram peak bins (histogram.py:79-86), deterministic
+    tie-break on bin_idx."""
+    ev = _load(spark, sf_dir, "events")
+    hist = analyses.histogram(ev, n_bins=20, value_col="value")
+    out = analyses.peak_bins(hist, k=5)
+    return out.select(
+        F.col("bin_idx").cast("long").alias("bin_idx"), "count"
+    )
+
+
+SQL_PEAK_BINS = """
+WITH b AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+h AS (
+  SELECT CAST(least(floor((value - lo) / ((hi - lo) / 20)), 19) AS BIGINT)
+           AS bin_idx,
+         count(*) AS count
+  FROM events, b WHERE value IS NOT NULL GROUP BY 1),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY count DESC, bin_idx) AS rk FROM h)
+SELECT bin_idx, count FROM r WHERE rk <= 5
+"""
+
+
+def q_cumulative_envelope(spark, sf_dir):
+    """Per-partition cumulative sums + cross-partition envelope
+    (DOY cumulatives, times.py:1108-1138): checksum per source."""
+    # restrict to one source so (doc_id, pos) is a unique ordering key —
+    # running sums over tied orderings are nondeterministic in any engine
+    out = analyses.cumulative_per_partition(
+        series(spark, sf_dir).where(F.col("source") == "click"),
+        partition_col="doc_id",
+    )
+    return out.groupBy("source").agg(
+        _r(F.sum("cumsum")).alias("cumsum_sum"),
+        _r(F.sum("cum_mean")).alias("env_mean_sum"),
+    )
+
+
+SQL_CUMULATIVE = f"""
+WITH series AS ({SERIES_SQL}),
+s1 AS (SELECT * FROM series WHERE source = 'click'),
+c AS (
+  SELECT *, sum(value) OVER (PARTITION BY doc_id ORDER BY pos
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+         AS cumsum
+  FROM s1),
+e AS (
+  SELECT *, avg(cumsum) OVER (PARTITION BY pos) AS cum_mean FROM c)
+SELECT source, round(sum(cumsum), 6) AS cumsum_sum,
+       round(sum(cum_mean), 6) AS env_mean_sum
+FROM e GROUP BY 1
+"""
+
+
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec round trip over real token-like data (per-row
@@ -828,6 +1094,20 @@ def q_cosine_lsh_topk(spark, sf_dir):
                       F.round(F.col("cosine"), 4).alias("cosine"))
 
 
+def q_rf_gapfill(spark, sf_dir):
+    """Random-forest gap fill (randomforest_ts.py:160-899 analog via
+    Spark ML): per-source fill counts by flag (rows-only; forest floats
+    are not SQL-reproducible)."""
+    from .operators.ml_gapfill import rf_gapfill
+
+    out, _scores = rf_gapfill(
+        series(spark, sf_dir), cycle=64, n_trees=10, max_depth=6
+    )
+    return out.groupBy("source", "value_gfRF_flag").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+
+
 def q_tier_cascade(spark, sf_dir):
     """Retention cascade smoke over the derived series: gated tier row
     counts (rows-only; exercises the TierStore write/read path)."""
@@ -871,10 +1151,21 @@ QUERIES = {
     "quality_features": (q_quality_features, SQL_QUALITY_FEATURES),
     "similarity_topk_cosine": (q_cosine_topk, SQL_COSINE_TOPK),
     "ngram_jaccard": (q_ngram_jaccard_docs, SQL_NGRAM_JACCARD),
+    "lagged_variants": (q_lagged_variants, SQL_LAGGED),
+    "backfill_limited": (q_backfill_limited, SQL_BACKFILL),
+    "banded_uncertainty": (q_banded_uncertainty, SQL_BANDED_UNC),
+    "ustar_scenarios": (q_ustar_scenarios, SQL_USTAR),
+    "crosscov_scan": (q_crosscov_scan, SQL_CROSSCOV),
+    "daily_full_gate": (q_daily_full_gate, SQL_DAILY_GATE),
+    "sorting_bins_decoupling": (q_sorting_bins, SQL_SORTING_BINS),
+    "quantile_xy_agg_z": (q_quantile_xy, SQL_QUANTILE_XY),
+    "histogram_peak_bins": (q_peak_bins, SQL_PEAK_BINS),
+    "cumulative_envelope": (q_cumulative_envelope, SQL_CUMULATIVE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
     "dedup_simhash": (q_simhash_docs, None),
     "similarity_topk_lsh": (q_cosine_lsh_topk, None),
     "tier_cascade": (q_tier_cascade, None),
+    "ml_gapfill_rf": (q_rf_gapfill, None),
 }
