@@ -336,6 +336,32 @@ def cumulative_per_partition(
     )
 
 
+def neighboring_partition_pool(
+    df: DataFrame, partition_col: str, radius: int = 1
+) -> DataFrame:
+    """Pool each (integer) partition with its ±radius neighbors
+    (neighboring_years, diive/core/times/neighbors.py:6-46): each row is
+    replicated into the pools it belongs to, ``pool`` = center value."""
+    p = F.col(partition_col)
+    # explode can't nest inside an expression — shift inside the array
+    pools = F.array(*[p + o for o in range(-radius, radius + 1)])
+    return df.withColumn("pool", F.explode(pools))
+
+
+def heatmap_pivot(
+    df: DataFrame,
+    row_col: str,
+    col_col: str,
+    value_col: str = "value",
+    agg: str = "mean",
+) -> DataFrame:
+    """(row x col) matrix of value aggregates (heatmap data,
+    diive/core/plotting/heatmap_datetime.py:150-185 minus the plot)."""
+    fns = {"mean": F.avg(value_col), "sum": F.sum(value_col),
+           "count": F.count(value_col)}
+    return df.groupBy(row_col).pivot(col_col).agg(fns[agg])
+
+
 def add_record_number(
     df: DataFrame, axis_col: str = "pos", key_cols: Sequence[str] = KEY_COLS
 ) -> DataFrame:

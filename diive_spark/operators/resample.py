@@ -145,6 +145,52 @@ def bucket_rollup(
     return out
 
 
+def aggregated_as_hires(
+    df: DataFrame,
+    bucket: int,
+    agg: str = "mean",
+    axis_col: str = "pos",
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    offset: int = 0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Aggregate to coarse buckets and broadcast the aggregate back onto
+    every hi-res row (reference ``aggregated_as_hires``,
+    diive/core/dfun/frames.py:37-91, and the offset variant
+    ``insert_aggregated_in_hires`` :94-128 — its per-row Python loop
+    collapses into a single window aggregate).  ``offset`` shifts the
+    bucket boundary (e.g. day defined 07:00->06:59)."""
+    keys = list(key_cols)
+    out_col = out_col or f"{value_col}_{agg}{bucket}"
+    b = F.floor((F.col(axis_col) - offset) / bucket)
+    w = Window.partitionBy(*keys, b)
+    v = F.col(value_col)
+    fns = {
+        "mean": F.avg(v), "sum": F.sum(v), "min": F.min(v),
+        "max": F.max(v), "median": F.percentile(v, F.lit(0.5)),
+    }
+    return df.withColumn(out_col, fns[agg].over(w))
+
+
+def create_random_gaps(
+    df: DataFrame,
+    frac: float = 0.1,
+    seed: int = 42,
+    value_col: str = "value",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Punch seeded random NULLs (test helper; reference
+    diive/core/dfun/frames.py:209-213)."""
+    out_col = out_col or value_col
+    return df.withColumn(
+        out_col,
+        F.when(F.rand(seed) < frac, F.lit(None).cast("double")).otherwise(
+            F.col(value_col)
+        ),
+    )
+
+
 def compose_rollup(
     tier_df: DataFrame,
     every: int,

@@ -36,6 +36,25 @@ _SHIFT = {  # multiples of freq/2 applied to reach MIDDLE
 }
 
 
+def build_axis_range(
+    df: DataFrame, start: int, n: int, step: int = 1, axis_col: str = "pos"
+) -> DataFrame:
+    """Axis column from start + length + step (``build_timestamp_range``,
+    times.py:498-510): cross-joinable single-row grid via sequence."""
+    return df.sparkSession.range(0, n).select(
+        (F.lit(start) + F.col("id") * step).alias(axis_col)
+    )
+
+
+def add_timezone(
+    df: DataFrame, ts_col: str, tz: str = "UTC", out_col: str | None = None
+) -> DataFrame:
+    """tz-localize a naive timestamp column (``add_timezone_info``,
+    times.py:1045-1058) — interpret the naive stamps as *tz* wall time,
+    store as UTC instants."""
+    return df.withColumn(out_col or ts_col, F.to_utc_timestamp(F.col(ts_col), tz))
+
+
 def dedup_keep_last(
     df: DataFrame,
     axis_col: str = "pos",

@@ -133,3 +133,44 @@ def test_setto_threshold_and_bitfield(spark):
     bits = spark.createDataFrame([(0b1011010,)], "x int")
     out = decode_bitfield(bits, "x", 1, 4, gain=0.5).first()
     assert out["decoded"] == ((0b1011010 >> 1) & 0b111) * 0.5
+
+
+def test_aggregated_as_hires_and_random_gaps(spark):
+    from diive_spark.operators.resample import aggregated_as_hires, create_random_gaps
+
+    pdf = seeded_series(n=200, gap_frac=0.0)
+    out = (
+        aggregated_as_hires(spark.createDataFrame(pdf), bucket=50, agg="mean")
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    for b in range(4):
+        seg = pdf[(pdf["pos"] // 50) == b]["value"]
+        np.testing.assert_allclose(
+            out.loc[out["pos"] // 50 == b, "value_mean50"], seg.mean(), atol=1e-9
+        )
+    # offset variant shifts bucket boundaries
+    off = aggregated_as_hires(spark.createDataFrame(pdf), bucket=50, agg="mean",
+                              offset=7).toPandas()
+    seg = pdf[(pdf["pos"] >= 7) & (pdf["pos"] < 57)]["value"]
+    assert abs(off.loc[off["pos"] == 10, "value_mean50"].iloc[0] - seg.mean()) < 1e-9
+
+    gapped = create_random_gaps(spark.createDataFrame(pdf), frac=0.3, seed=1)
+    n_null = gapped.where(F.col("value").isNull()).count()
+    assert 30 < n_null < 90
+
+
+def test_neighbor_pool_and_heatmap(spark):
+    from diive_spark.operators.analyses import heatmap_pivot, neighboring_partition_pool
+
+    pdf = seeded_series(n=120, gap_frac=0.0)
+    pdf["year"] = pdf["pos"] // 40  # 3 "years"
+    pooled = neighboring_partition_pool(spark.createDataFrame(pdf), "year")
+    counts = {r["pool"]: r["n"] for r in
+              pooled.groupBy("pool").agg(F.count("*").alias("n")).collect()}
+    assert counts[1] == 120  # center year pools all three
+    assert counts[0] == 80 and counts[2] == 80
+
+    pdf["phase"] = pdf["pos"] % 4
+    hm = heatmap_pivot(spark.createDataFrame(pdf), "year", "phase", "value", "count")
+    assert hm.count() == 3
+    assert len(hm.columns) == 5  # year + 4 phase columns
