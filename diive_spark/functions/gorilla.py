@@ -99,7 +99,7 @@ def _stream_encode(
     # empty leading rows (starts == 0 would index -1 and wrap).
     cross = starts[1:][starts[1:] > 0] - 1
     keep = np.ones(max(flat.size - 1, 0), dtype=bool)
-    keep[cross] = False
+    keep[cross[cross < keep.size]] = False  # trailing empty rows: start==size
     if mode == "xor":
         # XOR chain over zigzag(v): zigzag keeps small negatives (e.g. the
         # -9999 NA sentinel) narrow, so one sentinel doesn't blow the row
@@ -126,7 +126,7 @@ def _stream_encode(
         # also drop pairs crossing row boundaries in d-space
         dcross = dstarts[1:][dstarts[1:] > 0] - 1
         dkeep = np.ones(max(d.size - 1, 0), dtype=bool)
-        dkeep[dcross] = False
+        dkeep[dcross[dcross < dkeep.size]] = False
         dod = dd[keep3 & dkeep]
     return _zigzag(dod), slens, fdelta
 

@@ -76,3 +76,32 @@ def test_compression_ratio_reported(spark, tiny_tokens):
     # random vocab-50257 tokens: XOR-zigzag stream needs ~17-19 bits per
     # 32-bit raw value → expect a real reduction
     assert row["compressed"] < row["raw"] * 0.75
+
+
+# ---------------------------------------------------------------- property
+from hypothesis import given, settings, strategies as st
+
+
+@st.composite
+def int_arrays(draw):
+    n_rows = draw(st.integers(0, 8))
+    return [
+        np.array(
+            draw(
+                st.lists(
+                    st.integers(-(2**31), 2**31 - 1), min_size=0, max_size=50
+                )
+            ),
+            dtype=np.int64,
+        )
+        for _ in range(n_rows)
+    ]
+
+
+@settings(max_examples=60, deadline=None)
+@given(arrays=int_arrays(), mode=st.sampled_from(["xor", "dod"]))
+def test_roundtrip_property(arrays, mode):
+    out = decode_batch(encode_batch(arrays, mode=mode), mode=mode)
+    assert len(out) == len(arrays)
+    for a, b in zip(arrays, out):
+        np.testing.assert_array_equal(a, b)
