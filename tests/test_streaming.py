@@ -61,3 +61,42 @@ def test_stream_equals_batch_and_resumes(spark, tmp_path):
     # exactly-once per window across the three checkpointed runs
     dup = got.groupBy("source", "bin_start").count().where(F.col("count") > 1).count()
     assert dup == 0
+
+
+def test_stateful_gap_detector_across_restarts(spark, tmp_path):
+    from diive_spark.streaming.stateful import stream_gap_detector
+
+    src = str(tmp_path / "gaps_in")
+    out = str(tmp_path / "gaps_out")
+    ckpt = str(tmp_path / "gaps_ckpt")
+    schema = "source string, doc_id string, pos long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_gap_detector(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # batch 1: positions 0..9 then a jump to 15 (gap 10..14)
+    rows1 = [("web", "d0", p) for p in list(range(10)) + [15]]
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    drain()
+    g1 = spark.read.parquet(out).collect()
+    assert len(g1) == 1
+    assert (g1[0]["gap_start"], g1[0]["gap_end"], g1[0]["gap_length"]) == (10, 14, 5)
+
+    # RESTART (new query, same checkpoint): batch 2 starts at 18 —
+    # the 16..17 gap spans the restart and is only detectable via state
+    rows2 = [("web", "d0", p) for p in range(18, 21)]
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    drain()
+    g2 = {(r["gap_start"], r["gap_end"]): r["gap_length"]
+          for r in spark.read.parquet(out).collect()}
+    assert g2 == {(10, 14): 5, (16, 17): 2}
