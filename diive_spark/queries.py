@@ -1043,6 +1043,35 @@ FROM e GROUP BY 1
 """
 
 
+def q_rollup_time30min(spark, sf_dir):
+    """True-timestamp tumbling-window resample (window(ts, 30 min) ==
+    resample('30T') bins; resampling.py:86-93 label conventions) over
+    events, per event_type."""
+    ev = _load(spark, sf_dir, "events")
+    w = F.window(F.col("ts"), "30 minutes")
+    out = ev.groupBy(F.col("event_type").alias("source"), w).agg(
+        F.count("value").alias("n"),
+        _r(F.avg("value")).alias("mean"),
+        _r(F.sum("value")).alias("sum_v"),
+    )
+    return out.select(
+        "source",
+        F.date_format(F.col("window.start"), "yyyy-MM-dd HH:mm:ss").alias("bin_start"),
+        "n", "mean", "sum_v",
+    )
+
+
+SQL_ROLLUP_TIME = """
+SELECT event_type AS source,
+       strftime(time_bucket(INTERVAL '30 minutes', ts), '%Y-%m-%d %H:%M:%S')
+         AS bin_start,
+       count(value) AS n,
+       round(avg(value), 6) AS mean,
+       round(sum(value), 6) AS sum_v
+FROM events GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec round trip over real token-like data (per-row
@@ -1161,6 +1190,7 @@ QUERIES = {
     "quantile_xy_agg_z": (q_quantile_xy, SQL_QUANTILE_XY),
     "histogram_peak_bins": (q_peak_bins, SQL_PEAK_BINS),
     "cumulative_envelope": (q_cumulative_envelope, SQL_CUMULATIVE),
+    "rollup_time_30min": (q_rollup_time30min, SQL_ROLLUP_TIME),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

@@ -49,3 +49,21 @@ def test_column_pruning_through_rollup(spark):
 
 def test_lookup_fill_broadcasts(spark, tiny_series):
     assert has_broadcast_join(lookup_table_fill(tiny_series, bucket=64))
+
+
+def test_rollup_deterministic_across_partitionings(spark, tiny_series):
+    """Same input, different physical partitioning → bit-identical
+    rollup (the cross-cluster-size identity the north rule requires)."""
+    a = bucket_rollup(tiny_series.repartition(3), every=60)
+    b = bucket_rollup(tiny_series.repartition(17, "doc_id"), every=60)
+
+    def checksum(df):
+        return df.select(
+            F.bit_xor(
+                F.xxhash64("source", "doc_id", "bin_start", F.round("sum", 6),
+                           "n", F.round("min", 6), F.round("max", 6))
+            )
+        ).first()[0]
+
+    assert a.count() == b.count()
+    assert checksum(a) == checksum(b)
