@@ -85,6 +85,7 @@ def interpolate_limited(
     value_col: str = "value",
     key_cols: Sequence[str] = KEY_COLS,
     out_col: str | None = None,
+    dense_grid: bool = False,
 ) -> DataFrame:
     """Linear interpolation of interior gaps of length <= limit
     (interpolate.py:8-35 intent).  Adds ``out_col`` (default
@@ -92,6 +93,11 @@ def interpolate_limited(
 
     Interpolation is in axis units: ``prev + (next-prev) * (a-pa)/(na-pa)``
     — identical to pandas linear interpolation on a regular grid.
+
+    ``dense_grid=True`` asserts one row per axis step (the normal state
+    after ``complete_grid``): gap length is then ``next_a - prev_a - 1``
+    and the run-id shuffle is skipped entirely — one window spec, one
+    sort, no extra exchange.
     """
     keys = list(key_cols)
     out_col = out_col or f"{value_col}_gf"
@@ -102,26 +108,31 @@ def interpolate_limited(
     vnn = F.when(v.isNotNull(), v)
     ann = F.when(v.isNotNull(), a)
 
-    runs = _runs(df, axis_col, value_col, key_cols)
     prev_v = F.last(vnn, ignorenulls=True).over(wp)
     prev_a = F.last(ann, ignorenulls=True).over(wp)
     next_v = F.first(vnn, ignorenulls=True).over(wf)
     next_a = F.first(ann, ignorenulls=True).over(wf)
     interp = prev_v + (next_v - prev_v) * (a - prev_a) / (next_a - prev_a)
+    if dense_grid:
+        runs = df
+        gap_len = next_a - prev_a - 1
+    else:
+        runs = _runs(df, axis_col, value_col, key_cols)
+        gap_len = F.col("_gap_len")
     fillable = (
         v.isNull()
-        & (F.col("_gap_len") <= limit)
+        & (gap_len <= limit)
         & prev_v.isNotNull()
         & next_v.isNotNull()
     )
-    return (
+    out = (
         runs.withColumn(out_col, F.when(fillable, interp).otherwise(v))
         .withColumn(
             f"{out_col}_flag",
             F.when(v.isNotNull(), F.lit(0)).when(fillable, F.lit(1)),
         )
-        .drop("_run", "_gap_len")
     )
+    return out if dense_grid else out.drop("_run", "_gap_len")
 
 
 def backfill_limited(

@@ -249,7 +249,8 @@ HAVING count(*) <= 5
 def q_interpolate(spark, sf_dir):
     """Limit-gated linear interpolation (interpolate.py:8-35 intent):
     emit only the filled rows."""
-    out = gaps.interpolate_limited(series(spark, sf_dir), limit=3)
+    # derived series is dense (row_number-based pos) → fast path
+    out = gaps.interpolate_limited(series(spark, sf_dir), limit=3, dense_grid=True)
     return out.where(F.col("value_gf_flag") == 1).select(
         "source", "doc_id", "pos", _r(F.col("value_gf")).alias("filled")
     )

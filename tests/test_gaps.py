@@ -116,3 +116,18 @@ def test_lookup_table_fill_broadcast_plan(spark, tiny_series):
     assert out.where(F.col("value_ltf").isNull()).count() <= tiny_series.where(
         F.col("value").isNull()
     ).count()
+
+
+def test_interpolate_dense_fast_path_equals_general(spark):
+    pdf = seeded_series(n=400, gap_frac=0.2)
+    sdf = spark.createDataFrame(pdf)
+    slow = interpolate_limited(sdf, limit=3).toPandas().sort_values("pos")
+    fast = interpolate_limited(sdf, limit=3, dense_grid=True).toPandas().sort_values("pos")
+    np.testing.assert_allclose(
+        slow["value_gf"].values, fast["value_gf"].values, atol=1e-12, equal_nan=True
+    )
+    pd.testing.assert_series_equal(
+        slow["value_gf_flag"].reset_index(drop=True),
+        fast["value_gf_flag"].reset_index(drop=True),
+        check_dtype=False,
+    )
