@@ -133,8 +133,11 @@ def remove_high_bound_offset(
     ff = F.last("_off_b", ignorenulls=True).over(
         wo.rowsBetween(Window.unboundedPreceding, 0)
     )
-    bf = F.first("_off_b", ignorenulls=True).over(
-        wo.rowsBetween(0, Window.unboundedFollowing)
+    # O(n) bfill via reversed ordering (forward-unbounded is quadratic)
+    bf = F.last("_off_b", ignorenulls=True).over(
+        Window.partitionBy(*keys)
+        .orderBy(F.col(axis_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
     offset = F.coalesce(ff, bf, F.lit(0.0))
     return tmp.withColumn(out_col, v - offset).drop("_bkt", "_off_b")

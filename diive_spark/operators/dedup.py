@@ -109,10 +109,13 @@ def minhash_lsh_pairs(
         F.xxhash64(*[F.col(f"mh{b * r + i}") for i in range(r)]).alias(f"band{b}")
         for b in range(bands)
     ]
-    banded = sig_df.select(id_col, F.array(*mh_cols).alias("sig"), *band_cols)
+    sigs = sig_df.select(id_col, F.array(*mh_cols).alias("sig"))
+    banded = sig_df.select(id_col, *band_cols)
+    # join on narrow (id, band) rows only — the 64-element signature
+    # arrays would otherwise be shuffled `bands` times per side; they
+    # are re-attached to the (small) deduped pair set afterwards
     stacked = banded.select(
         id_col,
-        "sig",
         F.posexplode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias(
             "band_idx", "band_hash"
         ),
@@ -130,10 +133,12 @@ def minhash_lsh_pairs(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
+        .join(sigs.select(F.col(id_col).alias("id_a"),
+                          F.col("sig").alias("sig_a")), on="id_a")
+        .join(sigs.select(F.col(id_col).alias("id_b"),
+                          F.col("sig").alias("sig_b")), on="id_b")
     )
     est = (
         F.aggregate(
@@ -164,6 +169,9 @@ def minhash_dedup(
     multi-hop chains run to fixpoint with iterate_components)."""
     sigs = minhash_signatures(df, k=k, n_shingle=n_shingle,
                               text_col=text_col, id_col=id_col)
+    # materialize once: the LSH self-join + signature re-attachment
+    # would otherwise recompute the signature subtree 4x
+    sigs = sigs.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(sigs, bands=bands, id_col=id_col,
                               est_threshold=est_threshold)
     edges = pairs.select(

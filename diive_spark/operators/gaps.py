@@ -103,15 +103,22 @@ def interpolate_limited(
     out_col = out_col or f"{value_col}_gf"
     w = Window.partitionBy(*keys).orderBy(axis_col)
     wp = w.rowsBetween(Window.unboundedPreceding, 0)
-    wf = w.rowsBetween(0, Window.unboundedFollowing)
+    # NB: a (current, unboundedFollowing) frame is O(n^2) per partition
+    # in Spark (the suffix is re-aggregated per row); the O(n) form is a
+    # running last() over the REVERSED ordering.
+    wfr = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(axis_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     v, a = F.col(value_col), F.col(axis_col)
     vnn = F.when(v.isNotNull(), v)
     ann = F.when(v.isNotNull(), a)
 
     prev_v = F.last(vnn, ignorenulls=True).over(wp)
     prev_a = F.last(ann, ignorenulls=True).over(wp)
-    next_v = F.first(vnn, ignorenulls=True).over(wf)
-    next_a = F.first(ann, ignorenulls=True).over(wf)
+    next_v = F.last(vnn, ignorenulls=True).over(wfr)
+    next_a = F.last(ann, ignorenulls=True).over(wfr)
     interp = prev_v + (next_v - prev_v) * (a - prev_a) / (next_a - prev_a)
     if dense_grid:
         runs = df

@@ -170,12 +170,18 @@ def harmonize_multires(
     # (next freq_auto / target - 1) rows.  Use the following record's
     # freq label (END convention: a value stamped at t covers (t-f, t]).
     w = Window.partitionBy(*keys).orderBy(axis_col)
-    wnext = w.rowsBetween(1, Window.unboundedFollowing)
-    nxt_v = F.first(value_col, ignorenulls=True).over(wnext)
-    nxt_a = F.first(
+    # O(n) "next non-null" via reversed ordering (a forward-unbounded
+    # frame re-aggregates the suffix per row — quadratic)
+    wnext = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(axis_col).desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    nxt_v = F.last(value_col, ignorenulls=True).over(wnext)
+    nxt_a = F.last(
         F.when(F.col(value_col).isNotNull(), F.col(axis_col)), ignorenulls=True
     ).over(wnext)
-    nxt_f = F.first(
+    nxt_f = F.last(
         F.when(F.col(value_col).isNotNull(), F.col("freq_auto")), ignorenulls=True
     ).over(wnext)
     tgt = F.first("_target", ignorenulls=True).over(

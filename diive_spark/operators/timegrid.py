@@ -216,13 +216,19 @@ def freq_groups(
         .withColumn("_f", F.when(F.col("_dp") == F.col("_dn"), F.col("_dp")))
     )
     wff = w.rowsBetween(Window.unboundedPreceding, 0)
-    wbf = w.rowsBetween(0, Window.unboundedFollowing)
+    # O(n) backward fill via reversed ordering (forward-unbounded frames
+    # re-aggregate the suffix per row — quadratic)
+    wbf = (
+        Window.partitionBy(*keys)
+        .orderBy(F.col(axis_col).desc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         sym.withColumn(
             "freq_auto",
             F.coalesce(
                 F.last("_f", ignorenulls=True).over(wff),
-                F.first("_f", ignorenulls=True).over(wbf),
+                F.last("_f", ignorenulls=True).over(wbf),
             ),
         )
         .drop("_dp", "_dn", "_f")
