@@ -145,6 +145,50 @@ def bucket_rollup(
     return out
 
 
+def calendar_rollup(
+    df: DataFrame,
+    freq: str,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    mincounts_perc: float = 0.0,
+    min_floor_rule: bool = False,
+) -> DataFrame:
+    """Calendar-frequency resample with diive's conventions
+    (resample_df, frames.py:353-362): weekly/monthly/yearly bins are
+    closed+labelled RIGHT (stamp = period end; weeks anchor Monday,
+    resampling.py:38); day/hour bins closed+labelled LEFT.
+
+    freq ∈ {'hour','day','week','month','year'}.  Output: per (key, bin)
+    partials + mean/sd, ``bin_label`` = the convention-correct stamp.
+    """
+    keys = list(key_cols)
+    t = F.col(ts_col)
+    trunc = {"hour": "hour", "day": "day", "week": "week",
+             "month": "month", "year": "year"}[freq]
+    start = F.date_trunc(trunc, t)
+    if freq in ("week", "month", "year"):
+        # RIGHT label: end of period (pandas 'W'/'M'/'A' default)
+        interval = {"week": "7 days", "month": "1 month", "year": "1 year"}[freq]
+        label = (start + F.expr(f"INTERVAL {interval}")).cast("timestamp")
+    else:
+        label = start  # LEFT label for T/H/D
+    v = F.col(value_col)
+    agg = df.groupBy(*keys, start.alias("bin_start"), label.alias("bin_label")).agg(
+        F.count(v).alias("n"),
+        F.count(F.lit(1)).alias("n_grid"),
+        F.sum(v).alias("sum"),
+        F.sum(v * v).alias("sumsq"),
+        F.min(v).alias("min"),
+        F.max(v).alias("max"),
+    )
+    return (
+        apply_mincount_gate(agg, mincounts_perc, min_floor_rule, keys)
+        .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
+        .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
+    )
+
+
 def aggregated_as_hires(
     df: DataFrame,
     bucket: int,

@@ -1073,6 +1073,33 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_weekly_rollup(spark, sf_dir):
+    """Calendar weekly resample with closed/label RIGHT + Monday anchor
+    (resample_df conventions, frames.py:353-362; diive week anchor
+    resampling.py:38)."""
+    from .operators.resample import calendar_rollup
+
+    ev = _load(spark, sf_dir, "events").select(
+        F.col("event_type").alias("source"), "ts", "value"
+    )
+    out = calendar_rollup(ev, "week", key_cols=["source"])
+    return out.select(
+        "source",
+        F.date_format("bin_label", "yyyy-MM-dd").alias("week_end"),
+        "n", _r(F.col("mean")).alias("mean"), _r(F.col("sd")).alias("sd"),
+    )
+
+
+SQL_WEEKLY = """
+SELECT event_type AS source,
+       strftime(date_trunc('week', ts) + INTERVAL 7 DAY, '%Y-%m-%d') AS week_end,
+       count(value) AS n,
+       round(avg(value), 6) AS mean,
+       round(stddev_samp(value), 6) AS sd
+FROM events GROUP BY 1, 2
+"""
+
+
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec round trip over real token-like data (per-row
@@ -1192,6 +1219,7 @@ QUERIES = {
     "histogram_peak_bins": (q_peak_bins, SQL_PEAK_BINS),
     "cumulative_envelope": (q_cumulative_envelope, SQL_CUMULATIVE),
     "rollup_time_30min": (q_rollup_time30min, SQL_ROLLUP_TIME),
+    "rollup_weekly_calendar": (q_weekly_rollup, SQL_WEEKLY),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

@@ -104,3 +104,27 @@ def test_percentiles_match_pandas_interpolation(spark):
         for q, col in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
             exp = seg["value"].quantile(q)  # pandas linear interpolation
             assert abs(row[col] - exp) < 1e-9, (q, row["bin_start"])
+
+
+def test_calendar_rollup_conventions(spark):
+    """Weekly bins anchor Monday + label period END; daily label LEFT
+    (resample_df, frames.py:353-362)."""
+    import pandas as pd
+    from diive_spark.operators.resample import calendar_rollup
+
+    # 2024-01-01 is a Monday
+    pdf = pd.DataFrame({
+        "ts": pd.date_range("2024-01-01", periods=21, freq="1D").to_pydatetime(),
+        "value": [float(i) for i in range(21)],
+    })
+    sdf = spark.createDataFrame(pdf)
+    wk = calendar_rollup(sdf, "week").toPandas().sort_values("bin_start")
+    assert len(wk) == 3
+    assert all(wk["n"] == 7)
+    # Monday-anchored start, label = next Monday (period end, RIGHT)
+    assert wk.iloc[0]["bin_start"].strftime("%Y-%m-%d %a") == "2024-01-01 Mon"
+    assert wk.iloc[0]["bin_label"].strftime("%Y-%m-%d") == "2024-01-08"
+    assert abs(wk.iloc[0]["mean"] - 3.0) < 1e-9  # mean of 0..6
+
+    day = calendar_rollup(sdf, "day").toPandas().sort_values("bin_start")
+    assert (day["bin_label"] == day["bin_start"]).all()  # LEFT label
