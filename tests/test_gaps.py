@@ -131,3 +131,20 @@ def test_interpolate_dense_fast_path_equals_general(spark):
         fast["value_gf_flag"].reset_index(drop=True),
         check_dtype=False,
     )
+
+
+def test_complete_grid_chunked(spark):
+    """Multi-chunk grid generation (chunk smaller than the span) must
+    produce the identical grid as single-chunk."""
+    from diive_spark.operators.timegrid import complete_grid
+
+    pdf = seeded_series(n=10, gap_frac=0.0)
+    pdf["pos"] = pdf["pos"] * 37  # sparse positions 0..333
+    sdf = spark.createDataFrame(pdf)
+    one = complete_grid(sdf, step=1, chunk=100000).toPandas().sort_values("pos")
+    many = complete_grid(sdf, step=1, chunk=16).toPandas().sort_values("pos")
+    assert len(one) == len(many) == 334
+    np.testing.assert_array_equal(one["pos"].values, many["pos"].values)
+    np.testing.assert_allclose(
+        one["value"].values, many["value"].values, equal_nan=True
+    )
