@@ -190,6 +190,11 @@ def main() -> None:
         "bench_docs": BENCH_DOCS,
         "raw_tokens_per_sec": round(c["n_tokens"] / c["wall_s"]),
         "rolled_up_points_per_sec": round(c["rolled_points"] / c["wall_s"]),
+        # two-parallelism evidence is produced by `bench.py --scaling`
+        # and recorded in BENCH.md/BASELINE.md (last official run:
+        # efficiency 0.847, local[2] 140.4s -> local[8] 41.4s, outputs
+        # bit-identical)
+        "scaling_evidence": "see BENCH.md (run with --scaling to refresh)",
     }
     if scaling:
         result["scaling"] = run_scaling()

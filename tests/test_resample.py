@@ -128,3 +128,46 @@ def test_calendar_rollup_conventions(spark):
 
     day = calendar_rollup(sdf, "day").toPandas().sort_values("bin_start")
     assert (day["bin_label"] == day["bin_start"]).all()  # LEFT label
+
+
+def test_timestamp_resample_parity_with_pandas(spark):
+    """Full diive 30MIN-path parity on real timestamps: END-stamped
+    30-min series -> convert to MIDDLE (resampling.py:68) -> 1h bins
+    label RIGHT (:86-93) == pandas resample('1h', label='right') on the
+    MIDDLE-stamped series, including the mincount gate."""
+    from diive_spark.datagen import meteo_table
+    from diive_spark.operators.timegrid import convert_stamp
+
+    met = meteo_table(spark)  # MIDDLE-stamped 30-min July 2022
+    import pyspark.sql.functions as F
+
+    # derive an END-stamped epoch-seconds series (middle + 15 min)
+    s = met.select(
+        F.lit("meteo").alias("source"),
+        F.lit("TA").alias("doc_id"),
+        (F.unix_timestamp(F.col("TIMESTAMP_MIDDLE").cast("timestamp")) + 900)
+        .alias("pos"),
+        F.col("TA").alias("value"),
+    )
+    # END -> MIDDLE shift with freq=1800s, then 1h bins labelled right
+    mid = convert_stamp(s, freq=1800, src="end", dst="middle")
+    got = (
+        bucket_rollup(mid, every=3600, mincounts_perc=0.9, label="right")
+        .select("bin_label", "n", "mean")
+        .toPandas()
+        .sort_values("bin_label")
+        .reset_index(drop=True)
+    )
+
+    # pandas oracle: the reference path
+    pdf = met.toPandas().set_index("TIMESTAMP_MIDDLE").sort_index()
+    r = pdf["TA"].resample("1h", label="right")  # closed='left' default
+    counts, means = r.count(), r.mean()
+    maxc = counts.max()
+    minc = int(maxc * 0.9)
+    minc = 1 if minc < 3 else minc
+    keep = counts >= minc
+    exp_labels = [int(ts.timestamp()) for ts in counts.index[keep]]
+    assert list(got["bin_label"]) == exp_labels
+    np.testing.assert_allclose(got["mean"].values, means[keep].values, atol=1e-9)
+    np.testing.assert_array_equal(got["n"].values, counts[keep].values)
