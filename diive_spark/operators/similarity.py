@@ -131,6 +131,88 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_index(
+    corpus: DataFrame,
+    n_cells: int = 16,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+):
+    """IVF (inverted-file) coarse quantizer: KMeans centroids partition
+    the corpus into cells; each vector is assigned to its nearest
+    centroid.  Returns (assigned corpus DataFrame with ``cell``,
+    centroids as a python list) — the centroid table is tiny and rides
+    along broadcast-style inside the probe expressions.
+
+    This is the classic IVF-Flat ANN layout: at 10^9 vectors the probe
+    only scans ``nprobe/n_cells`` of the corpus (a cell equi-join),
+    while brute force scans everything.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    unit = with_normalized(corpus, vec_col)
+    train = unit.select(
+        F.col(id_col), array_to_vector(F.col("_unit")).alias("_fv"), F.col("_unit")
+    )
+    km = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell")
+    model = km.fit(train)
+    assigned = model.transform(train).select(
+        F.col(id_col).alias("vec_id"), F.col("_unit").alias("_cu"), "cell"
+    )
+    centroids = [list(map(float, c)) for c in model.clusterCenters()]
+    return assigned, centroids
+
+
+def _nearest_cells(unit_col, centroids: list[list[float]], nprobe: int):
+    """Expression: array of the nprobe nearest centroid ids (by dot
+    product on normalized vectors)."""
+    scored = F.array(
+        *[
+            F.struct(
+                _dot(unit_col, F.array(*[F.lit(x) for x in c])).alias("score"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(centroids)
+        ]
+    )
+    top = F.slice(F.reverse(F.array_sort(scored)), 1, nprobe)
+    return F.transform(top, lambda s: s["cell"])
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """IVF-Flat approximate top-k: score only corpus vectors whose cell
+    is among the query's ``nprobe`` nearest centroids."""
+    assigned, centroids = ivf_index(corpus, n_cells, seed, vec_col, id_col)
+    q = with_normalized(queries, vec_col).select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu")
+    )
+    probes = q.withColumn(
+        "cell", F.explode(_nearest_cells(F.col("_qu"), centroids, nprobe))
+    )
+    scored = (
+        assigned.join(F.broadcast(probes), on="cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .withColumn("cosine", _dot(F.col("_cu"), F.col("_qu")))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cosine", "rank")
+    )
+
+
 def cosine_near_dup_pairs(
     df: DataFrame,
     dim: int,

@@ -1165,6 +1165,19 @@ def q_rf_gapfill(spark, sf_dir):
     )
 
 
+def q_ivf_topk(spark, sf_dir):
+    """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
+    rows-only: cluster assignment is seed-deterministic but not
+    SQL-reproducible)."""
+    from .operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = ivf_topk(emb, queries_df, k=5, n_cells=8, nprobe=3)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round(F.col("cosine"), 4).alias("cosine"))
+
+
 def q_tier_cascade(spark, sf_dir):
     """Retention cascade smoke over the derived series: gated tier row
     counts (rows-only; exercises the TierStore write/read path)."""
@@ -1227,4 +1240,5 @@ QUERIES = {
     "similarity_topk_lsh": (q_cosine_lsh_topk, None),
     "tier_cascade": (q_tier_cascade, None),
     "ml_gapfill_rf": (q_rf_gapfill, None),
+    "similarity_topk_ivf": (q_ivf_topk, None),
 }

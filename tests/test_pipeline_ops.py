@@ -165,3 +165,18 @@ def test_multimodal_plumbing(spark):
     plan = frame_sample_plan(media, every_ms=1000).toPandas()
     n_videos = (media.toPandas()["media_type"] == "video").sum()
     assert len(plan) == n_videos * 6  # 0..5000 ms inclusive
+
+
+def test_ivf_topk_recall(spark, vecs):
+    from diive_spark.operators.similarity import cosine_topk_bruteforce, ivf_topk
+
+    q = vecs.where(F.col("vec_id").isin([3, 10]))
+    exact = cosine_topk_bruteforce(vecs, q, k=3).toPandas()
+    approx = ivf_topk(vecs, q, k=3, n_cells=4, nprobe=2).toPandas()
+    # the 0.9999-cosine twin of vec 3 must be found; overall recall>=50%
+    assert 7 in set(approx[approx["query_id"] == 3]["vec_id"])
+    hits = len(
+        set(map(tuple, exact[["query_id", "vec_id"]].values))
+        & set(map(tuple, approx[["query_id", "vec_id"]].values))
+    )
+    assert hits >= 3  # out of 6
