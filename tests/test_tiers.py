@@ -82,3 +82,48 @@ def test_salted_source_agg_matches_plain(spark, tiny_series):
         .toPandas()
     )
     assert_frame_close(salted, plain, ["source"], atol=1e-9, rtol=1e-9)
+
+
+def test_resume_recomputes_changed_partition(spark, store, tiny_series):
+    """A partition whose input fingerprint changed must be recomputed on
+    resume; unchanged partitions stay skipped."""
+    store.materialize_cascade(tiny_series)
+    # change the 'web' partition's input (drop one row)
+    changed = tiny_series.where(
+        ~((F.col("source") == "web") & (F.col("doc_id") == "doc00000001")
+          & (F.col("pos") == 0))
+    )
+    report = store.materialize_cascade(changed)
+    n_parts = tiny_series.select("source").distinct().count()
+    assert report["tier_1m"]["partitions_computed"] == 1      # only 'web'
+    assert report["tier_1m"]["partitions_skipped"] == n_parts - 1
+    # stored tier reflects the new input for the changed partition
+    from diive_spark.operators.resample import bucket_rollup
+    expect = bucket_rollup(
+        changed.where(F.col("source") == "web"), every=60,
+        mincounts_perc=0.0, min_floor_rule=False,
+    ).count()
+    assert store.read("tier_1m").where(F.col("source") == "web").count() == expect
+
+
+def test_repeat_until_clean_with_localsd(spark):
+    """The repeat protocol composes with LocalSD like FlagBase does
+    (flagbase.py:122-140 drives _flagtests of any subclass)."""
+    import numpy as np
+    from .conftest import seeded_series
+    from diive_spark.operators.outliers import local_sd_flag, repeat_until_clean
+
+    pdf = seeded_series(n=400, seed=23, gap_frac=0.0)
+    rng = np.random.default_rng(5)
+    idx = rng.choice(400, 4, replace=False)
+    pdf.loc[idx, "value"] += 150.0
+
+    def fn(df, vcol, fcol):
+        return local_sd_flag(df, winsize=40, n_sd=4.0, value_col=vcol, flag_col=fcol)
+
+    out, n_iter = repeat_until_clean(spark.createDataFrame(pdf), fn, flag_col="flag")
+    got = out.toPandas()
+    rejected = set(got.loc[got["flag"] == 2, "pos"])
+    assert set(idx) <= rejected          # all spikes caught
+    assert len(rejected) <= 12           # but not mass rejection
+    assert n_iter >= 1
