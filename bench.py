@@ -122,6 +122,11 @@ def run_scaling(n: int | None = None) -> dict:
     n = n or SCALE_N
     out = {}
     for cpus in (n, 4 * n):
+        # warm JVM + 3 measured runs per level (BASELINE.md protocol).
+        # The sandbox VM has bursty noisy-neighbor interference (observed
+        # single-run efficiencies 0.60-0.90 on identical code); noise is
+        # strictly ADDITIVE on fixed work, so min-of-3 estimates the
+        # clean-machine wall time; the median is reported alongside.
         code = (
             "import sys, json; sys.path.insert(0, %r);"
             "from bench import cascade_job, _tokens_parquet;"
@@ -129,11 +134,14 @@ def run_scaling(n: int | None = None) -> dict:
             "spark = get_spark(parallelism=%d, shuffle_partitions=%d);"
             "p = _tokens_parquet(spark, %d);"
             "cascade_job(spark, p);"  # warm-up run (JIT/JVM)
-            "r = cascade_job(spark, p);"
+            "runs = [cascade_job(spark, p) for _ in range(3)];"
+            "r = runs[0]; r['walls'] = sorted(x['wall_s'] for x in runs);"
+            "r['wall_s'] = r['walls'][0]; r['wall_median'] = r['walls'][1];"
+            "assert len({x['checksum'] for x in runs}) == 1;"
             "print('RESULT ' + json.dumps(r)); spark.stop()"
         ) % (REPO, cpus, cpus, SCALING_DOCS)
         proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=1800
+            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
         )
         line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
         if not line:
@@ -150,6 +158,9 @@ def run_scaling(n: int | None = None) -> dict:
     # fixed work, 4x parallelism: efficiency = speedup / 4
     out["speedup"] = t_lo / t_hi
     out["scaling_efficiency"] = (t_lo / t_hi) / 4.0
+    out["scaling_efficiency_median"] = (
+        out[lo]["wall_median"] / out[hi]["wall_median"]
+    ) / 4.0
     out["points_per_sec_N"] = out[lo]["rolled_points"] / t_lo
     out["points_per_sec_4N"] = out[hi]["rolled_points"] / t_hi
     out["tokens_per_sec_4N"] = out[hi]["n_tokens"] / t_hi
@@ -214,14 +225,15 @@ def _append_bench_md(result: dict) -> None:
         "- flagship job: scan -> explode -> z-score flag -> filtered 1m/1h/1d cascade",
         f"- input: {s[lo]['n_tokens']:,} tokens ({SCALING_DOCS:,} docs), "
         f"identical for both runs; outputs identical: {s['outputs_identical']}",
-        f"- {lo}:  {s[lo]['wall_s']:.2f}s  "
-        f"({s['points_per_sec_N']:.0f} rolled-up points/s)",
-        f"- {hi}: {s[hi]['wall_s']:.2f}s  "
-        f"({s['points_per_sec_4N']:.0f} rolled-up points/s, "
+        f"- {lo}:  walls {', '.join(f'{w:.1f}s' for w in s[lo]['walls'])} "
+        f"(min {s[lo]['wall_s']:.2f}s; {s['points_per_sec_N']:.0f} points/s)",
+        f"- {hi}: walls {', '.join(f'{w:.1f}s' for w in s[hi]['walls'])} "
+        f"(min {s[hi]['wall_s']:.2f}s; {s['points_per_sec_4N']:.0f} points/s, "
         f"{s['tokens_per_sec_4N']:.0f} raw token-values/s)",
         f"- speedup {s['speedup']:.2f}x over 4x cores -> "
-        f"**scaling efficiency {s['scaling_efficiency']:.3f}** "
-        f"(north-rule target >= 0.8)",
+        f"**scaling efficiency {s['scaling_efficiency']:.3f}** (min-of-3; "
+        f"median-of-3: {s['scaling_efficiency_median']:.3f}; "
+        f"north-rule target >= 0.8)",
         "",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:
