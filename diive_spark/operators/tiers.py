@@ -48,7 +48,7 @@ from .resample import apply_mincount_gate, bucket_rollup, compose_rollup
 TIER_COLS = [
     "doc_id", "bin_start", "bin_end", "bin_label",
     "n", "n_grid", "sum", "sumsq", "min", "max", "mean", "sd", "source",
-]
+]  # percentile columns (p25, p50, ...) are appended per TierSpec
 
 
 @dataclass(frozen=True)
@@ -57,12 +57,15 @@ class TierSpec:
     every: int              # bin width in raw axis units
     mincounts_perc: float   # applied at READ time (read_gated), not storage
     from_tier: str | None   # None => built from the raw series
+    percentiles: tuple = () # exact per-bin percentiles (recomputed from
+                            # the raw series — they don't compose upward;
+                            # north star: "mean, SD, percentiles per bin")
 
 
 DEFAULT_CASCADE = (
-    TierSpec("tier_1m", 60, 0.25, None),
-    TierSpec("tier_1h", 3600, 0.25, "tier_1m"),
-    TierSpec("tier_1d", 86400, 0.25, "tier_1h"),
+    TierSpec("tier_1m", 60, 0.25, None, (0.25, 0.5, 0.75, 0.95)),
+    TierSpec("tier_1h", 3600, 0.25, "tier_1m", (0.25, 0.5, 0.75, 0.95)),
+    TierSpec("tier_1d", 86400, 0.25, "tier_1h", (0.25, 0.5, 0.75, 0.95)),
 )
 
 
@@ -201,6 +204,7 @@ class TierStore:
                     src, every=spec.every, axis_col=axis_col,
                     value_col=value_col, key_cols=self.key_cols,
                     mincounts_perc=0.0, min_floor_rule=False,
+                    percentiles=list(spec.percentiles) or None,
                 )
             else:
                 src = self.read(spec.from_tier).where(
@@ -210,7 +214,26 @@ class TierStore:
                     src, every=spec.every, key_cols=self.key_cols,
                     mincounts_perc=0.0, min_floor_rule=False,
                 )
-            self._write_partitions(out.select(*TIER_COLS), spec.name)
+                if spec.percentiles:
+                    # percentiles don't compose from partials — recompute
+                    # exactly from the raw series for this tier's bins
+                    # (one extra scan; approx sketches are the cheap
+                    # alternative at 100 TB, see DESIGN_SCALE.md)
+                    raw = series_df.where(F.col(self.partition_col).isin(todo))
+                    pct = bucket_rollup(
+                        raw, every=spec.every, axis_col=axis_col,
+                        value_col=value_col, key_cols=self.key_cols,
+                        mincounts_perc=0.0, min_floor_rule=False,
+                        percentiles=list(spec.percentiles),
+                    ).select(
+                        *self.key_cols, "bin_start",
+                        *[f"p{int(round(q * 100)):02d}" for q in spec.percentiles],
+                    )
+                    out = out.join(pct, on=self.key_cols + ["bin_start"], how="left")
+            cols = TIER_COLS + [
+                f"p{int(round(q * 100)):02d}" for q in spec.percentiles
+            ]
+            self._write_partitions(out.select(*cols), spec.name)
             n_rows = self.read(spec.name).where(
                 F.col(self.partition_col).isin(todo)
             ).count()

@@ -127,3 +127,21 @@ def test_repeat_until_clean_with_localsd(spark):
     assert set(idx) <= rejected          # all spikes caught
     assert len(rejected) <= 12           # but not mass rejection
     assert n_iter >= 1
+
+
+def test_cascade_percentiles_match_pandas(spark, store, tiny_series, tiny_series_pd):
+    """Tier percentiles (recomputed exactly from raw per tier) match
+    pandas linear-interpolation quantiles per bin."""
+    store.materialize_cascade(tiny_series)
+    t1h = store.read("tier_1h").toPandas()
+    assert {"p25", "p50", "p75", "p95"} <= set(t1h.columns)
+    sample = t1h.dropna(subset=["p50"]).sort_values(["source", "doc_id"]).head(5)
+    for _, row in sample.iterrows():
+        seg = tiny_series_pd[
+            (tiny_series_pd["source"] == row["source"])
+            & (tiny_series_pd["doc_id"] == row["doc_id"])
+            & (tiny_series_pd["pos"] >= row["bin_start"])
+            & (tiny_series_pd["pos"] < row["bin_start"] + 3600)
+        ]["value"]
+        for q, col in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
+            assert abs(row[col] - seg.quantile(q)) < 1e-9
