@@ -117,6 +117,36 @@ def histogram(
     )
 
 
+def histogram_unique(
+    df: DataFrame,
+    value_col: str = "value",
+    key_cols: Sequence[str] = (),
+    trim_first: int = 0,
+    trim_last: int = 0,
+) -> DataFrame:
+    """Unique-value histogram with optional first/last-bin trimming
+    (Histogram method='uniquevalues' + ignore-edge options,
+    histogram.py:55-77): one bin per distinct value."""
+    keys = list(key_cols)
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, v.alias("bin_value"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+    if trim_first or trim_last:
+        wk = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
+        counts = (
+            counts.withColumn("_rk", F.row_number().over(wk.orderBy("bin_value")))
+            .withColumn("_n", F.count(F.lit(1)).over(wk))
+            .where(
+                (F.col("_rk") > trim_first) & (F.col("_rk") <= F.col("_n") - trim_last)
+            )
+            .drop("_rk", "_n")
+        )
+    return counts
+
+
 def peak_bins(hist_df: DataFrame, k: int = 5, key_cols: Sequence[str] = ()) -> DataFrame:
     """Top-k histogram bins by count (histogram.py:79-86), deterministic
     tie-break on bin_idx."""

@@ -53,9 +53,19 @@ def flag_sums(df: DataFrame, flag_cols: Sequence[str]) -> DataFrame:
 
 
 def qcf_flag(
-    df: DataFrame, flag_cols: Sequence[str], qcf_col: str = "qcf"
+    df: DataFrame,
+    flag_cols: Sequence[str],
+    qcf_col: str = "qcf",
+    daytime_col: str | None = None,
+    daytime_accept_qcf_below: int = 2,
+    nighttime_accept_qcf_below: int = 2,
 ) -> DataFrame:
-    """Overall QCF from individual flag columns (qcf.py:241-282)."""
+    """Overall QCF from individual flag columns (qcf.py:241-282).
+
+    With ``daytime_col`` (1=day, 0=night — the potrad-derived flag,
+    daynightflag.py), records whose QCF reaches the stratum's acceptance
+    threshold are forced to 2 (qcf.py:264-272); without it, QCF >= 2 is
+    rejected as-is (:277-280, a no-op on the 0/1/2 domain)."""
     out = flag_sums(df, flag_cols)
     hard, soft, tot = (
         F.col("sum_hardflags"),
@@ -71,6 +81,13 @@ def qcf_flag(
         .when(tot == 0, F.lit(0))  # rule 2
         .otherwise(F.lit(None).cast("int"))
     )
+    if daytime_col is not None:
+        day = F.col(daytime_col) == 1
+        qcf = (
+            F.when(day & (qcf >= daytime_accept_qcf_below), F.lit(2))
+            .when(~day & (qcf >= nighttime_accept_qcf_below), F.lit(2))
+            .otherwise(qcf)
+        )
     return out.withColumn(qcf_col, qcf)
 
 
