@@ -274,12 +274,14 @@ def find_optimum_range(
     n_bins: int = 20,
     rolling_win: int | None = None,
     maximize: bool = True,
+    tiebreak_cols: Sequence[str] = (),
 ) -> DataFrame:
     """FindOptimumRange (optimumrange.py:20-160): quantile-bin x, median
     of y per bin, centered rolling mean over the (small) bin table, pick
     the extreme bin.  Returns one row: optimum bin + x-range."""
     binned = quantile_bins(
-        df.where(F.col(y).isNotNull()), x, n_bins, "xbin"
+        df.where(F.col(y).isNotNull()), x, n_bins, "xbin",
+        tiebreak_cols=tiebreak_cols,
     )
     per_bin = binned.groupBy("xbin").agg(
         F.median(y).alias("y_med"),

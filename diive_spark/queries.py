@@ -1100,6 +1100,82 @@ FROM events GROUP BY 1, 2
 """
 
 
+def q_optimum_range(spark, sf_dir):
+    """FindOptimumRange (optimumrange.py:20-160): 20 price-quantile bins
+    of lineitem, median quantity per bin, 3-bin smoothed argmax."""
+    li = _load(spark, sf_dir, "lineitem")
+    out = analyses.find_optimum_range(
+        li, x="l_extendedprice", y="l_quantity", n_bins=20,
+        tiebreak_cols=["l_orderkey", "l_linenumber"],
+    )
+    return out.select(
+        "xbin", _r(F.col("y_smooth")).alias("y_smooth"),
+        _r(F.col("x_lo")).alias("x_lo"), _r(F.col("x_hi")).alias("x_hi"),
+    )
+
+
+SQL_OPTIMUM_RANGE = """
+WITH b AS (
+  SELECT *, ntile(20) OVER (ORDER BY l_extendedprice, l_orderkey, l_linenumber)
+         AS xbin
+  FROM lineitem WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
+per_bin AS (
+  SELECT xbin, quantile_cont(l_quantity, 0.5) AS y_med,
+         min(l_extendedprice) AS x_lo, max(l_extendedprice) AS x_hi
+  FROM b GROUP BY 1),
+sm AS (
+  SELECT *, avg(y_med) OVER (ORDER BY xbin
+                             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)
+         AS y_smooth
+  FROM per_bin)
+SELECT xbin, round(y_smooth, 6) AS y_smooth,
+       round(x_lo, 6) AS x_lo, round(x_hi, 6) AS x_hi
+FROM sm ORDER BY y_smooth DESC, xbin LIMIT 1
+"""
+
+
+def q_winddir_offset(spark, sf_dir):
+    """Wind-direction offset sweep (winddiroffset.py:17-141): recover
+    the per-period offset maximizing histogram correlation against the
+    reference period."""
+    ev = _load(spark, sf_dir, "events")
+    wd = ev.select(
+        F.pmod(F.col("user_id"), F.lit(2)).alias("period"),
+        F.pmod(F.col("value") * 7.3, F.lit(360.0)).alias("value"),
+    )
+    out = corrections.wind_direction_offset(
+        wd, "period", ref_periods=[0], offsets=range(-30, 31, 10),
+        value_col="value",
+    )
+    return out.select("period", "best_offset", _r(F.col("r"), 4).alias("r"))
+
+
+SQL_WINDDIR = """
+WITH wd AS (
+  SELECT user_id % 2 AS period, ((value * 7.3) % 360 + 360) % 360 AS v
+  FROM events),
+ref AS (
+  SELECT CAST(floor(v % 360) AS BIGINT) AS sector, count(*) AS ref_n
+  FROM wd WHERE period = 0 GROUP BY 1),
+sweep AS (
+  SELECT w.period, o.off,
+         CAST(floor(((w.v + o.off) % 360 + 360) % 360) AS BIGINT) AS sector,
+         count(*) AS n
+  FROM wd w, (VALUES (-30),(-20),(-10),(0),(10),(20),(30)) o(off)
+  GROUP BY 1, 2, 3),
+joined AS (
+  SELECT s.period, s.off, corr(s.n, r.ref_n) AS r
+  FROM sweep s JOIN ref r ON s.sector = r.sector
+  GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY period
+                               ORDER BY abs(r) DESC, off) AS rk
+  FROM joined)
+SELECT period, off AS best_offset, round(r, 4) AS r
+FROM ranked WHERE rk = 1
+"""
+
+
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec round trip over real token-like data (per-row
@@ -1233,6 +1309,8 @@ QUERIES = {
     "cumulative_envelope": (q_cumulative_envelope, SQL_CUMULATIVE),
     "rollup_time_30min": (q_rollup_time30min, SQL_ROLLUP_TIME),
     "rollup_weekly_calendar": (q_weekly_rollup, SQL_WEEKLY),
+    "optimum_range": (q_optimum_range, SQL_OPTIMUM_RANGE),
+    "winddir_offset_sweep": (q_winddir_offset, SQL_WINDDIR),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
