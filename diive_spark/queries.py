@@ -1176,6 +1176,71 @@ FROM ranked WHERE rk = 1
 """
 
 
+def q_screening_pipeline(spark, sf_dir):
+    """EP2 composed end-to-end (meteoscreening.py:120-533 story): flag
+    battery (z-score + absolute limits + missing) -> QCF -> filtered
+    series -> min-count-gated 60-bucket rollup, one lazy plan."""
+    from .operators.pipeline import ScreeningPipeline
+
+    p = (
+        ScreeningPipeline(series(spark, sf_dir))
+        .flag_zscore(thres=2.5)
+        .flag_abs_limits(lo=10.0, hi=300.0)
+        .flag_missing()
+        .finalize_qcf()
+    )
+    out = p.resample(every=60, mincounts_perc=0.25)
+    return out.select(
+        "source", "doc_id", "bin_start", "n",
+        _r(F.col("mean")).alias("mean"), _r(F.col("sum")).alias("sum_v"),
+    )
+
+
+SQL_SCREENING = f"""
+WITH series AS ({SERIES_SQL}),
+z AS (
+  SELECT *, abs((value - avg(value) OVER w) / stddev_pop(value) OVER w) AS zs
+  FROM series WINDOW w AS (PARTITION BY source, doc_id)),
+flags AS (
+  SELECT *,
+    CASE WHEN value IS NULL THEN NULL WHEN zs > 2.5 THEN 2 ELSE 0 END AS f_z,
+    CASE WHEN value IS NULL THEN NULL
+         WHEN value < 10.0 OR value > 300.0 THEN 2 ELSE 0 END AS f_lim,
+    CASE WHEN value IS NULL THEN 2 ELSE 0 END AS f_miss
+  FROM z),
+sums AS (
+  SELECT *,
+    (CASE WHEN f_z = 2 THEN 2 ELSE 0 END + CASE WHEN f_lim = 2 THEN 2 ELSE 0 END
+       + CASE WHEN f_miss = 2 THEN 2 ELSE 0 END) AS hard,
+    (CASE WHEN f_z = 1 THEN 1 ELSE 0 END + CASE WHEN f_lim = 1 THEN 1 ELSE 0 END
+       + CASE WHEN f_miss = 1 THEN 1 ELSE 0 END) AS soft
+  FROM flags),
+q AS (
+  SELECT *,
+    CASE WHEN soft >= 1 AND soft <= 3 AND hard = 0 THEN 1
+         WHEN hard >= 2 THEN 2
+         WHEN soft > 3 THEN 2
+         WHEN hard + soft = 0 THEN 0 END AS qcf
+  FROM sums),
+filtered AS (
+  SELECT source, doc_id, pos,
+         CASE WHEN qcf = 2 THEN NULL ELSE value END AS v
+  FROM q),
+agg AS (
+  SELECT source, doc_id, CAST(floor(pos / 60) * 60 AS BIGINT) AS bin_start,
+         count(v) AS n, count(*) AS n_grid,
+         avg(v) AS mean, sum(v) AS sum_v
+  FROM filtered GROUP BY 1, 2, 3),
+gated AS (
+  SELECT *, CAST(floor(max(n_grid) OVER (PARTITION BY source, doc_id) * 0.25)
+                 AS BIGINT) AS minc
+  FROM agg)
+SELECT source, doc_id, bin_start, n,
+       round(mean, 6) AS mean, round(sum_v, 6) AS sum_v
+FROM gated WHERE n >= (CASE WHEN minc < 3 THEN 1 ELSE minc END)
+"""
+
+
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
     """Gorilla codec round trip over real token-like data (per-row
@@ -1311,6 +1376,7 @@ QUERIES = {
     "rollup_weekly_calendar": (q_weekly_rollup, SQL_WEEKLY),
     "optimum_range": (q_optimum_range, SQL_OPTIMUM_RANGE),
     "winddir_offset_sweep": (q_winddir_offset, SQL_WINDDIR),
+    "screening_pipeline_ep2": (q_screening_pipeline, SQL_SCREENING),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
