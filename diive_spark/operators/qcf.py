@@ -24,7 +24,7 @@ from functools import reduce
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 from ..conventions import FLAG_HARD, FLAG_SOFT
 
@@ -104,6 +104,36 @@ def apply_qcf(
     bad = F.col(qcf_col) > 0 if highest_quality else F.col(qcf_col) == 2
     return df.withColumn(
         out_col, F.when(bad, F.lit(None).cast("double")).otherwise(F.col(value_col))
+    )
+
+
+def flag_evolution(
+    df: DataFrame, flag_cols: Sequence[str], group_cols: Sequence[str] = ()
+) -> DataFrame:
+    """Sequential "flag evolution" rejection accounting (qcf.py:148-200):
+    applying the tests in order, how many records are cumulatively
+    rejected (hard-flagged by any test so far) after each step.
+    Returns (group..., step, flag_name, n_rejected_cum, n_new)."""
+    rows = []
+    rejected_so_far = F.lit(False)
+    for i, c in enumerate(flag_cols):
+        rejected_so_far = rejected_so_far | (F.col(c) == FLAG_HARD)
+        rows.append(
+            df.groupBy(*group_cols).agg(
+                F.lit(i + 1).alias("step"),
+                F.lit(c).alias("flag_name"),
+                F.count(F.when(rejected_so_far, 1)).alias("n_rejected_cum"),
+            )
+        )
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    w = Window.partitionBy(*group_cols).orderBy("step") if group_cols else \
+        Window.partitionBy(F.lit(1)).orderBy("step")
+    return out.withColumn(
+        "n_new",
+        F.col("n_rejected_cum")
+        - F.coalesce(F.lag("n_rejected_cum").over(w), F.lit(0)),
     )
 
 

@@ -131,3 +131,17 @@ def test_export_fluxnet(spark, tmp_path):
     assert "202312312300" in rows and "202401010000" in rows  # year partitioning
     assert rows["202312312330"]["NEE"] == "-9999.0"  # NA sentinel
     assert rows["202312312300"]["TIMESTAMP_END"] == "202312312330"
+
+
+def test_flag_evolution(spark):
+    from diive_spark.operators.qcf import flag_evolution
+
+    rows = [
+        # f1 rejects ids 1,2; f2 rejects 2,3; f3 rejects nothing new
+        (1, 2, 0, 0), (2, 2, 2, 0), (3, 0, 2, 2), (4, 0, 0, 0),
+    ]
+    df = spark.createDataFrame(rows, "id int, f1 int, f2 int, f3 int")
+    ev = flag_evolution(df, ["f1", "f2", "f3"]).toPandas().sort_values("step")
+    assert list(ev["n_rejected_cum"]) == [2, 3, 3]
+    assert list(ev["n_new"]) == [2, 1, 0]
+    assert list(ev["flag_name"]) == ["f1", "f2", "f3"]
