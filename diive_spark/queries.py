@@ -512,7 +512,7 @@ SQL_DEDUP_KEEP_LAST = """
 WITH ranked AS (
   SELECT *, row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) AS rn
   FROM events)
-SELECT user_id, count(*) AS n_kept, sum(event_id) AS id_sum
+SELECT user_id, count(*) AS n_kept, CAST(sum(event_id) AS BIGINT) AS id_sum
 FROM ranked WHERE rn = 1 GROUP BY 1
 """
 
@@ -545,7 +545,7 @@ counts AS (
   SELECT source, delta, count(*) AS c FROM d WHERE delta IS NOT NULL GROUP BY 1, 2),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY source ORDER BY c DESC, delta) AS rk,
-         sum(c) OVER (PARTITION BY source) AS tot
+         CAST(sum(c) OVER (PARTITION BY source) AS BIGINT) AS tot
   FROM counts)
 SELECT source, delta AS freq_mode, round(c * 1.0 / tot, 6) AS mode_share,
        tot AS n_deltas
@@ -635,7 +635,7 @@ WITH ranked AS (
   SELECT *, row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS rn,
          count(*) OVER (PARTITION BY md5(text)) AS dup_count
   FROM documents)
-SELECT source, count(*) AS n_unique, sum(dup_count) AS covered
+SELECT source, count(*) AS n_unique, CAST(sum(dup_count) AS BIGINT) AS covered
 FROM ranked WHERE rn = 1 GROUP BY 1
 """
 
