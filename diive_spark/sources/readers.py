@@ -56,7 +56,7 @@ def read_csv_filetype(
     targets = cols if numeric == "all" else [c for c in cols if c in numeric]
     for c in targets:
         # pd.to_numeric(errors='coerce') parity: unparseable -> NULL
-        df = df.withColumn(c, F.try_cast(F.col(c), "double"))
+        df = df.withColumn(c, F.col(c).try_cast("double"))
     return df
 
 
