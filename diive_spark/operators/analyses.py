@@ -100,8 +100,16 @@ def histogram(
     keys = list(key_cols)
     v = F.col(value_col)
     if lo is None or hi is None:
-        w = Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))
-        df = df.withColumn("_lo", F.min(v).over(w)).withColumn("_hi", F.max(v).over(w))
+        # default range = data min/max: one partial-combined aggregate
+        # joined back (never a whole-input single-partition window)
+        bounds = (
+            df.groupBy(*keys) if keys else df.groupBy()
+        ).agg(F.min(v).alias("_lo"), F.max(v).alias("_hi"))
+        if keys:
+            # let AQE choose broadcast vs shuffle by key cardinality
+            df = df.join(bounds, on=keys, how="inner")
+        else:
+            df = df.crossJoin(F.broadcast(bounds))
     else:
         df = df.withColumn("_lo", F.lit(float(lo))).withColumn("_hi", F.lit(float(hi)))
     width = (F.col("_hi") - F.col("_lo")) / n_bins
@@ -201,15 +209,83 @@ def quantile_bins(
     out_col: str,
     key_cols: Sequence[str] = (),
     tiebreak_cols: Sequence[str] = (),
+    num_partitions: int | None = None,
 ) -> DataFrame:
     """``ntile(n)`` quantile classes over non-null values (pandas qcut
-    analog used throughout diive's binned analyses).  Pass
-    ``tiebreak_cols`` (a unique key) to make bin assignment of tied
-    values deterministic across engines/partitionings."""
+    analog used throughout diive's binned analyses), WITHOUT a
+    single-partition global sort.
+
+    Bit-identical to SQL ``ntile(n) OVER (ORDER BY col, tiebreaks)``:
+    a two-pass distributed rank.  Pass 1 computes ~``num_partitions``
+    approximate value cutpoints driver-side (``approxQuantile``, one
+    cheap scan) and folds them into a literal CASE chain, so every row
+    maps to a range bucket as a pure function of its value — stable
+    across plan branches, AQE re-optimization, and retries (a physical
+    ``spark_partition_id`` is NOT stable across subtree re-evaluations,
+    which silently corrupts offsets).  Pass 2 ranks locally per bucket,
+    reconstructs global row numbers from the tiny per-bucket count
+    table (offset + total via one broadcast self-join — no
+    SinglePartition window over the input anywhere in the plan) and
+    applies the closed-form ntile bucket rule.  Cutpoint accuracy only
+    affects load balance, never the result.  Degenerate case: a
+    near-constant column collapses to few buckets (as any total sort
+    of equal values must).
+
+    Pass ``tiebreak_cols`` (a unique key) to make bin assignment of
+    tied values deterministic across engines/partitionings."""
     keys = list(key_cols)
-    order = [F.col(col)] + [F.col(c) for c in tiebreak_cols]
-    w = (Window.partitionBy(*keys) if keys else Window.partitionBy(F.lit(1))).orderBy(*order)
-    return df.where(F.col(col).isNotNull()).withColumn(out_col, F.ntile(n).over(w))
+    order_cols = [col] + list(tiebreak_cols)
+    d = df.where(F.col(col).isNotNull())
+    sess = d.sparkSession
+    nparts = int(
+        num_partitions or sess.conf.get("spark.sql.shuffle.partitions", "32")
+    )
+    probs = [i / nparts for i in range(1, nparts)]
+    cuts = sorted(set(d.stat.approxQuantile(col, probs, 1.0 / (4 * nparts)))) if probs else []
+    bucket = F.lit(len(cuts))
+    for i in range(len(cuts) - 1, -1, -1):
+        bucket = F.when(F.col(col) <= F.lit(cuts[i]), F.lit(i)).otherwise(bucket)
+    d = d.withColumn("_pid", bucket)
+    d = d.repartition(nparts, "_pid", *keys)
+    wl = Window.partitionBy("_pid", *keys).orderBy(*[F.col(c) for c in order_cols])
+    d = d.withColumn("_lrn", F.row_number().over(wl))
+
+    counts = d.groupBy("_pid", *keys).agg(F.count(F.lit(1)).alias("_c"))
+    other = counts.select(
+        F.col("_pid").alias("_pid2"),
+        *[F.col(k).alias(f"_k2_{k}") for k in keys],
+        F.col("_c").alias("_c2"),
+    )
+    cond = F.lit(True)
+    for k in keys:
+        cond = cond & (F.col(f"_k2_{k}") == F.col(k))
+    offs = (
+        counts.join(F.broadcast(other), on=cond, how="inner")
+        .groupBy("_pid", *keys)
+        .agg(
+            F.sum(F.when(F.col("_pid2") < F.col("_pid"), F.col("_c2")).otherwise(F.lit(0))).alias("_off"),
+            F.sum("_c2").alias("_N"),
+        )
+    )
+    d = d.join(F.broadcast(offs), on=["_pid"] + keys, how="inner")
+    # SQL ntile: first (N mod n) buckets hold ceil(N/n) rows, rest floor.
+    # `div` = exact long integer division (double `/` misrounds at 1e12).
+    d = (
+        d.withColumn("_rn", (F.col("_off") + F.col("_lrn")).cast("long"))
+        .withColumn("_q", F.expr(f"_N div {int(n)}"))
+        .withColumn("_r", F.col("_N") % int(n))
+    )
+    bucket = F.when(
+        F.col("_rn") <= (F.col("_q") + 1) * F.col("_r"),
+        F.expr("(_rn - 1) div (_q + 1)") + 1,
+    ).otherwise(
+        F.col("_r")
+        + F.expr("(_rn - 1 - _r * (_q + 1)) div greatest(_q, 1L)")
+        + 1
+    )
+    return d.withColumn(out_col, bucket.cast("int")).drop(
+        "_pid", "_lrn", "_off", "_N", "_rn", "_q", "_r"
+    )
 
 
 def sorting_bins(

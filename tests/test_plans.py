@@ -67,3 +67,51 @@ def test_rollup_deterministic_across_partitionings(spark, tiny_series):
 
     assert a.count() == b.count()
     assert checksum(a) == checksum(b)
+
+
+def _physical_plan(df):
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _has_ntile(plan):
+    import re
+    return re.search(r"(?<![a-zA-Z_])ntile\(", plan) is not None
+
+
+def test_quantile_binning_no_single_partition_window(spark):
+    """VERDICT r1 item 3: the binned analyses must not funnel the whole
+    input through one task.  Gates: no `ntile` window function and no
+    SinglePartition exchange anywhere in sorting_bins / quantile_xy
+    plans (their offset accounting is keyed, their output is a grouped
+    agg, so nothing global-sorts)."""
+    from diive_spark.queries import q_sorting_bins, q_quantile_xy
+
+    for qfn in (q_sorting_bins, q_quantile_xy):
+        plan = _physical_plan(qfn(spark, SF))
+        assert not _has_ntile(plan), qfn.__name__
+        assert "SinglePartition" not in plan, qfn.__name__
+
+
+def test_optimum_range_no_row_level_global_sort(spark):
+    """find_optimum_range: the only global window allowed is over the
+    n_bins-row bin table (constant-size); the row-level input must not
+    pass through `ntile` or a SinglePartition window.  The plan's
+    SinglePartition exchanges must all sit above the per-bin Aggregate."""
+    from diive_spark.queries import q_optimum_range
+
+    plan = _physical_plan(q_optimum_range(spark, SF))
+    assert not _has_ntile(plan)
+    # row-level subtree = everything below the first per-bin aggregate;
+    # cheap structural proxy: the scan-side must hash-partition on the
+    # bucket key, so SinglePartition may appear at most once (bin table)
+    assert plan.count("SinglePartition") <= 1
+
+
+def test_histogram_default_range_no_single_partition_window(spark):
+    """Histogram default min/max must come from an aggregate + join,
+    not a whole-input SinglePartition window (VERDICT r1 item 3)."""
+    from diive_spark.operators.analyses import histogram
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    plan = _physical_plan(histogram(ev, n_bins=20, value_col="value"))
+    assert "Window" not in plan
