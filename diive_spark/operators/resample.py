@@ -103,8 +103,15 @@ def bucket_rollup(
     label: str = LABEL_RIGHT,
     origin: int = 0,
     percentiles: Sequence[float] | None = None,
+    fingerprint_over: Sequence[str] | None = None,
 ) -> DataFrame:
     """Downsample a long series table to ``every``-sized bins.
+
+    ``fingerprint_over``: optional list of columns; adds a per-bin
+    ``_fp_h = bit_xor(xxhash64(cols))`` aggregate in the SAME groupBy,
+    so a content fingerprint can be derived from the bin table without
+    a second scan of the raw series (xor composes upward).  Only
+    meaningful with a non-dropping gate (mincounts_perc=0).
 
     Returns one row per (key..., bin) that passes the min-count gate, with
     columns ``bin_start, bin_end, bin_label, n, n_grid, sum, sumsq, min,
@@ -130,6 +137,10 @@ def bucket_rollup(
     if percentiles:
         aggs.append(
             F.percentile(v, F.array(*[F.lit(p) for p in percentiles])).alias("_pcts")
+        )
+    if fingerprint_over:
+        aggs.append(
+            F.bit_xor(F.xxhash64(*fingerprint_over)).alias("_fp_h")
         )
     agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
 

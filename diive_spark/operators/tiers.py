@@ -39,7 +39,7 @@ from dataclasses import dataclass
 from typing import Sequence
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 
 from ..conventions import KEY_COLS
 from ..functions.gorilla import gorilla_decode_values, gorilla_encode_values
@@ -181,7 +181,27 @@ class TierStore:
         {tier: {partitions_computed, partitions_skipped, n_rows, wall_s,
         points_per_sec}}."""
         report: dict[str, dict] = {}
-        fps = self._fingerprints(series_df, axis_col)
+        first = cascade[0]
+        if first.from_tier is not None:
+            raise ValueError("cascade[0] must build from the raw series")
+        # ONE pass over the raw series: the first tier's aggregation also
+        # carries per-bin fingerprint partials (bit_xor composes upward),
+        # so change detection needs no dedicated fingerprint scan
+        # (VERDICT r1 item 7).  Unchanged partitions cost a discarded
+        # aggregate, not an extra corpus read.
+        agg1 = bucket_rollup(
+            series_df, every=first.every, axis_col=axis_col,
+            value_col=value_col, key_cols=self.key_cols,
+            mincounts_perc=0.0, min_floor_rule=False,
+            percentiles=list(first.percentiles) or None,
+            fingerprint_over=self.key_cols + [axis_col],
+        ).persist()
+        fp_rows = (
+            agg1.groupBy(self.partition_col)
+            .agg(F.sum("n_grid").alias("n"), F.bit_xor("_fp_h").alias("h"))
+            .collect()
+        )
+        fps = {r[self.partition_col]: f"{r['n']}:{r['h']}" for r in fp_rows}
         for spec in cascade:
             t0 = time.monotonic()
             done = self._completed(spec.name) if resume else {}
@@ -199,13 +219,7 @@ class TierStore:
             # on raw values.  The gate is applied at read time
             # (read_gated), a cheap filter over the small bin table.
             if spec.from_tier is None:
-                src = series_df.where(F.col(self.partition_col).isin(todo))
-                out = bucket_rollup(
-                    src, every=spec.every, axis_col=axis_col,
-                    value_col=value_col, key_cols=self.key_cols,
-                    mincounts_perc=0.0, min_floor_rule=False,
-                    percentiles=list(spec.percentiles) or None,
-                )
+                out = agg1.where(F.col(self.partition_col).isin(todo)).drop("_fp_h")
             else:
                 src = self.read(spec.from_tier).where(
                     F.col(self.partition_col).isin(todo)
@@ -233,10 +247,14 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            self._write_partitions(out.select(*cols), spec.name)
-            n_rows = self.read(spec.name).where(
-                F.col(self.partition_col).isin(todo)
-            ).count()
+            # n_rows from the write itself (CollectMetrics observation),
+            # not a re-read count (VERDICT r1 item 7)
+            obs = Observation()
+            self._write_partitions(
+                out.select(*cols).observe(obs, F.count(F.lit(1)).alias("n_rows")),
+                spec.name,
+            )
+            n_rows = int(obs.get["n_rows"])
             wall = time.monotonic() - t0
             ts = time.time()
             for p in todo:
@@ -253,6 +271,7 @@ class TierStore:
             }
             self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
             report[spec.name] = metrics
+        agg1.unpersist()
         return report
 
 

@@ -145,3 +145,27 @@ def test_cascade_percentiles_match_pandas(spark, store, tiny_series, tiny_series
         ]["value"]
         for q, col in [(0.25, "p25"), (0.5, "p50"), (0.95, "p95")]:
             assert abs(row[col] - seg.quantile(q)) < 1e-9
+
+
+def test_cascade_needs_no_dedicated_fingerprint_scan(spark, store, tiny_series):
+    """VERDICT r1 item 7: change detection is folded into the tier-1m
+    aggregation (per-bin bit_xor partials compose upward), so the
+    cascade never runs the standalone fingerprint pass — and the folded
+    fingerprints are value-identical to the raw-scan formula, keeping
+    old lineage resumable."""
+    expected = store._fingerprints(tiny_series, "pos")
+
+    def boom(*a, **k):
+        raise AssertionError("dedicated fingerprint scan must not run")
+
+    store._fingerprints = boom
+    store.materialize_cascade(tiny_series)
+    recorded = {
+        rec["partition"]: rec["fingerprint"]
+        for rec in store.lineage()
+        if rec["tier"] == "tier_1m"
+    }
+    assert recorded == expected
+    # resume with unchanged input: everything skipped, still no scan
+    rep = store.materialize_cascade(tiny_series)
+    assert all(m["partitions_computed"] == 0 for m in rep.values())
