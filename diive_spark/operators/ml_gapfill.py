@@ -4,8 +4,16 @@
 Pipeline parity with the reference:
 - feature synthesis: lagged copies of the target (:232-233, 719-724),
   position/timestamp features (times.py:513-597), record number;
-- train on observed rows, score on a held-out split with
-  mae/rmse/r2 (core/ml/common.py:126-176 subset);
+- feature reduction vs a seeded random benchmark feature
+  (:345-398): a ``.RANDOM`` noise column joins the features; every
+  feature whose importance is <= the random feature's importance is
+  rejected before the final model.  Importance is permutation
+  importance (reference parity, per-feature re-predict over the test
+  split) or Spark ML's impurity importances (``importance='impurity'``,
+  zero extra passes — the 100 TB default);
+- train on observed rows, score on a held-out split with the full
+  battery mae/medae/mse/rmse/mape/maxe/r2 (core/ml/common.py:126-176),
+  all from ONE aggregate over the test predictions;
 - "full model" predictions fill gaps where ALL features are present
   (flag 1, :732-811);
 - a FALLBACK model trained on position-only features fills the
@@ -57,6 +65,123 @@ def build_features(
     return out, lag_cols + ts_cols, ts_cols
 
 
+def regression_scores(
+    pred_df: DataFrame, label_col: str, pred_col: str
+) -> dict:
+    """Full reference score battery (core/ml/common.py:126-176):
+    mae, medae, mse, rmse, mape, maxe, r2 — one aggregate job.
+    mape follows sklearn: |err| / max(|y|, eps)."""
+    err = F.col(pred_col) - F.col(label_col)
+    y = F.col(label_col)
+    eps = 2.220446049250313e-16  # np.finfo(np.float64).eps, sklearn's floor
+    row = pred_df.agg(
+        F.avg(F.abs(err)).alias("mae"),
+        F.percentile(F.abs(err), F.lit(0.5)).alias("medae"),
+        F.avg(err * err).alias("mse"),
+        F.avg(F.abs(err) / F.greatest(F.abs(y), F.lit(eps))).alias("mape"),
+        F.max(F.abs(err)).alias("maxe"),
+        F.sum(err * err).alias("_sse"),
+        F.sum(y * y).alias("_syy"),
+        F.sum(y).alias("_sy"),
+        F.count(y).alias("_n"),
+    ).collect()[0]
+    sst = row["_syy"] - row["_sy"] ** 2 / row["_n"]
+    return {
+        "mae": row["mae"],
+        "medae": row["medae"],
+        "mse": row["mse"],
+        "rmse": row["mse"] ** 0.5,
+        "mape": row["mape"],
+        "maxe": row["maxe"],
+        "r2": 1.0 - row["_sse"] / sst if sst > 0 else 0.0,
+    }
+
+
+def _permuted_column(test: DataFrame, feature: str, order_cols: Sequence[str],
+                     seed: int, n_buckets: int = 64) -> DataFrame:
+    """Deterministically permute *feature* across rows — within seeded
+    hash buckets, so no global sort: rows and values are ranked by two
+    different orders inside each bucket and re-paired."""
+    h = F.xxhash64(F.lit(seed), *[F.col(c) for c in order_cols])
+    b = test.withColumn("_pb", F.pmod(h, F.lit(n_buckets)))
+    w_row = Window.partitionBy("_pb").orderBy(*[F.col(c) for c in order_cols])
+    w_val = Window.partitionBy("_pb").orderBy(h, *[F.col(c) for c in order_cols])
+    rows = b.drop(feature).withColumn("_pr", F.row_number().over(w_row))
+    vals = b.select("_pb", F.col(feature), h.alias("_h"), *order_cols).withColumn(
+        "_pr", F.row_number().over(
+            Window.partitionBy("_pb").orderBy("_h", *order_cols)
+        )
+    ).select("_pb", "_pr", feature)
+    return rows.join(vals, on=["_pb", "_pr"], how="inner").drop("_pb", "_pr")
+
+
+def reduce_features(
+    feat_df: DataFrame,
+    features: Sequence[str],
+    target_col: str,
+    order_cols: Sequence[str],
+    n_trees: int = 30,
+    max_depth: int = 8,
+    test_frac: float = 0.25,
+    seed: int = 42,
+    importance: str = "permutation",
+) -> tuple[list[str], list[str], dict]:
+    """Feature reduction vs a random benchmark
+    (randomforest_ts.py:345-398): add a seeded ``.RANDOM`` noise
+    feature, fit, compute importances, reject every feature whose
+    importance is <= the random feature's.
+
+    Returns (accepted, rejected, importances dict incl. '.RANDOM').
+
+    ``importance='permutation'`` re-predicts the test split once per
+    feature with that column permuted (reference parity; cost scales
+    with n_features x |test|).  ``importance='impurity'`` uses the
+    forest's impurity importances — no extra passes, the default
+    choice at 100 TB scale.
+    """
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+
+    random_col = "feat_RANDOM"
+    # seeded noise: a pure function of the row key — deterministic
+    # across partitionings/retries (rand() is not)
+    noise = (
+        F.pmod(F.xxhash64(F.lit(seed), *[F.col(c) for c in order_cols]),
+               F.lit(1_000_003)).cast("double") / 1_000_003.0
+    )
+    df = feat_df.withColumn(random_col, noise)
+    feats = list(features) + [random_col]
+    observed = df.where(F.col(target_col).isNotNull())
+    for c in feats:
+        observed = observed.where(F.col(c).isNotNull())
+    train, test = observed.randomSplit([1 - test_frac, test_frac], seed=seed)
+    asm = VectorAssembler(inputCols=feats, outputCol="_vec_red",
+                          handleInvalid="skip")
+    rf = RandomForestRegressor(
+        featuresCol="_vec_red", labelCol=target_col, predictionCol="_pred_red",
+        numTrees=n_trees, maxDepth=max_depth, seed=seed,
+    )
+    model = rf.fit(asm.transform(train))
+    if importance == "impurity":
+        imps = dict(zip(feats, (float(x) for x in model.featureImportances)))
+    else:
+        test = test.localCheckpoint(eager=True)
+        base = regression_scores(
+            model.transform(asm.transform(test)), target_col, "_pred_red"
+        )["r2"]
+        imps = {}
+        for i, fcol in enumerate(feats):
+            perm = _permuted_column(test, fcol, order_cols, seed + 1 + i)
+            r2 = regression_scores(
+                model.transform(asm.transform(perm)), target_col, "_pred_red"
+            )["r2"]
+            imps[fcol] = base - r2
+    thresh = imps[random_col]
+    accepted = [f for f in features if imps[f] > thresh]
+    rejected = [f for f in features if imps[f] <= thresh]
+    return accepted, rejected, imps
+
+
 def rf_gapfill(
     df: DataFrame,
     target_col: str = "value",
@@ -68,10 +193,13 @@ def rf_gapfill(
     max_depth: int = 8,
     test_frac: float = 0.25,
     seed: int = 42,
+    feature_reduction: bool = False,
+    importance: str = "permutation",
 ) -> tuple[DataFrame, dict]:
     """Gap-fill *target_col*; returns (df + ``<target>_gfRF`` +
-    ``<target>_gfRF_flag``, scores dict)."""
-    from pyspark.ml.evaluation import RegressionEvaluator
+    ``<target>_gfRF_flag``, scores dict).  With ``feature_reduction``
+    the full model keeps only features beating the seeded random
+    benchmark (reference randomforest_ts.py:345-398)."""
     from pyspark.ml.feature import VectorAssembler
     from pyspark.ml.regression import RandomForestRegressor
 
@@ -79,6 +207,22 @@ def rf_gapfill(
         df, target_col, axis_col, key_cols, lags, cycle
     )
     feat_df = feat_df.localCheckpoint(eager=True)
+
+    reduction: dict = {}
+    if feature_reduction:
+        accepted, rejected, imps = reduce_features(
+            feat_df, full_feats, target_col,
+            order_cols=list(key_cols) + [axis_col],
+            n_trees=n_trees, max_depth=max_depth,
+            test_frac=test_frac, seed=seed, importance=importance,
+        )
+        # the fallback feature set always stays available (flag-2 path)
+        full_feats = accepted or fb_feats
+        reduction = {
+            "accepted_features": accepted,
+            "rejected_features": rejected,
+            "importances": imps,
+        }
 
     def fit_predict(features: list[str], name: str):
         asm = VectorAssembler(
@@ -95,11 +239,7 @@ def rf_gapfill(
         )
         model = rf.fit(asm.transform(train))
         test_pred = model.transform(asm.transform(test))
-        scores = {}
-        for metric in ("mae", "rmse", "r2"):
-            scores[metric] = RegressionEvaluator(
-                labelCol=target_col, predictionCol=f"_pred_{name}", metricName=metric
-            ).evaluate(test_pred)
+        scores = regression_scores(test_pred, target_col, f"_pred_{name}")
         pred_all = model.transform(asm.transform(feat_df))
         return pred_all.select(
             *key_cols, axis_col, F.col(f"_pred_{name}").alias(f"pred_{name}")
@@ -126,4 +266,7 @@ def rf_gapfill(
         .drop("pred_full", "pred_fb",
               *[c for c in joined.columns if c.startswith("feat_")])
     )
-    return out, {"full_model": full_scores, "fallback_model": fb_scores}
+    report = {"full_model": full_scores, "fallback_model": fb_scores}
+    if reduction:
+        report["feature_reduction"] = reduction
+    return out, report

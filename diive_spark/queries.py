@@ -1306,6 +1306,40 @@ def q_rf_gapfill(spark, sf_dir):
     )
 
 
+def q_rf_gapfill_flags(spark, sf_dir):
+    """RF gap-fill flag accounting with a DuckDB oracle: flag 0/1/2
+    membership is fully determined by the gap/lag structure (flag 1 <=>
+    gap with all lag features present, randomforest_ts.py:732-839), so
+    the per-source flag counts are SQL-reproducible even though the
+    forest's floats are not."""
+    from .operators.ml_gapfill import rf_gapfill
+
+    out, _scores = rf_gapfill(
+        series(spark, sf_dir), cycle=64, n_trees=5, max_depth=4
+    )
+    return out.groupBy(
+        "source", F.col("value_gfRF_flag").cast("int").alias("flag")
+    ).agg(F.count(F.lit(1)).alias("n"))
+
+
+SQL_RF_FLAGS = f"""
+WITH series AS ({SERIES_SQL}),
+lagged AS (
+  SELECT source, value,
+         lag(value, 1) OVER w AS l1,
+         lag(value, 2) OVER w AS l2,
+         lag(value, 3) OVER w AS l3
+  FROM series
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos))
+SELECT source,
+       CAST(CASE WHEN value IS NOT NULL THEN 0
+                 WHEN l1 IS NOT NULL AND l2 IS NOT NULL AND l3 IS NOT NULL THEN 1
+                 ELSE 2 END AS INTEGER) AS flag,
+       count(*) AS n
+FROM lagged GROUP BY 1, 2
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1377,6 +1411,7 @@ QUERIES = {
     "optimum_range": (q_optimum_range, SQL_OPTIMUM_RANGE),
     "winddir_offset_sweep": (q_winddir_offset, SQL_WINDDIR),
     "screening_pipeline_ep2": (q_screening_pipeline, SQL_SCREENING),
+    "ml_gapfill_rf_flags": (q_rf_gapfill_flags, SQL_RF_FLAGS),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

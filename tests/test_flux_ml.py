@@ -136,3 +136,78 @@ def test_lof_flag(spark):
     out = lof_flag(spark.createDataFrame(pdf), n_neighbors=20)
     got = out.toPandas()
     assert got.loc[got["pos"] == 200, "flag_lof"].iloc[0] == 2
+
+
+def test_regression_scores_battery_matches_numpy(spark):
+    """Full score battery (reference core/ml/common.py:126-176):
+    mae/medae/mse/rmse/mape/maxe/r2 against numpy-computed values."""
+    from diive_spark.operators.ml_gapfill import regression_scores
+
+    rng = np.random.default_rng(3)
+    y = rng.normal(10, 3, 500)
+    p = y + rng.normal(0, 1, 500)
+    df = spark.createDataFrame(pd.DataFrame({"y": y, "p": p}))
+    got = regression_scores(df, "y", "p")
+    err = p - y
+    exp = {
+        "mae": np.mean(np.abs(err)),
+        "medae": np.median(np.abs(err)),
+        "mse": np.mean(err**2),
+        "rmse": np.sqrt(np.mean(err**2)),
+        "mape": np.mean(np.abs(err) / np.abs(y)),
+        "maxe": np.max(np.abs(err)),
+        "r2": 1 - np.sum(err**2) / np.sum((y - y.mean()) ** 2),
+    }
+    for k, v in exp.items():
+        assert abs(got[k] - v) < 1e-9, k
+
+
+def test_rf_feature_reduction_rejects_noise(spark):
+    """randomforest_ts.py:345-398 parity: with a seeded random
+    benchmark, the informative lag/phase features survive and the
+    importances are deterministic across runs."""
+    from diive_spark.operators.ml_gapfill import build_features, reduce_features
+
+    rng = np.random.default_rng(12)
+    n = 1200
+    base = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64)
+    v = base + rng.normal(0, 1.0, n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": np.arange(n), "value": v})
+    feat_df, full_feats, _ = build_features(spark.createDataFrame(pdf))
+
+    def run():
+        return reduce_features(
+            feat_df, full_feats, "value",
+            order_cols=["source", "doc_id", "pos"], n_trees=20, seed=7,
+        )
+
+    acc1, rej1, imp1 = run()
+    acc2, rej2, imp2 = run()
+    assert acc1 == acc2 and rej1 == rej2          # deterministic
+    assert imp1 == imp2
+    # the cyclic phase drives the signal: it must beat the random noise
+    assert "feat_phase" in acc1
+    assert set(acc1) | set(rej1) == set(full_feats)
+    assert "feat_RANDOM" in imp1
+
+
+def test_rf_gapfill_with_reduction_end_to_end(spark):
+    rng = np.random.default_rng(12)
+    n = 800
+    base = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64)
+    v = base + rng.normal(0, 1.0, n)
+    v[rng.random(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": np.arange(n), "value": v})
+    out, scores = rf_gapfill(
+        spark.createDataFrame(pdf), cycle=64, n_trees=20,
+        feature_reduction=True, importance="impurity",
+    )
+    assert "feature_reduction" in scores
+    fr = scores["feature_reduction"]
+    assert set(fr) == {"accepted_features", "rejected_features", "importances"}
+    assert {"mae", "medae", "mse", "rmse", "mape", "maxe", "r2"} <= set(
+        scores["full_model"]
+    )
+    got = out.toPandas()
+    assert set(got["value_gfRF_flag"].dropna()) <= {0, 1, 2}
