@@ -126,6 +126,143 @@ def random_uncertainty_banded(
     return df.withColumn("unc", F.when(n >= min_vals, sd))
 
 
+def _flux_band(flux_col):
+    """PAS20 similarity half-width: max(0.2 * flux, 2) — the reference
+    compares the SIGNED 20% against 2 (uncertainty.py:328-331), so a
+    negative flux always gets the +/-2 floor."""
+    return F.greatest(F.col(flux_col) * 0.2, F.lit(2.0))
+
+
+def random_uncertainty_m2(
+    df: DataFrame,
+    day_len: int,
+    wdays: int = 5,
+    wtod: int = 2,
+    axis_col: str = "pos",
+    flux_col: str = "flux_gf",
+    unc_col: str = "unc",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """RANDUNC method 2 (uncertainty.py:291-355): rows still missing
+    method-1 uncertainty get the MEDIAN of method-1 values over a
+    +/-``wdays`` day, +/-``wtod`` time-of-day window restricted to
+    similar fluxes (within flux +/- max(20%, 2)).
+
+    Spark shape: the day band becomes an equi-join on exploded day
+    buckets (each missing row probes 2*wdays+1 buckets), the
+    time-of-day and flux bands are join filters — a bucketed banded
+    join, never a per-row loop or cross product.  The missing side is
+    tiny (only method-1 failures), so it is broadcast.
+    """
+    keys = list(key_cols)
+    day = (F.col(axis_col).cast("long") / day_len).cast("long")
+    tod = F.pmod(F.col(axis_col).cast("long"), F.lit(day_len))
+    d = df.withColumn("_day", day).withColumn("_tod", tod)
+    missing = d.where(F.col(unc_col).isNull()).select(
+        *keys, axis_col, F.col(flux_col).alias("_f"),
+        F.col("_day").alias("_d0"), F.col("_tod").alias("_t0"),
+    )
+    scored = d.where(F.col(unc_col).isNotNull()).select(
+        *keys, F.col("_day").alias("_dr"), F.col("_tod").alias("_tr"),
+        F.col(flux_col).alias("_fr"), F.col(unc_col).alias("_ur"),
+    )
+    probe = missing.withColumn(
+        "_dr", F.explode(F.sequence(F.col("_d0") - wdays, F.col("_d0") + wdays))
+    )
+    add = F.greatest(F.col("_f") * 0.2, F.lit(2.0))
+    # circular time-of-day distance (pandas between_time wraps midnight)
+    tdiff = F.abs(F.col("_t0") - F.col("_tr"))
+    j = (
+        F.broadcast(probe).join(scored, on=keys + ["_dr"])
+        .where(F.least(tdiff, day_len - tdiff) <= wtod)
+        .where(F.col("_fr").between(F.col("_f") - add, F.col("_f") + add))
+    )
+    m2 = j.groupBy(*keys, axis_col).agg(
+        F.percentile(F.col("_ur"), F.lit(0.5)).alias("_unc_m2"),
+        F.count(F.col("_ur")).alias("_n_m2"),
+    )
+    out = d.join(m2, on=keys + [axis_col], how="left")
+    return (
+        out.withColumn(
+            "unc_method",
+            F.when(F.col(unc_col).isNotNull(), F.lit(1)).when(
+                F.col("_unc_m2").isNotNull(), F.lit(2)
+            ),
+        )
+        .withColumn(unc_col, F.coalesce(F.col(unc_col), F.col("_unc_m2")))
+        .drop("_unc_m2", "_n_m2", "_day", "_tod")
+    )
+
+
+def random_uncertainty_m3(
+    df: DataFrame,
+    flux_col: str = "flux_gf",
+    unc_col: str = "unc",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """RANDUNC method 3 (uncertainty.py:357-395): any row still missing
+    uncertainty after method 2 takes the median uncertainty of ALL
+    similar fluxes in the series (same +/-max(20%, 2) band, no time
+    window).  Left-over rows are few, so they broadcast against the
+    scored rows — a per-key band join, no loop."""
+    keys = list(key_cols)
+    miss = df.where(F.col(unc_col).isNull())
+    scored = df.where(F.col(unc_col).isNotNull()).select(
+        *keys, F.col(flux_col).alias("_fr"), F.col(unc_col).alias("_ur")
+    )
+    j = (
+        F.broadcast(miss.select(*keys, flux_col).dropDuplicates())
+        .join(scored, on=keys)
+        .where(
+            F.col("_fr").between(
+                F.col(flux_col) - F.greatest(F.col(flux_col) * 0.2, F.lit(2.0)),
+                F.col(flux_col) + F.greatest(F.col(flux_col) * 0.2, F.lit(2.0)),
+            )
+        )
+    )
+    m3 = j.groupBy(*keys, flux_col).agg(
+        F.percentile(F.col("_ur"), F.lit(0.5)).alias("_unc_m3")
+    )
+    out = df.join(m3, on=keys + [flux_col], how="left")
+    return (
+        out.withColumn(
+            "unc_method",
+            F.coalesce(
+                F.col("unc_method") if "unc_method" in df.columns else F.lit(None).cast("int"),
+                F.when(F.col("_unc_m3").isNotNull() & F.col(unc_col).isNull(), F.lit(3)),
+            ),
+        )
+        .withColumn(unc_col, F.coalesce(F.col(unc_col), F.col("_unc_m3")))
+        .drop("_unc_m3")
+    )
+
+
+def random_uncertainty_pas20(
+    df: DataFrame,
+    band: int,
+    day_len: int,
+    wdays: int = 5,
+    wtod: int = 2,
+    min_vals: int = 5,
+    axis_col: str = "pos",
+    value_col: str = "value",
+    flux_col: str = "flux_gf",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Full PAS20 RANDUNC cascade (uncertainty.py:218-395): method 1
+    (banded std) -> method 2 (windowed similar-flux median) -> method 3
+    (global similar-flux median), with ``unc_method`` in {1,2,3}."""
+    m1 = random_uncertainty_banded(
+        df, band=band, min_vals=min_vals, axis_col=axis_col,
+        value_col=value_col, key_cols=key_cols,
+    )
+    m2 = random_uncertainty_m2(
+        m1, day_len=day_len, wdays=wdays, wtod=wtod, axis_col=axis_col,
+        flux_col=flux_col, key_cols=key_cols,
+    )
+    return random_uncertainty_m3(m2, flux_col=flux_col, key_cols=key_cols)
+
+
 def propagate_uncertainty(
     df: DataFrame,
     unc_col: str = "unc",

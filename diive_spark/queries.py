@@ -1340,6 +1340,75 @@ FROM lagged GROUP BY 1, 2
 """
 
 
+def q_banded_unc_m2m3(spark, sf_dir):
+    """Full PAS20 RANDUNC cascade (uncertainty.py:218-395): method-1
+    banded std, method-2 windowed similar-flux median, method-3 global
+    similar-flux median; per-source accounting by fill method."""
+    from .operators.flux import random_uncertainty_pas20
+
+    s = series(spark, sf_dir)
+    wk = Window.partitionBy("source", "doc_id")
+    s2 = s.withColumn(
+        "flux_gf", F.coalesce(F.col("value"), F.avg("value").over(wk))
+    )
+    out = random_uncertainty_pas20(
+        s2, band=3, day_len=48, wdays=1, wtod=2, min_vals=7
+    )
+    return out.groupBy("source", "unc_method").agg(
+        F.count("unc").alias("n"), _r(F.avg("unc")).alias("unc_mean")
+    )
+
+
+SQL_BANDED_UNC_M2M3 = f"""
+WITH series AS ({SERIES_SQL}),
+s2 AS (
+  SELECT source, doc_id, pos, value,
+         coalesce(value, avg(value) OVER (PARTITION BY source, doc_id))
+           AS flux_gf
+  FROM series),
+m1 AS (
+  SELECT *, CASE WHEN count(value) OVER w >= 7
+                 THEN stddev_samp(value) OVER w END AS unc
+  FROM s2
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+               RANGE BETWEEN 3 PRECEDING AND 3 FOLLOWING)),
+m2fill AS (
+  SELECT a.source, a.doc_id, a.pos, quantile_cont(b.unc, 0.5) AS unc_m2
+  FROM m1 a JOIN m1 b
+    ON a.source = b.source AND a.doc_id = b.doc_id
+   AND abs(a.pos // 48 - b.pos // 48) <= 1
+   AND least(abs(a.pos % 48 - b.pos % 48),
+             48 - abs(a.pos % 48 - b.pos % 48)) <= 2
+   AND b.unc IS NOT NULL
+   AND b.flux_gf BETWEEN a.flux_gf - greatest(a.flux_gf * 0.2, 2)
+                     AND a.flux_gf + greatest(a.flux_gf * 0.2, 2)
+  WHERE a.unc IS NULL
+  GROUP BY 1, 2, 3),
+m2t AS (
+  SELECT m1.*, coalesce(m1.unc, f.unc_m2) AS unc2,
+         CASE WHEN m1.unc IS NOT NULL THEN 1
+              WHEN f.unc_m2 IS NOT NULL THEN 2 END AS meth2
+  FROM m1 LEFT JOIN m2fill f USING (source, doc_id, pos)),
+m3fill AS (
+  SELECT a.source, a.doc_id, a.pos, quantile_cont(b.unc2, 0.5) AS unc_m3
+  FROM m2t a JOIN m2t b
+    ON a.source = b.source AND a.doc_id = b.doc_id
+   AND b.unc2 IS NOT NULL
+   AND b.flux_gf BETWEEN a.flux_gf - greatest(a.flux_gf * 0.2, 2)
+                     AND a.flux_gf + greatest(a.flux_gf * 0.2, 2)
+  WHERE a.unc2 IS NULL
+  GROUP BY 1, 2, 3),
+final AS (
+  SELECT m2t.source, coalesce(m2t.unc2, f.unc_m3) AS unc,
+         CAST(coalesce(m2t.meth2,
+              CASE WHEN f.unc_m3 IS NOT NULL THEN 3 END) AS INTEGER)
+           AS unc_method
+  FROM m2t LEFT JOIN m3fill f USING (source, doc_id, pos))
+SELECT source, unc_method, count(unc) AS n, round(avg(unc), 6) AS unc_mean
+FROM final GROUP BY 1, 2
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1399,6 +1468,7 @@ QUERIES = {
     "lagged_variants": (q_lagged_variants, SQL_LAGGED),
     "backfill_limited": (q_backfill_limited, SQL_BACKFILL),
     "banded_uncertainty": (q_banded_uncertainty, SQL_BANDED_UNC),
+    "banded_uncertainty_m2m3": (q_banded_unc_m2m3, SQL_BANDED_UNC_M2M3),
     "ustar_scenarios": (q_ustar_scenarios, SQL_USTAR),
     "crosscov_scan": (q_crosscov_scan, SQL_CROSSCOV),
     "daily_full_gate": (q_daily_full_gate, SQL_DAILY_GATE),

@@ -211,3 +211,68 @@ def test_rf_gapfill_with_reduction_end_to_end(spark):
     )
     got = out.toPandas()
     assert set(got["value_gfRF_flag"].dropna()) <= {0, 1, 2}
+
+
+def test_randunc_m2_m3_cascade_matches_pandas(spark):
+    """PAS20 RANDUNC methods 2-3 (uncertainty.py:291-395) vs a direct
+    pandas/numpy oracle with the same positional semantics."""
+    from diive_spark.operators.flux import random_uncertainty_pas20
+
+    rng = np.random.default_rng(21)
+    n, day_len, band, wdays, wtod = 480, 48, 8, 3, 2
+    flux = 10 + 8 * np.sin(2 * np.pi * np.arange(n) / day_len) + rng.normal(0, 1, n)
+    v = flux.copy()
+    v[rng.random(n) < 0.30] = np.nan
+    v[100:130] = np.nan                     # block gaps -> m1 failures
+    v[290:340] = np.nan
+    pdf = pd.DataFrame({
+        "source": "s", "doc_id": "d", "pos": np.arange(n),
+        "value": v, "flux_gf": flux,
+    })
+    got = (
+        random_uncertainty_pas20(
+            spark.createDataFrame(pdf), band=band, day_len=day_len,
+            wdays=wdays, wtod=wtod, min_vals=5,
+        )
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+
+    # pandas oracle
+    unc = np.full(n, np.nan)
+    for i in range(n):
+        w = v[(np.abs(np.arange(n) - i) <= band)]
+        w = w[~np.isnan(w)]
+        if len(w) >= 5:
+            unc[i] = np.std(w, ddof=1)
+    m1 = unc.copy()
+    day, tod = np.arange(n) // day_len, np.arange(n) % day_len
+    for i in range(n):                       # method 2 reads m1 only
+        if not np.isnan(unc[i]):
+            continue
+        add = max(flux[i] * 0.2, 2.0)
+        td = np.abs(tod - tod[i])
+        sel = (
+            (np.abs(day - day[i]) <= wdays)
+            & (np.minimum(td, day_len - td) <= wtod)
+            & (flux >= flux[i] - add) & (flux <= flux[i] + add)
+            & ~np.isnan(m1)
+        )
+        if sel.any():
+            unc[i] = np.median(m1[sel])
+    m2 = unc.copy()
+    for i in range(n):                       # method 3 reads m1+m2
+        if not np.isnan(unc[i]):
+            continue
+        add = max(flux[i] * 0.2, 2.0)
+        sel = (flux >= flux[i] - add) & (flux <= flux[i] + add) & ~np.isnan(m2)
+        if sel.any():
+            unc[i] = np.median(m2[sel])
+
+    assert np.allclose(got["unc"].values, unc, equal_nan=True, atol=1e-9)
+    # method flags: 1 where m1 hit, 2 where m2 filled, 3 where m3 filled
+    exp_flag = np.where(~np.isnan(m1), 1.0,
+               np.where(~np.isnan(m2), 2.0,
+               np.where(~np.isnan(unc), 3.0, np.nan)))
+    assert np.allclose(got["unc_method"].astype(float).values, exp_flag,
+                       equal_nan=True)
+    assert (got["unc_method"] == 2).sum() > 0   # the cascade actually ran
