@@ -202,3 +202,77 @@ def test_ivf_probe_plan_flat_at_many_cells(spark):
         & set(map(tuple, approx[["query_id", "vec_id"]].values))
     )
     assert hits / len(exact) >= 0.5
+
+
+def _exact_jaccard_truth(threshold=0.7):
+    """Independent ground truth: exact all-pairs word-3-gram Jaccard
+    over the sf0.01 documents, computed in plain Python sets."""
+    import itertools
+    import re
+
+    import duckdb
+
+    rows = duckdb.sql(
+        "SELECT doc_id, text FROM "
+        "read_parquet('/root/testdata/sf0.01/documents.parquet')"
+    ).fetchall()
+
+    def sh(t):
+        w = re.split(r"\s+", t.strip().lower())
+        return set(" ".join(w[i:i + 3]) for i in range(max(len(w) - 2, 1)))
+
+    S = {d: sh(t) for d, t in rows}
+    truth = set()
+    for a, b in itertools.combinations(sorted(S), 2):
+        u = S[a] | S[b]
+        if u and len(S[a] & S[b]) / len(u) >= threshold:
+            truth.add((a, b))
+    return truth
+
+
+def test_minhash_lsh_recall_precision_vs_exact(spark):
+    """VERDICT r1 item 5: quantitative oracle for the MinHash-LSH stack.
+    Candidates verified by exact n-gram Jaccard must EQUAL the exact
+    all-pairs truth restricted to candidates (precision 1.0), and LSH
+    recall at J>=0.7 with 16x4 banding must be >= 0.8 (theory: 0.988)."""
+    from diive_spark.operators.dedup import (
+        minhash_lsh_pairs, minhash_signatures, ngram_jaccard,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    truth = _exact_jaccard_truth(0.7)
+    assert len(truth) >= 10  # the fixture actually contains near-dups
+    sigs = minhash_signatures(docs, k=64)
+    cand = minhash_lsh_pairs(sigs, bands=16, est_threshold=0.0)
+    verified = ngram_jaccard(docs, cand.select("id_a", "id_b")).where(
+        "jaccard >= 0.7"
+    )
+    got = {(r["id_a"], r["id_b"]) for r in verified.collect()}
+    assert got <= truth                      # precision 1.0 after verify
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.8, recall
+
+
+def test_simhash_banding_exact_recall(spark):
+    """SimHash 4x16-bit chunk banding must find EVERY pair with
+    hamming <= 3 (pigeonhole guarantee) — verified against numpy
+    all-pairs hamming over the produced fingerprints."""
+    from diive_spark.operators.dedup import simhash, simhash_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    fp = simhash(docs).toPandas()
+    vals = dict(zip(fp["doc_id"], fp["simhash"].astype("uint64")))
+    ids = sorted(vals)
+    truth = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(int(vals[a]) ^ int(vals[b])).count("1") <= 3:
+                truth.add((a, b))
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(
+            simhash(docs), max_hamming=3
+        ).collect()
+    }
+    assert got == truth                      # recall AND precision exact
+    assert len(truth) >= 1
