@@ -8,7 +8,10 @@ contamination='auto'; daytime/nighttime variant = stratified fit.
 Spark has no native LOF; each series group fits independently in a
 pandas cohort (``groupBy(key).applyInPandas``) — the distributed
 pattern for per-series model fits.  sklearn is optional (import-try):
-without it the operator raises at call time with a clear message.
+without it an exact numpy LOF kernel (same algorithm: k-distance,
+reachability distance, lrd with sklearn's 1e-10 floor, LOF ratio,
+contamination='auto' -> LOF > 1.5) runs instead, so the operator works
+in sklearn-free environments.
 """
 
 from __future__ import annotations
@@ -31,6 +34,34 @@ except ImportError:  # pragma: no cover
     HAVE_SKLEARN = False
 
 
+def lof_scores_numpy(x: np.ndarray, k: int) -> np.ndarray:
+    """Exact Local Outlier Factor (Breunig et al. 2000) for a 1-D
+    sample, matching sklearn's formulation: stable-sorted k nearest
+    neighbors, reach-dist = max(k-distance(o), d(p,o)),
+    lrd = 1/(mean reach + 1e-10), LOF = mean(lrd(kNN))/lrd.
+    O(n^2) per cohort — cohorts are per-series groups, bounded."""
+    n = len(x)
+    d = np.abs(x[:, None] - x[None, :])
+    np.fill_diagonal(d, np.inf)
+    idx = np.argsort(d, axis=1, kind="stable")[:, :k]
+    ndist = np.take_along_axis(d, idx, axis=1)
+    kdist = ndist[:, -1]
+    reach = np.maximum(kdist[idx], ndist)
+    lrd = 1.0 / (reach.mean(axis=1) + 1e-10)
+    return lrd[idx].mean(axis=1) / lrd
+
+
+def _predict_numpy(x: np.ndarray, k: int, contamination) -> np.ndarray:
+    """-1 outlier / 1 inlier, sklearn decision rule: 'auto' -> LOF > 1.5;
+    float c -> the c-fraction with the highest LOF."""
+    lof = lof_scores_numpy(x, k)
+    if contamination == "auto":
+        thresh = 1.5
+    else:
+        thresh = np.percentile(lof, 100.0 * (1.0 - float(contamination)))
+    return np.where(lof > thresh, -1, 1)
+
+
 def lof_flag(
     df: DataFrame,
     n_neighbors: int | None = None,
@@ -41,12 +72,8 @@ def lof_flag(
     strata_col: str | None = None,
     flag_col: str = "flag_lof",
 ) -> DataFrame:
-    """Per-series LOF flag (0 ok / 2 outlier / NULL missing)."""
-    if not HAVE_SKLEARN:
-        raise ImportError(
-            "sklearn is required for lof_flag (LocalOutlierFactor); "
-            "not installed in this environment"
-        )
+    """Per-series LOF flag (0 ok / 2 outlier / NULL missing).  Uses
+    sklearn when present, else the exact numpy kernel above."""
     keys = list(key_cols) + ([strata_col] if strata_col else [])
     schema = T.StructType(
         [df.schema[k] for k in list(key_cols)]
@@ -61,10 +88,14 @@ def lof_flag(
         x = vals[ok_mask].reshape(-1, 1)
         if len(x) >= 10:
             k = n_neighbors or max(2, int(len(x) / 200))
-            lof = LocalOutlierFactor(
-                n_neighbors=min(k, len(x) - 1), contamination=contamination, p=2
-            )
-            pred = lof.fit_predict(x)  # -1 outlier, 1 inlier
+            k = min(k, len(x) - 1)
+            if HAVE_SKLEARN:
+                lof = LocalOutlierFactor(
+                    n_neighbors=k, contamination=contamination, p=2
+                )
+                pred = lof.fit_predict(x)  # -1 outlier, 1 inlier
+            else:
+                pred = _predict_numpy(x.ravel(), k, contamination)
             flags[ok_mask] = np.where(pred == -1, FLAG_HARD, FLAG_OK)
         elif len(x) > 0:
             flags[ok_mask] = FLAG_OK

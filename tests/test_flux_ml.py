@@ -129,8 +129,8 @@ def test_rf_gapfill_learns_structure(spark):
     assert scores["full_model"]["r2"] > 0.5
 
 
-@pytest.mark.skipif(not HAVE_SKLEARN, reason="sklearn not installed")
 def test_lof_flag(spark):
+    """Runs on the numpy exact-LOF kernel when sklearn is absent."""
     pdf = seeded_series(n=400, gap_frac=0.05)
     pdf.loc[200, "value"] = 500.0
     out = lof_flag(spark.createDataFrame(pdf), n_neighbors=20)
@@ -276,3 +276,23 @@ def test_randunc_m2_m3_cascade_matches_pandas(spark):
     assert np.allclose(got["unc_method"].astype(float).values, exp_flag,
                        equal_nan=True)
     assert (got["unc_method"] == 2).sum() > 0   # the cascade actually ran
+
+
+def test_lof_numpy_kernel_properties():
+    """Pandas/numpy oracle for the LOF kernel: a gross spike in a tight
+    cluster scores far above 1; cluster members stay near 1; the
+    'auto' rule flags exactly the spike."""
+    from diive_spark.operators.lof import _predict_numpy, lof_scores_numpy
+
+    rng = np.random.default_rng(4)
+    x = np.concatenate([rng.normal(10, 0.5, 200), [60.0]])
+    lof = lof_scores_numpy(x, k=20)
+    assert lof[-1] > 5.0
+    assert np.median(lof[:-1]) < 1.2
+    pred = _predict_numpy(x, 20, "auto")
+    assert pred[-1] == -1
+    assert (pred[:-1] == -1).sum() <= 20   # tail points may exceed 1.5
+    assert np.argmax(lof) == len(x) - 1     # the spike dominates
+    # fixed-contamination rule: exactly ~5% flagged
+    pred5 = _predict_numpy(x, 20, 0.05)
+    assert 1 <= (pred5 == -1).sum() <= 12
