@@ -29,3 +29,43 @@ NA_SENTINEL = -9999
 KEY_COLS = ("source", "doc_id")
 POS_COL = "pos"
 VALUE_COL = "value"
+
+
+# ---- rename-aware flag-column identification (core/base/identify.py:4-47)
+# Variables change names across QC levels (e.g. NEE checks run on FC);
+# each entry maps a series-name rule to the flag-name substrings that
+# remain relevant for it.
+_ALIAS_GROUPS: list[tuple[tuple[str, ...], tuple[str, ...], list[str]]] = [
+    # (prefixes, exact names, relevant substrings)
+    (("NEE_",), ("FC", "co2_flux"), ["_FC_", "_NEE_", "_co2_flux_"]),
+    (("co2_flux_",), (), ["CHECK", "_NEE_"]),
+    (("H_",), ("H",), ["_H_"]),
+    (("LE_",), ("LE",), ["_LE_"]),
+    (("ET_",), ("ET",), ["_ET_"]),
+    (("FH2O_",), ("FH2O",), ["_FH2O_"]),
+    (("h2o_flux_",), ("h2o_flux",), ["_h2o_flux_"]),
+    (("TAU_",), ("TAU",), ["_TAU_"]),
+    (("FN2O_",), ("FN2O",), ["_FN2O_"]),
+    (("FCH4_",), ("FCH4",), ["_FCH4_"]),
+]
+
+
+def identify_relevants(seriescol: str) -> list[str]:
+    """Substrings of flag names relevant for *seriescol*
+    (identify.py:4-34): alias groups tie renamed flux variables to the
+    flags computed under their other names."""
+    for prefixes, exacts, relevant in _ALIAS_GROUPS:
+        if seriescol.startswith(prefixes) or seriescol in exacts:
+            return list(relevant)
+    return [seriescol]
+
+
+def identify_flagcols(columns: list[str], seriescol: str) -> list[str]:
+    """FLAG_*_TEST / FLAG_*_QCF columns relevant for *seriescol*
+    (identify.py:36-47)."""
+    flagcols = [
+        c for c in columns
+        if str(c).startswith("FLAG_") and str(c).endswith(("_TEST", "_QCF"))
+    ]
+    relevant = identify_relevants(seriescol)
+    return [f for f in flagcols if any(n in f for n in relevant)]

@@ -438,9 +438,15 @@ def cumulative_per_partition(
     )
     out = df.withColumn("cumsum", F.sum(value_col).over(w))
     env = Window.partitionBy(axis_col)
+    m, s = F.col("cum_mean"), F.col("cum_sd")
     return (
         out.withColumn("cum_mean", F.avg("cumsum").over(env))
         .withColumn("cum_sd", F.stddev_samp("cumsum").over(env))
+        # envelope bands (times.py:1131-1138: MEAN±SD, MEAN±1.96·SD)
+        .withColumn("cum_mean_plus_sd", m + s)
+        .withColumn("cum_mean_minus_sd", m - s)
+        .withColumn("cum_mean_plus_1_96sd", m + 1.96 * s)
+        .withColumn("cum_mean_minus_1_96sd", m - 1.96 * s)
     )
 
 

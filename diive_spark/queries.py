@@ -1025,6 +1025,8 @@ def q_cumulative_envelope(spark, sf_dir):
     return out.groupBy("source").agg(
         _r(F.sum("cumsum")).alias("cumsum_sum"),
         _r(F.sum("cum_mean")).alias("env_mean_sum"),
+        _r(F.sum("cum_mean_plus_1_96sd")).alias("env_hi_sum"),
+        _r(F.sum("cum_mean_minus_1_96sd")).alias("env_lo_sum"),
     )
 
 
@@ -1037,9 +1039,13 @@ c AS (
          AS cumsum
   FROM s1),
 e AS (
-  SELECT *, avg(cumsum) OVER (PARTITION BY pos) AS cum_mean FROM c)
+  SELECT *, avg(cumsum) OVER (PARTITION BY pos) AS cum_mean,
+         stddev_samp(cumsum) OVER (PARTITION BY pos) AS cum_sd
+  FROM c)
 SELECT source, round(sum(cumsum), 6) AS cumsum_sum,
-       round(sum(cum_mean), 6) AS env_mean_sum
+       round(sum(cum_mean), 6) AS env_mean_sum,
+       round(sum(cum_mean + 1.96 * cum_sd), 6) AS env_hi_sum,
+       round(sum(cum_mean - 1.96 * cum_sd), 6) AS env_lo_sum
 FROM e GROUP BY 1
 """
 

@@ -102,3 +102,28 @@ def test_derived_variables(spark):
     # night has zero potential radiation
     night = out.where(F.hour("TIMESTAMP_MIDDLE") == 1).agg(F.max("sw_in_pot")).first()[0]
     assert night == 0.0
+
+
+def test_identify_flagcols_alias_groups():
+    """Rename-aware flag selection (reference core/base/identify.py:4-47):
+    NEE-family series pick up flags computed under FC / co2_flux names."""
+    from diive_spark.conventions import identify_flagcols, identify_relevants
+
+    cols = [
+        "TIMESTAMP", "NEE_L2", "FLAG_L2_FC_OUTLIER_TEST",
+        "FLAG_L2_NEE_RANGE_TEST", "FLAG_L2_H_SPIKE_TEST",
+        "FLAG_L3.1_NEE_QCF", "FLAG_L2_TA_RANGE_TEST", "NOT_A_FLAG_TEST",
+    ]
+    assert identify_relevants("NEE_L3.1") == ["_FC_", "_NEE_", "_co2_flux_"]
+    assert identify_relevants("FC") == ["_FC_", "_NEE_", "_co2_flux_"]
+    assert identify_relevants("TA_T1") == ["TA_T1"]
+    got = identify_flagcols(cols, "NEE_L2")
+    assert got == [
+        "FLAG_L2_FC_OUTLIER_TEST", "FLAG_L2_NEE_RANGE_TEST", "FLAG_L3.1_NEE_QCF",
+    ]
+    # H flags only for H-family series
+    assert identify_flagcols(cols, "H") == ["FLAG_L2_H_SPIKE_TEST"]
+    # plain meteo variable: substring match on its own name
+    # (reference identify.py:46: `any(n in f)`)
+    assert identify_flagcols(cols, "TA") == ["FLAG_L2_TA_RANGE_TEST"]
+    assert identify_flagcols(cols, "SW_IN") == []
