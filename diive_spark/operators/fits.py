@@ -1,0 +1,236 @@
+"""Quadratic fits, zero crossings, bootstrap CriticalDays analytics.
+
+Reference semantics:
+- QuadraticFit / BinFitter (diive/core/dfun/fits.py:74-260,
+  diive/pkgs/fluxprocessingchain/.../binfitter.py:67-560): least-squares
+  quadratic y ~ c0 + c1*x + c2*x^2 over (optionally binned) data, with
+  fit R^2 and predictions.
+- CriticalDays (diive/pkgs/flux/criticaldays.py:29-473): daily flux vs
+  a driver (e.g. VPD); bootstrapped quadratic fits; the zero crossing
+  of the fit is the critical threshold, with a bootstrap CI.
+
+Spark-first design:
+- The quadratic fit is EXACT closed-form least squares from weighted
+  moment sums (S_k = sum w*x^k for k=0..4, T_k = sum w*x^k*y,
+  U0 = sum w*y^2) — one aggregate pass, then Cramer's rule 3x3 as
+  plain column arithmetic.  No solver library, no collect of data
+  rows, and the identical operation order is reproducible in ANSI SQL
+  (DuckDB oracle twins).
+- Bootstrap replicas use Poisson(1) resampling weights derived from
+  xxhash64 (deterministic across retries/partitionings, unlike
+  ``rand()``): B replicas = explode(sequence) + weight lookup; all
+  replicas fit in ONE aggregate pass over (replica, key) groups.
+- Zero crossings are the quadratic roots — closed form.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# Poisson(1) inverse-CDF thresholds: P(X<=k) for k=0..4; u above the
+# last threshold maps to 5 (P ~ 0.0006, negligible truncation).
+_POIS1_CDF = [0.36787944117144233, 0.7357588823428847, 0.9196986029286058,
+              0.9810118431238462, 0.9963401531726563]
+
+
+def _moments(w, x, y):
+    """Weighted moment aggregates for a quadratic fit."""
+    return [
+        F.sum(w).alias("s0"),
+        F.sum(w * x).alias("s1"),
+        F.sum(w * x * x).alias("s2"),
+        F.sum(w * x * x * x).alias("s3"),
+        F.sum(w * x * x * x * x).alias("s4"),
+        F.sum(w * y).alias("t0"),
+        F.sum(w * x * y).alias("t1"),
+        F.sum(w * x * x * y).alias("t2"),
+        F.sum(w * y * y).alias("u0"),
+    ]
+
+
+def _solve_quadratic(df: DataFrame) -> DataFrame:
+    """Cramer's rule on the 3x3 normal equations, as column arithmetic
+    over the per-group moment row (exactly mirrorable in SQL)."""
+    s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
+    t0, t1, t2, u0 = (F.col(c) for c in ("t0", "t1", "t2", "u0"))
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    det0 = (
+        t0 * (s2 * s4 - s3 * s3)
+        - s1 * (t1 * s4 - s3 * t2)
+        + s2 * (t1 * s3 - s2 * t2)
+    )
+    det1 = (
+        s0 * (t1 * s4 - s3 * t2)
+        - t0 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * t2 - t1 * s2)
+    )
+    det2 = (
+        s0 * (s2 * t2 - t1 * s3)
+        - s1 * (s1 * t2 - t1 * s2)
+        + t0 * (s1 * s3 - s2 * s2)
+    )
+    d = df.withColumn("_det", det)
+    c0 = F.col("_c0")
+    c1 = F.col("_c1")
+    c2 = F.col("_c2")
+    d = (
+        d.withColumn("_c0", det0 / F.col("_det"))
+        .withColumn("_c1", det1 / F.col("_det"))
+        .withColumn("_c2", det2 / F.col("_det"))
+    )
+    sse = (
+        u0
+        - 2 * (c0 * t0 + c1 * t1 + c2 * t2)
+        + (
+            c0 * c0 * s0 + c1 * c1 * s2 + c2 * c2 * s4
+            + 2 * (c0 * c1 * s1 + c0 * c2 * s2 + c1 * c2 * s3)
+        )
+    )
+    sst = u0 - t0 * t0 / s0
+    return (
+        d.withColumn("r2", F.when(sst > 0, 1.0 - sse / sst))
+        .withColumnRenamed("_c0", "c0")
+        .withColumnRenamed("_c1", "c1")
+        .withColumnRenamed("_c2", "c2")
+        .withColumn("n", F.col("s0"))
+        .drop("s1", "s2", "s3", "s4", "t0", "t1", "t2", "u0", "_det", "s0")
+    )
+
+
+def quadratic_fit(
+    df: DataFrame,
+    x: str,
+    y: str,
+    key_cols: Sequence[str] = (),
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Exact least-squares quadratic fit per key group
+    (fits.py:74-260 analog): returns (key..., c0, c1, c2, r2, n)."""
+    keys = list(key_cols)
+    good = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    w = F.col(weight_col) if weight_col else F.lit(1.0)
+    moments = good.groupBy(*keys).agg(
+        *_moments(w.cast("double"), F.col(x).cast("double"), F.col(y).cast("double"))
+    )
+    return _solve_quadratic(moments)
+
+
+def quadratic_predict(fit_row_df: DataFrame, at: DataFrame, x: str,
+                      on: Sequence[str] = ()) -> DataFrame:
+    """Evaluate fits at the x positions of *at* (broadcast fit table)."""
+    j = at.join(F.broadcast(fit_row_df), on=list(on)) if on else at.crossJoin(
+        F.broadcast(fit_row_df)
+    )
+    xx = F.col(x)
+    return j.withColumn("y_fit", F.col("c0") + F.col("c1") * xx + F.col("c2") * xx * xx)
+
+
+def quadratic_roots(fit_df: DataFrame) -> DataFrame:
+    """Zero crossings of each fit (criticaldays.py threshold step):
+    adds root_lo / root_hi (NULL when the discriminant is negative or
+    the fit is linear-degenerate)."""
+    c0, c1, c2 = F.col("c0"), F.col("c1"), F.col("c2")
+    disc = c1 * c1 - 4 * c2 * c0
+    sq = F.sqrt(disc)
+    lin_root = F.when(c1 != 0, -c0 / c1)
+    r_a = (-c1 - sq) / (2 * c2)
+    r_b = (-c1 + sq) / (2 * c2)
+    return (
+        fit_df.withColumn(
+            "root_lo",
+            F.when(c2 == 0, lin_root).when(disc >= 0, F.least(r_a, r_b)),
+        ).withColumn(
+            "root_hi",
+            F.when(c2 == 0, lin_root).when(disc >= 0, F.greatest(r_a, r_b)),
+        )
+    )
+
+
+def poisson_bootstrap_weights(rep_col, hash_cols: Sequence[str], seed: int):
+    """Deterministic Poisson(1) resampling weight for (replica, row):
+    u = xxhash64-uniform, inverse CDF over P(X<=k), k in 0..5."""
+    u = (
+        F.pmod(
+            F.xxhash64(F.lit(seed), rep_col, *[F.col(c) for c in hash_cols]),
+            F.lit(2_147_483_647),
+        ).cast("double")
+        / 2_147_483_647.0
+    )
+    w = F.lit(5)
+    for k in range(len(_POIS1_CDF) - 1, -1, -1):
+        w = F.when(u <= F.lit(_POIS1_CDF[k]), F.lit(k)).otherwise(w)
+    return w.cast("double")
+
+
+def critical_days(
+    daily_df: DataFrame,
+    x: str,
+    y: str,
+    n_boot: int = 100,
+    seed: int = 42,
+    id_cols: Sequence[str] = ("pos",),
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """CriticalDays (criticaldays.py:29-473): bootstrap quadratic fits
+    of daily *y* (e.g. NEE) vs daily *x* (e.g. VPD); per key, the
+    distribution of the fit's upper zero crossing gives the critical
+    threshold with CI.
+
+    Returns one row per key: thres_median, thres_p16, thres_p84,
+    n_boot_ok (replicas with a real root), r2_median.
+
+    Scale shape: replicas are data rows x n_boot via explode + Poisson
+    weights; ALL replica fits happen inside one groupBy aggregate over
+    (key, replica) — no loop, no driver-side fitting.
+    """
+    keys = list(key_cols)
+    reps = daily_df.withColumn(
+        "_rep", F.explode(F.sequence(F.lit(1), F.lit(int(n_boot))))
+    )
+    w = poisson_bootstrap_weights(F.col("_rep"), list(id_cols) + keys, seed)
+    good = reps.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    moments = good.groupBy(*keys, "_rep").agg(
+        *_moments(w, F.col(x).cast("double"), F.col(y).cast("double"))
+    )
+    fits = quadratic_roots(_solve_quadratic(moments))
+    return fits.groupBy(*keys).agg(
+        F.percentile(F.col("root_hi"), F.lit(0.5)).alias("thres_median"),
+        F.percentile(F.col("root_hi"), F.lit(0.16)).alias("thres_p16"),
+        F.percentile(F.col("root_hi"), F.lit(0.84)).alias("thres_p84"),
+        F.count("root_hi").alias("n_boot_ok"),
+        F.percentile(F.col("r2"), F.lit(0.5)).alias("r2_median"),
+    )
+
+
+def bin_fitter(
+    df: DataFrame,
+    x: str,
+    y: str,
+    n_bins: int = 10,
+    tiebreak_cols: Sequence[str] = (),
+    key_cols: Sequence[str] = (),
+) -> tuple[DataFrame, DataFrame]:
+    """BinFitter (binfitter.py:67-560): quantile-bin x, median x/y per
+    bin, quadratic fit over the bin medians with per-bin predictions.
+    Returns (bin table + y_fit, fit coefficients)."""
+    from .analyses import quantile_bins
+
+    keys = list(key_cols)
+    binned = quantile_bins(
+        df.where(F.col(y).isNotNull()), x, n_bins, "xbin", keys, tiebreak_cols
+    )
+    per_bin = binned.groupBy(*keys, "xbin").agg(
+        F.percentile(F.col(x), F.lit(0.5)).alias("x_med"),
+        F.percentile(F.col(y), F.lit(0.5)).alias("y_med"),
+        F.count(F.lit(1)).alias("n_bin"),
+    )
+    fit = quadratic_fit(per_bin, "x_med", "y_med", key_cols=keys)
+    pred = quadratic_predict(fit, per_bin, "x_med", on=keys)
+    return pred, fit

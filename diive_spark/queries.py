@@ -1415,6 +1415,63 @@ FROM final GROUP BY 1, 2
 """
 
 
+def q_quadratic_fit(spark, sf_dir):
+    """Closed-form least-squares quadratic fit (core/dfun/fits.py:74-260
+    / BinFitter analog) of quantity ~ scaled price per returnflag —
+    moment sums + Cramer arithmetic, identical op order to the SQL twin."""
+    from .operators.fits import quadratic_fit
+
+    li = _load(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") / 100000.0).alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    out = quadratic_fit(d, "x", "y", key_cols=["flag"])
+    return out.select(
+        "flag", _r(F.col("c0"), 4).alias("c0"), _r(F.col("c1"), 4).alias("c1"),
+        _r(F.col("c2"), 4).alias("c2"), _r(F.col("r2"), 6).alias("r2"),
+        F.col("n").cast("long").alias("n"),
+    )
+
+
+SQL_QUADRATIC_FIT = """
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice / 100000.0 AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+m AS (
+  SELECT flag,
+         sum(1.0) AS s0, sum(x) AS s1, sum(x*x) AS s2,
+         sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+         sum(y) AS t0, sum(x*y) AS t1, sum(x*x*y) AS t2, sum(y*y) AS u0
+  FROM d GROUP BY 1),
+c AS (
+  SELECT *,
+    (s0*(s2*s4 - s3*s3) - s1*(s1*s4 - s3*s2) + s2*(s1*s3 - s2*s2)) AS det,
+    (t0*(s2*s4 - s3*s3) - s1*(t1*s4 - s3*t2) + s2*(t1*s3 - s2*t2)) AS det0,
+    (s0*(t1*s4 - s3*t2) - t0*(s1*s4 - s3*s2) + s2*(s1*t2 - t1*s2)) AS det1,
+    (s0*(s2*t2 - t1*s3) - s1*(s1*t2 - t1*s2) + t0*(s1*s3 - s2*s2)) AS det2
+  FROM m),
+f AS (
+  SELECT flag, det0/det AS c0, det1/det AS c1, det2/det AS c2,
+         s0, s1, s2, s3, s4, t0, t1, t2, u0
+  FROM c),
+r AS (
+  SELECT flag, c0, c1, c2, s0,
+         u0 - 2*(c0*t0 + c1*t1 + c2*t2)
+            + (c0*c0*s0 + c1*c1*s2 + c2*c2*s4
+               + 2*(c0*c1*s1 + c0*c2*s2 + c1*c2*s3)) AS sse,
+         u0 - t0*t0/s0 AS sst
+  FROM f)
+SELECT flag, round(c0, 4) AS c0, round(c1, 4) AS c1, round(c2, 4) AS c2,
+       round(1.0 - sse/sst, 6) AS r2, CAST(s0 AS BIGINT) AS n
+FROM r
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1488,6 +1545,7 @@ QUERIES = {
     "winddir_offset_sweep": (q_winddir_offset, SQL_WINDDIR),
     "screening_pipeline_ep2": (q_screening_pipeline, SQL_SCREENING),
     "ml_gapfill_rf_flags": (q_rf_gapfill_flags, SQL_RF_FLAGS),
+    "quadratic_fit": (q_quadratic_fit, SQL_QUADRATIC_FIT),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
