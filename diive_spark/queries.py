@@ -1271,6 +1271,9 @@ def q_minhash_dedup_docs(spark, sf_dir):
     """MinHash+LSH near-dedup over documents (no SQL oracle — LSH is
     permutation-seeded)."""
     docs = _load(spark, sf_dir, "documents")
+    # small-file source arrives as 1 split; spread the row-local
+    # signature compute across cores (no-op at real multi-file scale)
+    docs = docs.repartition(spark.sparkContext.defaultParallelism)
     out = dedup.minhash_dedup(docs, est_threshold=0.6)
     return out.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
