@@ -296,3 +296,139 @@ def daily_full_gate(
         .agg(F.count(v).alias("n"), F.avg(v).alias("mean"), F.sum(v).alias("sum"))
         .where(F.col("n") == required)
     )
+
+
+def critical_heat_days_p95(
+    daily_df: DataFrame,
+    ta: str,
+    vpd: str,
+    flux: str,
+    n_bins: int = 20,
+    key_cols: Sequence[str] = (),
+    tiebreak_cols: Sequence[str] = (),
+) -> dict[str, DataFrame]:
+    """FluxCriticalHeatDaysP95 (criticalheatdays.py:19-473): percentile-
+    bin daily TA and VPD; critical heat days = both drivers in the top
+    (95th+) bin, near-critical = both in the 90-95th bin; thresholds =
+    driver extremes of those subsets; combo-bin flux stats with the
+    equal / TA-higher / VPD-higher scenario split.
+
+    Returns {"binned", "combobins", "thresholds"} DataFrames.  Built
+    from the scale-safe quantile binning — no global sort.
+    """
+    from .analyses import quantile_bins
+
+    keys = list(key_cols)
+    step = 100 // n_bins
+    b1 = quantile_bins(
+        daily_df.where(F.col(vpd).isNotNull() & F.col(flux).isNotNull()),
+        ta, n_bins, "_bt", keys, tiebreak_cols,
+    )
+    b2 = quantile_bins(b1, vpd, n_bins, "_bv", keys, tiebreak_cols)
+    binned = (
+        b2.withColumn("bin_ta", (F.col("_bt") - 1) * step)
+        .withColumn("bin_vpd", (F.col("_bv") - 1) * step)
+        .withColumn("bin_diff", F.col("bin_ta") - F.col("bin_vpd"))
+        .drop("_bt", "_bv")
+    )
+    z = F.col(flux)
+    combobins = binned.groupBy(*keys, "bin_ta", "bin_vpd").agg(
+        F.avg(z).alias("flux_mean"),
+        F.stddev_samp(z).alias("flux_sd"),
+        F.count(z).alias("n"),
+        F.min(ta).alias("ta_min"), F.max(ta).alias("ta_max"),
+        F.min(vpd).alias("vpd_min"), F.max(vpd).alias("vpd_max"),
+    )
+    top = 100 - step
+    near = 100 - 2 * step
+    chd = F.col("bin_ta").eqNullSafe(top) & F.col("bin_vpd").eqNullSafe(top)
+    nchd = F.col("bin_ta").eqNullSafe(near) & F.col("bin_vpd").eqNullSafe(near)
+    thresholds = binned.groupBy(*keys).agg(
+        F.min(F.when(chd, F.col(ta))).alias("thres_chd_ta"),
+        F.min(F.when(chd, F.col(vpd))).alias("thres_chd_vpd"),
+        F.min(F.when(nchd, F.col(ta))).alias("thres_nchd_ta_lo"),
+        F.max(F.when(nchd, F.col(ta))).alias("thres_nchd_ta_hi"),
+        F.min(F.when(nchd, F.col(vpd))).alias("thres_nchd_vpd_lo"),
+        F.max(F.when(nchd, F.col(vpd))).alias("thres_nchd_vpd_hi"),
+        F.count(F.when(chd, 1)).alias("n_chd"),
+        F.count(F.when(nchd, 1)).alias("n_nchd"),
+    )
+    return {"binned": binned, "combobins": combobins, "thresholds": thresholds}
+
+
+def co2_penalty(
+    df: DataFrame,
+    ta: str,
+    vpd: str,
+    nep: str,
+    thres_chd_ta: float,
+    thres_chd_vpd: float,
+    day_len: int,
+    period_len: int | None = None,
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    **rf_kwargs,
+) -> tuple[DataFrame, DataFrame]:
+    """CO2penalty (co2_penalty.py:25-393): flag critical-heat days
+    (daily max TA AND VPD above thresholds), remove the flux on those
+    days, RF-gapfill the removed stretch from the remaining data, and
+    PENALTY = gapfilled - observed (the carbon uptake lost to heat),
+    with running cumulatives and per-period sums.
+
+    Spark shape: daily flags via one day-bucket aggregate broadcast
+    back (no resample loop), the gap-fill is the distributed
+    :func:`diive_spark.operators.ml_gapfill.rf_gapfill`, cumulatives
+    are per-key ordered windows.
+
+    Returns (hires_df, per_period_df).
+    """
+    from .ml_gapfill import rf_gapfill
+
+    keys = list(key_cols)
+    day = F.expr(f"CAST({axis_col} AS BIGINT) div {int(day_len)}")
+    d = df.withColumn("_day", day)
+    daily = d.groupBy(*keys, "_day").agg(
+        F.max(ta).alias("_ta_max"), F.max(vpd).alias("_vpd_max")
+    )
+    flagged = d.join(daily, on=keys + ["_day"], how="left").withColumn(
+        "flag_chd",
+        (
+            (F.col("_ta_max") > thres_chd_ta)
+            & (F.col("_vpd_max") > thres_chd_vpd)
+        ).cast("int"),
+    )
+    limited = flagged.withColumn(
+        "_nep_limited",
+        F.when(F.col("flag_chd") == 1, F.lit(None).cast("double")).otherwise(
+            F.col(nep)
+        ),
+    )
+    gf, scores = rf_gapfill(
+        limited, target_col="_nep_limited", axis_col=axis_col,
+        key_cols=keys, **rf_kwargs,
+    )
+    out = gf.withColumn(
+        "penalty", F.col("_nep_limited_gfRF") - F.col(nep)
+    )
+    wc = Window.partitionBy(*keys).orderBy(axis_col).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    out = (
+        out.withColumn("cumsum_nep", F.sum(nep).over(wc))
+        .withColumn("cumsum_nep_gf", F.sum("_nep_limited_gfRF").over(wc))
+        .withColumn("cumsum_penalty", F.sum("penalty").over(wc))
+    )
+    plen = period_len or day_len * 365
+    period = F.expr(f"CAST({axis_col} AS BIGINT) div {int(plen)}")
+    per_period = (
+        out.withColumn("_period", period)
+        .groupBy(*keys, "_period")
+        .agg(
+            F.sum("penalty").alias("penalty_sum"),
+            F.sum(nep).alias("nep_sum"),
+            F.sum("_nep_limited_gfRF").alias("nep_gf_sum"),
+            (F.count_distinct(F.when(F.col("flag_chd") == 1, F.col("_day"))))
+            .alias("num_chds"),
+        )
+    )
+    return out.drop("_ta_max", "_vpd_max"), per_period

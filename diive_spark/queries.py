@@ -1475,6 +1475,63 @@ FROM r
 """
 
 
+def q_critical_heat_days(spark, sf_dir):
+    """FluxCriticalHeatDaysP95 (criticalheatdays.py:19-473): per-source
+    percentile-bin daily driver maxima; CHD/nCHD thresholds."""
+    from .operators.flux import critical_heat_days_p95
+
+    s = series(spark, sf_dir)
+    daily = (
+        s.withColumn("_day", F.expr("CAST(pos AS BIGINT) div 48"))
+        .groupBy("source", "doc_id", "_day")
+        .agg(
+            F.max("value").alias("ta"),
+            F.max(F.col("value") * 0.8).alias("vpd"),
+            F.avg("value").alias("flux"),
+        )
+        .where(F.col("ta").isNotNull())
+    )
+    res = critical_heat_days_p95(
+        daily, "ta", "vpd", "flux", n_bins=20,
+        key_cols=["source"], tiebreak_cols=["doc_id", "_day"],
+    )
+    t = res["thresholds"]
+    return t.select(
+        "source", _r(F.col("thres_chd_ta")).alias("thres_chd_ta"),
+        _r(F.col("thres_chd_vpd")).alias("thres_chd_vpd"),
+        _r(F.col("thres_nchd_ta_lo")).alias("thres_nchd_ta_lo"),
+        _r(F.col("thres_nchd_ta_hi")).alias("thres_nchd_ta_hi"),
+        "n_chd", "n_nchd",
+    )
+
+
+SQL_CRITICAL_HEAT_DAYS = f"""
+WITH series AS ({SERIES_SQL}),
+daily AS (
+  SELECT source, doc_id, pos // 48 AS d,
+         max(value) AS ta, max(value * 0.8) AS vpd, avg(value) AS flux
+  FROM series GROUP BY 1, 2, 3
+  HAVING max(value) IS NOT NULL),
+b AS (
+  SELECT *,
+    (ntile(20) OVER (PARTITION BY source ORDER BY ta, doc_id, d) - 1) * 5 AS bin_ta,
+    (ntile(20) OVER (PARTITION BY source ORDER BY vpd, doc_id, d) - 1) * 5 AS bin_vpd
+  FROM daily WHERE vpd IS NOT NULL AND flux IS NOT NULL)
+SELECT source,
+  round(min(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN ta END), 6)
+    AS thres_chd_ta,
+  round(min(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN vpd END), 6)
+    AS thres_chd_vpd,
+  round(min(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN ta END), 6)
+    AS thres_nchd_ta_lo,
+  round(max(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN ta END), 6)
+    AS thres_nchd_ta_hi,
+  count(CASE WHEN bin_ta = 95 AND bin_vpd = 95 THEN 1 END) AS n_chd,
+  count(CASE WHEN bin_ta = 90 AND bin_vpd = 90 THEN 1 END) AS n_nchd
+FROM b GROUP BY 1
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1549,6 +1606,7 @@ QUERIES = {
     "screening_pipeline_ep2": (q_screening_pipeline, SQL_SCREENING),
     "ml_gapfill_rf_flags": (q_rf_gapfill_flags, SQL_RF_FLAGS),
     "quadratic_fit": (q_quadratic_fit, SQL_QUADRATIC_FIT),
+    "critical_heat_days": (q_critical_heat_days, SQL_CRITICAL_HEAT_DAYS),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

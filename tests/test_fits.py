@@ -70,3 +70,69 @@ def test_critical_days_bootstrap_threshold(spark):
     assert abs(out1["thres_median"] - 6.0) < 0.1
     assert out1["thres_p16"] <= out1["thres_median"] <= out1["thres_p84"]
     assert out1["n_boot_ok"] >= 55
+
+
+def test_critical_heat_days_p95(spark):
+    """criticalheatdays.py:19-473: top-bin coincidence of TA and VPD
+    defines CHDs; thresholds are that subset's driver minima."""
+    from diive_spark.operators.flux import critical_heat_days_p95
+
+    rng = np.random.default_rng(5)
+    n = 400
+    ta = rng.uniform(5, 30, n)
+    vpd = ta * 0.6 + rng.normal(0, 2, n)     # correlated drivers
+    flux = -ta * 0.3 + rng.normal(0, 1, n)
+    daily = pd.DataFrame({"day": np.arange(n), "ta": ta, "vpd": vpd, "flux": flux})
+    res = critical_heat_days_p95(
+        spark.createDataFrame(daily), "ta", "vpd", "flux",
+        n_bins=20, tiebreak_cols=["day"],
+    )
+    th = res["thresholds"].collect()[0]
+    assert th["n_chd"] >= 1 and th["n_nchd"] >= 1
+    # CHD thresholds sit in the drivers' top tails
+    assert th["thres_chd_ta"] > np.quantile(ta, 0.9)
+    assert th["thres_chd_vpd"] > np.quantile(vpd, 0.9)
+    # near-critical band sits below the critical threshold
+    assert th["thres_nchd_ta_lo"] < th["thres_chd_ta"]
+    assert th["thres_nchd_ta_hi"] <= th["thres_chd_ta"]
+    binned = res["binned"].toPandas()
+    assert set(binned["bin_ta"].unique()) <= set(range(0, 100, 5))
+    comb = res["combobins"].toPandas()
+    assert {"flux_mean", "flux_sd", "n"} <= set(comb.columns)
+
+
+def test_co2_penalty_composition(spark):
+    """co2_penalty.py:25-393: NEP removed on critical heat days is
+    RF-gapfilled from normal days; penalty = gapfilled - observed."""
+    from diive_spark.operators.flux import co2_penalty
+
+    rng = np.random.default_rng(8)
+    n, day_len = 960, 48                      # 20 days
+    pos = np.arange(n)
+    diel = -10 * np.sin(2 * np.pi * pos / day_len).clip(min=0)  # uptake dips
+    ta = 15 + 5 * np.sin(2 * np.pi * pos / day_len)
+    vpd = 8 + 4 * np.sin(2 * np.pi * pos / day_len)
+    hot = (pos // day_len >= 8) & (pos // day_len <= 9)   # days 8-9 hot
+    ta = ta + np.where(hot, 15.0, 0.0)
+    vpd = vpd + np.where(hot, 10.0, 0.0)
+    nep = diel + rng.normal(0, 0.3, n) + np.where(hot, 6.0, 0.0)  # uptake lost
+    pdf = pd.DataFrame({
+        "source": "s", "doc_id": "d", "pos": pos,
+        "ta": ta, "vpd": vpd, "nep": nep,
+    })
+    hires, per_period = co2_penalty(
+        spark.createDataFrame(pdf), "ta", "vpd", "nep",
+        thres_chd_ta=25.0, thres_chd_vpd=15.0, day_len=day_len,
+        period_len=day_len * 10, n_trees=20, cycle=day_len,
+    )
+    got = hires.toPandas().sort_values("pos").reset_index(drop=True)
+    assert (got.loc[hot, "flag_chd"] == 1).all()
+    assert (got.loc[~hot, "flag_chd"] == 0).all()
+    # off-CHD rows: gapfill passes observed through -> penalty exactly 0
+    off = got.loc[~hot, "penalty"].dropna()
+    assert np.allclose(off, 0.0, atol=1e-9)
+    # on CHD days the fill learns the normal diel uptake -> negative penalty
+    on = got.loc[hot, "penalty"].dropna()
+    assert on.mean() < -2.0
+    pp = per_period.toPandas().sort_values("_period")
+    assert pp["num_chds"].tolist() == [2, 0]
