@@ -126,3 +126,33 @@ def storage_correction(
     (diive/pkgs/fluxprocessingchain/level31_storagecorrection.py:129-146)."""
     out_col = out_col or f"{flux_col}_L31"
     return df.withColumn(out_col, F.col(flux_col) + F.col(storage_col))
+
+
+def storage_correction_gapfilled(
+    df: DataFrame,
+    flux_col: str,
+    storage_col: str,
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = None,
+    out_col: str | None = None,
+    **rf_kwargs,
+) -> tuple[DataFrame, dict]:
+    """Level-3.1 storage correction with RF-gap-filled storage term
+    (level31_storagecorrection.py `gapfill_storage_term=True` path):
+    the storage series is gap-filled with
+    :func:`diive_spark.operators.ml_gapfill.rf_gapfill` first, then
+    corrected flux = flux + filled storage."""
+    from ..conventions import KEY_COLS
+    from .ml_gapfill import rf_gapfill
+
+    keys = list(key_cols) if key_cols is not None else list(KEY_COLS)
+    out_col = out_col or f"{flux_col}_L31"
+    filled, scores = rf_gapfill(
+        df, target_col=storage_col, axis_col=axis_col, key_cols=keys,
+        **rf_kwargs,
+    )
+    gf = f"{storage_col}_gfRF"
+    return (
+        filled.withColumn(out_col, F.col(flux_col) + F.col(gf)),
+        scores,
+    )

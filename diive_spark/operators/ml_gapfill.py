@@ -270,3 +270,69 @@ def rf_gapfill(
     if reduction:
         report["feature_reduction"] = reduction
     return out, report
+
+
+def optimize_rf_params(
+    df: DataFrame,
+    target_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    lags: Sequence[int] = (1, 2, 3),
+    cycle: int | None = 64,
+    num_trees_grid: Sequence[int] = (10, 30),
+    max_depth_grid: Sequence[int] = (4, 8),
+    n_folds: int = 3,
+    seed: int = 42,
+) -> dict:
+    """OptimizeParamsRFTS analog (randomforest_ts.py:42-160): grid-
+    search RF hyperparameters with k-fold cross-validation, RMSE
+    scoring.  Spark ML CrossValidator trains all grid cells on the
+    cluster (parallelism = grid size); the reference's GridSearchCV +
+    TimeSeriesSplit becomes CrossValidator + ParamGridBuilder.
+
+    Returns {"best_params", "best_rmse", "cv_results" (list per cell)}.
+    """
+    from pyspark.ml import Pipeline
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.feature import VectorAssembler
+    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feat_df, full_feats, _fb = build_features(
+        df, target_col, axis_col, key_cols, lags, cycle
+    )
+    observed = feat_df.where(F.col(target_col).isNotNull())
+    for c in full_feats:
+        observed = observed.where(F.col(c).isNotNull())
+    asm = VectorAssembler(inputCols=full_feats, outputCol="_vec",
+                          handleInvalid="skip")
+    rf = RandomForestRegressor(featuresCol="_vec", labelCol=target_col,
+                               predictionCol="_pred", seed=seed)
+    grid = (
+        ParamGridBuilder()
+        .addGrid(rf.numTrees, list(num_trees_grid))
+        .addGrid(rf.maxDepth, list(max_depth_grid))
+        .build()
+    )
+    ev = RegressionEvaluator(labelCol=target_col, predictionCol="_pred",
+                             metricName="rmse")
+    cv = CrossValidator(
+        estimator=Pipeline(stages=[asm, rf]), estimatorParamMaps=grid,
+        evaluator=ev, numFolds=n_folds, seed=seed,
+        parallelism=max(1, len(grid)),
+    )
+    model = cv.fit(observed)
+    cells = [
+        {
+            "numTrees": pm[rf.numTrees],
+            "maxDepth": pm[rf.maxDepth],
+            "rmse": m,
+        }
+        for pm, m in zip(grid, model.avgMetrics)
+    ]
+    best = min(cells, key=lambda c: c["rmse"])
+    return {
+        "best_params": {"numTrees": best["numTrees"], "maxDepth": best["maxDepth"]},
+        "best_rmse": best["rmse"],
+        "cv_results": cells,
+    }

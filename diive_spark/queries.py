@@ -1532,6 +1532,46 @@ FROM b GROUP BY 1
 """
 
 
+def q_asof_join(spark, sf_dir):
+    """Backward as-of join (SURVEY 2.11 as-of/nearest idiom): every
+    event row picks up the most recent strictly-ordered reference tick
+    at-or-before it — one ordered window, no join node."""
+    from .operators.joins import asof_join
+
+    s = series(spark, sf_dir)
+    ticks = s.where(F.col("pos") % 7 == 0).select(
+        "source", "doc_id", "pos", F.col("value").alias("tick_v")
+    ).where(F.col("tick_v").isNotNull())
+    probes = s.select("source", "doc_id", "pos")
+    out = asof_join(
+        probes, ticks, axis_col="pos", key_cols=["source", "doc_id"],
+        value_cols=("tick_v",), direction="backward", tolerance=21,
+    )
+    return out.groupBy("source").agg(
+        F.count("tick_v_asof").alias("n_matched"),
+        _r(F.sum("tick_v_asof")).alias("v_sum"),
+        F.sum(F.col("pos") - F.col("pos_asof")).alias("lag_sum"),
+    )
+
+
+SQL_ASOF_JOIN = f"""
+WITH series AS ({SERIES_SQL}),
+ticks AS (
+  SELECT source, doc_id, pos, value AS tick_v FROM series
+  WHERE pos % 7 = 0 AND value IS NOT NULL),
+j AS (
+  SELECT s.source, s.pos, t.tick_v, t.pos AS rpos
+  FROM series s ASOF LEFT JOIN ticks t
+    ON s.source = t.source AND s.doc_id = t.doc_id AND s.pos >= t.pos)
+SELECT source,
+       count(CASE WHEN pos - rpos <= 21 THEN tick_v END) AS n_matched,
+       round(sum(CASE WHEN pos - rpos <= 21 THEN tick_v END), 6) AS v_sum,
+       CAST(sum(CASE WHEN pos - rpos <= 21 THEN pos - rpos END) AS BIGINT)
+         AS lag_sum
+FROM j GROUP BY 1
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1607,6 +1647,7 @@ QUERIES = {
     "ml_gapfill_rf_flags": (q_rf_gapfill_flags, SQL_RF_FLAGS),
     "quadratic_fit": (q_quadratic_fit, SQL_QUADRATIC_FIT),
     "critical_heat_days": (q_critical_heat_days, SQL_CRITICAL_HEAT_DAYS),
+    "asof_join_backward": (q_asof_join, SQL_ASOF_JOIN),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

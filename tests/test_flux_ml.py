@@ -296,3 +296,50 @@ def test_lof_numpy_kernel_properties():
     # fixed-contamination rule: exactly ~5% flagged
     pred5 = _predict_numpy(x, 20, 0.05)
     assert 1 <= (pred5 == -1).sum() <= 12
+
+
+def test_optimize_rf_params_grid(spark):
+    """OptimizeParamsRFTS analog (randomforest_ts.py:42-160): CV grid
+    search returns per-cell RMSE and a best cell."""
+    from diive_spark.operators.ml_gapfill import optimize_rf_params
+
+    rng = np.random.default_rng(17)
+    n = 600
+    v = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64) + rng.normal(0, 1, n)
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": np.arange(n), "value": v})
+    res = optimize_rf_params(
+        spark.createDataFrame(pdf),
+        num_trees_grid=(5, 15), max_depth_grid=(3, 6), n_folds=2,
+    )
+    assert len(res["cv_results"]) == 4
+    assert res["best_params"]["numTrees"] in (5, 15)
+    assert res["best_rmse"] == min(c["rmse"] for c in res["cv_results"])
+    # deeper/larger forest should not be worse than the tiny one here
+    assert res["best_rmse"] < 3.0
+
+
+def test_storage_correction_gapfilled(spark):
+    from diive_spark.operators.eddypro import storage_correction_gapfilled
+
+    rng = np.random.default_rng(19)
+    n = 400
+    storage = 2 + np.sin(2 * np.pi * np.arange(n) / 64) + rng.normal(0, 0.1, n)
+    storage_obs = storage.copy()
+    storage_obs[rng.random(n) < 0.2] = np.nan
+    flux = rng.normal(-5, 1, n)
+    pdf = pd.DataFrame({
+        "source": "s", "doc_id": "d", "pos": np.arange(n),
+        "flux": flux, "storage": storage_obs,
+    })
+    out, scores = storage_correction_gapfilled(
+        spark.createDataFrame(pdf), "flux", "storage",
+        n_trees=15, cycle=64,
+    )
+    got = out.toPandas().sort_values("pos")
+    filled = got["storage_gfRF"].notna().sum()
+    assert filled > got["storage"].notna().sum()    # gaps actually filled
+    have = got["flux_L31"].notna()
+    assert np.allclose(
+        got.loc[have, "flux_L31"],
+        got.loc[have, "flux"] + got.loc[have, "storage_gfRF"],
+    )

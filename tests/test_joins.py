@@ -1,0 +1,107 @@
+"""As-of / nearest joins + winsorize (SURVEY §2.11 idioms)."""
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+
+from diive_spark.operators.joins import (
+    asof_join,
+    nearest_value,
+    winsorize_percentiles,
+)
+
+KEYS = ["source", "doc_id"]
+
+
+def _frames(spark):
+    left = pd.DataFrame({
+        "source": "s", "doc_id": "d",
+        "pos": [0, 5, 10, 15, 20, 100],
+    })
+    right = pd.DataFrame({
+        "source": "s", "doc_id": "d",
+        "pos": [3, 10, 18],
+        "value": [30.0, 100.0, 180.0],
+    })
+    return spark.createDataFrame(left), spark.createDataFrame(right)
+
+
+def test_asof_backward_matches_merge_asof(spark):
+    l, r = _frames(spark)
+    got = (
+        asof_join(l, r, direction="backward", key_cols=KEYS)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    exp = pd.merge_asof(
+        l.toPandas().sort_values("pos"),
+        r.toPandas().sort_values("pos"),
+        on="pos", by=KEYS, direction="backward",
+    )
+    assert got["value_asof"].fillna(-1).tolist() == exp["value"].fillna(-1).tolist()
+    # exact-axis match is taken (pos=10 -> 100.0)
+    assert got.loc[got["pos"] == 10, "value_asof"].iloc[0] == 100.0
+
+
+def test_asof_forward_nearest_and_tolerance(spark):
+    l, r = _frames(spark)
+    fwd = asof_join(l, r, direction="forward", key_cols=KEYS).toPandas()
+    fwd = fwd.sort_values("pos").reset_index(drop=True)
+    assert fwd["value_asof"].fillna(-1).tolist() == [30.0, 100.0, 100.0, 180.0, -1, -1]
+    near = asof_join(l, r, direction="nearest", key_cols=KEYS).toPandas()
+    near = near.sort_values("pos").reset_index(drop=True)
+    # pos=5: backward 3 (d=2) beats forward 10 (d=5); pos=20 -> 18
+    assert near["value_asof"].tolist() == [30.0, 30.0, 100.0, 180.0, 180.0, 180.0]
+    tol = asof_join(l, r, direction="backward", key_cols=KEYS, tolerance=4).toPandas()
+    tol = tol.sort_values("pos").reset_index(drop=True)
+    assert tol["value_asof"].fillna(-1).tolist() == [-1, 30.0, 100.0, -1, 180.0, -1]
+
+
+def test_asof_backward_matches_duckdb_asof(spark):
+    """DuckDB ASOF JOIN as the independent oracle on seeded data."""
+    import duckdb
+
+    rng = np.random.default_rng(6)
+    lp = np.sort(rng.choice(10_000, 500, replace=False))
+    rp = np.sort(rng.choice(10_000, 300, replace=False))
+    l = pd.DataFrame({"source": "s", "doc_id": "d", "pos": lp})
+    r = pd.DataFrame({"source": "s", "doc_id": "d", "pos": rp,
+                      "value": rp.astype(float)})
+    got = (
+        asof_join(spark.createDataFrame(l), spark.createDataFrame(r),
+                  direction="backward", key_cols=KEYS)
+        .toPandas().sort_values("pos").reset_index(drop=True)
+    )
+    con = duckdb.connect()
+    con.register("l", l); con.register("r", r)
+    exp = con.execute("""
+        SELECT l.pos, r.value AS v
+        FROM l ASOF LEFT JOIN r
+          ON l.source = r.source AND l.doc_id = r.doc_id AND l.pos >= r.pos
+        ORDER BY l.pos
+    """).df()
+    assert got["value_asof"].fillna(-1).tolist() == exp["v"].fillna(-1).tolist()
+
+
+def test_nearest_value_probe(spark):
+    l, r = _frames(spark)
+    got = nearest_value(r, l.withColumn("value", F.col("pos") * 1.0),
+                        key_cols=KEYS)
+    # probes are the right table here: each of its rows finds nearest of l
+    out = got.toPandas().sort_values("pos")
+    assert out["value_nearest"].notna().all()
+
+
+def test_winsorize_percentiles(spark):
+    rng = np.random.default_rng(2)
+    v = rng.normal(0, 1, 1000)
+    pdf = pd.DataFrame({"k": "a", "value": v})
+    got = winsorize_percentiles(
+        spark.createDataFrame(pdf), "value", 0.05, 0.95
+    ).toPandas()
+    lo, hi = np.percentile(v, 5), np.percentile(v, 95)
+    assert np.isclose(got["value_winsorized"].min(), lo, atol=1e-9)
+    assert np.isclose(got["value_winsorized"].max(), hi, atol=1e-9)
+    inside = (v > lo) & (v < hi)
+    m = got.sort_index()  # same order as input? use merge on value instead
+    exp_clipped = np.clip(v, lo, hi)
+    assert np.allclose(np.sort(got["value_winsorized"]), np.sort(exp_clipped))
