@@ -108,19 +108,52 @@ def cosine_topk_lsh(
     seed: int = 42,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    n_probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: only corpus vectors in the query's LSH bucket
-    are scored.  Recall grows with fewer planes / multi-probe; this is
-    the 10^9-vector scale path (bucket equi-join, broadcast queries)."""
+    are scored — the 10^9-vector scale path (bucket equi-join,
+    broadcast queries).
+
+    ``n_probe_bits`` > 0 enables MULTI-PROBE: each query additionally
+    probes the buckets at Hamming distance 1 obtained by flipping each
+    of its ``n_probe_bits`` lowest-|margin| hyperplane bits (the planes
+    whose sign decision was closest to the boundary — the standard
+    multi-probe heuristic).  Recall rises steeply for a
+    ``n_probe_bits``-times larger candidate set, without re-hashing
+    the corpus."""
     c = with_lsh_bucket(
         with_normalized(corpus, vec_col), dim, n_planes, seed, "_unit"
     ).select(F.col(id_col).alias("vec_id"), F.col("_unit").alias("_cu"), "lsh_bucket")
-    q = with_lsh_bucket(
-        with_normalized(queries, vec_col), dim, n_planes, seed, "_unit"
-    ).select(F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu"), "lsh_bucket")
+    qn = with_normalized(queries, vec_col)
+    q = with_lsh_bucket(qn, dim, n_planes, seed, "_unit").select(
+        F.col(id_col).alias("query_id"), F.col("_unit").alias("_qu"), "lsh_bucket"
+    )
+    if n_probe_bits > 0:
+        planes = _hyperplanes(dim, n_planes, seed)
+        # |margin| per plane = |dot(unit, plane)|; flip the closest ones
+        margins = F.array(*[
+            F.struct(
+                F.abs(_dot(F.col("_qu"), F.array(*[F.lit(float(x)) for x in p])))
+                .alias("m"),
+                F.lit(i).alias("bit"),
+            )
+            for i, p in enumerate(planes)
+        ])
+        flip_bits = F.transform(
+            F.slice(F.array_sort(margins), 1, n_probe_bits), lambda s: s["bit"]
+        )
+        probes = F.concat(
+            F.array(F.col("lsh_bucket")),
+            F.transform(
+                flip_bits,
+                lambda b: F.col("lsh_bucket").bitwiseXOR(F.pow(F.lit(2.0), b).cast("long")),
+            ),
+        )
+        q = q.withColumn("lsh_bucket", F.explode(probes))
     scored = (
         c.join(F.broadcast(q), on="lsh_bucket")
         .where(F.col("vec_id") != F.col("query_id"))
+        .dropDuplicates(["query_id", "vec_id"])
         .withColumn("cosine", _dot(F.col("_cu"), F.col("_qu")))
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col("vec_id"))

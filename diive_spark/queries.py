@@ -1572,6 +1572,79 @@ FROM j GROUP BY 1
 """
 
 
+def _write_ingest_fixture() -> str:
+    """Deterministic 2-row-header CSV fixture (written once per run):
+    name row, units row, 400 data rows with -9999 NA sentinels and a
+    deliberately ragged extra column on every row (header/data
+    column-count reconciliation, filereader.py:430-463)."""
+    import os
+
+    path = "/tmp/diive_spark_ingest_fixture.csv"
+    lines = ["ts,temp,rh", "[ts],[degC],[%]"]
+    for i in range(400):
+        mm = i % 60
+        hh = (i // 60) % 24
+        temp = -9999 if i % 19 == 0 else round(10 + (i * 37 % 100) / 10.0, 1)
+        rh = round(40 + (i * 13 % 50), 1)
+        extra = i * 3
+        lines.append(f"2022-07-{(i // 1440) + 1:02d} {hh:02d}:{mm:02d}:00,{temp},{rh},{extra}")
+    with open(path, "w") as fh:
+        fh.write("\n".join(lines) + "\n")
+    return path
+
+
+def q_csv_ingest(spark, sf_dir):
+    """Filetype-config CSV ingest parity (filereader.py:276-536): 2-row
+    name+units header, NA sentinel, auto-generated unknown-1 column,
+    numeric coercion, distributed preamble drop — aggregated so the
+    DuckDB twin can read the very same file."""
+    from .operators.timegrid import dedup_keep_last  # noqa: F401 (parity import)
+    from .sources.filetypes import read_filetype
+
+    path = _write_ingest_fixture()
+    cfg = {
+        "FILE": {"COMPRESSION": "None"},
+        "TIMESTAMP": {
+            "INDEX_COLUMN": [0],
+            "DATETIME_FORMAT": "%Y-%m-%d %H:%M:%S",
+            "SHOWS_START_MIDDLE_OR_END_OF_RECORD": "middle",
+        },
+        "DATA": {
+            "HEADER_ROWS": [0, 1],
+            "SKIP_ROWS": [],
+            "NA_VALUES": [-9999],
+            "FREQUENCY": "1MIN",
+            "DELIMITER": ",",
+        },
+    }
+    data, _meta = read_filetype(spark, path, config=cfg)
+    return data.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("temp").alias("n_temp"),
+        _r(F.sum("temp")).alias("temp_sum"),
+        _r(F.sum("rh")).alias("rh_sum"),
+        _r(F.sum(F.col("`unknown-1`"))).alias("extra_sum"),
+        F.count(F.when(F.minute("TIMESTAMP") == 0, 1)).alias("n_top_of_hour"),
+    )
+
+
+SQL_CSV_INGEST = """
+WITH raw AS (
+  SELECT * FROM read_csv('/tmp/diive_spark_ingest_fixture.csv',
+      header=false, skip=2, nullstr='-9999',
+      columns={'ts': 'VARCHAR', 'temp': 'DOUBLE', 'rh': 'DOUBLE',
+               'extra': 'DOUBLE'}))
+SELECT count(*) AS n_rows,
+       count(temp) AS n_temp,
+       round(sum(temp), 6) AS temp_sum,
+       round(sum(rh), 6) AS rh_sum,
+       round(sum(extra), 6) AS extra_sum,
+       count(CASE WHEN minute(CAST(ts AS TIMESTAMP)) = 0 THEN 1 END)
+         AS n_top_of_hour
+FROM raw
+"""
+
+
 def q_ivf_topk(spark, sf_dir):
     """IVF-Flat approximate nearest neighbors (KMeans coarse quantizer,
     rows-only: cluster assignment is seed-deterministic but not
@@ -1648,6 +1721,7 @@ QUERIES = {
     "quadratic_fit": (q_quadratic_fit, SQL_QUADRATIC_FIT),
     "critical_heat_days": (q_critical_heat_days, SQL_CRITICAL_HEAT_DAYS),
     "asof_join_backward": (q_asof_join, SQL_ASOF_JOIN),
+    "csv_ingest_filetype": (q_csv_ingest, SQL_CSV_INGEST),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
