@@ -343,3 +343,21 @@ def test_storage_correction_gapfilled(spark):
         got.loc[have, "flux_L31"],
         got.loc[have, "flux"] + got.loc[have, "storage_gfRF"],
     )
+
+
+def test_rf_gapfill_golden_values_seed42(spark):
+    """Reference test philosophy (tests/test_gapfilling.py:70-74):
+    deterministic-seed EXACT golden outputs — mae, r2, gap-filled
+    column sum, and flag-1 count pinned for random_state=42."""
+    rng = np.random.default_rng(42)
+    n = 800
+    base = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64)
+    v = base + rng.normal(0, 1.0, n)
+    v[rng.random(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": np.arange(n), "value": v})
+    out, sc = rf_gapfill(spark.createDataFrame(pdf), cycle=64, n_trees=20, seed=42)
+    g = out.toPandas()
+    assert round(sc["full_model"]["mae"], 10) == 1.0579793052
+    assert round(sc["full_model"]["r2"], 10) == 0.9910102399
+    assert round(float(g["value_gfRF"].sum()), 6) == 40391.230947
+    assert int((g["value_gfRF_flag"] == 1).sum()) == 74

@@ -115,3 +115,25 @@ def test_histogram_default_range_no_single_partition_window(spark):
     ev = spark.read.parquet(f"{SF}/events.parquet")
     plan = _physical_plan(histogram(ev, n_bins=20, value_col="value"))
     assert "Window" not in plan
+
+
+def test_asof_join_plan_is_window_not_join(spark):
+    """asof_join lowers to union + ordered window — the plan must
+    contain no join node at all (and so no cartesian/broadcast-NL)."""
+    from diive_spark.queries import q_asof_join
+
+    plan = _physical_plan(q_asof_join(spark, SF))
+    for bad in ("SortMergeJoin", "BroadcastHashJoin", "CartesianProduct",
+                "BroadcastNestedLoopJoin"):
+        assert bad not in plan, bad
+    assert "Window" in plan
+
+
+def test_randunc_m2_uses_broadcast_banded_join(spark):
+    """RANDUNC m2's day-band probe must broadcast the (tiny) missing
+    side; no cartesian product anywhere in the cascade."""
+    from diive_spark.queries import q_banded_unc_m2m3
+
+    plan = _physical_plan(q_banded_unc_m2m3(spark, SF))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

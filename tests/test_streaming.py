@@ -100,3 +100,47 @@ def test_stateful_gap_detector_across_restarts(spark, tmp_path):
     g2 = {(r["gap_start"], r["gap_end"]): r["gap_length"]
           for r in spark.read.parquet(out).collect()}
     assert g2 == {(10, 14): 5, (16, 17): 2}
+
+
+def test_stream_dedup_exact_suppresses_redelivery(spark, tmp_path):
+    """dropDuplicatesWithinWatermark keeps the first delivery of each
+    content digest across micro-batches; checkpointed resume does not
+    re-emit survivors."""
+    import pandas as pd
+
+    from diive_spark.streaming.dedup import stream_dedup_exact
+
+    src = str(tmp_path / "din")
+    out = str(tmp_path / "dout")
+    ckpt = str(tmp_path / "dckpt")
+    sch = "source string, ts timestamp, text string"
+    t0 = pd.Timestamp("2024-01-01")
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [(s, (t0 + pd.Timedelta(minutes=m)).to_pydatetime(), tx)
+             for s, m, tx in rows], sch)
+
+    mk([("web", 0, "alpha"), ("web", 1, "beta"),
+        ("web", 2, "alpha"),                 # in-batch duplicate
+        ("app", 3, "alpha")]).write.mode("append").parquet(src)
+
+    def run():
+        stream = spark.readStream.schema(sch).parquet(src)
+        deduped = stream_dedup_exact(stream, watermark="10 minutes", key_cols=[])
+        q = (deduped.writeStream.format("parquet")
+             .option("path", out).option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination(120)
+
+    run()
+    got1 = spark.read.parquet(out).toPandas()
+    # 'alpha' survives once (first delivery), regardless of source/key
+    assert sorted(got1["text"]) == ["alpha", "beta"]
+
+    # second delivery wave: one replay + one new doc
+    mk([("web", 4, "alpha"), ("web", 5, "gamma")]).write.mode(
+        "append").parquet(src)
+    run()
+    got2 = spark.read.parquet(out).toPandas()
+    assert sorted(got2["text"]) == ["alpha", "beta", "gamma"]
