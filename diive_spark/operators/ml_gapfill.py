@@ -336,3 +336,20 @@ def optimize_rf_params(
         "best_rmse": best["rmse"],
         "cv_results": cells,
     }
+
+
+def quick_rf_fill(
+    df: DataFrame,
+    target_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> tuple[DataFrame, dict]:
+    """QuickFillRFTS (randomforest_ts.py:901-935): preliminary one-call
+    gap fill with the reference's canned parameters — 1-step lag
+    features, timestamp features on, a 20-tree forest — no tuning, no
+    feature reduction."""
+    return rf_gapfill(
+        df, target_col=target_col, axis_col=axis_col, key_cols=key_cols,
+        lags=(1,), cycle=64, n_trees=20, max_depth=8,
+        feature_reduction=False,
+    )

@@ -361,3 +361,17 @@ def test_rf_gapfill_golden_values_seed42(spark):
     assert round(sc["full_model"]["r2"], 10) == 0.9910102399
     assert round(float(g["value_gfRF"].sum()), 6) == 40391.230947
     assert int((g["value_gfRF_flag"] == 1).sum()) == 74
+
+
+def test_quick_rf_fill_one_call(spark):
+    rng = np.random.default_rng(23)
+    n = 500
+    v = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64) + rng.normal(0, 1, n)
+    v[rng.random(n) < 0.1] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": np.arange(n), "value": v})
+    from diive_spark.operators.ml_gapfill import quick_rf_fill
+
+    out, sc = quick_rf_fill(spark.createDataFrame(pdf))
+    g = out.toPandas()
+    assert g["value_gfRF"].isna().sum() < np.isnan(v).sum()
+    assert sc["full_model"]["r2"] > 0.5
