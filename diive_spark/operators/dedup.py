@@ -206,10 +206,13 @@ def minhash_dedup(
     est_threshold: float = 0.7,
     text_col: str = "text",
     id_col: str = "doc_id",
+    multi_hop: bool = False,
 ) -> DataFrame:
-    """End-to-end MinHash near-dedup: docs joined to their canonical id
-    (the min id among LSH-confirmed neighbors; single-hop union — for
-    multi-hop chains run to fixpoint with iterate_components)."""
+    """End-to-end MinHash near-dedup: docs joined to their canonical id.
+    ``multi_hop=False``: min id among direct LSH-confirmed neighbors
+    (one groupBy, no iteration).  ``multi_hop=True``: true cluster
+    canonical via connected_components fixpoint, so chains a~b~c all
+    collapse to min(a,b,c) even when a and c are not LSH neighbors."""
     sigs = minhash_signatures(df, k=k, n_shingle=n_shingle,
                               text_col=text_col, id_col=id_col)
     # materialize once: the LSH self-join + signature re-attachment
@@ -217,12 +220,19 @@ def minhash_dedup(
     sigs = sigs.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(sigs, bands=bands, id_col=id_col,
                               est_threshold=est_threshold)
-    edges = pairs.select(
-        F.col("id_a").alias("node"), F.col("id_b").alias("peer")
-    ).unionByName(pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("peer")))
-    canon = edges.groupBy("node").agg(
-        F.least(F.min("peer"), F.first("node")).alias("canonical")
-    )
+    if multi_hop:
+        canon = connected_components(pairs).select(
+            F.col("node"), F.col("component").alias("canonical")
+        )
+    else:
+        edges = pairs.select(
+            F.col("id_a").alias("node"), F.col("id_b").alias("peer")
+        ).unionByName(
+            pairs.select(F.col("id_b").alias("node"), F.col("id_a").alias("peer"))
+        )
+        canon = edges.groupBy("node").agg(
+            F.least(F.min("peer"), F.first("node")).alias("canonical")
+        )
     return df.join(
         canon, on=F.col(id_col) == F.col("node"), how="left"
     ).withColumn(
@@ -314,3 +324,107 @@ def ngram_jaccard(
     return j.withColumn(
         "jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0))
     ).drop("sh_a", "sh_b")
+
+
+def jaccard_pairs_exact(
+    df: DataFrame,
+    n: int = 3,
+    threshold: float = 0.5,
+    max_df: int | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """EXACT all-pairs n-gram Jaccard >= threshold via an inverted
+    index — no crossJoin, no LSH approximation.
+
+    Shape: explode distinct shingles -> self-join on the shingle
+    (candidate pairs can only share a shingle) -> groupBy pair counts
+    the intersection -> |A|+|B|-inter gives the union.  Shuffle is
+    bounded by the co-occurrence list sizes, not |docs|^2.
+
+    ``max_df`` drops shingles appearing in more than that many docs
+    before pairing (the d^2 blowup guard a 100 TB corpus needs; a
+    shingle shared by d docs emits d^2/2 candidate rows).  With
+    ``max_df=None`` the result is exact; with a cap it is exact for
+    every pair that shares at least one sub-cap shingle (stopword-like
+    shingles carry no dedup signal, so in practice recall is intact).
+    """
+    sh = word_shingles(df, n=n, text_col=text_col).select(
+        F.col(id_col).alias("_id"), F.col("shingles")
+    )
+    sizes = sh.select("_id", F.size("shingles").alias("_sz"))
+    inv = sh.select("_id", F.explode("shingles").alias("_s"))
+    if max_df is not None:
+        keep = inv.groupBy("_s").count().where(F.col("count") <= max_df).select("_s")
+        inv = inv.join(keep, on="_s")
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (
+        a.join(b, on=[F.col("a._s") == F.col("b._s"),
+                      F.col("a._id") < F.col("b._id")])
+        .groupBy(F.col("a._id").alias("id_a"), F.col("b._id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("_inter"))
+    )
+    out = (
+        inter.join(sizes.select(F.col("_id").alias("id_a"),
+                                F.col("_sz").alias("_sza")), on="id_a")
+        .join(sizes.select(F.col("_id").alias("id_b"),
+                           F.col("_sz").alias("_szb")), on="id_b")
+        .withColumn(
+            "jaccard",
+            F.col("_inter") / (F.col("_sza") + F.col("_szb") - F.col("_inter")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Distributed connected components over an undirected edge list:
+    min-label propagation to fixpoint.  Returns (node, component) where
+    component = min node id in the component; only nodes appearing in
+    ``edges`` are returned (isolated docs are their own component by
+    definition — callers coalesce).
+
+    Each iteration is one join + one groupBy on narrow (node, label)
+    rows, localCheckpoint'ed so lineage stays flat.  Convergence is
+    detected by the monotone label-sum invariant (labels only ever
+    decrease, so an unchanged sum IS the fixpoint) — one cheap aggregate
+    action per round instead of a changed-row anti-join.  Rounds needed
+    = graph diameter; near-dup graphs are short chains/cliques, so this
+    terminates in a handful of rounds (GraphFrames' large-star would cut
+    it to O(log d) — unnecessary here).
+    """
+    e = edges.select(F.col(src).alias("s"), F.col(dst).alias("d"))
+    sym = e.unionByName(e.select(F.col("d").alias("s"), F.col("s").alias("d")))
+    sym = sym.dropDuplicates(["s", "d"]).localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("s").alias("node"))
+        .dropDuplicates(["node"])
+        .withColumn("label", F.col("node"))
+        .localCheckpoint(eager=True)
+    )
+    prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, on=sym.d == labels.node)
+            .groupBy("s").agg(F.min("label").alias("_nl"))
+        )
+        labels = (
+            labels.join(nbr_min, on=labels.node == nbr_min.s, how="left")
+            .select(
+                "node",
+                F.least(F.col("label"), F.coalesce("_nl", "label")).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return labels.select("node", F.col("label").alias("component"))

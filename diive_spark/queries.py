@@ -1281,6 +1281,46 @@ def q_minhash_dedup_docs(spark, sf_dir):
     )
 
 
+def q_neardup_components(spark, sf_dir):
+    """Multi-hop near-dup clustering: EXACT inverted-index all-pairs
+    trigram Jaccard >= 0.5 (no crossJoin, no LSH seed) -> distributed
+    connected-components fixpoint -> (doc_id, component).  The oracle
+    twin replays the same edges with a recursive CTE, so the fixpoint
+    semantics (chains/triangles collapse to min id) are hash-checked."""
+    docs = _load(spark, sf_dir, "documents")
+    edges = dedup.jaccard_pairs_exact(docs, n=3, threshold=0.5)
+    cc = dedup.connected_components(edges)
+    return cc.select(
+        F.col("node").alias("doc_id"),
+        F.col("component").cast("long").alias("component"),
+    )
+
+
+SQL_NEARDUP_COMPONENTS = r"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id,
+         list_distinct(list_transform(
+           range(1, greatest(len(regexp_split_to_array(lower(trim(text)), '\s+')) - 2, 1) + 1),
+           i -> array_to_string(list_slice(
+                  regexp_split_to_array(lower(trim(text)), '\s+'), i, i + 2), ' ')))
+           AS s
+  FROM documents),
+edges AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+  WHERE len(list_intersect(a.s, b.s)) * 1.0
+        / len(list_distinct(a.s || b.s)) >= 0.5),
+sym AS (SELECT ia AS s, ib AS d FROM edges
+        UNION SELECT ib, ia FROM edges),
+reach(node, r) AS (
+  SELECT DISTINCT s, s FROM sym
+  UNION
+  SELECT sym.s, reach.r FROM sym JOIN reach ON reach.node = sym.d)
+SELECT node AS doc_id, CAST(min(r) AS BIGINT) AS component
+FROM reach GROUP BY node
+"""
+
+
 def q_simhash_docs(spark, sf_dir):
     """SimHash fingerprints + near-pair count (rows-only)."""
     docs = _load(spark, sf_dir, "documents")
@@ -1722,6 +1762,7 @@ QUERIES = {
     "critical_heat_days": (q_critical_heat_days, SQL_CRITICAL_HEAT_DAYS),
     "asof_join_backward": (q_asof_join, SQL_ASOF_JOIN),
     "csv_ingest_filetype": (q_csv_ingest, SQL_CSV_INGEST),
+    "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

@@ -75,6 +75,57 @@ def test_minhash_dedup_canonical(spark, docs):
     assert m[5] == 5  # non-dup maps to itself
 
 
+def test_connected_components_chain_and_clique(spark):
+    """Fixpoint label propagation: a 4-node chain (1-2, 2-3, 3-4) needs
+    3 propagation rounds to collapse to min id 1 — the case single-hop
+    canonicalization gets wrong; disjoint pair keeps its own label."""
+    from diive_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22), (20, 22)],
+        "id_a long, id_b long",
+    )
+    got = {r["node"]: r["component"]
+           for r in connected_components(edges).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10,
+                   20: 20, 21: 20, 22: 20}
+
+
+def test_jaccard_pairs_exact_matches_pairwise(spark, docs):
+    """Inverted-index all-pairs Jaccard == the pairwise ngram_jaccard
+    values for every pair it emits, and finds all planted dups."""
+    from diive_spark.operators.dedup import jaccard_pairs_exact
+
+    got = jaccard_pairs_exact(docs, n=3, threshold=0.5).toPandas()
+    found = set(map(tuple, got[["id_a", "id_b"]].values))
+    assert {(0, 100), (1, 101), (2, 102)} <= found
+    pairs = spark.createDataFrame(
+        got[["id_a", "id_b"]], "id_a long, id_b long"
+    )
+    ref = (
+        ngram_jaccard(docs, pairs).toPandas()
+        .set_index(["id_a", "id_b"])["jaccard"]
+    )
+    for (a, b), j in got.set_index(["id_a", "id_b"])["jaccard"].items():
+        assert abs(ref.loc[(a, b)] - j) < 1e-12
+
+
+def test_minhash_dedup_multi_hop_chain(spark):
+    """a~b and b~c (one word drifts each hop) must all canonicalize to
+    min id under multi_hop=True even when a and c alone are not
+    LSH-confirmed neighbors."""
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india juliet " \
+           "kilo lima mike november oscar papa quebec romeo sierra tango"
+    w = base.split()
+    v1 = list(w); v1[3] = "xray"
+    v2 = list(v1); v2[15] = "yankee"; v2[16] = "zulu"
+    rows = [(1, base), (2, " ".join(v1)), (3, " ".join(v2)), (9, " ".join(reversed(w)))]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    out = minhash_dedup(docs, est_threshold=0.55, multi_hop=True)
+    m = {r["doc_id"]: r["canonical_id"] for r in out.collect()}
+    assert m[1] == 1 and m[2] == 1 and m[3] == 1
+
+
 def test_simhash_near_dups(spark, docs):
     fp = simhash(docs)
     pairs = simhash_pairs(fp, max_hamming=10).toPandas()
