@@ -1,0 +1,100 @@
+"""Scrubbing + sampling operators for training-data pipelines
+(target-side; the reference has no text corpus tooling — these cover
+the pre-training preprocessing a 100 TB corpus needs).
+
+- PII redaction: email / IPv4 / phone patterns replaced with typed
+  placeholder tokens, plus per-kind match counts.  Pure JVM
+  ``regexp_replace`` / ``regexp_extract_all`` — no UDFs; patterns stay
+  in the RE2-compatible subset so the DuckDB oracle twin can run the
+  exact same regexes.
+- Deterministic hash sampling: keep rows where the first 8 hex chars of
+  md5(seed || key) fall below a rate threshold.  Engine-portable
+  (lexicographic hex compare), reproducible, and cluster-stable: the
+  decision depends only on the key, never on partitioning — unlike
+  ``df.sample`` whose output changes with the split layout.
+- Stratified variant: per-stratum rates (e.g. per-language quotas for
+  corpus rebalancing) via one when-chain over the same hash.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+# public, standard patterns — kept lookaround-free for RE2 parity
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "ipv4": r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b",
+    "phone": r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}",
+}
+
+
+def redact_pii(
+    df: DataFrame,
+    text_col: str = "text",
+    kinds: tuple[str, ...] = ("email", "ipv4", "phone"),
+    out_col: str = "text_redacted",
+) -> DataFrame:
+    """Replace each PII match with ``<KIND>`` and count matches per
+    kind (``n_email`` etc.).  Order matters: email before phone so the
+    digits in a username are not half-eaten by the phone pattern;
+    counts are taken on the original text."""
+    out = df
+    for kind in kinds:
+        pat = PII_PATTERNS[kind]
+        out = out.withColumn(
+            f"n_{kind}",
+            F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), 0)),
+        )
+    redacted = F.col(text_col)
+    for kind in kinds:
+        redacted = F.regexp_replace(
+            redacted, PII_PATTERNS[kind], f"<{kind.upper()}>"
+        )
+    return out.withColumn(out_col, redacted)
+
+
+def _hash_bucket(key_col, seed: int):
+    """First 8 hex chars of md5(seed || key) as the sampling bucket."""
+    return F.substring(
+        F.md5(F.concat(F.lit(str(seed)), F.lit(":"), key_col.cast("string"))), 1, 8
+    )
+
+
+def rate_threshold_hex(rate: float) -> str:
+    """Hex threshold such that P(bucket < threshold) == rate over the
+    uniform 32-bit bucket space."""
+    if not 0.0 <= rate <= 1.0:
+        raise ValueError(f"rate must be in [0,1], got {rate}")
+    return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
+
+
+def hash_sample(
+    df: DataFrame, rate: float, key_col: str, seed: int = 0
+) -> DataFrame:
+    """Deterministic ``rate`` sample keyed on ``key_col``: a row is kept
+    iff md5(seed || key)[:8] < rate-threshold.  Same keys always draw
+    the same verdict across runs, partitionings and engines — the
+    property corpus-freeze reproducibility needs."""
+    return df.where(
+        _hash_bucket(F.col(key_col), seed) < F.lit(rate_threshold_hex(rate))
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    rates: dict[str, float],
+    strata_col: str,
+    key_col: str,
+    seed: int = 0,
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language rebalancing:
+    {'en': 0.1, 'de': 1.0}).  One hash, one when-chain — no shuffle."""
+    bucket = _hash_bucket(F.col(key_col), seed)
+    thr = F.lit(rate_threshold_hex(default_rate))
+    for stratum, rate in sorted(rates.items()):
+        thr = F.when(
+            F.col(strata_col) == stratum, F.lit(rate_threshold_hex(rate))
+        ).otherwise(thr)
+    return df.where(bucket < thr)

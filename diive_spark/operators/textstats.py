@@ -97,6 +97,88 @@ def language_id(df: DataFrame, text_col: str = "text") -> DataFrame:
     return tmp.withColumn("lang_pred", pred).drop("_words", "_nw")
 
 
+def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Gopher-style repetition signals (Rae et al. 2021, §A1.1 quality
+    filters — public):
+
+    - ``dup_line_frac``: fraction of lines that repeat an earlier line
+      (1 - distinct/total over '\\n' splits).
+    - ``dup_ngram_frac_{2,3}``: fraction of word n-grams that are
+      repeats of an n-gram already seen in the doc.
+    - ``top_bigram_frac``: share of all bigrams taken by the single
+      most frequent bigram (copy-paste spam spikes this).
+    - ``symbol_word_ratio``: '#'/ellipsis symbols per word.
+    - ``repetition_flag``: 1 when any signal crosses the published
+      Gopher rejection bands (dup lines > 0.30, dup 2-grams > 0.20,
+      top bigram > 0.18, symbol ratio > 0.10).
+
+    All per-row JVM array expressions — no explode, no shuffle, no UDF;
+    the most-frequent-bigram count is a sort + one-pass fold
+    (max run length in the sorted array) instead of a groupBy.
+    """
+    t = F.col(text_col)
+    lines = F.split(t, r"\n")
+    n_lines = F.size(lines)
+    dup_line = (n_lines - F.size(F.array_distinct(lines))) / F.greatest(
+        n_lines, F.lit(1)
+    )
+    words = F.split(F.lower(F.trim(t)), r"\s+")
+    tmp = df.withColumn("_w", words)
+
+    def ngrams(n):
+        return F.expr(
+            f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+            f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+        )
+
+    def dup_frac(arr):
+        return (F.size(arr) - F.size(F.array_distinct(arr))) / F.greatest(
+            F.size(arr), F.lit(1)
+        )
+
+    def max_run(arr):
+        # most-frequent element count == longest equal run in the
+        # sorted array; one fold, no shuffle
+        acc0 = F.struct(
+            F.lit("").alias("prev"), F.lit(0).alias("run"), F.lit(0).alias("best")
+        )
+        run = lambda acc, x: F.when(x == acc.prev, acc.run + 1).otherwise(F.lit(1))
+        fold = F.aggregate(
+            F.array_sort(arr),
+            acc0,
+            lambda acc, x: F.struct(
+                x.alias("prev"),
+                run(acc, x).alias("run"),
+                F.greatest(acc.best, run(acc, x)).alias("best"),
+            ),
+        )
+        return fold.best
+
+    bi = ngrams(2)
+    tmp = tmp.withColumn("_bi", bi).withColumn("_tri", ngrams(3))
+    n_words = F.greatest(F.size(F.col("_w")), F.lit(1))
+    n_sym = F.size(F.regexp_extract_all(t, F.lit(r"#|\.\.\.|…"), 0))
+    out = (
+        tmp.withColumn("dup_line_frac", dup_line)
+        .withColumn("dup_ngram_frac_2", dup_frac(F.col("_bi")))
+        .withColumn("dup_ngram_frac_3", dup_frac(F.col("_tri")))
+        .withColumn(
+            "top_bigram_frac",
+            max_run(F.col("_bi")) / F.greatest(F.size(F.col("_bi")), F.lit(1)),
+        )
+        .withColumn("symbol_word_ratio", n_sym / n_words)
+    )
+    flag = (
+        (F.col("dup_line_frac") > 0.30)
+        | (F.col("dup_ngram_frac_2") > 0.20)
+        | (F.col("top_bigram_frac") > 0.18)
+        | (F.col("symbol_word_ratio") > 0.10)
+    )
+    return out.withColumn("repetition_flag", flag.cast("int")).drop(
+        "_w", "_bi", "_tri"
+    )
+
+
 def doc_fingerprint(
     df: DataFrame, text_col: str = "text", n_hashes: int = 4
 ) -> DataFrame:

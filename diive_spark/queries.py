@@ -27,7 +27,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .operators import analyses, corrections, dedup, gaps, outliers, qcf, resample
-from .operators import similarity, textstats
+from .operators import scrub, similarity, textstats
 
 KEYS = ["source", "doc_id"]
 
@@ -718,6 +718,136 @@ SELECT doc_id,
        round((length(text) - length(regexp_replace(text, '[0-9]', '', 'g'))) * 1.0
              / greatest(length(text), 1), 6) AS digit_ratio
 FROM documents
+"""
+
+
+def q_repetition_features(spark, sf_dir):
+    """Gopher-style repetition filters (dup n-gram fractions, top-bigram
+    share, symbol ratio) — per-doc JVM array expressions, hash-checked
+    against a groupBy-based SQL twin."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.repetition_features(docs)
+    return out.select(
+        "doc_id",
+        _r(F.col("dup_ngram_frac_2")).alias("dup2"),
+        _r(F.col("dup_ngram_frac_3")).alias("dup3"),
+        _r(F.col("top_bigram_frac")).alias("top_bigram"),
+        _r(F.col("symbol_word_ratio")).alias("symbol_ratio"),
+        F.col("repetition_flag").cast("long").alias("rep_flag"),
+    )
+
+
+SQL_REPETITION = r"""
+WITH w AS (
+  SELECT doc_id, text, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id, text,
+         list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 1), ' ')) AS bi,
+         list_transform(range(1, greatest(len(ws) - 2, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 2), ' ')) AS tri,
+         greatest(len(ws), 1) AS nw
+  FROM w),
+top AS (
+  SELECT doc_id, max(c) * 1.0 / sum(c) AS top_bigram_frac
+  FROM (SELECT doc_id, b, count(*) AS c
+        FROM (SELECT doc_id, unnest(bi) AS b FROM g) GROUP BY 1, 2)
+  GROUP BY 1),
+feats AS (
+  SELECT g.doc_id,
+         (len(bi) - len(list_distinct(bi))) * 1.0 / greatest(len(bi), 1) AS dup2,
+         (len(tri) - len(list_distinct(tri))) * 1.0 / greatest(len(tri), 1) AS dup3,
+         (len(regexp_split_to_array(text, '\n'))
+          - len(list_distinct(regexp_split_to_array(text, '\n')))) * 1.0
+           / greatest(len(regexp_split_to_array(text, '\n')), 1) AS dup_line,
+         len(regexp_extract_all(text, '#|\.\.\.|…')) * 1.0 / nw AS symbol_ratio,
+         top.top_bigram_frac
+  FROM g JOIN top ON g.doc_id = top.doc_id)
+SELECT doc_id, round(dup2, 6) AS dup2, round(dup3, 6) AS dup3,
+       round(top_bigram_frac, 6) AS top_bigram,
+       round(symbol_ratio, 6) AS symbol_ratio,
+       CAST(CASE WHEN dup_line > 0.30 OR dup2 > 0.20
+                   OR top_bigram_frac > 0.18 OR symbol_ratio > 0.10
+                 THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
+FROM feats
+"""
+
+
+def q_pii_redaction(spark, sf_dir):
+    """PII scrub: plant a deterministic email/IP/phone into every 10th
+    doc, redact with RE2-portable regexes, hash-check the redacted text
+    digests and per-kind match counts against the SQL twin."""
+    docs = _load(spark, sf_dir, "documents")
+    planted = F.when(
+        F.col("doc_id") % 10 == 0,
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0.0."),
+            (F.col("doc_id") % 200 + 1).cast("string"),
+            F.lit(" call +1 415 555 0100"),
+        ),
+    ).otherwise(F.col("text"))
+    aug = docs.withColumn("text2", planted)
+    red = scrub.redact_pii(aug, text_col="text2")
+    return red.select(
+        "doc_id",
+        F.col("n_email").cast("long").alias("n_email"),
+        F.col("n_ipv4").cast("long").alias("n_ipv4"),
+        F.col("n_phone").cast("long").alias("n_phone"),
+        F.md5(F.col("text_redacted")).alias("digest"),
+    )
+
+
+SQL_PII_REDACTION = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 10 = 0
+              THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                   || '@example.com from 10.0.0.'
+                   || CAST(doc_id % 200 + 1 AS VARCHAR)
+                   || ' call +1 415 555 0100'
+              ELSE text END AS t
+  FROM documents)
+SELECT doc_id,
+  CAST(len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_email,
+  CAST(len(regexp_extract_all(t, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS BIGINT) AS n_ipv4,
+  CAST(len(regexp_extract_all(t, '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}')) AS BIGINT) AS n_phone,
+  md5(regexp_replace(regexp_replace(regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IPV4>', 'g'),
+        '\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ]?[0-9]{3}[-. ]?[0-9]{4}', '<PHONE>', 'g'))
+    AS digest
+FROM aug
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified hash sampling (per-language quotas):
+    kept-row counts per language under md5-bucket thresholds — the
+    partitioning-independent corpus rebalancing primitive."""
+    docs = _load(spark, sf_dir, "documents")
+    rates = {"en": 0.5, "de": 1.0, "fr": 0.25, "es": 0.25, "zh": 0.1}
+    kept = scrub.stratified_hash_sample(
+        docs, rates, strata_col="lang", key_col="doc_id", seed=7
+    )
+    return kept.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+SQL_STRATIFIED_SAMPLE = """
+WITH thr AS (
+  SELECT * FROM (VALUES
+    ('en', '80000000'), ('de', 'ffffffff'), ('fr', '40000000'),
+    ('es', '40000000'), ('zh', '19999999')) AS t(lang, hex_thr))
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex_thr
+GROUP BY 1
 """
 
 
@@ -1763,6 +1893,9 @@ QUERIES = {
     "asof_join_backward": (q_asof_join, SQL_ASOF_JOIN),
     "csv_ingest_filetype": (q_csv_ingest, SQL_CSV_INGEST),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
+    "repetition_features": (q_repetition_features, SQL_REPETITION),
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

@@ -198,6 +198,27 @@ def test_textstats(spark):
     assert fp["fp_full"].nunique() == 3
 
 
+def test_repetition_features_hand_values(spark):
+    """Hand-computed Gopher repetition signals on crafted docs."""
+    from diive_spark.operators.textstats import repetition_features
+
+    spam = "buy now " * 10          # 20 words, one bigram dominates
+    clean = "the quick brown fox jumps over a lazy dog tonight"
+    liney = "a\nb\na\nc\na"          # 5 lines, 'a' x3 -> dup_line 2/5
+    df = spark.createDataFrame(
+        [(1, spam.strip()), (2, clean), (3, liney)], "doc_id long, text string"
+    )
+    out = {r["doc_id"]: r for r in repetition_features(df).collect()}
+    # spam: 19 bigrams, 3 distinct ("buy now","now buy","buy now"...)
+    assert out[1]["top_bigram_frac"] > 0.5
+    assert out[1]["dup_ngram_frac_2"] > 0.8
+    assert out[1]["repetition_flag"] == 1
+    # clean: all bigrams unique
+    assert out[2]["dup_ngram_frac_2"] == 0.0
+    assert out[2]["repetition_flag"] == 0
+    assert abs(out[3]["dup_line_frac"] - 2 / 5) < 1e-12
+
+
 def test_multimodal_plumbing(spark):
     media = fake_media_table(spark, n=12)
     feats = extract_features(media, feature_dim=8).toPandas()

@@ -1,0 +1,74 @@
+"""Scrub operators: PII redaction counts/placeholders and deterministic
+hash sampling (rate accuracy, partitioning invariance, strata quotas)."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from diive_spark.operators.scrub import (
+    hash_sample,
+    rate_threshold_hex,
+    redact_pii,
+    stratified_hash_sample,
+)
+
+
+def test_redact_pii_counts_and_placeholders(spark):
+    rows = [
+        (1, "mail a@b.co and c.d+x@e.org, server 192.168.0.1, "
+            "call +1 (415) 555-0100 now"),
+        (2, "no pii here at all"),
+    ]
+    df = spark.createDataFrame(rows, "id long, text string")
+    out = {r["id"]: r for r in redact_pii(df).collect()}
+    assert out[1]["n_email"] == 2
+    assert out[1]["n_ipv4"] == 1
+    assert out[1]["n_phone"] == 1
+    red = out[1]["text_redacted"]
+    assert "<EMAIL>" in red and "<IPV4>" in red and "<PHONE>" in red
+    assert "a@b.co" not in red and "192.168" not in red and "555" not in red
+    assert out[2]["text_redacted"] == "no pii here at all"
+    assert out[2]["n_email"] == out[2]["n_ipv4"] == out[2]["n_phone"] == 0
+
+
+def test_hash_sample_rate_and_partition_invariance(spark):
+    df = spark.range(0, 10000).withColumnRenamed("id", "k")
+    kept = hash_sample(df, 0.2, "k", seed=3)
+    n = kept.count()
+    assert abs(n / 10000 - 0.2) < 0.02          # binomial 3-sigma ~ 0.012
+    ids1 = sorted(r["k"] for r in kept.collect())
+    ids2 = sorted(
+        r["k"] for r in hash_sample(df.repartition(17), 0.2, "k", seed=3).collect()
+    )
+    assert ids1 == ids2                          # layout-independent verdicts
+    ids_seed4 = {r["k"] for r in hash_sample(df, 0.2, "k", seed=4).collect()}
+    assert set(ids1) != ids_seed4                # seed actually matters
+
+
+def test_hash_sample_edge_rates(spark):
+    df = spark.range(0, 100).withColumnRenamed("id", "k")
+    assert hash_sample(df, 0.0, "k").count() == 0
+    assert hash_sample(df, 1.0, "k").count() == 100
+    assert rate_threshold_hex(1.0) == "ffffffff"
+    assert rate_threshold_hex(0.0) == "00000000"
+
+
+def test_stratified_hash_sample_quotas(spark):
+    df = (
+        spark.range(0, 6000)
+        .withColumnRenamed("id", "k")
+        .withColumn(
+            "lang",
+            F.when(F.col("k") % 3 == 0, "en")
+            .when(F.col("k") % 3 == 1, "de")
+            .otherwise("zh"),
+        )
+    )
+    kept = stratified_hash_sample(
+        df, {"en": 1.0, "de": 0.5, "zh": 0.0}, strata_col="lang", key_col="k"
+    )
+    counts = {r["lang"]: r["n"] for r in
+              kept.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts.get("en") == 2000
+    assert abs(counts.get("de", 0) / 2000 - 0.5) < 0.05
+    assert "zh" not in counts
