@@ -169,3 +169,83 @@ def winsorize_percentiles(
         v > F.col("_w_hi"), F.col("_w_hi")
     ).otherwise(v)
     return j.withColumn(out_col, clipped).drop("_w_lo", "_w_hi")
+
+
+def interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str = "ts",
+    start_col: str = "start",
+    end_col: str = "end",
+    key_cols: Sequence[str] = (),
+    bin_width: float | None = None,
+    how: str = "inner",
+) -> DataFrame:
+    """Point-in-interval range join (df_between_two_dates /
+    similarity-window idiom, frames.py:480-501 generalized to an
+    interval TABLE instead of one driver-side range).
+
+    Scale shape: a raw theta-join on ``start <= ts <= end`` lowers to
+    BroadcastNestedLoop — O(|points| * |intervals|).  Instead both
+    sides are bucketized on the axis: intervals explode to the bins
+    they cover, points land in exactly one bin, and the join becomes an
+    EQUI-join on (keys, bin) + an exact containment filter.  With
+    ``bin_width >= max interval length`` (the default, one tiny
+    aggregate) each interval covers <= 2 bins, so the candidate set is
+    ~2 rows per interval per bin neighborhood — shuffle-bounded, skew
+    governed by bin population, AQE-splittable.  No duplicate pairs:
+    a point matches an interval in the point's own bin only.
+
+    Timestamps are compared on their epoch-seconds double (exact for
+    the parquet micros range); numeric axes pass through.  ``how`` is
+    ``inner`` or ``left`` (unmatched points kept with null interval
+    columns).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be inner|left, got {how}")
+    keys = list(key_cols)
+
+    def ax(df, c):
+        # numeric axis for binning: epoch seconds for timestamp columns
+        # (tz interpretation is irrelevant — only monotone + consistent
+        # across both sides matters), raw double otherwise
+        if df.schema[c].dataType.typeName().startswith("timestamp"):
+            return F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+        return F.col(c).cast("double")
+
+    if bin_width is None:
+        bin_width = (
+            intervals.agg(
+                F.max(ax(intervals, end_col) - ax(intervals, start_col)).alias("m")
+            ).first()["m"]
+            or 1.0
+        )
+        bin_width = max(float(bin_width), 1e-9)
+    b = F.lit(float(bin_width))
+    pts = points.withColumn("_bin", F.floor(ax(points, point_ts) / b))
+    ivs = intervals.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(
+                F.floor(ax(intervals, start_col) / b),
+                F.floor(ax(intervals, end_col) / b),
+            )
+        ),
+    )
+    # exact containment on the native column types
+    contained = (F.col(point_ts) >= F.col(start_col)) & (
+        F.col(point_ts) <= F.col(end_col)
+    )
+    if how == "inner":
+        return pts.join(ivs, on=keys + ["_bin"], how="inner").where(
+            contained
+        ).drop("_bin")
+    # left: unmatched points re-attached via an internal row id (point
+    # rows need not be distinct)
+    pts = pts.withColumn("_pid", F.monotonically_increasing_id())
+    matched = pts.join(ivs, on=keys + ["_bin"], how="inner").where(contained)
+    iv_cols = [c for c in ivs.columns if c not in set(keys + ["_bin"])]
+    empties = pts.join(matched.select("_pid"), on="_pid", how="left_anti")
+    for c in iv_cols:
+        empties = empties.withColumn(c, F.lit(None).cast(dict(ivs.dtypes)[c]))
+    return matched.drop("_bin", "_pid").unionByName(empties.drop("_bin", "_pid"))

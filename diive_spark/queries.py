@@ -1702,6 +1702,55 @@ FROM b GROUP BY 1
 """
 
 
+def q_interval_join(spark, sf_dir):
+    """Point-in-interval range join: every 200th event per type opens a
+    600 s maintenance window; events are bucket-equi-joined to the
+    windows they fall in (no BroadcastNestedLoop) and aggregated per
+    window.  Oracle twin does the naive theta-join."""
+    from .operators.joins import interval_join
+
+    ev = _load(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    iv = (
+        ev.withColumn("_rn", F.row_number().over(w))
+        .where((F.col("_rn") - 1) % 200 == 0)
+        .select(
+            "event_type",
+            ((F.col("_rn") - 1) / 200).cast("long").alias("window_id"),
+            F.col("ts").alias("start"),
+            (F.col("ts") + F.expr("INTERVAL 600 SECONDS")).alias("end"),
+        )
+    )
+    joined = interval_join(
+        ev, iv, point_ts="ts", start_col="start", end_col="end",
+        key_cols=["event_type"],
+    )
+    return joined.groupBy("event_type", "window_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        _r(F.sum("value")).alias("val_sum"),
+    )
+
+
+SQL_INTERVAL_JOIN = """
+WITH iv AS (
+  SELECT event_type, CAST((rn - 1) / 200 AS BIGINT) AS window_id,
+         ts AS s, ts + INTERVAL 600 SECOND AS e
+  FROM (SELECT event_type, ts,
+               row_number() OVER (PARTITION BY event_type
+                                  ORDER BY event_id) AS rn
+        FROM events)
+  WHERE (rn - 1) % 200 = 0)
+SELECT ev.event_type, iv.window_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       round(sum(ev.value), 6) AS val_sum
+FROM iv JOIN events ev
+  ON ev.event_type = iv.event_type AND ev.ts >= iv.s AND ev.ts <= iv.e
+GROUP BY 1, 2
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (SURVEY 2.11 as-of/nearest idiom): every
     event row picks up the most recent strictly-ordered reference tick
@@ -1896,6 +1945,7 @@ QUERIES = {
     "repetition_features": (q_repetition_features, SQL_REPETITION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

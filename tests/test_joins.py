@@ -105,3 +105,45 @@ def test_winsorize_percentiles(spark):
     m = got.sort_index()  # same order as input? use merge on value instead
     exp_clipped = np.clip(v, lo, hi)
     assert np.allclose(np.sort(got["value_winsorized"]), np.sort(exp_clipped))
+
+
+def test_interval_join_inner_and_left(spark):
+    """Containment semantics incl. bin-boundary crossing, duplicate
+    point rows, and left-join null padding."""
+    from diive_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame(
+        [("a", 5.0), ("a", 5.0), ("a", 19.5), ("a", 99.0), ("b", 5.0)],
+        "k string, ts double",
+    )
+    # [18, 22] crosses the bin boundary at 20 (bin_width = max len = 10)
+    ivs = spark.createDataFrame(
+        [("a", 0.0, 10.0, "w0"), ("a", 18.0, 22.0, "w1"), ("b", 50.0, 60.0, "w2")],
+        "k string, start double, end double, name string",
+    )
+    inner = interval_join(
+        pts, ivs, point_ts="ts", key_cols=["k"], how="inner"
+    ).toPandas()
+    got = sorted(zip(inner["ts"], inner["name"]))
+    assert got == [(5.0, "w0"), (5.0, "w0"), (19.5, "w1")]
+
+    left = interval_join(
+        pts, ivs, point_ts="ts", key_cols=["k"], how="left"
+    ).toPandas()
+    assert len(left) == 5                      # both dup rows kept
+    unmatched = left[left["name"].isna()]
+    assert sorted(zip(unmatched["k"], unmatched["ts"])) == [
+        ("a", 99.0), ("b", 5.0)]
+
+
+def test_interval_join_inclusive_bounds_and_plan(spark):
+    from diive_spark.operators.joins import interval_join
+
+    pts = spark.createDataFrame([("a", 10.0), ("a", 20.0)], "k string, ts double")
+    ivs = spark.createDataFrame(
+        [("a", 10.0, 20.0, 1)], "k string, start double, end double, wid int"
+    )
+    out = interval_join(pts, ivs, key_cols=["k"])
+    assert out.count() == 2                    # both endpoints inclusive
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
