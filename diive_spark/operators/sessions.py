@@ -1,0 +1,81 @@
+"""Event sessionization: group per-key event streams into sessions
+separated by inactivity gaps (the events-table analog of the series
+gap-finder, gaps.py:gap_runs — reference GapFinder semantics
+core/times/gapfinding.py applied to user activity).
+
+Two Spark-first shapes:
+
+- ``sessionize``: row-level session ids via gaps-and-islands — one
+  window per key (lag + cumulative sum of boundary markers), no join.
+  Keeps every event row, so downstream per-session transforms stay
+  streaming-friendly.
+- ``session_stats``: per-session aggregates via the built-in
+  ``F.session_window`` (the same operator Structured Streaming uses
+  for watermarked session merges) — one shuffle on the key, state
+  merged by Catalyst's native session-window exec.
+
+A new session starts when the gap to the previous event exceeds
+``gap_seconds`` (strictly greater, matching session_window's merge
+rule and the DuckDB oracle twin).
+"""
+
+from __future__ import annotations
+
+from typing import Sequence
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, Window
+
+
+def _epoch(c):
+    """Epoch seconds (fractional) for timestamp-ish or numeric cols."""
+    return F.unix_micros(F.col(c).cast("timestamp")) / F.lit(1e6)
+
+
+def sessionize(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap_seconds: float = 1800.0,
+    out_col: str = "session_id",
+) -> DataFrame:
+    """Assign a per-key session ordinal (0-based) to every event row.
+    Gaps-and-islands: boundary = gap to previous event > gap_seconds;
+    session id = running count of boundaries."""
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(ts_col)
+    prev = F.lag(_epoch(ts_col)).over(w)
+    boundary = F.when(
+        prev.isNull() | ((_epoch(ts_col) - prev) > gap_seconds), 1
+    ).otherwise(0)
+    return df.withColumn(
+        out_col,
+        F.sum(boundary).over(
+            w.rowsBetween(Window.unboundedPreceding, 0)
+        ) - 1,
+    )
+
+
+def session_stats(
+    df: DataFrame,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    gap_seconds: float = 1800.0,
+    agg_cols: dict | None = None,
+) -> DataFrame:
+    """Per-session aggregates via the native session_window operator:
+    (keys, session_start, session_end, n_events, duration_s, + extras).
+    ``agg_cols`` maps output name -> Column aggregate."""
+    keys = list(key_cols)
+    sw = F.session_window(F.col(ts_col), f"{gap_seconds} seconds")
+    aggs = [F.count(F.lit(1)).alias("n_events")]
+    for name, col in (agg_cols or {}).items():
+        aggs.append(col.alias(name))
+    out = df.groupBy(*keys, sw.alias("_sw")).agg(*aggs)
+    return out.select(
+        *keys,
+        F.col("_sw.start").alias("session_start"),
+        F.col("_sw.end").alias("session_end"),
+        "n_events",
+        *[c for c in (agg_cols or {})],
+    )

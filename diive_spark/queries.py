@@ -1751,6 +1751,47 @@ GROUP BY 1, 2
 """
 
 
+def q_sessionize(spark, sf_dir):
+    """Per-user activity sessionization (30 min inactivity gap):
+    gaps-and-islands session ids -> per-user session counts and summed
+    session durations; one window + two aggregates, no join."""
+    from .operators.sessions import _epoch, sessionize
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max(_epoch("ts")) - F.min(_epoch("ts"))).alias("dur"),
+    )
+    return per.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        _r(F.sum("dur")).alias("total_duration"),
+    )
+
+
+SQL_SESSIONIZE = """
+WITH e AS (SELECT user_id, ts, epoch(ts) AS ep FROM events),
+m AS (
+  SELECT user_id, ts, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+              THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ep,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m),
+per AS (
+  SELECT user_id, sid, count(*) AS n, max(ep) - min(ep) AS dur
+  FROM s GROUP BY 1, 2)
+SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+       CAST(sum(n) AS BIGINT) AS n_events,
+       round(sum(dur), 6) AS total_duration
+FROM per GROUP BY 1
+"""
+
+
 def q_asof_join(spark, sf_dir):
     """Backward as-of join (SURVEY 2.11 as-of/nearest idiom): every
     event row picks up the most recent strictly-ordered reference tick
@@ -1946,6 +1987,7 @@ QUERIES = {
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
+    "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),

@@ -147,3 +147,48 @@ def test_interval_join_inclusive_bounds_and_plan(spark):
     assert out.count() == 2                    # both endpoints inclusive
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_sessionize_hand_case(spark):
+    """Hand-built stream: events 0,10,20 then a 2000 s gap, then 2030 ->
+    two sessions; second user independent."""
+    from datetime import datetime, timedelta
+
+    from diive_spark.operators.sessions import sessionize
+
+    t0 = datetime(2024, 1, 1)
+    rows = [(1, t0 + timedelta(seconds=s)) for s in (0, 10, 20, 2020, 2030)]
+    rows += [(2, t0), (2, t0 + timedelta(seconds=1800))]  # ==gap -> same
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    got = sessionize(df, gap_seconds=1800.0).toPandas()
+    sid = got.set_index(["user_id", "ts"])["session_id"]
+    u1 = got[got.user_id == 1].sort_values("ts")["session_id"].tolist()
+    assert u1 == [0, 0, 0, 1, 1]
+    # a gap of exactly gap_seconds does NOT split (strictly greater)
+    assert got[got.user_id == 2]["session_id"].tolist() == [0, 0]
+
+
+def test_session_stats_matches_sessionize(spark):
+    """The native session_window aggregate must produce the same session
+    count and event totals as the gaps-and-islands row labeling."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.sessions import session_stats, sessionize
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "user_id", "ts", "value"
+    )
+    labeled = sessionize(ev, gap_seconds=1800.0)
+    a = labeled.groupBy("user_id").agg(
+        (F.max("session_id") + 1).alias("n_sessions"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    b = session_stats(
+        ev, gap_seconds=1800.0, agg_cols={"v_sum": F.sum("value")}
+    ).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n_events").alias("n_events"),
+    )
+    pa = a.toPandas().sort_values("user_id").reset_index(drop=True)
+    pb = b.toPandas().sort_values("user_id").reset_index(drop=True)
+    assert pa.astype("int64").equals(pb.astype("int64"))
