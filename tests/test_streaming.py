@@ -144,3 +144,62 @@ def test_stream_dedup_exact_suppresses_redelivery(spark, tmp_path):
     run()
     got2 = spark.read.parquet(out).toPandas()
     assert sorted(got2["text"]) == ["alpha", "beta", "gamma"]
+
+
+def test_stream_sessions_close_once_and_match_batch(spark, tmp_path):
+    """Sessions emit exactly once when the watermark passes their close,
+    survive a checkpointed restart with a session still open, and match
+    the batch session_stats result."""
+    from diive_spark.operators.sessions import session_stats
+    from diive_spark.streaming.sessions import stream_sessions, write_sessions_stream
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp, value double"
+
+    def rows(user, start_min, secs):
+        return [
+            (user,
+             (pd.Timestamp("2024-01-01")
+              + pd.Timedelta(minutes=start_min, seconds=s)).to_pydatetime(),
+             1.0)
+            for s in secs
+        ]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = write_sessions_stream(
+            stream_sessions(stream, gap="10 minutes", watermark="10 minutes"),
+            out, ckpt,
+        ).start()
+        q.awaitTermination(120)
+
+    # user 1: two bursts 30 min apart -> two sessions; user 2: one burst
+    batch1 = rows(1, 0, [0, 30, 60]) + rows(2, 5, [0, 10])
+    spark.createDataFrame(batch1, schema).write.mode("append").parquet(src)
+    drain()
+
+    # second delivery RESUMES from checkpoint: user 1's second burst,
+    # which also extends nothing (gap > 10 min)
+    batch2 = rows(1, 30, [0, 20])
+    spark.createDataFrame(batch2, schema).write.mode("append").parquet(src)
+    drain()
+    # sentinel far in the future closes all open sessions
+    spark.createDataFrame(rows(9, 10000, [0]), schema).write.mode(
+        "append"
+    ).parquet(src)
+    drain()
+
+    got = spark.read.parquet(out).where(F.col("user_id") != 9).toPandas()
+    assert len(got) == 3                                  # 2 + 1 sessions
+    assert got.groupby(["user_id", "session_start"]).size().max() == 1
+    exp = session_stats(
+        spark.createDataFrame(batch1 + batch2, schema),
+        gap_seconds=600.0, key_cols=("user_id",),
+        agg_cols={"v_sum": F.sum("value")},
+    ).where(F.col("user_id") != 9).toPandas()
+    g = got.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    e = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
+    assert g["n_events"].tolist() == e["n_events"].tolist()
+    assert g["user_id"].tolist() == e["user_id"].tolist()
