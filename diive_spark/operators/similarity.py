@@ -285,3 +285,29 @@ def cosine_near_dup_pairs(
             "cosine",
         )
     )
+
+
+def cosine_pairs_exact(
+    df: DataFrame,
+    threshold: float,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """EXACT cosine-threshold pairs via full self-join — the correctness
+    baseline for the near-dup stack (the scale path is
+    cosine_near_dup_pairs' LSH buckets; this one is O(n^2) by design,
+    for oracle checks and small candidate pools)."""
+    n = with_normalized(df, vec_col).select(
+        F.col(id_col).alias("vid"), F.col("_unit").alias("_u")
+    )
+    a, b = n.alias("a"), n.alias("b")
+    return (
+        a.join(b, on=F.col("a.vid") < F.col("b.vid"))
+        .withColumn("cosine", _dot(F.col("a._u"), F.col("b._u")))
+        .where(F.col("cosine") >= threshold)
+        .select(
+            F.col("a.vid").alias("id_a"),
+            F.col("b.vid").alias("id_b"),
+            "cosine",
+        )
+    )

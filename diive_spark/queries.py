@@ -1751,6 +1751,65 @@ GROUP BY 1, 2
 """
 
 
+def q_embedding_neardup(spark, sf_dir):
+    """Exact embedding-cosine near-dup pairs (threshold 0.42): the
+    correctness baseline the LSH bucket path (similarity_topk_lsh /
+    cosine_near_dup_pairs) is measured against."""
+    from .operators.similarity import cosine_pairs_exact
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = cosine_pairs_exact(emb, threshold=0.42)
+    return out.select("id_a", "id_b", _r(F.col("cosine")).alias("cosine"))
+
+
+SQL_EMBEDDING_NEARDUP = """
+WITH n AS (
+  -- accumulate in DOUBLE (matching Spark's per-element double cast)
+  -- so the 6-decimal rounding cannot flip on float32 summation noise
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm
+  FROM embeddings)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6) AS cosine
+FROM n a JOIN n b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm) >= 0.42
+"""
+
+
+def q_winsorize(spark, sf_dir):
+    """Percentile winsorize per source (frames.py:671-676): clamp to
+    [P05, P95]; checksum of clipped values + clip counts."""
+    from .operators.joins import winsorize_percentiles
+
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    out = winsorize_percentiles(
+        s, "value", 0.05, 0.95, key_cols=["source"]
+    )
+    return out.groupBy("source").agg(
+        _r(F.sum("value_winsorized")).alias("w_sum"),
+        F.count(
+            F.when(F.col("value_winsorized") != F.col("value"), 1)
+        ).alias("n_clipped"),
+    )
+
+
+SQL_WINSORIZE = f"""
+WITH series AS ({SERIES_SQL}),
+s AS (SELECT * FROM series WHERE value IS NOT NULL),
+b AS (
+  SELECT source, quantile_cont(value, 0.05) AS lo,
+         quantile_cont(value, 0.95) AS hi
+  FROM s GROUP BY 1)
+SELECT s.source,
+       round(sum(least(greatest(s.value, b.lo), b.hi)), 6) AS w_sum,
+       CAST(count(CASE WHEN s.value < b.lo OR s.value > b.hi THEN 1 END)
+            AS BIGINT) AS n_clipped
+FROM s JOIN b ON s.source = b.source
+GROUP BY 1
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Per-user activity sessionization (30 min inactivity gap):
     gaps-and-islands session ids -> per-user session counts and summed
@@ -1988,6 +2047,8 @@ QUERIES = {
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
     "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
+    "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
