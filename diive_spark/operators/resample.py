@@ -104,6 +104,8 @@ def bucket_rollup(
     origin: int = 0,
     percentiles: Sequence[float] | None = None,
     fingerprint_over: Sequence[str] | None = None,
+    percentile_accuracy: int | None = None,
+    distinct_col: str | None = None,
 ) -> DataFrame:
     """Downsample a long series table to ``every``-sized bins.
 
@@ -112,6 +114,18 @@ def bucket_rollup(
     so a content fingerprint can be derived from the bin table without
     a second scan of the raw series (xor composes upward).  Only
     meaningful with a non-dropping gate (mincounts_perc=0).
+
+    ``percentile_accuracy``: when set, ``percentiles`` use
+    ``approx_percentile`` (t-digest-style sketch, error <= 1/accuracy
+    in rank) instead of exact buffering — the 100 TB path when a bin
+    can hold unboundedly many values (DESIGN_SCALE.md "Percentiles at
+    scale"); exact stays the default for pandas bit-parity.
+
+    ``distinct_col``: adds a per-bin ``hll`` Datasketches HLL sketch of
+    that column (e.g. distinct users per bin).  UNLIKE percentiles,
+    HLL sketches COMPOSE upward losslessly: ``compose_rollup`` unions
+    them, so tier N+1's distinct counts need no raw re-scan — read the
+    estimate off any tier with ``with_distinct_estimate``.
 
     Returns one row per (key..., bin) that passes the min-count gate, with
     columns ``bin_start, bin_end, bin_label, n, n_grid, sum, sumsq, min,
@@ -135,13 +149,21 @@ def bucket_rollup(
         F.max(v).alias("max"),
     ]
     if percentiles:
-        aggs.append(
-            F.percentile(v, F.array(*[F.lit(p) for p in percentiles])).alias("_pcts")
-        )
+        parr = F.array(*[F.lit(p) for p in percentiles])
+        if percentile_accuracy is not None:
+            aggs.append(
+                F.approx_percentile(
+                    v, parr, F.lit(int(percentile_accuracy))
+                ).alias("_pcts")
+            )
+        else:
+            aggs.append(F.percentile(v, parr).alias("_pcts"))
     if fingerprint_over:
         aggs.append(
             F.bit_xor(F.xxhash64(*fingerprint_over)).alias("_fp_h")
         )
+    if distinct_col:
+        aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
     agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
 
     out = (
@@ -198,6 +220,14 @@ def calendar_rollup(
         .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
         .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
     )
+
+
+def with_distinct_estimate(
+    tier_df: DataFrame, out_col: str = "n_distinct"
+) -> DataFrame:
+    """Materialize the HLL sketch column into a distinct-count estimate
+    (read-time; the sketch itself stays composable)."""
+    return tier_df.withColumn(out_col, F.hll_sketch_estimate(F.col("hll")))
 
 
 def aggregated_as_hires(
@@ -265,14 +295,19 @@ def compose_rollup(
     """
     keys = list(key_cols)
     binned = with_bin(tier_df, "bin_start", every, origin, label)
-    agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(
+    aggs = [
         F.sum("n").alias("n"),
         F.sum("n_grid").alias("n_grid"),
         F.sum("sum").alias("sum"),
         F.sum("sumsq").alias("sumsq"),
         F.min("min").alias("min"),
         F.max("max").alias("max"),
-    )
+    ]
+    if "hll" in tier_df.columns:
+        # HLL distinct sketches union losslessly — the one per-bin
+        # statistic beyond the moment partials that composes upward
+        aggs.append(F.hll_union_agg(F.col("hll")).alias("hll"))
+    agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
     return (
         apply_mincount_gate(agg, mincounts_perc, min_floor_rule, keys)
         .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))

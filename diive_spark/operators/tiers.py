@@ -60,6 +60,10 @@ class TierSpec:
     percentiles: tuple = () # exact per-bin percentiles (recomputed from
                             # the raw series — they don't compose upward;
                             # north star: "mean, SD, percentiles per bin")
+    distinct_col: str | None = None  # per-bin HLL distinct sketch of this
+                            # column; unlike percentiles it COMPOSES
+                            # upward (hll_union_agg), so only the first
+                            # tier touches the raw series
 
 
 DEFAULT_CASCADE = (
@@ -195,6 +199,7 @@ class TierStore:
             mincounts_perc=0.0, min_floor_rule=False,
             percentiles=list(first.percentiles) or None,
             fingerprint_over=self.key_cols + [axis_col],
+            distinct_col=first.distinct_col,
         ).persist()
         fp_rows = (
             agg1.groupBy(self.partition_col)
@@ -247,6 +252,8 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
+            if "hll" in out.columns:
+                cols = cols + ["hll"]
             # n_rows from the write itself (CollectMetrics observation),
             # not a re-read count (VERDICT r1 item 7)
             obs = Observation()

@@ -171,3 +171,73 @@ def test_timestamp_resample_parity_with_pandas(spark):
     assert list(got["bin_label"]) == exp_labels
     np.testing.assert_allclose(got["mean"].values, means[keep].values, atol=1e-9)
     np.testing.assert_array_equal(got["n"].values, counts[keep].values)
+
+
+def test_hll_distinct_sketch_composes_upward(spark):
+    """HLL distinct sketches: tier-1h unioned from tier-1m partials
+    equals a direct raw->1h sketch EXACTLY (lossless merge), and tracks
+    exact distinct counts within HLL error."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.resample import (
+        bucket_rollup, compose_rollup, with_distinct_estimate,
+    )
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("event_id").cast("long").alias("pos"),
+        "value", "user_id",
+    )
+    kw = dict(mincounts_perc=0.0, min_floor_rule=False, key_cols=["source"])
+    t1m = bucket_rollup(ev, every=60, distinct_col="user_id", **kw)
+    composed = with_distinct_estimate(
+        compose_rollup(t1m, every=3600, mincounts_perc=0.0,
+                       min_floor_rule=False, key_cols=["source"])
+    ).select("source", "bin_start", "n_distinct")
+    direct = with_distinct_estimate(
+        bucket_rollup(ev, every=3600, distinct_col="user_id", **kw)
+    ).select("source", "bin_start", F.col("n_distinct").alias("n_direct"))
+    j = composed.join(direct, on=["source", "bin_start"]).toPandas()
+    assert len(j) > 0
+    assert (j["n_distinct"] == j["n_direct"]).all()      # lossless merge
+    exact = (
+        ev.groupBy("source", F.floor(F.col("pos") / 3600).alias("b"))
+        .agg(F.countDistinct("user_id").alias("n_exact"))
+        .toPandas()["n_exact"]
+    )
+    est = j.sort_values(["source", "bin_start"])["n_distinct"]
+    rel = abs(est.to_numpy() - exact.sort_index().to_numpy()) / exact.to_numpy()
+    assert rel.max() < 0.05                               # HLL lgK=12 bound
+
+
+def test_approx_percentile_mode_bounded_error(spark):
+    """percentile_accuracy switches to the sketch path; rank error is
+    within 1/accuracy of the exact per-bin percentile."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.resample import bucket_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("event_id").cast("long").alias("pos"),
+        "value",
+    )
+    kw = dict(every=3600, mincounts_perc=0.0, min_floor_rule=False,
+              key_cols=["source"], percentiles=[0.5, 0.95])
+    approx = bucket_rollup(ev, percentile_accuracy=10000, **kw).select(
+        "source", "bin_start", "p50", "p95"
+    ).toPandas().set_index(["source", "bin_start"]).sort_index()
+    # the sketch returns an actual element near the target RANK (exact
+    # percentile interpolates between ranks, so compare in rank space):
+    # empirical CDF at the approx value must sit within one element +
+    # sketch slack of the target quantile
+    raw = ev.toPandas()
+    raw["b"] = raw["pos"] // 3600
+    for (src, b), grp in raw.groupby(["source", "b"]):
+        vals = np.sort(grp["value"].dropna().to_numpy())
+        n = len(vals)
+        for c, q in (("p50", 0.5), ("p95", 0.95)):
+            a = approx.loc[(src, b * 3600), c]
+            cdf = np.searchsorted(vals, a, side="right") / n
+            assert q - 0.02 - 1 / n <= cdf <= q + 0.02 + 1 / n, (src, b, c)

@@ -169,3 +169,49 @@ def test_cascade_needs_no_dedicated_fingerprint_scan(spark, store, tiny_series):
     # resume with unchanged input: everything skipped, still no scan
     rep = store.materialize_cascade(tiny_series)
     assert all(m["partitions_computed"] == 0 for m in rep.values())
+
+
+def test_cascade_carries_composable_distinct_sketch(spark, store, tiny_series):
+    """A TierSpec distinct_col adds a per-bin HLL sketch at tier_1m that
+    parquet-roundtrips and UNIONS upward through the cascade: tier_1d's
+    estimate equals a direct raw->1d sketch exactly and tracks the true
+    distinct count — no raw re-scan above the first tier."""
+    from diive_spark.operators.resample import (
+        bucket_rollup, with_distinct_estimate,
+    )
+    from diive_spark.operators.tiers import TierSpec
+
+    s = tiny_series.withColumn("tok_mod", F.pmod(F.col("pos"), F.lit(50)))
+    cascade = (
+        TierSpec("tier_1m", 60, 0.0, None, (), "tok_mod"),
+        TierSpec("tier_1h", 3600, 0.0, "tier_1m", ()),
+        TierSpec("tier_1d", 86400, 0.0, "tier_1h", ()),
+    )
+    store.materialize_cascade(s, cascade=cascade)
+    got = (
+        with_distinct_estimate(store.read("tier_1d"))
+        .select("source", "doc_id", "bin_start", "n_distinct")
+        .toPandas()
+    )
+    direct = (
+        with_distinct_estimate(
+            bucket_rollup(s, every=86400, mincounts_perc=0.0,
+                          min_floor_rule=False, distinct_col="tok_mod")
+        )
+        .select("source", "doc_id", "bin_start",
+                F.col("n_distinct").alias("n_direct"))
+        .toPandas()
+    )
+    exact = (
+        s.groupBy("source", "doc_id",
+                  (F.floor(F.col("pos") / 86400) * 86400).alias("b"))
+        .agg(F.countDistinct("tok_mod").alias("n_exact"))
+        .toPandas()
+    )
+    m = got.merge(direct, on=["source", "doc_id", "bin_start"])
+    assert len(m) > 0
+    assert (m["n_distinct"] == m["n_direct"]).all()      # lossless union
+    m2 = m.merge(exact, left_on=["source", "doc_id", "bin_start"],
+                 right_on=["source", "doc_id", "b"])
+    rel = (m2["n_distinct"] - m2["n_exact"]).abs() / m2["n_exact"]
+    assert rel.max() < 0.05
