@@ -1751,6 +1751,33 @@ GROUP BY 1, 2
 """
 
 
+def q_distinct_rollup(spark, sf_dir):
+    """Distinct-count rollup: exact distinct users per (event_type,
+    hour bin).  The tier path stores composable HLL sketches for this
+    (resample.py:distinct_col, +-2% at lgK=12); the oracle checks the
+    exact variant, since DuckDB's HLL implementation differs."""
+    ev = _load(spark, sf_dir, "events")
+    binned = ev.groupBy(
+        "event_type",
+        F.dayofmonth("ts").cast("long").alias("day"),
+        F.hour("ts").cast("long").alias("hour"),
+    ).agg(
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    return binned
+
+
+SQL_DISTINCT_ROLLUP = """
+SELECT event_type,
+       CAST(day(ts) AS BIGINT) AS day,
+       CAST(hour(ts) AS BIGINT) AS hour,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events GROUP BY 1, 2, 3
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Exact embedding-cosine near-dup pairs (threshold 0.42): the
     correctness baseline the LSH bucket path (similarity_topk_lsh /
@@ -2048,6 +2075,7 @@ QUERIES = {
     "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
     "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
     "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
