@@ -137,3 +137,41 @@ def test_randunc_m2_uses_broadcast_banded_join(spark):
     plan = _physical_plan(q_banded_unc_m2m3(spark, SF))
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_repetition_and_pii_are_shuffle_free(spark):
+    """Per-row corpus filters must compile to pure projections: zero
+    Exchange in the plan (the top-bigram count is a sort+fold inside
+    the row, not a groupBy)."""
+    from diive_spark.operators.scrub import redact_pii
+    from diive_spark.operators.textstats import repetition_features
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    for df in (repetition_features(docs), redact_pii(docs)):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan
+
+
+def test_sessionize_single_exchange_no_join(spark):
+    """Row-level sessionization = one hash partitioning on the key and
+    two stacked windows — no join node, no second shuffle."""
+    from diive_spark.operators.sessions import sessionize
+
+    ev = spark.read.parquet(f"{SF}/events.parquet").select("user_id", "ts")
+    out = sessionize(ev)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_stratified_sample_is_scan_plus_filter(spark):
+    """Deterministic sampling must stay a pushable filter over the
+    scan: no Exchange, no aggregate."""
+    from diive_spark.operators.scrub import stratified_hash_sample
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    out = stratified_hash_sample(
+        docs, {"en": 0.5, "de": 0.1}, strata_col="lang", key_col="doc_id"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Aggregate" not in plan
