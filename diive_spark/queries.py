@@ -1063,12 +1063,20 @@ def q_sorting_bins(spark, sf_dir):
     lineitem: quintiles of extendedprice, nested quintiles of quantity,
     mean discount per cell."""
     li = _load(spark, sf_dir, "lineitem")
+    # aggregate the discount as an exact scaled long (TPC-H discounts
+    # are 2-decimal): double summation order varies with partition
+    # count and 0.0496125 once landed exactly on the round-6 boundary,
+    # flipping the value hash between parallelism levels
+    li = li.withColumn(
+        "l_disc100", F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
     out = analyses.sorting_bins(
-        li, "l_extendedprice", "l_quantity", "l_discount", n_bins=5,
+        li, "l_extendedprice", "l_quantity", "l_disc100", n_bins=5,
         tiebreak_cols=["l_orderkey", "l_linenumber"],
     )
     return out.select(
-        "bin1", "bin2", _r(F.col("l_discount_mean")).alias("discount_mean"), "n"
+        "bin1", "bin2",
+        _r(F.col("l_disc100_mean") / 100).alias("discount_mean"), "n",
     )
 
 
@@ -1083,7 +1091,10 @@ b2 AS (
   SELECT *, ntile(5) OVER (PARTITION BY bin1
                            ORDER BY l_quantity, l_orderkey, l_linenumber) AS bin2
   FROM b1)
-SELECT bin1, bin2, round(avg(l_discount), 6) AS discount_mean, count(*) AS n
+SELECT bin1, bin2,
+       round(avg(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100, 6)
+         AS discount_mean,
+       count(*) AS n
 FROM b2 GROUP BY 1, 2
 """
 
@@ -1091,13 +1102,18 @@ FROM b2 GROUP BY 1, 2
 def q_quantile_xy(spark, sf_dir):
     """QuantileXYAggZ (quantilexyaggz.py:8-162) on lineitem."""
     li = _load(spark, sf_dir, "lineitem")
+    # exact scaled-long aggregation (see q_sorting_bins): double
+    # summation order is partitioning-dependent at round-6 boundaries
+    li = li.withColumn(
+        "l_disc100", F.round(F.col("l_discount") * 100, 0).cast("long")
+    )
     out = analyses.quantile_xy_agg_z(
-        li, x="l_extendedprice", y="l_quantity", z="l_discount",
+        li, x="l_extendedprice", y="l_quantity", z="l_disc100",
         n_x=4, n_y=4, agg="mean", min_n=10,
         tiebreak_cols=["l_orderkey", "l_linenumber"],
     )
     return out.select(
-        "xbin", "ybin", _r(F.col("l_discount_mean")).alias("z_mean"), "n"
+        "xbin", "ybin", _r(F.col("l_disc100_mean") / 100).alias("z_mean"), "n"
     )
 
 
@@ -1113,7 +1129,10 @@ bx AS (
 bxy AS (
   SELECT *, ntile(4) OVER (ORDER BY l_quantity, l_orderkey, l_linenumber) AS ybin
   FROM bx)
-SELECT xbin, ybin, round(avg(l_discount), 6) AS z_mean, count(*) AS n
+SELECT xbin, ybin,
+       round(avg(CAST(round(l_discount * 100, 0) AS BIGINT)) / 100, 6)
+         AS z_mean,
+       count(*) AS n
 FROM bxy GROUP BY 1, 2
 HAVING count(*) >= 10
 """
