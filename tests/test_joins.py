@@ -192,3 +192,35 @@ def test_session_stats_matches_sessionize(spark):
     pa = a.toPandas().sort_values("user_id").reset_index(drop=True)
     pb = b.toPandas().sort_values("user_id").reset_index(drop=True)
     assert pa.astype("int64").equals(pb.astype("int64"))
+
+
+def test_interval_join_random_vs_naive(spark):
+    """Randomized interval join vs a naive pandas theta-join oracle,
+    covering varied interval lengths (bin crossing), overlapping
+    intervals (multi-match), and empty keys."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.joins import interval_join
+
+    rng = np.random.default_rng(5)
+    pts = pd.DataFrame({
+        "k": rng.choice(["a", "b"], 300),
+        "ts": rng.uniform(0, 1000, 300).round(3),
+    })
+    ivs = pd.DataFrame({
+        "k": rng.choice(["a", "b", "c"], 40),
+        "start": rng.uniform(0, 950, 40).round(3),
+        "iid": np.arange(40),
+    })
+    ivs["end"] = (ivs["start"] + rng.uniform(0.1, 120, 40)).round(3)
+
+    got = interval_join(
+        spark.createDataFrame(pts), spark.createDataFrame(ivs),
+        point_ts="ts", key_cols=["k"], how="inner",
+    ).toPandas()
+    naive = pts.merge(ivs, on="k")
+    naive = naive[(naive.ts >= naive.start) & (naive.ts <= naive.end)]
+    key = lambda d: sorted(zip(d["k"], d["ts"], d["iid"]))
+    assert key(got) == key(naive)
+    assert len(got) > 0

@@ -375,3 +375,39 @@ def test_lsh_multiprobe_improves_recall(spark):
     # probing strictly widens the candidate set and finds more of them
     assert r3 > r0
     assert r3 >= 0.06
+
+
+def test_connected_components_random_vs_union_find(spark):
+    """Randomized CC vs a pure-python union-find oracle (50 nodes,
+    3 seeded graphs incl. long chains that need many propagation
+    rounds)."""
+    import random
+
+    from diive_spark.operators.dedup import connected_components
+
+    for seed in (0, 1, 2):
+        rng = random.Random(seed)
+        nodes = list(range(50))
+        edges = [(rng.choice(nodes), rng.choice(nodes)) for _ in range(40)]
+        edges += [(i, i + 1) for i in range(20, 35)]        # 15-hop chain
+        edges = [(a, b) for a, b in edges if a != b]
+
+        parent = {}
+        def find(u):
+            parent.setdefault(u, u)
+            while parent[u] != u:
+                parent[u] = parent[parent[u]]
+                u = parent[u]
+            return u
+        def union(u, v):
+            ru, rv = find(u), find(v)
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+        for a, b in edges:
+            union(a, b)
+        expected = {u: find(u) for u in parent}
+
+        df = spark.createDataFrame(edges, "id_a long, id_b long")
+        got = {r["node"]: r["component"]
+               for r in connected_components(df, max_iter=60).collect()}
+        assert got == expected, f"seed {seed}"
