@@ -6,7 +6,7 @@ document fingerprinting.  All JVM-side column expressions — no UDFs.
 from __future__ import annotations
 
 import pyspark.sql.functions as F
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 
 # Minimal stopword inventories for the n-gram/stopword-hit language
 # heuristic.  Public knowledge (most-frequent function words).
@@ -196,3 +196,51 @@ def doc_fingerprint(
         .withColumn("fp_min_trigram", F.array_min(tri))
         .drop("_w")
     )
+
+
+def top_ngrams(
+    df: DataFrame,
+    n: int = 2,
+    k: int = 20,
+    text_col: str = "text",
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus-wide top-k word n-grams by occurrence count (with doc
+    frequency).  Scale shape: explode -> ONE groupBy (map-side partial
+    aggregation cuts the shuffle by the per-partition repetition
+    factor) -> global top-k via a single k-row window over the
+    aggregated (tiny) table — never over the raw explode.  Ties break
+    lexicographically for determinism."""
+    words = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tmp = df.withColumn("_w", words)
+    grams = F.expr(
+        f"transform(sequence(0, greatest(size(_w) - {n}, 0)), "
+        f"i -> concat_ws(' ', slice(_w, i + 1, {n})))"
+    )
+    exploded = tmp.select(
+        F.col(text_col), F.explode(grams).alias("ngram")
+    )
+    counts = exploded.groupBy("ngram").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+    )
+    docfreq = (
+        tmp.select(F.explode(F.array_distinct(grams)).alias("ngram"))
+        .groupBy("ngram")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    top = (
+        counts.join(docfreq, on="ngram")
+        .where(F.col("n_occurrences") >= min_count)
+        # TakeOrderedAndProject: per-partition top-k then merge — never
+        # a single-partition sort of the full distinct-ngram table
+        .orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        .limit(k)
+    )
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(
+            # k rows only — the single-partition window is bounded by k
+            Window.orderBy(F.col("n_occurrences").desc(), F.col("ngram"))
+        ),
+    )
+    return ranked.select("rank", "ngram", "n_occurrences", "n_docs")

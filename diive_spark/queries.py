@@ -1770,6 +1770,40 @@ GROUP BY 1, 2
 """
 
 
+def q_top_ngrams(spark, sf_dir):
+    """Corpus-wide top-20 word bigrams with occurrence + doc frequency
+    (map-side combine before one shuffle; the top-k window runs over
+    the aggregated table, never the raw explode)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.top_ngrams(docs, n=2, k=20)
+    return out.select(
+        F.col("rank").cast("long").alias("rank"), "ngram",
+        F.col("n_occurrences").cast("long").alias("n_occurrences"),
+        F.col("n_docs").cast("long").alias("n_docs"),
+    )
+
+
+SQL_TOP_NGRAMS = r"""
+WITH w AS (
+  SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, greatest(len(ws) - 1, 1) + 1),
+           i -> array_to_string(list_slice(ws, i, i + 1), ' '))) AS ngram
+  FROM w),
+c AS (
+  SELECT ngram, CAST(count(*) AS BIGINT) AS n_occurrences,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM g GROUP BY 1),
+r AS (
+  SELECT *, row_number() OVER (ORDER BY n_occurrences DESC, ngram) AS rank
+  FROM c)
+SELECT CAST(rank AS BIGINT) AS rank, ngram, n_occurrences, n_docs
+FROM r WHERE rank <= 20
+"""
+
+
 def q_distinct_rollup(spark, sf_dir):
     """Distinct-count rollup: exact distinct users per (event_type,
     hour bin).  The tier path stores composable HLL sketches for this
@@ -2095,6 +2129,7 @@ QUERIES = {
     "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
     "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),

@@ -411,3 +411,20 @@ def test_connected_components_random_vs_union_find(spark):
         got = {r["node"]: r["component"]
                for r in connected_components(df, max_iter=60).collect()}
         assert got == expected, f"seed {seed}"
+
+
+def test_top_ngrams_hand_values_and_plan(spark):
+    """Hand-checked counts/doc-freq and the scale gate: the big sort is
+    TakeOrdered, not a full-table single-partition window."""
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x y")], "doc_id long, text string"
+    )
+    from diive_spark.operators.textstats import top_ngrams
+
+    out = top_ngrams(df, n=2, k=3).toPandas().set_index("ngram")
+    assert out.loc["a b", "n_occurrences"] == 3    # 2 in doc1 + 1 in doc2
+    assert out.loc["a b", "n_docs"] == 2
+    assert out.loc["a b", "rank"] == 1
+    assert out.loc["b a", "n_occurrences"] == 1
+    plan = top_ngrams(df, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
