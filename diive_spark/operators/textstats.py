@@ -244,3 +244,57 @@ def top_ngrams(
         ),
     )
     return ranked.select("rank", "ngram", "n_occurrences", "n_docs")
+
+
+def clean_text(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "text_clean",
+    lowercase: bool = False,
+) -> DataFrame:
+    """Whitespace/control normalization (the standard pre-shingling
+    cleanup): strip C0/C1 control chars (keeping \\n and \\t, which
+    then fold into the whitespace collapse), collapse runs of
+    whitespace to one space, trim.  Pure JVM regexp_replace — the
+    RE2-compatible patterns run unchanged in the DuckDB oracle."""
+    t = F.col(text_col)
+    t = F.regexp_replace(t, r"[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", "")
+    t = F.regexp_replace(t, r"\s+", " ")
+    t = F.trim(t)
+    if lowercase:
+        t = F.lower(t)
+    return df.withColumn(out_col, t)
+
+
+def compression_ratio(
+    df: DataFrame, text_col: str = "text", out_col: str = "zlib_ratio"
+) -> DataFrame:
+    """zlib compression ratio (compressed/raw bytes) — the classic
+    redundancy signal (low ratio = highly repetitive/templated text;
+    Gopher-family pipelines filter on it).  zlib level 6 is
+    deterministic for a given input, so the pytest oracle compares
+    bit-exactly against driver-side python zlib.  Arrow-batched pandas
+    UDF (the allowed Python path): ~1e5 docs/s/core, no per-row
+    Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return None
+            b = x.encode("utf-8")
+            if not b:
+                return 1.0
+            return len(zlib.compress(b, 6)) / len(b)
+
+        return s.map(one)
+
+    # real annotation objects: PEP-563 string annotations (active in
+    # this module) are not resolvable by pandas_udf's hint inference
+    _ratio_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, "double")
+
+    return df.withColumn(out_col, _ratio(F.col(text_col)))

@@ -1770,6 +1770,43 @@ GROUP BY 1, 2
 """
 
 
+def q_clean_text(spark, sf_dir):
+    """Text normalization: plant control chars / tab runs / padding
+    into every 5th doc, normalize, hash-check the cleaned text."""
+    docs = _load(spark, sf_dir, "documents")
+    dirty = F.when(
+        F.col("doc_id") % 5 == 0,
+        F.concat(F.lit("  \t"), F.col("text"),
+                 F.lit("\t\tnoise\x07\x1f  ")),
+    ).otherwise(F.col("text"))
+    aug = docs.withColumn("text2", dirty)
+    out = textstats.clean_text(aug, text_col="text2")
+    return out.select(
+        "doc_id",
+        F.length("text_clean").cast("long").alias("clean_len"),
+        F.md5("text_clean").alias("digest"),
+    )
+
+
+SQL_CLEAN_TEXT = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN '  ' || chr(9) || text || chr(9) || chr(9)
+                   || 'noise' || chr(7) || chr(31) || '  '
+              ELSE text END AS t
+  FROM documents),
+cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(
+           regexp_replace(t, '[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]', '', 'g'),
+           '\s+', ' ', 'g')) AS c
+  FROM aug)
+SELECT doc_id, CAST(length(c) AS BIGINT) AS clean_len, md5(c) AS digest
+FROM cleaned
+"""
+
+
 def q_top_ngrams(spark, sf_dir):
     """Corpus-wide top-20 word bigrams with occurrence + doc frequency
     (map-side combine before one shuffle; the top-k window runs over
@@ -2130,6 +2167,7 @@ QUERIES = {
     "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
     "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),

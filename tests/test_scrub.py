@@ -72,3 +72,34 @@ def test_stratified_hash_sample_quotas(spark):
     assert counts.get("en") == 2000
     assert abs(counts.get("de", 0) / 2000 - 0.5) < 0.05
     assert "zh" not in counts
+
+
+def test_clean_text_hand_values(spark):
+    from diive_spark.operators.textstats import clean_text
+
+    df = spark.createDataFrame(
+        [(1, "  a  b\t\tc\x07 "), (2, "x\x00y"), (3, "ok")],
+        "id long, text string",
+    )
+    out = {r["id"]: r["text_clean"] for r in clean_text(df).collect()}
+    assert out[1] == "a b c"
+    assert out[2] == "xy"
+    assert out[3] == "ok"
+    low = clean_text(df, lowercase=True).collect()[0]
+    assert low["text_clean"] == low["text_clean"].lower()
+
+
+def test_compression_ratio_matches_python_zlib(spark):
+    import zlib
+
+    from diive_spark.operators.textstats import compression_ratio
+
+    texts = ["abc " * 200, "the quick brown fox", "x"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "id long, text string"
+    )
+    got = {r["id"]: r["zlib_ratio"] for r in compression_ratio(df).collect()}
+    for i, t in enumerate(texts):
+        b = t.encode()
+        assert got[i] == len(zlib.compress(b, 6)) / len(b)   # bit-exact
+    assert got[0] < 0.1 < got[1]       # repetitive text compresses far more
