@@ -428,3 +428,113 @@ def connected_components(
             break
         prev_sum = cur_sum
     return labels.select("node", F.col("label").alias("component"))
+
+
+class MinHashIndex:
+    """Persistent MinHash band index for INCREMENTAL cross-batch
+    dedup: new batches are checked against the accumulated corpus via
+    its stored band table — the corpus TEXT is never re-read or
+    re-shingled (the signature parquet is ~0.5 KB/doc regardless of
+    document size).
+
+    Storage layout (parquet, appended per batch): one row per
+    (doc_id, band_idx, band_hash) plus the full signature array for
+    the estimate filter.  Scale shape at query time: new-batch bands
+    equi-join the stored band table on (band_idx, band_hash) — the
+    same narrow bucket join as the in-batch LSH path, with the index
+    side partitioned by band_idx for pruning.
+
+    The incremental analog of TierStore's compose-don't-rescan rule
+    (DESIGN_SCALE.md): dedup state composes across batches the way
+    rollup partials compose across tiers.
+    """
+
+    def __init__(self, spark, root: str, k: int = 64, bands: int = 16,
+                 n_shingle: int = 3, seed: int = 42):
+        import os
+        self.spark = spark
+        self.root = root
+        self.k, self.bands, self.n_shingle, self.seed = k, bands, n_shingle, seed
+        os.makedirs(root, exist_ok=True)
+
+    def _banded(self, docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
+        sigs = minhash_signatures(
+            docs, k=self.k, n_shingle=self.n_shingle,
+            text_col=text_col, id_col=id_col, seed=self.seed,
+        )
+        r = self.k // self.bands
+        mh = [F.col(f"mh{i}") for i in range(self.k)]
+        band_cols = F.array(*[
+            F.xxhash64(*mh[b * r:(b + 1) * r]) for b in range(self.bands)
+        ])
+        return sigs.select(
+            F.col(id_col).alias("doc_id"),
+            F.array(*mh).alias("sig"),
+            F.posexplode(band_cols).alias("band_idx", "band_hash"),
+        )
+
+    def _path(self) -> str:
+        return f"{self.root}/bands.parquet"
+
+    def add(self, docs: DataFrame, id_col="doc_id", text_col="text") -> int:
+        """Append a batch's band rows; returns rows written."""
+        banded = self._banded(docs, id_col, text_col)
+        banded.write.mode("append").partitionBy("band_idx").parquet(self._path())
+        return docs.count()
+
+    def stored(self) -> DataFrame:
+        return self.spark.read.parquet(self._path())
+
+    def pairs_against(self, docs: DataFrame, est_threshold: float = 0.7,
+                      id_col="doc_id", text_col="text") -> DataFrame:
+        """(new_id, index_id, est_jaccard): new docs vs the INDEX only
+        (in-batch pairs come from minhash_lsh_pairs on the new batch)."""
+        new = self._banded(docs, id_col, text_col).localCheckpoint(eager=True)
+        idx = self.stored()
+        cand = (
+            new.alias("n")
+            .join(idx.alias("i"),
+                  on=[F.col("n.band_idx") == F.col("i.band_idx"),
+                      F.col("n.band_hash") == F.col("i.band_hash")])
+            .where(F.col("n.doc_id") != F.col("i.doc_id"))
+            .select(F.col("n.doc_id").alias("new_id"),
+                    F.col("i.doc_id").alias("index_id"),
+                    F.col("n.sig").alias("sig_n"), F.col("i.sig").alias("sig_i"))
+            .dropDuplicates(["new_id", "index_id"])
+        )
+        est = (
+            F.aggregate(
+                F.zip_with("sig_n", "sig_i", lambda x, y: (x == y).cast("int")),
+                F.lit(0), lambda acc, x: acc + x,
+            ) / F.lit(float(self.k))
+        )
+        return (
+            cand.withColumn("est_jaccard", est)
+            .where(F.col("est_jaccard") >= est_threshold)
+            .select("new_id", "index_id", "est_jaccard")
+        )
+
+    def dedup_batch(self, docs: DataFrame, est_threshold: float = 0.7,
+                    id_col="doc_id", text_col="text",
+                    add_survivors: bool = True) -> DataFrame:
+        """Mark each new doc as kept/dropped: dropped if it near-dups
+        anything already indexed OR an earlier-id doc in its own batch.
+        Survivors' signatures are appended to the index (so the next
+        batch dedups against them) unless ``add_survivors=False``."""
+        cross = self.pairs_against(docs, est_threshold, id_col, text_col)
+        dup_vs_index = cross.select(F.col("new_id").alias(id_col)).distinct()
+        sigs = minhash_signatures(
+            docs, k=self.k, n_shingle=self.n_shingle,
+            text_col=text_col, id_col=id_col, seed=self.seed,
+        ).localCheckpoint(eager=True)
+        within = minhash_lsh_pairs(
+            sigs, bands=self.bands, id_col=id_col, est_threshold=est_threshold
+        ).select(F.col("id_b").alias(id_col)).distinct()
+        dropped = dup_vs_index.unionByName(within).distinct()
+        out = docs.join(
+            dropped.withColumn("_drop", F.lit(1)), on=id_col, how="left"
+        ).withColumn("kept", F.col("_drop").isNull()).drop("_drop")
+        if add_survivors:
+            self.add(out.where("kept").select(id_col, text_col),
+                     id_col=id_col, text_col=text_col)
+        return out

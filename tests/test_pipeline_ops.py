@@ -428,3 +428,39 @@ def test_top_ngrams_hand_values_and_plan(spark):
     assert out.loc["b a", "n_occurrences"] == 1
     plan = top_ngrams(df, n=2, k=3)._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
+
+
+def test_minhash_index_incremental_dedup(spark, tmp_path, docs):
+    """Cross-batch dedup against the stored band index: batch 2's
+    near-dup of a batch-1 doc is dropped WITHOUT re-reading batch-1
+    text; in-batch dups also dropped; survivors extend the index so a
+    third batch catches dups of batch-2 content."""
+    from diive_spark.operators.dedup import MinHashIndex
+
+    idx = MinHashIndex(spark, str(tmp_path / "mh_idx"))
+    batch1 = docs.where(F.col("doc_id") < 40)      # originals only
+    idx.add(batch1)
+
+    b1 = {r["doc_id"]: r["text"] for r in batch1.collect()}
+    w = b1[4].split(); w[2] = "zulu"               # near-dup of doc 4
+    batch2 = spark.createDataFrame(
+        [(200, b1[0]),                             # exact dup of doc 0
+         (201, " ".join(w)),                       # near-dup of doc 4
+         (202, "totally fresh words appear exactly once here today"),
+         (203, "totally fresh words appear exactly once here today")],
+        "doc_id long, text string",
+    )
+    out = idx.dedup_batch(batch2, est_threshold=0.6)
+    kept = {r["doc_id"]: r["kept"] for r in out.collect()}
+    assert kept[200] is False                      # caught via index
+    assert kept[201] is False                      # near-dup via index
+    assert kept[202] is True
+    assert kept[203] is False                      # in-batch dup (higher id)
+
+    # survivors were appended: a batch-3 dup of 202 is now caught
+    batch3 = spark.createDataFrame(
+        [(300, "totally fresh words appear exactly once here today")],
+        "doc_id long, text string",
+    )
+    out3 = idx.dedup_batch(batch3, est_threshold=0.6, add_survivors=False)
+    assert out3.collect()[0]["kept"] is False
