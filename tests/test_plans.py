@@ -175,3 +175,41 @@ def test_stratified_sample_is_scan_plus_filter(spark):
     )
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "Aggregate" not in plan
+
+
+def test_bucketed_join_has_no_exchange(spark, tmp_path):
+    """Two tables bucketed on the same key with the same bucket count
+    must join with ZERO Exchange (co-located SortMergeJoin) — the
+    pay-at-write amortize-at-read layout for repeated fact joins.  A
+    plain parquet-to-parquet join of the same data shuffles both
+    sides (sanity check that the gate is meaningful)."""
+    from diive_spark.sources.bucketed import (
+        colocated_join, ensure_database, write_bucketed,
+    )
+
+    ev = spark.read.parquet(f"{SF}/events.parquet")
+    facts = ev.select("user_id", "event_id", "value")
+    dims = ev.groupBy("user_id").agg(F.avg("value").alias("user_avg"))
+    ensure_database(spark, "bktdb", str(tmp_path / "wh"))
+    # at the fact-to-fact scale this layout targets, neither side fits
+    # a broadcast — model that by disabling the auto-broadcast path
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        write_bucketed(facts, "bktdb.facts", ["user_id"], 8, ["user_id"])
+        write_bucketed(dims, "bktdb.dims", ["user_id"], 8, ["user_id"])
+        j = colocated_join(spark, "bktdb.facts", "bktdb.dims", ["user_id"])
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan
+        assert j.count() == facts.count()
+
+        plain = facts.join(
+            dims.withColumnRenamed("user_avg", "x"), on="user_id"
+        )
+        plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+        # without bucketing the same join shuffles both sides
+        assert "Exchange" in plain_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
