@@ -213,3 +213,23 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP DATABASE IF EXISTS bktdb CASCADE")
+
+
+def test_partitioned_write_prunes_at_scan(spark, tmp_path):
+    """Events written partitioned by calendar day: a day-filtered read
+    must prune at the PartitionFilters level (directory skip), not as
+    a post-scan row filter — the layout rule that turns a 100 TB
+    time-range query into a per-day read."""
+    out = str(tmp_path / "ev_by_day")
+    ev = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "day", F.to_date("ts")
+    )
+    ev.write.mode("overwrite").partitionBy("day").parquet(out)
+    q = spark.read.parquet(out).where(F.col("day") == "2024-01-01").select(
+        "event_id", "value"
+    )
+    plan = q._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters:")[1].split("]")[0]
+    assert "day" in seg                      # the filter reached pruning
+    assert q.count() > 0
