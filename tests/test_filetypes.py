@@ -187,3 +187,33 @@ def test_multifile_combine_first(spark, tmp_path):
         "2022-01-01 00:45:00": 2.0,   # file a wins
         "2022-01-01 01:15:00": 3.0,   # filled from b
     }
+
+
+@needs_ref
+def test_golden_icos_zip_10s(spark):
+    """The reference's OTHER shipped example: the zipped ICOS 10-second
+    file (filereader.py:566-569, ICOS_H2R_CSVZIP_10S.yml).  Exercises
+    the zip extraction path, compact %Y%m%d%H%M%S timestamps, 2-row
+    header with pandas 'Unnamed:' unit artifacts, and END->MIDDLE
+    shift at a 10 s grid."""
+    from diive_spark.operators.timegrid import detect_freq
+
+    cfg = load_filetype_config(f"{REF}/filetypes/ICOS_H2R_CSVZIP_10S.yml")
+    zip_path = (
+        "/root/reference/diive/configs/exampledata/"
+        "CH-Dav_BM_20230328_L02_F03.zip"
+    )
+    data, meta = read_filetype(spark, zip_path, config=cfg)
+    value_cols = [c for c in data.columns if c != "TIMESTAMP"]
+    assert len(value_cols) == 26            # 27 csv cols - timestamp
+    assert data.count() == 8640             # 24 h at 10 s
+    assert meta.count() == 26
+    row = detect_freq(
+        data.select(F.lit("x").alias("k"),
+                    F.unix_timestamp("TIMESTAMP").alias("axis")),
+        axis_col="axis", key_cols=["k"],
+    ).collect()[0]
+    assert row["freq"] == 10
+    # END -> MIDDLE: first stamp 00:00:10 shifts back 5 s
+    first = data.agg(F.min("TIMESTAMP")).first()[0]
+    assert (first.hour, first.minute, first.second) == (0, 0, 5)
