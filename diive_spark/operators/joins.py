@@ -249,3 +249,34 @@ def interval_join(
     for c in iv_cols:
         empties = empties.withColumn(c, F.lit(None).cast(dict(ivs.dtypes)[c]))
     return matched.drop("_bin", "_pid").unionByName(empties.drop("_bin", "_pid"))
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    on: Sequence[str],
+    n_salts: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-spreading equi-join for when the big side has hot keys and
+    the small side is too large to broadcast: the big side gets a
+    random-per-row salt, the small side is REPLICATED n_salts times
+    (explode over the salt range), and the join key becomes
+    (keys..., salt) — each hot key now spreads over ``n_salts``
+    reducers instead of one straggler task.
+
+    Complements ``salted_source_agg`` (tiers.py) on the join side; AQE
+    skew-join splitting covers the same ground reactively, this is the
+    deterministic-layout variant for planned-hot keys.  The salt is
+    derived from the big side's full row hash — any uniform spreader
+    works because the small side carries every salt value.
+    """
+    keys = list(on)
+    salt_mod = F.lit(int(n_salts))
+    b = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), salt_mod)
+    )
+    s = small.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), salt_mod - 1))
+    )
+    return b.join(s, on=keys + ["_salt"], how=how).drop("_salt")

@@ -1770,6 +1770,17 @@ GROUP BY 1, 2
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib redundancy signal per language (rows-only: DuckDB has no
+    zlib; the pytest oracle checks bit-exactness vs driver-side zlib)."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.compression_ratio(docs)
+    return out.groupBy("lang").agg(
+        _r(F.avg("zlib_ratio")).alias("avg_ratio"),
+        F.count(F.when(F.col("zlib_ratio") < 0.3, 1)).alias("n_highly_redundant"),
+    )
+
+
 def q_clean_text(spark, sf_dir):
     """Text normalization: plant control chars / tab runs / padding
     into every 5th doc, normalize, hash-check the cleaned text."""
@@ -2170,6 +2181,7 @@ QUERIES = {
     "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
+    "compression_ratio": (q_compression_ratio, None),
     "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
     "dedup_simhash": (q_simhash_docs, None),

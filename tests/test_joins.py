@@ -224,3 +224,27 @@ def test_interval_join_random_vs_naive(spark):
     key = lambda d: sorted(zip(d["k"], d["ts"], d["iid"]))
     assert key(got) == key(naive)
     assert len(got) > 0
+
+
+def test_salted_join_matches_plain_join(spark):
+    """Salted join == plain join on a skewed key distribution (one key
+    holds 80% of the big side), for inner and left."""
+    from diive_spark.operators.joins import salted_join
+
+    big = spark.range(0, 5000).select(
+        F.when(F.col("id") % 5 != 0, "hot").otherwise(
+            F.concat(F.lit("k"), (F.col("id") % 7).cast("string"))
+        ).alias("k"),
+        F.col("id").alias("v"),
+    )
+    small = spark.createDataFrame(
+        [("hot", 1.0), ("k1", 2.0), ("k3", 3.0), ("unused", 9.0)],
+        "k string, w double",
+    )
+    for how in ("inner", "left"):
+        got = salted_join(big, small, on=["k"], n_salts=8, how=how)
+        exp = big.join(small, on="k", how=how)
+        assert got.count() == exp.count(), how
+        gs = got.agg(F.sum("v"), F.sum("w")).first()
+        es = exp.agg(F.sum("v"), F.sum("w")).first()
+        assert gs[0] == es[0] and gs[1] == es[1], how
