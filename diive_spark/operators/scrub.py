@@ -98,3 +98,33 @@ def stratified_hash_sample(
             F.col(strata_col) == stratum, F.lit(rate_threshold_hex(rate))
         ).otherwise(thr)
     return df.where(bucket < thr)
+
+
+def hash_split(
+    df: DataFrame,
+    weights: dict[str, float],
+    key_col: str,
+    seed: int = 0,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic dataset split (train/val/test): each row's md5
+    bucket lands in one of the cumulative weight ranges.  Same key ->
+    same split forever, across runs, partitionings and engines — the
+    property a frozen eval set requires (`randomSplit` re-draws on
+    every action and shifts with partitioning).  Weights must sum to
+    1 (+-1e-9); ranges are assigned in sorted-name order for
+    determinism."""
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1, got {total}")
+    bucket = _hash_bucket(F.col(key_col), seed)
+    expr = None
+    acc = 0.0
+    for name in sorted(weights):
+        acc += weights[name]
+        hi = F.lit(rate_threshold_hex(min(acc, 1.0)))
+        cond = bucket < hi
+        expr = F.when(cond, F.lit(name)) if expr is None else expr.when(cond, F.lit(name))
+    # float accumulation can leave the last range a hair short of
+    # 0xffffffff — fold the remainder into the last (sorted) name
+    return df.withColumn(out_col, expr.otherwise(F.lit(sorted(weights)[-1])))

@@ -1770,6 +1770,36 @@ GROUP BY 1, 2
 """
 
 
+def q_hash_split(spark, sf_dir):
+    """Deterministic 80/10/10 train/val/test split keyed on doc_id:
+    counts + id checksums per split, hash-checked against the same
+    md5-range rule in SQL."""
+    docs = _load(spark, sf_dir, "documents")
+    out = scrub.hash_split(
+        docs, {"train": 0.8, "test": 0.1, "val": 0.1}, key_col="doc_id", seed=11
+    )
+    return out.groupBy("split").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+SQL_HASH_SPLIT = """
+WITH b AS (
+  SELECT doc_id, substr(md5('11:' || CAST(doc_id AS VARCHAR)), 1, 8) AS h
+  FROM documents),
+s AS (
+  SELECT doc_id,
+         CASE WHEN h < '19999999' THEN 'test'
+              WHEN h < 'e6666666' THEN 'train'
+              ELSE 'val' END AS split
+  FROM b)
+SELECT split, CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM s GROUP BY 1
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib redundancy signal per language (rows-only: DuckDB has no
     zlib; the pytest oracle checks bit-exactness vs driver-side zlib)."""
@@ -2179,6 +2209,7 @@ QUERIES = {
     "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
+    "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "compression_ratio": (q_compression_ratio, None),

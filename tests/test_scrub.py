@@ -103,3 +103,24 @@ def test_compression_ratio_matches_python_zlib(spark):
         b = t.encode()
         assert got[i] == len(zlib.compress(b, 6)) / len(b)   # bit-exact
     assert got[0] < 0.1 < got[1]       # repetitive text compresses far more
+
+
+def test_hash_split_deterministic_partition_and_ratio(spark):
+    from diive_spark.operators.scrub import hash_split
+
+    df = spark.range(0, 20000).withColumnRenamed("id", "k")
+    out = hash_split(df, {"train": 0.8, "val": 0.1, "test": 0.1}, key_col="k")
+    counts = {r["split"]: r["n"] for r in
+              out.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert set(counts) == {"train", "val", "test"}
+    assert abs(counts["train"] / 20000 - 0.8) < 0.02
+    assert abs(counts["val"] / 20000 - 0.1) < 0.01
+    # every row gets exactly one split; repartition doesn't move anyone
+    a = {r["k"]: r["split"] for r in out.collect()}
+    b = {r["k"]: r["split"] for r in hash_split(
+        df.repartition(13), {"train": 0.8, "val": 0.1, "test": 0.1},
+        key_col="k").collect()}
+    assert a == b
+    import pytest as _pt
+    with _pt.raises(ValueError):
+        hash_split(df, {"train": 0.5, "val": 0.1}, key_col="k")
