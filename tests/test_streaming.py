@@ -203,3 +203,35 @@ def test_stream_sessions_close_once_and_match_batch(spark, tmp_path):
     e = exp.sort_values(["user_id", "session_start"]).reset_index(drop=True)
     assert g["n_events"].tolist() == e["n_events"].tolist()
     assert g["user_id"].tolist() == e["user_id"].tolist()
+
+
+def test_stream_static_enrichment(spark, tmp_path):
+    """Stream-static join: a file stream of events enriched with a
+    static dimension (broadcast per micro-batch, no stream-state);
+    output equals the batch join after drain."""
+    src = str(tmp_path / "enr_in")
+    out = str(tmp_path / "enr_out")
+    ckpt = str(tmp_path / "enr_ckpt")
+    schema = "user_id long, ts timestamp, value double"
+    rows = [(i % 3, pd.Timestamp("2024-01-01").to_pydatetime(), float(i))
+            for i in range(30)]
+    spark.createDataFrame(rows, schema).write.parquet(src)
+    dim = spark.createDataFrame(
+        [(0, "bronze"), (1, "silver"), (2, "gold")], "user_id long, tier string"
+    )
+    stream = spark.readStream.schema(schema).parquet(src)
+    q = (
+        stream.join(F.broadcast(dim), on="user_id")
+        .writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out)
+    assert got.count() == 30
+    sums = {r["tier"]: r["s"] for r in
+            got.groupBy("tier").agg(F.sum("value").alias("s")).collect()}
+    exp = {r["tier"]: r["s"] for r in
+           spark.createDataFrame(rows, schema).join(dim, "user_id")
+           .groupBy("tier").agg(F.sum("value").alias("s")).collect()}
+    assert sums == exp
