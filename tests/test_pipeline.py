@@ -127,3 +127,28 @@ def test_identify_flagcols_alias_groups():
     # (reference identify.py:46: `any(n in f)`)
     assert identify_flagcols(cols, "TA") == ["FLAG_L2_TA_RANGE_TEST"]
     assert identify_flagcols(cols, "SW_IN") == []
+
+
+def test_reference_name_facade(spark, tiny_series):
+    """diive vocabulary routes to the distributed operators: a
+    reference-style flow (zScore -> GapFinder -> linear_interpolation
+    -> resample_series_to_30MIN) runs end-to-end through the facade,
+    and aliases are the SAME objects as the implementations."""
+    import pyspark.sql.functions as F
+
+    from diive_spark import api
+    from diive_spark.operators.gaps import gap_runs
+    from diive_spark.operators.outliers import zscore_flag
+
+    assert api.zScore is zscore_flag
+    assert api.GapFinder is gap_runs
+    assert len(api.__all__) >= 50
+
+    flagged = api.zScore(tiny_series, thres=4.0)
+    assert "flag_zscore" in flagged.columns
+    runs = api.GapFinder(tiny_series)
+    assert runs.count() > 0
+    filled = api.linear_interpolation(tiny_series, limit=3)
+    rolled = api.resample_series_to_30MIN(filled, every=1800,
+                                          value_col="value_gf")
+    assert rolled.where(F.col("n") > 0).count() > 0
