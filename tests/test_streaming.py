@@ -235,3 +235,45 @@ def test_stream_static_enrichment(spark, tmp_path):
            spark.createDataFrame(rows, schema).join(dim, "user_id")
            .groupBy("tier").agg(F.sum("value").alias("s")).collect()}
     assert sums == exp
+
+
+def test_stream_stream_interval_join(spark, tmp_path):
+    """Watermarked stream-stream join: clicks join impressions of the
+    same user within [0, 60 s] after the impression — both sides'
+    state bounded by watermarks; output equals the batch theta-join."""
+    imp_src = str(tmp_path / "imp")
+    clk_src = str(tmp_path / "clk")
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+    schema_i = "user_id long, imp_ts timestamp, ad string"
+    schema_c = "user_id long, clk_ts timestamp"
+    t0 = pd.Timestamp("2024-01-01")
+
+    def ts(s):
+        return (t0 + pd.Timedelta(seconds=s)).to_pydatetime()
+
+    imps = [(1, ts(0), "a"), (1, ts(300), "b"), (2, ts(0), "c")]
+    clks = [(1, ts(30)),      # joins imp 'a' (30 s after)
+            (1, ts(320)),     # joins imp 'b' (20 s after)
+            (2, ts(120))]     # 120 s after 'c' -> outside window
+    spark.createDataFrame(imps, schema_i).write.parquet(imp_src)
+    spark.createDataFrame(clks, schema_c).write.parquet(clk_src)
+
+    si = spark.readStream.schema(schema_i).parquet(imp_src).withWatermark(
+        "imp_ts", "10 minutes")
+    sc_ = spark.readStream.schema(schema_c).parquet(clk_src).withWatermark(
+        "clk_ts", "10 minutes")
+    joined = si.join(
+        sc_,
+        (si.user_id == sc_.user_id)
+        & (sc_.clk_ts >= si.imp_ts)
+        & (sc_.clk_ts <= si.imp_ts + F.expr("interval 60 seconds")),
+    ).select(si.user_id, "ad", "imp_ts", "clk_ts")
+    q = (
+        joined.writeStream.format("parquet")
+        .option("path", out).option("checkpointLocation", ckpt)
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.read.parquet(out).toPandas()
+    assert sorted(got["ad"]) == ["a", "b"]          # 'c' never joined
