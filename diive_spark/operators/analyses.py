@@ -482,3 +482,46 @@ def add_record_number(
     """1..N record counter per series (frames.py:750-757)."""
     w = Window.partitionBy(*key_cols).orderBy(axis_col)
     return df.withColumn("record_number", F.row_number().over(w))
+
+
+def rolling_correlation(
+    df: DataFrame,
+    a_col: str,
+    b_col: str,
+    window: int,
+    min_periods: int | None = None,
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    out_col: str = "roll_corr",
+) -> DataFrame:
+    """Rolling Pearson correlation of two columns over the trailing
+    ``window`` rows per key (the windowed analog of daily_correlation /
+    bucket_correlation).  Spark has no corr-over-window, so the five
+    component sums (n, sum a, sum b, sum ab, sum a2, sum b2) run in
+    ONE window pass and the closed form assembles r — identical math
+    to pandas ``rolling(...).corr()``.  Pairs with any null are
+    excluded from every component (pandas pairwise semantics)."""
+    min_periods = min_periods or max(2, window // 2)
+    w = (
+        Window.partitionBy(*key_cols)
+        .orderBy(axis_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    a, b = F.col(a_col), F.col(b_col)
+    both = a.isNotNull() & b.isNotNull()
+    av = F.when(both, a)
+    bv = F.when(both, b)
+    n = F.count(av).over(w)
+    sa = F.sum(av).over(w)
+    sb = F.sum(bv).over(w)
+    sab = F.sum(av * bv).over(w)
+    saa = F.sum(av * av).over(w)
+    sbb = F.sum(bv * bv).over(w)
+    cov = sab - sa * sb / n
+    var_a = saa - sa * sa / n
+    var_b = sbb - sb * sb / n
+    r = F.when(
+        (n >= min_periods) & (var_a > 0) & (var_b > 0),
+        cov / F.sqrt(var_a * var_b),
+    )
+    return df.withColumn(out_col, r)

@@ -1968,6 +1968,45 @@ GROUP BY 1
 """
 
 
+def q_rolling_correlation(spark, sf_dir):
+    """Trailing-30-row Pearson r between the series value and its own
+    1-lag (autocorrelation proxy) per (source, doc_id) — checksummed
+    per source against DuckDB's corr() OVER the same frame."""
+    from .operators.analyses import lagged_variants, rolling_correlation
+
+    s = lagged_variants(series(spark, sf_dir), lags=[1])
+    out = rolling_correlation(
+        s, "value", "value_lag1", window=30, min_periods=15,
+    )
+    return out.groupBy("source").agg(
+        F.count("roll_corr").alias("n_defined"),
+        _r(F.sum("roll_corr")).alias("r_sum"),
+    )
+
+
+SQL_ROLLING_CORR = f"""
+WITH series AS ({SERIES_SQL}),
+l AS (
+  SELECT *, lag(value, 1) OVER (PARTITION BY source, doc_id ORDER BY pos)
+         AS value_lag1
+  FROM series),
+r AS (
+  SELECT source,
+         CASE WHEN count(CASE WHEN value IS NOT NULL
+                               AND value_lag1 IS NOT NULL THEN 1 END)
+                   OVER w >= 15
+              THEN corr(CASE WHEN value_lag1 IS NOT NULL THEN value END,
+                        CASE WHEN value IS NOT NULL THEN value_lag1 END)
+                   OVER w END AS rc
+  FROM l
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+               ROWS BETWEEN 29 PRECEDING AND CURRENT ROW))
+SELECT source, CAST(count(rc) AS BIGINT) AS n_defined,
+       round(sum(rc), 6) AS r_sum
+FROM r GROUP BY 1
+"""
+
+
 def q_sessionize(spark, sf_dir):
     """Per-user activity sessionization (30 min inactivity gap):
     gaps-and-islands session ids -> per-user session counts and summed
@@ -2210,6 +2249,7 @@ QUERIES = {
     "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
     "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
     "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
+    "rolling_correlation": (q_rolling_correlation, SQL_ROLLING_CORR),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "compression_ratio": (q_compression_ratio, None),

@@ -174,3 +174,50 @@ def test_neighbor_pool_and_heatmap(spark):
     hm = heatmap_pivot(spark.createDataFrame(pdf), "year", "phase", "value", "count")
     assert hm.count() == 3
     assert len(hm.columns) == 5  # year + 4 phase columns
+
+
+def test_rolling_correlation_matches_pandas(spark):
+    """rolling(30).corr() parity incl. null-pair exclusion and the
+    min_periods gate."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import rolling_correlation
+
+    rng = np.random.default_rng(3)
+    n = 400
+    pdf = pd.DataFrame({
+        "source": "s", "doc_id": "d", "pos": range(n),
+        "a": rng.normal(0, 1, n), "b": rng.normal(0, 1, n),
+    })
+    pdf.loc[rng.choice(n, 40, replace=False), "a"] = np.nan
+    got = (
+        rolling_correlation(
+            spark.createDataFrame(pdf), "a", "b", window=30, min_periods=15
+        )
+        .orderBy("pos").toPandas()["roll_corr"]
+    )
+    # pandas pairwise: mask b where a is null so both series drop pairs
+    mb = pdf["b"].where(pdf["a"].notna())
+    exp = pdf["a"].rolling(30, min_periods=15).corr(mb)
+    both = got.notna().to_numpy() & exp.notna().to_numpy()
+    assert (got.notna().to_numpy() == exp.notna().to_numpy()).all()
+    assert np.allclose(got[both], exp[both], atol=1e-9)
+
+
+def test_timezone_and_axis_range_helpers(spark):
+    """add_timezone (times.py:1045-1058) and build_axis_range
+    (times.py:498-510) — the two §2.2 helpers previously untested."""
+    import datetime as dt
+
+    from diive_spark.operators.timegrid import add_timezone, build_axis_range
+
+    df = spark.createDataFrame(
+        [(dt.datetime(2024, 6, 1, 12, 0, 0),)], "ts timestamp"
+    )
+    # noon CET summer wall time == 10:00 UTC
+    utc = add_timezone(df, "ts", tz="Europe/Zurich", out_col="ts_utc").first()
+    assert utc["ts_utc"].hour == 10
+
+    axis = build_axis_range(df, start=100, n=5, step=30)
+    assert [r["pos"] for r in axis.collect()] == [100, 130, 160, 190, 220]
