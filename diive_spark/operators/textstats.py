@@ -168,10 +168,13 @@ def repetition_features(df: DataFrame, text_col: str = "text") -> DataFrame:
         )
         .withColumn("symbol_word_ratio", n_sym / n_words)
     )
+    # the top-bigram share is trivially ~1 on tiny docs (a 2-word doc
+    # has one bigram); require a minimal sample before it can flag
+    n_bi = F.size(F.col("_bi"))
     flag = (
         (F.col("dup_line_frac") > 0.30)
         | (F.col("dup_ngram_frac_2") > 0.20)
-        | (F.col("top_bigram_frac") > 0.18)
+        | ((F.col("top_bigram_frac") > 0.18) & (n_bi >= 5))
         | (F.col("symbol_word_ratio") > 0.10)
     )
     return out.withColumn("repetition_flag", flag.cast("int")).drop(

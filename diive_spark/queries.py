@@ -756,6 +756,7 @@ top AS (
   GROUP BY 1),
 feats AS (
   SELECT g.doc_id,
+         len(bi) AS n_bi,
          (len(bi) - len(list_distinct(bi))) * 1.0 / greatest(len(bi), 1) AS dup2,
          (len(tri) - len(list_distinct(tri))) * 1.0 / greatest(len(tri), 1) AS dup3,
          (len(regexp_split_to_array(text, '\n'))
@@ -768,7 +769,8 @@ SELECT doc_id, round(dup2, 6) AS dup2, round(dup3, 6) AS dup3,
        round(top_bigram_frac, 6) AS top_bigram,
        round(symbol_ratio, 6) AS symbol_ratio,
        CAST(CASE WHEN dup_line > 0.30 OR dup2 > 0.20
-                   OR top_bigram_frac > 0.18 OR symbol_ratio > 0.10
+                   OR (top_bigram_frac > 0.18 AND n_bi >= 5)
+                   OR symbol_ratio > 0.10
                  THEN 1 ELSE 0 END AS BIGINT) AS rep_flag
 FROM feats
 """

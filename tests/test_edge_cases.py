@@ -1,0 +1,70 @@
+"""Empty/degenerate-input robustness: every operator a scheduled job
+might feed an empty partition or single row must return an empty/sane
+frame, not raise."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+
+def test_empty_series_operators(spark):
+    from diive_spark.operators.gaps import gap_runs, interpolate_limited
+    from diive_spark.operators.outliers import zscore_flag
+    from diive_spark.operators.resample import bucket_rollup, compose_rollup
+
+    empty = spark.createDataFrame(
+        [], "source string, doc_id string, pos long, value double"
+    )
+    assert bucket_rollup(empty, every=60).count() == 0
+    assert compose_rollup(bucket_rollup(empty, every=60), every=3600).count() == 0
+    assert zscore_flag(empty).count() == 0
+    assert gap_runs(empty).count() == 0
+    assert interpolate_limited(empty).count() == 0
+
+
+def test_empty_corpus_operators(spark):
+    from diive_spark.operators.dedup import (
+        connected_components, exact_dedup, jaccard_pairs_exact, minhash_dedup,
+    )
+    from diive_spark.operators.scrub import hash_split, redact_pii
+    from diive_spark.operators.textstats import repetition_features, top_ngrams
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty).count() == 0
+    assert jaccard_pairs_exact(empty).count() == 0
+    assert minhash_dedup(empty).count() == 0
+    assert repetition_features(empty).count() == 0
+    assert top_ngrams(empty).count() == 0
+    assert redact_pii(empty).count() == 0
+    assert hash_split(empty, {"train": 1.0}, key_col="doc_id").count() == 0
+    no_edges = spark.createDataFrame([], "id_a long, id_b long")
+    assert connected_components(no_edges).count() == 0
+
+
+def test_single_row_inputs(spark):
+    from diive_spark.operators.joins import interval_join
+    from diive_spark.operators.resample import bucket_rollup
+    from diive_spark.operators.sessions import sessionize
+    from diive_spark.operators.textstats import repetition_features
+
+    one = spark.createDataFrame(
+        [("s", "d", 0, 1.5)], "source string, doc_id string, pos long, value double"
+    )
+    r = bucket_rollup(one, every=60, mincounts_perc=0.0,
+                      min_floor_rule=False).collect()
+    assert len(r) == 1 and r[0]["n"] == 1 and r[0]["sd"] is None
+
+    doc = spark.createDataFrame([(1, "hello")], "doc_id long, text string")
+    rf = repetition_features(doc).collect()[0]
+    assert rf["repetition_flag"] == 0
+
+    import datetime as dt
+    ev = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1))], "user_id long, ts timestamp"
+    )
+    assert sessionize(ev).collect()[0]["session_id"] == 0
+
+    pts = spark.createDataFrame([("a", 1.0)], "k string, ts double")
+    no_iv = spark.createDataFrame([], "k string, start double, end double")
+    assert interval_join(pts, no_iv, key_cols=["k"]).count() == 0
+    assert interval_join(pts, no_iv, key_cols=["k"], how="left").count() == 1
