@@ -277,3 +277,50 @@ def test_stream_stream_interval_join(spark, tmp_path):
     q.awaitTermination(120)
     got = spark.read.parquet(out).toPandas()
     assert sorted(got["ad"]) == ["a", "b"]          # 'c' never joined
+
+
+def test_streamed_partials_compose_into_batch_tier(spark, tmp_path):
+    """The claimed interop: 1m partials written by the STREAM feed the
+    BATCH compose_rollup unchanged — the streamed tier_1m composed to
+    1h equals a direct batch 1h aggregate of the same rows."""
+    from diive_spark.operators.resample import compose_rollup
+
+    src = str(tmp_path / "cp_in")
+    out = str(tmp_path / "cp_out")
+    ckpt = str(tmp_path / "cp_ckpt")
+    _batch(spark, 0, 90).write.parquet(src)            # 15 min of 10 s data
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_rollup_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+    # flush sentinel so every window closes
+    _batch(spark, 10000, 1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_rollup_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+
+    streamed_1m = (
+        spark.read.parquet(out)
+        .where(F.col("bin_start") < pd.Timestamp("2024-01-02").to_pydatetime())
+        .withColumn("bin_start", F.unix_timestamp("bin_start"))
+        .withColumn("bin_end", F.unix_timestamp("bin_end"))
+        .withColumn("bin_label", F.col("bin_end"))
+    )
+    t1h = compose_rollup(streamed_1m, every=3600, key_cols=["source"],
+                         mincounts_perc=0.0, min_floor_rule=False)
+    direct = (
+        _batch(spark, 0, 90)
+        .groupBy("source", F.window("ts", "1 hour"))
+        .agg(F.count("value").alias("n"), F.sum("value").alias("s"),
+             F.min("value").alias("mn"), F.max("value").alias("mx"))
+    )
+    g = t1h.select("source", "bin_start", "n", "sum", "min", "max").toPandas()
+    e = direct.select(
+        "source", F.unix_timestamp("window.start").alias("bin_start"),
+        "n", "s", "mn", "mx",
+    ).toPandas()
+    g = g.sort_values("bin_start").reset_index(drop=True)
+    e = e.sort_values("bin_start").reset_index(drop=True)
+    assert len(g) == len(e) == 1                      # 15 min -> one 1 h bin
+    assert g.loc[0, "n"] == e.loc[0, "n"]
+    assert abs(g.loc[0, "sum"] - e.loc[0, "s"]) < 1e-9
+    assert g.loc[0, "min"] == e.loc[0, "mn"] and g.loc[0, "max"] == e.loc[0, "mx"]
