@@ -128,3 +128,57 @@ def hash_split(
     # float accumulation can leave the last range a hair short of
     # 0xffffffff — fold the remainder into the last (sorted) name
     return df.withColumn(out_col, expr.otherwise(F.lit(sorted(weights)[-1])))
+
+
+def remove_boilerplate_paragraphs(
+    df: DataFrame,
+    max_df: int = 2,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    sep: str = "\n\n",
+    out_col: str = "text_clean",
+) -> DataFrame:
+    """Sub-document dedup: drop paragraphs that repeat across more than
+    ``max_df`` documents (headers, footers, cookie banners — the
+    boilerplate a crawled corpus carries into every page), keeping each
+    doc's remaining paragraphs in their original order.
+
+    Shape: posexplode paragraphs -> one groupBy on the paragraph digest
+    for document frequency (map-side combine collapses within-partition
+    repeats) -> broadcast-join the (small) boilerplate digest set back
+    -> re-assemble with collect_list ordered by position inside the
+    aggregate (sort-based, no window).  Adds ``n_dropped`` per doc.
+    """
+    paras = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.col(text_col), sep)).alias("_pos", "_para"),
+    ).withColumn("_digest", F.md5(F.trim(F.col("_para"))))
+    boiler = (
+        paras.groupBy("_digest")
+        .agg(F.countDistinct(id_col).alias("_df"))
+        .where(F.col("_df") > max_df)
+        .select("_digest")
+    )
+    kept = paras.join(F.broadcast(boiler.withColumn("_drop", F.lit(1))),
+                      on="_digest", how="left")
+    rebuilt = (
+        kept.groupBy(id_col)
+        .agg(
+            F.concat_ws(
+                sep,
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(
+                                F.col("_drop").isNull(),
+                                F.struct(F.col("_pos"), F.col("_para")),
+                            )
+                        )
+                    ),
+                    lambda s: s._para,
+                ),
+            ).alias(out_col),
+            F.count(F.col("_drop")).alias("n_dropped"),
+        )
+    )
+    return df.join(rebuilt, on=id_col, how="left")

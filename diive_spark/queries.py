@@ -1802,6 +1802,57 @@ FROM s GROUP BY 1
 """
 
 
+def q_boilerplate_removal(spark, sf_dir):
+    """Sub-document dedup: a shared footer paragraph planted into every
+    3rd doc must vanish (document frequency > 2) while each doc's own
+    text paragraph survives in place; digests hash-checked."""
+    docs = _load(spark, sf_dir, "documents")
+    aug = docs.withColumn(
+        "t",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.col("text"), F.lit("\n\nshared footer banner")),
+        ).otherwise(F.col("text")),
+    )
+    out = scrub.remove_boilerplate_paragraphs(aug, max_df=2, text_col="t")
+    return out.select(
+        "doc_id",
+        F.md5("text_clean").alias("digest"),
+        F.col("n_dropped").cast("long").alias("n_dropped"),
+    )
+
+
+SQL_BOILERPLATE = r"""
+WITH aug AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || chr(10) || chr(10) || 'shared footer banner'
+              ELSE text END AS t
+  FROM documents),
+p AS (SELECT doc_id, string_split(t, chr(10) || chr(10)) AS ps FROM aug),
+expl AS (
+  SELECT doc_id, CAST(generate_subscripts(ps, 1) AS BIGINT) AS pos,
+         unnest(ps) AS para
+  FROM p),
+boiler AS (
+  SELECT md5(trim(para)) AS d
+  FROM expl GROUP BY 1 HAVING count(DISTINCT doc_id) > 2),
+kept AS (
+  SELECT e.doc_id, e.pos, e.para
+  FROM expl e LEFT JOIN boiler b ON md5(trim(e.para)) = b.d
+  WHERE b.d IS NULL)
+SELECT a.doc_id,
+       md5(coalesce(k.s, '')) AS digest,
+       CAST(a.n_total - coalesce(k.n, 0) AS BIGINT) AS n_dropped
+FROM (SELECT doc_id, len(ps) AS n_total FROM p) a
+LEFT JOIN (
+  SELECT doc_id,
+         string_agg(para, chr(10) || chr(10) ORDER BY pos) AS s,
+         count(*) AS n
+  FROM kept GROUP BY 1) k ON a.doc_id = k.doc_id
+"""
+
+
 def q_compression_ratio(spark, sf_dir):
     """zlib redundancy signal per language (rows-only: DuckDB has no
     zlib; the pytest oracle checks bit-exactness vs driver-side zlib)."""
@@ -2252,6 +2303,7 @@ QUERIES = {
     "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
     "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
     "rolling_correlation": (q_rolling_correlation, SQL_ROLLING_CORR),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "compression_ratio": (q_compression_ratio, None),

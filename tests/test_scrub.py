@@ -124,3 +124,25 @@ def test_hash_split_deterministic_partition_and_ratio(spark):
     import pytest as _pt
     with _pt.raises(ValueError):
         hash_split(df, {"train": 0.5, "val": 0.1}, key_col="k")
+
+
+def test_remove_boilerplate_paragraphs(spark):
+    """Paragraphs repeated across > max_df docs vanish; order of the
+    survivors is preserved; unique docs untouched."""
+    from diive_spark.operators.scrub import remove_boilerplate_paragraphs
+
+    footer = "subscribe to our newsletter"
+    rows = [
+        (1, f"intro one\n\n{footer}\n\nbody one"),
+        (2, f"intro two\n\n{footer}\n\nbody two"),
+        (3, f"{footer}\n\nbody three"),
+        (4, "totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r for r in
+           remove_boilerplate_paragraphs(df, max_df=2).collect()}
+    assert out[1]["text_clean"] == "intro one\n\nbody one"
+    assert out[2]["text_clean"] == "intro two\n\nbody two"
+    assert out[3]["text_clean"] == "body three"
+    assert out[4]["text_clean"] == "totally unique document"
+    assert out[1]["n_dropped"] == 1 and out[4]["n_dropped"] == 0
