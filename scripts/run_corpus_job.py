@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+"""spark-submit entry point for the corpus-preprocessing pipeline —
+the training-data twin of run_cascade_job.py.
+
+    python scripts/package.py                      # builds dist/diive_spark.zip
+    spark-submit --master <cluster> \
+        --py-files dist/diive_spark.zip \
+        scripts/run_corpus_job.py \
+        --docs <documents parquet path> \
+        --out  <output root> \
+        [--minhash-index <band-index root>]   # incremental cross-batch dedup
+
+The job, in one pass over the corpus plus the dedup band joins:
+  1. clean_text       — control-char strip + whitespace collapse
+  2. redact_pii       — email/IPv4/phone placeholders
+  3. exact_dedup      — md5 digest, keep lowest id
+  4. minhash_dedup    — near-dup canonicalization (multi-hop CC);
+                        with --minhash-index, also dedup against the
+                        persistent cross-batch band index
+  5. quality gates    — Gopher repetition flags + quality_score
+  6. hash_split       — frozen 98/1/1 train/val/test assignment
+  7. write            — parquet partitioned by split
+
+Prints ONE JSON metrics line (docs in/kept, dup/flag counts, wall).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import pyspark.sql.functions as F  # noqa: E402
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--docs", required=True)
+    ap.add_argument("--out", required=True)
+    ap.add_argument("--minhash-index", default=None)
+    ap.add_argument("--est-threshold", type=float, default=0.7)
+    ap.add_argument("--parallelism", type=int, default=8)
+    args = ap.parse_args()
+
+    from diive_spark.operators.dedup import MinHashIndex, exact_dedup, minhash_dedup
+    from diive_spark.operators.scrub import hash_split, redact_pii
+    from diive_spark.operators.textstats import (
+        clean_text, quality_score, repetition_features,
+    )
+    from diive_spark.session import get_spark
+
+    spark = get_spark(parallelism=args.parallelism)
+    t0 = time.monotonic()
+    docs = spark.read.parquet(args.docs)
+    n_in = docs.count()
+
+    cleaned = redact_pii(clean_text(docs), text_col="text_clean",
+                         out_col="text_scrubbed")
+    exact = exact_dedup(cleaned, text_col="text_scrubbed")
+    near = minhash_dedup(exact, text_col="text_scrubbed",
+                         est_threshold=args.est_threshold, multi_hop=True)
+    near = near.where(F.col("canonical_id") == F.col("doc_id"))
+    if args.minhash_index:
+        idx = MinHashIndex(spark, args.minhash_index)
+        if os.path.exists(f"{args.minhash_index}/bands.parquet"):
+            near = idx.dedup_batch(
+                near, est_threshold=args.est_threshold,
+                text_col="text_scrubbed",
+            ).where("kept").drop("kept")
+        else:
+            idx.add(near, text_col="text_scrubbed")
+
+    scored = quality_score(
+        repetition_features(near, text_col="text_scrubbed"),
+        text_col="text_scrubbed",
+    )
+    kept = scored.where(
+        (F.col("repetition_flag") == 0) & (F.col("quality") >= 0.5)
+    )
+    final = hash_split(
+        kept, {"train": 0.98, "val": 0.01, "test": 0.01}, key_col="doc_id"
+    )
+    (final.write.mode("overwrite").partitionBy("split").parquet(args.out))
+
+    out_df = spark.read.parquet(args.out)
+    n_out = out_df.count()
+    splits = {r["split"]: r["n"] for r in
+              out_df.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    print(json.dumps({
+        "docs_in": n_in,
+        "docs_out": n_out,
+        "removed": n_in - n_out,
+        "splits": splits,
+        "wall_s": round(time.monotonic() - t0, 2),
+        "docs_per_sec": round(n_in / max(time.monotonic() - t0, 1e-9)),
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
