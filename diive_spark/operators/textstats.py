@@ -301,3 +301,45 @@ def compression_ratio(
     _ratio = pandas_udf(_ratio_fn, "double")
 
     return df.withColumn(out_col, _ratio(F.col(text_col)))
+
+
+def unigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    out_col: str = "unigram_logprob",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Mean per-word unigram log-probability under the corpus's own
+    word distribution — the cheap LM-quality proxy (gibberish and
+    rare-token spam score far below fluent text; CCNet-style pipelines
+    threshold on exactly this signal, just with a bigger LM).
+
+    Two aggregations, no UDFs: corpus unigram counts (one groupBy with
+    map-side combine; add-``smoothing`` Laplace), then explode docs,
+    join counts on the word, and average ``ln p(w)`` per doc.  The
+    count table is the corpus vocabulary — usually broadcastable; at
+    web scale the equi-join on the word hashes and AQE handles the
+    Zipf head.
+    """
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tokens = df.select(F.col(id_col), F.explode(words_arr).alias("_w"))
+    counts = tokens.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+    vocab_total = counts.agg(
+        F.sum("_c").alias("_tot"), F.count(F.lit(1)).alias("_v")
+    )
+    scored = (
+        tokens.join(counts, on="_w")
+        .crossJoin(F.broadcast(vocab_total))
+        .withColumn(
+            "_lp",
+            F.log(
+                (F.col("_c") + F.lit(float(smoothing)))
+                / (F.col("_tot") + F.lit(float(smoothing)) * F.col("_v"))
+            ),
+        )
+        .groupBy(id_col)
+        .agg(F.avg("_lp").alias(out_col), F.count(F.lit(1)).alias("_nw"))
+        .drop("_nw")
+    )
+    return df.join(scored, on=id_col, how="left")

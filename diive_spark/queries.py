@@ -1802,6 +1802,30 @@ FROM s GROUP BY 1
 """
 
 
+def q_unigram_logprob(spark, sf_dir):
+    """Mean unigram log-probability per doc under the corpus's own
+    word distribution (Laplace 1.0) — the cheap LM-quality proxy."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.unigram_logprob_score(docs)
+    return out.select(
+        "doc_id", _r(F.col("unigram_logprob")).alias("logprob")
+    )
+
+
+SQL_UNIGRAM_LOGPROB = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS tot, count(*) AS v FROM c)
+SELECT t.doc_id,
+       round(avg(ln((c.c + 1.0) / (tot.tot + tot.v))), 6) AS logprob
+FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot
+GROUP BY 1
+"""
+
+
 def q_boilerplate_removal(spark, sf_dir):
     """Sub-document dedup: a shared footer paragraph planted into every
     3rd doc must vanish (document frequency > 2) while each doc's own
@@ -2304,6 +2328,7 @@ QUERIES = {
     "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
     "rolling_correlation": (q_rolling_correlation, SQL_ROLLING_CORR),
     "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
     "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "compression_ratio": (q_compression_ratio, None),

@@ -464,3 +464,18 @@ def test_minhash_index_incremental_dedup(spark, tmp_path, docs):
     )
     out3 = idx.dedup_batch(batch3, est_threshold=0.6, add_survivors=False)
     assert out3.collect()[0]["kept"] is False
+
+
+def test_unigram_logprob_orders_fluent_above_gibberish(spark):
+    """A doc of common corpus words must out-score a doc of hapax
+    gibberish under the corpus's own unigram model."""
+    from diive_spark.operators.textstats import unigram_logprob_score
+
+    common = "the cat sat on the mat " * 5
+    rows = [(i, common) for i in range(8)]
+    rows.append((100, "zqxj vbnk wpfh grlt msdc"))     # all hapax
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["unigram_logprob"]
+           for r in unigram_logprob_score(df).collect()}
+    assert got[0] > got[100]
+    assert all(v < 0 for v in got.values())
