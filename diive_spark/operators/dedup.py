@@ -410,6 +410,7 @@ def connected_components(
         .localCheckpoint(eager=True)
     )
     prev_sum = labels.agg(F.sum("label")).collect()[0][0]
+    converged = False
     for _ in range(max_iter):
         nbr_min = (
             sym.join(labels, on=sym.d == labels.node)
@@ -425,8 +426,18 @@ def connected_components(
         )
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
+            converged = True
             break
         prev_sum = cur_sum
+    if not converged:
+        # labels were still changing on the last round: the graph
+        # diameter exceeds max_iter (long templated-page chains are
+        # plausible at corpus scale) and clusters would silently split
+        raise RuntimeError(
+            f"connected_components did not reach a fixpoint within "
+            f"max_iter={max_iter} rounds (labels still changing); raise "
+            f"max_iter — rounds needed equals the near-dup graph diameter"
+        )
     return labels.select("node", F.col("label").alias("component"))
 
 
@@ -451,11 +462,12 @@ class MinHashIndex:
 
     def __init__(self, spark, root: str, k: int = 64, bands: int = 16,
                  n_shingle: int = 3, seed: int = 42):
-        import os
+        # no driver-local mkdir: ``root`` may be an HDFS/S3 URI on a
+        # real cluster — parquet writes create the path through the
+        # Hadoop FileSystem, and ``exists()`` probes the same way
         self.spark = spark
         self.root = root
         self.k, self.bands, self.n_shingle, self.seed = k, bands, n_shingle, seed
-        os.makedirs(root, exist_ok=True)
 
     def _banded(self, docs: DataFrame, id_col="doc_id", text_col="text") -> DataFrame:
         sigs = minhash_signatures(
@@ -475,6 +487,27 @@ class MinHashIndex:
 
     def _path(self) -> str:
         return f"{self.root}/bands.parquet"
+
+    def exists(self) -> bool:
+        """True if the band table already holds at least one batch.
+        Probes through Hadoop's FileSystem API so HDFS/S3 URIs resolve
+        on the cluster (a driver-local ``os.path.exists`` is always
+        False there, silently turning cross-batch dedup into a no-op);
+        falls back to a schema-inference read probe if the JVM gateway
+        shape ever changes."""
+        try:
+            jvm = self.spark._jvm
+            jpath = jvm.org.apache.hadoop.fs.Path(self._path())
+            fs = jpath.getFileSystem(
+                self.spark._jsc.hadoopConfiguration()
+            )
+            return bool(fs.exists(jpath))
+        except Exception:
+            try:
+                self.spark.read.parquet(self._path()).schema
+                return True
+            except Exception:
+                return False
 
     def add(self, docs: DataFrame, id_col="doc_id", text_col="text") -> int:
         """Append a batch's band rows; returns rows written."""

@@ -270,7 +270,18 @@ def salted_join(
     deterministic-layout variant for planned-hot keys.  The salt is
     derived from the big side's full row hash — any uniform spreader
     works because the small side carries every salt value.
+
+    Only ``inner`` and ``left`` (big-preserving) joins are supported:
+    with right/full, small-side rows with no big-side match would
+    surface once per salt replica as n_salts duplicate null-padded
+    rows.
     """
+    if how not in ("inner", "left"):
+        raise ValueError(
+            f"salted_join supports how in ('inner', 'left'); got {how!r} — "
+            "the replicated small side would emit one null-padded row per "
+            "salt for unmatched small-side keys"
+        )
     keys = list(on)
     salt_mod = F.lit(int(n_salts))
     b = big.withColumn(

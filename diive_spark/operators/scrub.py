@@ -69,16 +69,25 @@ def rate_threshold_hex(rate: float) -> str:
     return format(min(int(rate * (1 << 32)), (1 << 32) - 1), "08x")
 
 
+def _keep_cond(bucket, rate: float):
+    """Keep-condition for a hash bucket at ``rate``.  rate >= 1.0 is
+    special-cased to literal True: the strict '<' against the capped
+    0xffffffff threshold would otherwise drop keys whose md5 bucket is
+    exactly 'ffffffff' (~1 in 4B rows) from a supposedly keep-all
+    stratum."""
+    if rate >= 1.0:
+        return F.lit(True)
+    return bucket < F.lit(rate_threshold_hex(rate))
+
+
 def hash_sample(
     df: DataFrame, rate: float, key_col: str, seed: int = 0
 ) -> DataFrame:
     """Deterministic ``rate`` sample keyed on ``key_col``: a row is kept
-    iff md5(seed || key)[:8] < rate-threshold.  Same keys always draw
-    the same verdict across runs, partitionings and engines — the
-    property corpus-freeze reproducibility needs."""
-    return df.where(
-        _hash_bucket(F.col(key_col), seed) < F.lit(rate_threshold_hex(rate))
-    )
+    iff md5(seed || key)[:8] < rate-threshold (rate >= 1.0 keeps all).
+    Same keys always draw the same verdict across runs, partitionings
+    and engines — the property corpus-freeze reproducibility needs."""
+    return df.where(_keep_cond(_hash_bucket(F.col(key_col), seed), rate))
 
 
 def stratified_hash_sample(
@@ -90,14 +99,16 @@ def stratified_hash_sample(
     default_rate: float = 0.0,
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language rebalancing:
-    {'en': 0.1, 'de': 1.0}).  One hash, one when-chain — no shuffle."""
+    {'en': 0.1, 'de': 1.0}).  One hash, one when-chain of boolean
+    keep-conditions — no shuffle; rate >= 1.0 strata keep every key
+    (no 'ffffffff' edge-bucket loss)."""
     bucket = _hash_bucket(F.col(key_col), seed)
-    thr = F.lit(rate_threshold_hex(default_rate))
+    keep = _keep_cond(bucket, default_rate)
     for stratum, rate in sorted(rates.items()):
-        thr = F.when(
-            F.col(strata_col) == stratum, F.lit(rate_threshold_hex(rate))
-        ).otherwise(thr)
-    return df.where(bucket < thr)
+        keep = F.when(
+            F.col(strata_col) == stratum, _keep_cond(bucket, rate)
+        ).otherwise(keep)
+    return df.where(keep)
 
 
 def hash_split(

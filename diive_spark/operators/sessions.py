@@ -14,9 +14,10 @@ Two Spark-first shapes:
   for watermarked session merges) — one shuffle on the key, state
   merged by Catalyst's native session-window exec.
 
-A new session starts when the gap to the previous event exceeds
-``gap_seconds`` (strictly greater, matching session_window's merge
-rule and the DuckDB oracle twin).
+A new session starts when the gap to the previous event reaches
+``gap_seconds`` (>=, matching session_window's merge rule — windows
+[t, t+gap) that merely touch do NOT merge — and the DuckDB oracle
+twin).
 """
 
 from __future__ import annotations
@@ -40,13 +41,14 @@ def sessionize(
     out_col: str = "session_id",
 ) -> DataFrame:
     """Assign a per-key session ordinal (0-based) to every event row.
-    Gaps-and-islands: boundary = gap to previous event > gap_seconds;
+    Gaps-and-islands: boundary = gap to previous event >= gap_seconds
+    (session_window semantics: touching windows do not merge);
     session id = running count of boundaries."""
     keys = list(key_cols)
     w = Window.partitionBy(*keys).orderBy(ts_col)
     prev = F.lag(_epoch(ts_col)).over(w)
     boundary = F.when(
-        prev.isNull() | ((_epoch(ts_col) - prev) > gap_seconds), 1
+        prev.isNull() | ((_epoch(ts_col) - prev) >= gap_seconds), 1
     ).otherwise(0)
     return df.withColumn(
         out_col,

@@ -843,12 +843,13 @@ def q_stratified_sample(spark, sf_dir):
 SQL_STRATIFIED_SAMPLE = """
 WITH thr AS (
   SELECT * FROM (VALUES
-    ('en', '80000000'), ('de', 'ffffffff'), ('fr', '40000000'),
+    ('en', '80000000'), ('de', NULL), ('fr', '40000000'),
     ('es', '40000000'), ('zh', '19999999')) AS t(lang, hex_thr))
 SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
        CAST(sum(d.doc_id) AS BIGINT) AS id_sum
 FROM documents d JOIN thr ON d.lang = thr.lang
-WHERE substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex_thr
+WHERE thr.hex_thr IS NULL  -- rate >= 1.0 keeps ALL keys (no edge-bucket loss)
+   OR substr(md5('7:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex_thr
 GROUP BY 1
 """
 
@@ -2107,7 +2108,7 @@ SQL_SESSIONIZE = """
 WITH e AS (SELECT user_id, ts, epoch(ts) AS ep FROM events),
 m AS (
   SELECT user_id, ts, ep,
-         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w > 1800
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w >= 1800
               THEN 1 ELSE 0 END AS b
   FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
 s AS (

@@ -66,7 +66,9 @@ def main() -> None:
     near = near.where(F.col("canonical_id") == F.col("doc_id"))
     if args.minhash_index:
         idx = MinHashIndex(spark, args.minhash_index)
-        if os.path.exists(f"{args.minhash_index}/bands.parquet"):
+        # probe through Hadoop FS (idx.exists), NOT os.path: the index
+        # root is an HDFS/S3 URI under spark-submit on a real cluster
+        if idx.exists():
             near = idx.dedup_batch(
                 near, est_threshold=args.est_threshold,
                 text_col="text_scrubbed",

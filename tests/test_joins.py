@@ -158,14 +158,16 @@ def test_sessionize_hand_case(spark):
 
     t0 = datetime(2024, 1, 1)
     rows = [(1, t0 + timedelta(seconds=s)) for s in (0, 10, 20, 2020, 2030)]
-    rows += [(2, t0), (2, t0 + timedelta(seconds=1800))]  # ==gap -> same
+    rows += [(2, t0), (2, t0 + timedelta(seconds=1800))]  # ==gap -> splits
     df = spark.createDataFrame(rows, "user_id long, ts timestamp")
     got = sessionize(df, gap_seconds=1800.0).toPandas()
     sid = got.set_index(["user_id", "ts"])["session_id"]
     u1 = got[got.user_id == 1].sort_values("ts")["session_id"].tolist()
     assert u1 == [0, 0, 0, 1, 1]
-    # a gap of exactly gap_seconds does NOT split (strictly greater)
-    assert got[got.user_id == 2]["session_id"].tolist() == [0, 0]
+    # a gap of exactly gap_seconds DOES split (>=, session_window
+    # semantics: windows [t, t+gap) that touch do not merge)
+    u2 = got[got.user_id == 2].sort_values("ts")["session_id"].tolist()
+    assert u2 == [0, 1]
 
 
 def test_session_stats_matches_sessionize(spark):
