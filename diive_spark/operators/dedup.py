@@ -266,11 +266,24 @@ def simhash(
     return agg.select(id_col, fp.alias("simhash"))
 
 
-def simhash_pairs(
-    sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id"
+def _simhash_bands(
+    sim_df: DataFrame, id_col: str = "doc_id", max_bucket: int | None = None
 ) -> DataFrame:
-    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
-    chunk banding (pigeonhole: hd<=3 -> at least one identical chunk)."""
+    """Banding-key table for the simhash self-join: one row per
+    (doc, band key).  Base key = (chunk_idx, 16-bit chunk).  With
+    ``max_bucket``, buckets whose frequency exceeds it are SUB-SPLIT
+    instead of joined whole: each member's remaining 48 bits (the
+    fingerprint minus the shared chunk) are cut into 4 x 12-bit
+    sub-chunks and the key becomes (chunk_idx, chunk, sub_idx,
+    sub_chunk).  Pigeonhole preserves exact hd<=3 recall — at most 3
+    differing bits can touch at most 3 of the 4 sub-chunks, so a true
+    pair still shares an identical sub-key — while a random hot bucket
+    shrinks ~2^12-fold.  (Residual hot sub-buckets are near-identical
+    cliques whose candidate pairs are overwhelmingly real matches, so
+    their quadratic output is inherent in the answer, not join waste.)
+    Cold buckets keep sub keys (-1, -1); hotness is a property of the
+    bucket, so both sides of any candidate pair agree on the layout.
+    """
     chunks = [
         F.shiftright(F.col("simhash"), 16 * i).bitwiseAND(F.lit(0xFFFF)).alias(f"c{i}")
         for i in range(4)
@@ -280,6 +293,60 @@ def simhash_pairs(
         id_col, "simhash",
         F.posexplode(F.array(*[F.col(f"c{i}") for i in range(4)])).alias("chunk_idx", "chunk"),
     )
+    if max_bucket is None:
+        return stacked.select(
+            id_col, "simhash", "chunk_idx", "chunk",
+            F.lit(-1).alias("sub_idx"), F.lit(-1).cast("long").alias("sub_chunk"),
+        )
+    hot = (
+        stacked.groupBy("chunk_idx", "chunk").count()
+        .where(F.col("count") > max_bucket)
+        .select("chunk_idx", "chunk", F.lit(True).alias("_hot"))
+    )
+    flagged = stacked.join(
+        F.broadcast(hot), on=["chunk_idx", "chunk"], how="left"
+    )
+    cold = flagged.where(F.col("_hot").isNull()).select(
+        id_col, "simhash", "chunk_idx", "chunk",
+        F.lit(-1).alias("sub_idx"), F.lit(-1).cast("long").alias("sub_chunk"),
+    )
+    # remaining 48 bits with the shared 16-bit chunk excised:
+    # low bits below the chunk | high bits above it shifted down.
+    # SQL expr because the Python shiftleft/shiftrightunsigned wrappers
+    # only take literal int shift counts; the JVM wraps shift counts
+    # mod 64, so >>> (shift+16) is composed as >>> (shift+15) >>> 1 to
+    # stay correct at chunk_idx=3.
+    rem = F.expr(
+        "(simhash & (shiftleft(CAST(1 AS BIGINT), chunk_idx * 16) - 1)) | "
+        "shiftleft(shiftrightunsigned("
+        "  shiftrightunsigned(simhash, chunk_idx * 16 + 15), 1), chunk_idx * 16)"
+    )
+    subs = F.array(*[
+        F.shiftrightunsigned(rem, 12 * j).bitwiseAND(F.lit(0xFFF)).cast("long")
+        for j in range(4)
+    ])
+    hot_rows = flagged.where(F.col("_hot").isNotNull()).select(
+        id_col, "simhash", "chunk_idx", "chunk",
+        F.posexplode(subs).alias("sub_idx", "sub_chunk"),
+    )
+    return cold.unionByName(hot_rows)
+
+
+def simhash_pairs(
+    sim_df: DataFrame, max_hamming: int = 3, id_col: str = "doc_id",
+    max_bucket: int | None = 100_000,
+) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4x16-bit
+    chunk banding (pigeonhole: hd<=3 -> at least one identical chunk).
+
+    ``max_bucket`` guards against hot-chunk quadratic blowup (the
+    simhash analog of jaccard_pairs_exact's ``max_df``): at 10^9 docs a
+    popular 16-bit chunk value holds ~15k docs and would emit ~10^8
+    candidate pairs per such bucket.  Unlike max_df the guard is
+    EXACT — hot buckets are sub-split on 12-bit sub-chunks of the
+    remaining bits with hd<=3 recall preserved by pigeonhole (see
+    _simhash_bands).  ``max_bucket=None`` disables the guard."""
+    stacked = _simhash_bands(sim_df, id_col=id_col, max_bucket=max_bucket)
     a, b = stacked.alias("a"), stacked.alias("b")
     ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
     return (
@@ -288,6 +355,8 @@ def simhash_pairs(
             on=[
                 F.col("a.chunk_idx") == F.col("b.chunk_idx"),
                 F.col("a.chunk") == F.col("b.chunk"),
+                F.col("a.sub_idx") == F.col("b.sub_idx"),
+                F.col("a.sub_chunk") == F.col("b.sub_chunk"),
                 F.col(f"a.{id_col}") < F.col(f"b.{id_col}"),
             ],
         )

@@ -350,6 +350,60 @@ def test_simhash_banding_exact_recall(spark):
     assert len(truth) >= 1
 
 
+def test_simhash_hot_bucket_guard(spark):
+    """Pathological corpus: 300 fingerprints all sharing 16-bit chunk 0
+    (a templated-page hot bucket) but random elsewhere.  The max_bucket
+    guard must sub-split the hot bucket so no band bucket approaches
+    the unguarded 300, while hd<=3 recall stays EXACT (pigeonhole on
+    the 4x12-bit sub-chunks of the remaining 48 bits)."""
+    from diive_spark.operators.dedup import _simhash_bands, simhash_pairs
+
+    rng = np.random.RandomState(7)
+    fps = []
+    for i in range(300):
+        rem = int(rng.randint(0, 1 << 31)) | (int(rng.randint(0, 1 << 17)) << 31)
+        fps.append((rem << 16) | 0xABCD)            # chunk0 shared by ALL
+    # plant hd<=3 pairs: doc 300+j = doc j with <=3 flipped high bits
+    for j in range(5):
+        flipped = fps[j] ^ (0b101 << (20 + j))      # 2 bits outside chunk0
+        fps.append(flipped)
+
+    def signed(v):
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    df = spark.createDataFrame(
+        [(i, signed(v)) for i, v in enumerate(fps)], "doc_id long, simhash long"
+    )
+    truth = set()
+    for i in range(len(fps)):
+        for j in range(i + 1, len(fps)):
+            if bin(fps[i] ^ fps[j]).count("1") <= 3:
+                truth.add((i, j))
+    assert len(truth) >= 5
+
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in simhash_pairs(df, max_hamming=3, max_bucket=20).collect()
+    }
+    assert got == truth                       # guard keeps recall EXACT
+
+    # and the band table is genuinely de-hotted: the unguarded layout
+    # has a 305-doc bucket; post-guard every bucket is tiny
+    bands = _simhash_bands(df, max_bucket=20)
+    sizes = (
+        bands.groupBy("chunk_idx", "chunk", "sub_idx", "sub_chunk")
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    assert sizes <= 20, sizes
+    # unguarded: one bucket holds every doc
+    raw = _simhash_bands(df, max_bucket=None)
+    raw_max = (
+        raw.groupBy("chunk_idx", "chunk", "sub_idx", "sub_chunk")
+        .count().agg(F.max("count")).collect()[0][0]
+    )
+    assert raw_max == len(fps)
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe LSH: probing the flipped lowest-margin bits must
     find at least as many true neighbors as single-bucket probing, and
