@@ -234,3 +234,57 @@ def bin_fitter(
     fit = quadratic_fit(per_bin, "x_med", "y_med", key_cols=keys)
     pred = quadratic_predict(fit, per_bin, "x_med", on=keys)
     return pred, fit
+
+
+def linear_fit(
+    df: DataFrame,
+    y: str,
+    x: str,
+    key_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Simple OLS y ~ x per key group — the Spark-side closed form of
+    the reference's statsmodels helper (diive/core/dfun/regression.py:
+    6-57): slope = covar_samp/var_samp, intercept from the means,
+    r-squared = corr^2, adjusted r-squared = 1-(1-r2)(n-1)/(n-2).
+    NaN-pair rows are dropped first (reference dropna); one map-side
+    combinable aggregate, no shuffle beyond the groupBy."""
+    keys = list(key_cols)
+    good = df.where(F.col(x).isNotNull() & F.col(y).isNotNull())
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    agg = good.groupBy(*keys).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.covar_samp(xc, yc).alias("_cov"),
+        F.var_samp(xc).alias("_varx"),
+        F.avg(xc).alias("_mx"),
+        F.avg(yc).alias("_my"),
+        F.corr(xc, yc).alias("_r"),
+    )
+    slope = F.col("_cov") / F.col("_varx")
+    r2 = F.col("_r") * F.col("_r")
+    return agg.select(
+        *keys,
+        "n",
+        slope.alias("slope"),
+        (F.col("_my") - slope * F.col("_mx")).alias("intercept"),
+        r2.alias("r2"),
+        (
+            F.lit(1.0)
+            - (F.lit(1.0) - r2) * (F.col("n") - 1) / (F.col("n") - 2)
+        ).alias("r2_adj"),
+    )
+
+
+def linear_predict(
+    fit: DataFrame, pts: DataFrame, x: str, on: Sequence[str] = ()
+) -> DataFrame:
+    """Attach fitted values (reference regression.py fitted_values):
+    broadcast the per-key coefficient table onto the points."""
+    keys = list(on)
+    sel = fit.select(*keys, "slope", "intercept")
+    joined = (
+        pts.join(F.broadcast(sel), on=keys) if keys
+        else pts.crossJoin(F.broadcast(sel))
+    )
+    return joined.withColumn(
+        "y_fit", F.col("intercept") + F.col("slope") * F.col(x).cast("double")
+    )

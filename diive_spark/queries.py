@@ -1401,22 +1401,36 @@ FROM gated WHERE n >= (CASE WHEN minc < 3 THEN 1 ELSE minc END)
 
 # ----------------------------------------------- rows-only (no oracle SQL)
 def q_gorilla_roundtrip(spark, sf_dir):
-    """Gorilla codec round trip over real token-like data (per-row
-    invariant, BASELINE.json input_hint) — emits per-source mismatch
-    counts (must be 0) and compression ratio."""
-    from .datagen import tokens_table
+    """SELF-VERIFYING Gorilla codec oracle (VERDICT r2 item 5): token
+    arrays derived deterministically from documents text are encoded,
+    decoded, and compared IN-QUERY (the per-row token-array-equality
+    invariant, BASELINE.json input_hint) — n_mismatch must be 0, so the
+    DuckDB twin is the trivial per-source count with a literal zero and
+    any codec regression breaks the driver's value hash."""
     from .functions.gorilla import gorilla_decode_values, gorilla_encode_values
 
-    toks = tokens_table(spark, n_docs=200, seed=42)
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.withColumn(
+        "tokens",
+        F.expr(
+            "transform(split(text, ' '), "
+            "w -> CAST(pmod(xxhash64(w), 50000) AS INT))"
+        ),
+    )
     enc = toks.withColumn("payload", gorilla_encode_values("tokens"))
     dec = enc.withColumn("decoded", gorilla_decode_values("payload"))
     return dec.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),
-        F.count(F.when(~(F.col("decoded") == F.col("tokens")), 1)).alias("n_mismatch"),
-        F.round(F.sum(F.length("payload")) / F.sum(F.col("n_tok") * 4), 4).alias(
-            "compression_ratio"
-        ),
+        F.count(F.when(~(F.col("decoded") == F.col("tokens")), 1))
+        .cast("long").alias("n_mismatch"),
     )
+
+
+SQL_GORILLA_ROUNDTRIP = """
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM documents GROUP BY 1
+"""
 
 
 def q_minhash_dedup_docs(spark, sf_dir):
@@ -2253,21 +2267,120 @@ def q_ivf_topk(spark, sf_dir):
 
 
 def q_tier_cascade(spark, sf_dir):
-    """Retention cascade smoke over the derived series: gated tier row
-    counts (rows-only; exercises the TierStore write/read path)."""
+    """Retention cascade through the full TierStore materialize/write/
+    read/gate path, upgraded to an oracle (VERDICT r2 item 5): per-tier
+    INTEGER stats (gated bin count, point totals, grid totals) that the
+    DuckDB twin recomputes directly from the series.  Integer-only so
+    the driver hash is float-determinism-proof; value parity of the
+    rollup math itself is rollup_compose_tiers' job."""
     import tempfile
 
     from .operators.tiers import TierStore
 
     st = TierStore(spark, tempfile.mkdtemp(prefix="tiers_q_"))
     st.materialize_cascade(series(spark, sf_dir))
-    rows = []
+    parts = []
     for tier in ("tier_1m", "tier_1h", "tier_1d"):
-        rows.append((tier, st.read_gated(tier, 0.25).count()))
-    return spark.createDataFrame(rows, "tier string, n_gated_bins long")
+        gated = st.read_gated(tier, 0.25)
+        parts.append(
+            gated.agg(
+                F.count(F.lit(1)).alias("n_gated_bins"),
+                F.sum("n").cast("long").alias("sum_n"),
+                F.sum("n_grid").cast("long").alias("sum_n_grid"),
+            ).select(
+                F.lit(tier).alias("tier"),
+                "n_gated_bins", "sum_n", "sum_n_grid",
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
+SQL_TIER_CASCADE = f"""
+WITH series AS ({SERIES_SQL}),
+t AS (
+  SELECT * FROM (VALUES ('tier_1m', 60), ('tier_1h', 3600),
+                        ('tier_1d', 86400)) AS v(tier, every)),
+agg AS (
+  SELECT t.tier, s.source, s.doc_id,
+         CAST(floor(s.pos / t.every) * t.every AS BIGINT) AS bin_start,
+         count(s.value) AS n, count(*) AS n_grid
+  FROM series s CROSS JOIN t
+  GROUP BY 1, 2, 3, 4),
+gated AS (
+  SELECT *, CAST(floor(max(n_grid) OVER (
+              PARTITION BY tier, source, doc_id) * 0.25) AS BIGINT) AS minc
+  FROM agg)
+SELECT tier, CAST(count(*) AS BIGINT) AS n_gated_bins,
+       CAST(sum(n) AS BIGINT) AS sum_n,
+       CAST(sum(n_grid) AS BIGINT) AS sum_n_grid
+FROM gated WHERE n >= (CASE WHEN minc < 3 THEN 1 ELSE minc END)
+GROUP BY 1
+"""
+
+
+def q_linear_fit(spark, sf_dir):
+    """Closed-form OLS y~x per group (reference core/dfun/regression.py
+    6-57 without statsmodels): slope/intercept/r2/r2_adj from
+    covar_samp / var_samp / corr — VERDICT r2 item 7."""
+    from .operators.fits import linear_fit
+
+    out = linear_fit(series(spark, sf_dir), y="value", x="pos",
+                     key_cols=["source"])
+    return out.select(
+        "source", "n",
+        _r(F.col("slope") * 1e6).alias("slope_ppm"),
+        _r(F.col("intercept")).alias("intercept"),
+        _r(F.col("r2")).alias("r2"),
+        _r(F.col("r2_adj")).alias("r2_adj"),
+    )
+
+
+SQL_LINEAR_FIT = f"""
+WITH series AS ({SERIES_SQL}),
+good AS (SELECT * FROM series WHERE value IS NOT NULL),
+m AS (
+  SELECT source, count(*) AS n,
+         covar_samp(pos, value) / var_samp(pos) AS slope,
+         avg(value) - covar_samp(pos, value) / var_samp(pos) * avg(pos)
+           AS intercept,
+         corr(pos, value) * corr(pos, value) AS r2
+  FROM good GROUP BY 1)
+SELECT source, CAST(n AS BIGINT) AS n,
+       round(slope * 1e6, 6) AS slope_ppm,
+       round(intercept, 6) AS intercept,
+       round(r2, 6) AS r2,
+       round(1.0 - (1.0 - r2) * (n - 1) / (n - 2), 6) AS r2_adj
+FROM m
+"""
+
+
+# Registry order is deliberate: the driver snapshot covers ~50 queries
+# front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
+# run first (late round-2 additions + round-3 upgrades); the block after
+# them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    # --- never driver-verified (round-2 late additions) -------------
+    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
+    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
+    "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
+    "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
+    "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
+    "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
+    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
+    "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
+    "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
+    "rolling_correlation": (q_rolling_correlation, SQL_ROLLING_CORR),
+    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE),
+    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
+    "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
+    # --- new / upgraded this round ----------------------------------
+    "gorilla_roundtrip": (q_gorilla_roundtrip, SQL_GORILLA_ROUNDTRIP),
+    "tier_cascade": (q_tier_cascade, SQL_TIER_CASCADE),
+    "linear_fit": (q_linear_fit, SQL_LINEAR_FIT),
+    # --- driver-green in CORRECTNESS_r02.json -----------------------
     "rollup_mincount_gate": (q_rollup, SQL_ROLLUP),
     "rollup_compose_tiers": (q_rollup_compose, SQL_ROLLUP_COMPOSE),
     "sstats_battery": (q_sstats, SQL_SSTATS),
@@ -2318,26 +2431,11 @@ QUERIES = {
     "csv_ingest_filetype": (q_csv_ingest, SQL_CSV_INGEST),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "repetition_features": (q_repetition_features, SQL_REPETITION),
-    "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
-    "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
-    "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
-    "sessionize_users": (q_sessionize, SQL_SESSIONIZE),
-    "embedding_neardup_exact": (q_embedding_neardup, SQL_EMBEDDING_NEARDUP),
-    "distinct_rollup": (q_distinct_rollup, SQL_DISTINCT_ROLLUP),
-    "top_ngrams": (q_top_ngrams, SQL_TOP_NGRAMS),
-    "clean_text_normalize": (q_clean_text, SQL_CLEAN_TEXT),
-    "hash_split_frozen": (q_hash_split, SQL_HASH_SPLIT),
-    "rolling_correlation": (q_rolling_correlation, SQL_ROLLING_CORR),
-    "boilerplate_removal": (q_boilerplate_removal, SQL_BOILERPLATE),
-    "unigram_logprob": (q_unigram_logprob, SQL_UNIGRAM_LOGPROB),
-    "winsorize_clip": (q_winsorize, SQL_WINSORIZE),
     # rows-only (non-SQL-expressible / seeded internals)
     "compression_ratio": (q_compression_ratio, None),
-    "gorilla_roundtrip": (q_gorilla_roundtrip, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
     "dedup_simhash": (q_simhash_docs, None),
     "similarity_topk_lsh": (q_cosine_lsh_topk, None),
-    "tier_cascade": (q_tier_cascade, None),
     "ml_gapfill_rf": (q_rf_gapfill, None),
     "similarity_topk_ivf": (q_ivf_topk, None),
 }

@@ -71,6 +71,8 @@ def test_entry_smoke(spark):
 
 
 def test_gorilla_roundtrip_invariant(spark):
+    # compression-ratio coverage lives in test_gorilla.py; this query is
+    # now a self-verifying oracle emitting integer counts only
     out = entry_mod.queries()["gorilla_roundtrip"](spark, SF_DIR).toPandas()
     assert (out["n_mismatch"] == 0).all()
-    assert (out["compression_ratio"] < 1.0).all()
+    assert (out["n_docs"] > 0).all()

@@ -136,3 +136,40 @@ def test_co2_penalty_composition(spark):
     assert on.mean() < -2.0
     pp = per_period.toPandas().sort_values("_period")
     assert pp["num_chds"].tolist() == [2, 0]
+
+
+def test_linear_fit_matches_numpy_ols(spark):
+    """Closed-form OLS (reference core/dfun/regression.py:6-57 without
+    statsmodels) vs numpy polyfit + manual r2 on a seeded noisy line,
+    NaNs dropped as the reference's dropna does."""
+    from diive_spark.operators.fits import linear_fit, linear_predict
+
+    rng = np.random.RandomState(3)
+    x = np.arange(500, dtype=float)
+    y = 2.5 * x - 40.0 + rng.normal(0, 25.0, 500)
+    y[::17] = np.nan                              # holes must be dropped
+    pdf = pd.DataFrame({"g": "a", "x": x, "y": y})
+    got = linear_fit(
+        spark.createDataFrame(pdf), y="y", x="x", key_cols=["g"]
+    ).toPandas().iloc[0]
+
+    m = ~np.isnan(y)
+    k, d = np.polyfit(x[m], y[m], 1)
+    resid = y[m] - (k * x[m] + d)
+    ss_res = float((resid ** 2).sum())
+    ss_tot = float(((y[m] - y[m].mean()) ** 2).sum())
+    r2 = 1 - ss_res / ss_tot
+    n = int(m.sum())
+    r2_adj = 1 - (1 - r2) * (n - 1) / (n - 2)
+
+    assert got["n"] == n
+    assert abs(got["slope"] - k) < 1e-9
+    assert abs(got["intercept"] - d) < 1e-8
+    assert abs(got["r2"] - r2) < 1e-9
+    assert abs(got["r2_adj"] - r2_adj) < 1e-9
+
+    fitted = linear_predict(
+        linear_fit(spark.createDataFrame(pdf), "y", "x", ["g"]),
+        spark.createDataFrame(pdf), "x", on=["g"],
+    ).toPandas().sort_values("x")
+    assert np.allclose(fitted["y_fit"], k * x + d, atol=1e-7)
