@@ -640,3 +640,34 @@ class MinHashIndex:
             self.add(out.where("kept").select(id_col, text_col),
                      id_col=id_col, text_col=text_col)
         return out
+
+    def compact(self, target_files_per_band: int = 1) -> int:
+        """Rewrite the band table into ``target_files_per_band`` files
+        per band_idx partition.  Each batch appends its own small files
+        (one set per add/dedup_batch call), so after thousands of
+        batches the equi-join in pairs_against pays per-file open cost
+        and tiny-split scheduling overhead; compaction restores target
+        file sizes while keeping the band_idx partitioning the join
+        prunes on.  Write-then-swap via a sibling path + Hadoop rename
+        so a crash mid-compact leaves the old table intact.  Returns
+        the row count of the compacted table."""
+        cur = self.stored()
+        n = cur.count()
+        tmp = f"{self.root}/bands_compact_tmp.parquet"
+        (
+            cur.repartition(target_files_per_band, "band_idx")
+            .sortWithinPartitions("band_idx", "band_hash")
+            .write.mode("overwrite").partitionBy("band_idx").parquet(tmp)
+        )
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        dst = jvm.org.apache.hadoop.fs.Path(self._path())
+        src = jvm.org.apache.hadoop.fs.Path(tmp)
+        fs = dst.getFileSystem(conf)
+        bak = jvm.org.apache.hadoop.fs.Path(f"{self.root}/bands_old.parquet")
+        if fs.exists(bak):
+            fs.delete(bak, True)
+        fs.rename(dst, bak)
+        fs.rename(src, dst)
+        fs.delete(bak, True)
+        return n

@@ -520,6 +520,48 @@ def test_minhash_index_incremental_dedup(spark, tmp_path, docs):
     assert out3.collect()[0]["kept"] is False
 
 
+def test_minhash_index_compact_preserves_answers(spark, tmp_path, docs):
+    """A 10-batch index answers identically after compact(), and the
+    band-table file count drops to ~1 per band partition (per-batch
+    appends otherwise accumulate small files forever)."""
+    import glob
+
+    from diive_spark.operators.dedup import MinHashIndex
+
+    root = str(tmp_path / "mh_idx_c")
+    idx = MinHashIndex(spark, root)
+    all_rows = docs.where(F.col("doc_id") < 50).collect()
+    n_batches = 10
+    per = max(1, len(all_rows) // n_batches)
+    chunks = [all_rows[i * per:(i + 1) * per] for i in range(n_batches)]
+    chunks = [c for c in chunks if c]
+    for chunk in chunks:                           # one add per batch
+        idx.add(spark.createDataFrame(chunk, docs.schema))
+    n_indexed = sum(len(c) for c in chunks)
+
+    probe = spark.createDataFrame(
+        [(900, all_rows[3]["text"]), (901, "never seen words only")],
+        "doc_id long, text string",
+    )
+    before = sorted(
+        (r["new_id"], r["index_id"])
+        for r in idx.pairs_against(probe, est_threshold=0.6).collect()
+    )
+    files_before = len(glob.glob(f"{root}/bands.parquet/*/part-*"))
+
+    n = idx.compact()
+    assert n == n_indexed * 16                     # 16 band rows per doc
+
+    after = sorted(
+        (r["new_id"], r["index_id"])
+        for r in idx.pairs_against(probe, est_threshold=0.6).collect()
+    )
+    files_after = len(glob.glob(f"{root}/bands.parquet/*/part-*"))
+    assert after == before and len(before) >= 1    # identical answers
+    assert files_after < files_before              # genuinely compacted
+    assert files_after <= 16                       # ~1 file per band
+
+
 def test_unigram_logprob_orders_fluent_above_gibberish(spark):
     """A doc of common corpus words must out-score a doc of hapax
     gibberish under the corpus's own unigram model."""
