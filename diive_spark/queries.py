@@ -2321,6 +2321,33 @@ GROUP BY 1
 """
 
 
+def q_multimodal_decode(spark, sf_dir):
+    """Multimodal real-decode oracle: the deterministic media table
+    carries REAL binary PPM images and PCM WAV audio (pure-numpy
+    codecs, functions/codecs.py) plus opaque video bytes; per-type
+    decode counts are exact constants, so a VALUES twin hash-checks
+    that every image/audio row decodes (decode_ok=True) and video
+    fails closed — through the actual mapInPandas Arrow path."""
+    from .operators.multimodal import extract_features, fake_media_table
+
+    media = fake_media_table(spark, n=30)
+    feats = extract_features(media, feature_dim=8)
+    return feats.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count(F.when(F.col("decode_ok"), 1)).cast("long").alias("n_decoded"),
+        F.count(F.when(F.size("feature") == 8, 1)).cast("long").alias("n_feat8"),
+    )
+
+
+SQL_MULTIMODAL_DECODE = """
+SELECT * FROM (VALUES
+  ('image', CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)),
+  ('audio', CAST(10 AS BIGINT), CAST(10 AS BIGINT), CAST(10 AS BIGINT)),
+  ('video', CAST(10 AS BIGINT), CAST(0 AS BIGINT), CAST(10 AS BIGINT))
+) AS t(media_type, n_rows, n_decoded, n_feat8)
+"""
+
+
 def q_linear_fit(spark, sf_dir):
     """Closed-form OLS y~x per group (reference core/dfun/regression.py
     6-57 without statsmodels): slope/intercept/r2/r2_adj from
@@ -2380,6 +2407,7 @@ QUERIES = {
     "gorilla_roundtrip": (q_gorilla_roundtrip, SQL_GORILLA_ROUNDTRIP),
     "tier_cascade": (q_tier_cascade, SQL_TIER_CASCADE),
     "linear_fit": (q_linear_fit, SQL_LINEAR_FIT),
+    "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     # --- driver-green in CORRECTNESS_r02.json -----------------------
     "rollup_mincount_gate": (q_rollup, SQL_ROLLUP),
     "rollup_compose_tiers": (q_rollup_compose, SQL_ROLLUP_COMPOSE),

@@ -219,24 +219,86 @@ def test_repetition_features_hand_values(spark):
     assert abs(out[3]["dup_line_frac"] - 2 / 5) < 1e-12
 
 
-def test_multimodal_plumbing(spark):
+def test_multimodal_real_decode(spark):
+    """REAL decode through the Spark path: PPM images and WAV audio
+    produce decode_ok=True with physically meaningful features; opaque
+    video bytes fail closed onto the hash-fake fallback."""
     media = fake_media_table(spark, n=12)
     feats = extract_features(media, feature_dim=8).toPandas()
     assert len(feats) == 12
-    assert feats["decode_ok"].all()
+    by_type = feats.groupby("media_type")["decode_ok"].all()
+    assert by_type["image"] and by_type["audio"]       # real bytes decode
+    assert not feats[feats.media_type == "video"]["decode_ok"].any()
     assert all(len(f) == 8 for f in feats["feature"])
+    # image features carry real geometry: width=64, height=48
+    img = feats[feats.media_type == "image"].iloc[0]["feature"]
+    assert img[0] == 64.0 and img[1] == 48.0 and img[2] == 3.0
+    # audio features carry real signal stats: 16 kHz, 0.25 s, rms of a
+    # 0.5-amplitude sine = 0.5/sqrt(2)
+    aud = feats[feats.media_type == "audio"].iloc[0]["feature"]
+    assert abs(aud[0] - 16000 / 48000) < 1e-6
+    assert abs(aud[1] - 0.25) < 1e-3
+    assert abs(aud[2] - 0.5 / np.sqrt(2)) < 1e-2
     # deterministic: same payload -> same features
     feats2 = extract_features(media, feature_dim=8).toPandas()
     pd.testing.assert_frame_equal(
         feats.sort_values("media_id").reset_index(drop=True),
         feats2.sort_values("media_id").reset_index(drop=True),
     )
-    # real-codec path fails closed without PIL
-    closed = extract_features(media, use_real_codec=True).toPandas()
-    assert not closed["decode_ok"].any()
+    # fake path still available as an explicit hook
+    forced = extract_features(media, use_real_codec=False).toPandas()
+    assert not forced["decode_ok"].any()
     plan = frame_sample_plan(media, every_ms=1000).toPandas()
     n_videos = (media.toPandas()["media_type"] == "video").sum()
     assert len(plan) == n_videos * 6  # 0..5000 ms inclusive
+
+
+def test_multimodal_codecs_roundtrip():
+    """Pure-numpy codec round trips, no Spark needed."""
+    from diive_spark.functions.codecs import (
+        CodecError, decode_pnm, decode_wav, encode_pnm, encode_wav,
+    )
+
+    rng = np.random.default_rng(1)
+    rgb = rng.integers(0, 256, size=(17, 23, 3), dtype=np.uint8)
+    assert (decode_pnm(encode_pnm(rgb)) == rgb).all()
+    gray16 = rng.integers(0, 1024, size=(9, 5), dtype=np.uint16)
+    assert (decode_pnm(encode_pnm(gray16, maxval=1023)) == gray16).all()
+    # header comments are honored
+    hdr = b"P5\n# a comment\n2 2\n255\n" + bytes([0, 50, 100, 200])
+    assert decode_pnm(hdr).tolist() == [[0, 50], [100, 200]]
+
+    wave = (rng.random(4000).astype(np.float32) - 0.5) * 0.9
+    got, rate = decode_wav(encode_wav(wave, rate=8000))
+    assert rate == 8000
+    # 16-bit quantization: 0.5 LSB rounding + 32767-vs-32768 scale skew
+    assert np.abs(got - wave).max() < 2.0 / 32768
+    stereo = np.stack([wave, -wave], axis=1)
+    got2, _ = decode_wav(encode_wav(stereo, rate=8000))
+    assert got2.shape == (4000, 2)
+
+    for bad in (b"", b"JFIF....", b"RIFFxxxx"):
+        try:
+            decode_pnm(bad)
+            raise AssertionError("should have raised")
+        except CodecError:
+            pass
+
+
+def test_multimodal_resize(spark):
+    """Nearest-neighbor resize re-encodes valid PPM payloads at the
+    target geometry; non-images pass through fail-closed."""
+    from diive_spark.functions.codecs import decode_pnm
+    from diive_spark.operators.multimodal import resize_images
+
+    media = fake_media_table(spark, n=9)
+    out = resize_images(media, out_w=16, out_h=8).toPandas()
+    imgs = out[out["decode_ok"]]
+    assert len(imgs) == 3                              # the image rows
+    for p in imgs["payload"]:
+        arr = decode_pnm(bytes(p))
+        assert arr.shape == (8, 16, 3)
+    assert not out[~out["decode_ok"]]["width"].notna().any()
 
 
 def test_ivf_topk_recall(spark, vecs):
