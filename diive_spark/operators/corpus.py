@@ -1,0 +1,62 @@
+"""Composed corpus-preprocessing pipeline (the library form of
+scripts/run_corpus_job.py): clean -> PII scrub -> exact dedup ->
+MinHash near-dedup (multi-hop, optional cross-batch index) -> quality
+gates -> frozen split.
+
+Factored out of the spark-submit script so the physical plan of the
+EXACT production composition is test-gated (tests/test_plans.py):
+future edits can't silently fuse a cartesian product or lose the
+narrow-band dedup join shapes.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from .dedup import MinHashIndex, exact_dedup, minhash_dedup
+from .scrub import hash_split, redact_pii
+from .textstats import clean_text, quality_score, repetition_features
+
+
+def corpus_pipeline(
+    docs: DataFrame,
+    est_threshold: float = 0.7,
+    minhash_index: MinHashIndex | None = None,
+    quality_min: float = 0.5,
+    weights: dict[str, float] | None = None,
+    multi_hop: bool = True,
+) -> DataFrame:
+    """The full preprocessing composition; returns the final frame with
+    a ``split`` column, ready for a partitioned write.  When
+    ``minhash_index`` is given and already populated, survivors are
+    additionally deduped against (and appended to) the cross-batch band
+    index."""
+    cleaned = redact_pii(
+        clean_text(docs), text_col="text_clean", out_col="text_scrubbed"
+    )
+    exact = exact_dedup(cleaned, text_col="text_scrubbed")
+    near = minhash_dedup(
+        exact, text_col="text_scrubbed",
+        est_threshold=est_threshold, multi_hop=multi_hop,
+    )
+    near = near.where(F.col("canonical_id") == F.col("doc_id"))
+    if minhash_index is not None:
+        if minhash_index.exists():
+            near = minhash_index.dedup_batch(
+                near, est_threshold=est_threshold, text_col="text_scrubbed"
+            ).where("kept").drop("kept")
+        else:
+            minhash_index.add(near, text_col="text_scrubbed")
+    scored = quality_score(
+        repetition_features(near, text_col="text_scrubbed"),
+        text_col="text_scrubbed",
+    )
+    kept = scored.where(
+        (F.col("repetition_flag") == 0) & (F.col("quality") >= quality_min)
+    )
+    return hash_split(
+        kept,
+        weights or {"train": 0.98, "val": 0.01, "test": 0.01},
+        key_col="doc_id",
+    )

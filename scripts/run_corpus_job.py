@@ -46,11 +46,8 @@ def main() -> None:
     ap.add_argument("--parallelism", type=int, default=8)
     args = ap.parse_args()
 
-    from diive_spark.operators.dedup import MinHashIndex, exact_dedup, minhash_dedup
-    from diive_spark.operators.scrub import hash_split, redact_pii
-    from diive_spark.operators.textstats import (
-        clean_text, quality_score, repetition_features,
-    )
+    from diive_spark.operators.corpus import corpus_pipeline
+    from diive_spark.operators.dedup import MinHashIndex
     from diive_spark.session import get_spark
 
     spark = get_spark(parallelism=args.parallelism)
@@ -58,34 +55,12 @@ def main() -> None:
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
 
-    cleaned = redact_pii(clean_text(docs), text_col="text_clean",
-                         out_col="text_scrubbed")
-    exact = exact_dedup(cleaned, text_col="text_scrubbed")
-    near = minhash_dedup(exact, text_col="text_scrubbed",
-                         est_threshold=args.est_threshold, multi_hop=True)
-    near = near.where(F.col("canonical_id") == F.col("doc_id"))
-    if args.minhash_index:
-        idx = MinHashIndex(spark, args.minhash_index)
-        # probe through Hadoop FS (idx.exists), NOT os.path: the index
-        # root is an HDFS/S3 URI under spark-submit on a real cluster
-        if idx.exists():
-            near = idx.dedup_batch(
-                near, est_threshold=args.est_threshold,
-                text_col="text_scrubbed",
-            ).where("kept").drop("kept")
-        else:
-            idx.add(near, text_col="text_scrubbed")
-
-    scored = quality_score(
-        repetition_features(near, text_col="text_scrubbed"),
-        text_col="text_scrubbed",
-    )
-    kept = scored.where(
-        (F.col("repetition_flag") == 0) & (F.col("quality") >= 0.5)
-    )
-    final = hash_split(
-        kept, {"train": 0.98, "val": 0.01, "test": 0.01}, key_col="doc_id"
-    )
+    # the composition lives in operators/corpus.py so its physical plan
+    # is gated in tests/test_plans.py; the index existence probe goes
+    # through Hadoop FS (HDFS/S3-safe), not os.path
+    idx = MinHashIndex(spark, args.minhash_index) if args.minhash_index else None
+    final = corpus_pipeline(docs, est_threshold=args.est_threshold,
+                            minhash_index=idx)
     (final.write.mode("overwrite").partitionBy("split").parquet(args.out))
 
     out_df = spark.read.parquet(args.out)

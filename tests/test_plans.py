@@ -233,3 +233,22 @@ def test_partitioned_write_prunes_at_scan(spark, tmp_path):
     seg = plan.split("PartitionFilters:")[1].split("]")[0]
     assert "day" in seg                      # the filter reached pruning
     assert q.count() > 0
+
+
+def test_corpus_job_plan_gate(spark):
+    """The production corpus composition (operators/corpus.py, driven
+    by scripts/run_corpus_job.py) must keep its scale shapes: equi-join
+    dedup only (never cartesian/BNLJ — a silent fuse here is a 100 TB
+    disaster), and a bounded Exchange count (measured 3; localCheckpoint
+    severs the multi-hop CC lineage so the final plan stays compact)."""
+    from diive_spark.operators.corpus import corpus_pipeline
+
+    docs = spark.read.parquet(f"{SF}/../sf0.001/documents.parquet")
+    final = corpus_pipeline(docs, est_threshold=0.6)
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 6, plan.count("Exchange")
+    # output contract: frozen split column present and populated
+    splits = {r["split"] for r in final.select("split").distinct().collect()}
+    assert splits <= {"train", "val", "test"} and "train" in splits
