@@ -432,3 +432,87 @@ def co2_penalty(
         )
     )
     return out.drop("_ta_max", "_vpd_max"), per_period
+
+
+def ustar_mpt_threshold(
+    df: DataFrame,
+    nee_col: str = "nee",
+    ta_col: str = "ta",
+    ustar_col: str = "ustar",
+    season_col: str | None = None,
+    tiebreak_col: str | None = None,
+    n_ta_classes: int = 6,
+    n_ustar_classes: int = 20,
+    plateau_frac: float = 0.99,
+    plateau_ahead: int = 10,
+) -> DataFrame:
+    """Moving-point-test u* threshold detection — the computational
+    kernel the reference's UstarDetectionMPT class describes but never
+    finishes (diive/pkgs/flux/ustar_detection.py:7-172: docstring spec
+    present, core methods commented out at the 'TODO HIER WEITER'
+    marker; the published MPT spec is Papale et al. 2006,
+    Biogeosciences 3:571-583).
+
+    Per season: quantile-class TA into ``n_ta_classes``; within each TA
+    class, quantile-class u* into ``n_ustar_classes`` subclasses; per
+    subclass take mean u* and mean NEE; the TA-class threshold is the
+    mean u* of the FIRST subclass whose mean NEE reaches
+    ``plateau_frac`` of the mean over the next ``plateau_ahead``
+    subclasses; the season threshold aggregates TA-class thresholds by
+    max (the reference docstring's season rule).
+
+    Every stage is distributed: the quantile classes come from
+    analyses.quantile_bins (two-pass rank, ntile-parity, no
+    single-partition sort), the plateau test is one ordered window over
+    the tiny per-subclass table, and first-hit selection is a
+    ``min_by`` aggregate.  Callers pre-filter to nighttime rows (the
+    reference composes this from its day/night flag).  Pass a unique
+    ``tiebreak_col`` for bit-deterministic class assignment of tied
+    values across engines and partitionings.
+
+    Returns (season, ustar_threshold, n_classes_used, n_classes_total).
+    TA classes where the plateau is never reached contribute nothing
+    (reference behavior for unresolved classes is unspecified — this is
+    the conservative choice and is reported via n_classes_used).
+    """
+    from .analyses import quantile_bins
+
+    season = season_col
+    d = df.where(
+        F.col(nee_col).isNotNull()
+        & F.col(ta_col).isNotNull()
+        & F.col(ustar_col).isNotNull()
+    )
+    if season is None:
+        season = "_season"
+        d = d.withColumn(season, F.lit(0))
+    ties = [tiebreak_col] if tiebreak_col else []
+    d = quantile_bins(d, ta_col, n_ta_classes, "ta_class",
+                      key_cols=[season], tiebreak_cols=ties)
+    d = quantile_bins(d, ustar_col, n_ustar_classes, "u_class",
+                      key_cols=[season, "ta_class"], tiebreak_cols=ties)
+    cls = d.groupBy(season, "ta_class", "u_class").agg(
+        F.avg(ustar_col).alias("mu"),
+        F.avg(nee_col).alias("mn"),
+    )
+    w = (
+        Window.partitionBy(season, "ta_class")
+        .orderBy("u_class")
+        .rowsBetween(1, plateau_ahead)
+    )
+    crit = cls.withColumn("fwd", F.avg("mn").over(w))
+    # first-hit selection as min over a conditional (u_class, mu)
+    # struct: explicit null-skip semantics identical in Spark and the
+    # DuckDB twin (min_by null-ordering differs between engines)
+    hit = F.when(
+        F.col("mn") >= F.lit(plateau_frac) * F.col("fwd"),
+        F.struct(F.col("u_class"), F.col("mu")),
+    )
+    per_ta = crit.groupBy(season, "ta_class").agg(
+        F.min(hit).getField("mu").alias("class_threshold"),
+    )
+    return per_ta.groupBy(season).agg(
+        F.max("class_threshold").alias("ustar_threshold"),
+        F.count("class_threshold").alias("n_classes_used"),
+        F.count(F.lit(1)).alias("n_classes_total"),
+    )

@@ -2321,6 +2321,73 @@ GROUP BY 1
 """
 
 
+def q_ustar_mpt(spark, sf_dir):
+    """Moving-point-test u* threshold (the kernel the reference's
+    UstarDetectionMPT describes but leaves unfinished — see
+    flux.ustar_mpt_threshold): deterministic nee/ta/ustar derivation
+    from events with a plateau at ustar=0.3; ntile-parity classing
+    makes the DuckDB twin exact.  Scaled-long value derivation keeps
+    the class means integer-summed (hash-stable across engines)."""
+    from .operators.flux import ustar_mpt_threshold
+
+    ev = _load(spark, sf_dir, "events")
+    ustar = (F.col("event_id") % 1000) / F.lit(1250.0)
+    nee = (
+        F.least(ustar, F.lit(0.3)) / F.lit(0.3) * F.lit(10.0)
+        + (F.col("event_id") % 7) / F.lit(100.0)
+    )
+    d = ev.select(
+        "event_id",
+        F.col("value").alias("ta"),
+        F.round(ustar * 10000).cast("long").alias("ustar_s"),
+        F.round(nee * 10000).cast("long").alias("nee_s"),
+    )
+    out = ustar_mpt_threshold(
+        d, nee_col="nee_s", ta_col="ta", ustar_col="ustar_s",
+        tiebreak_col="event_id",
+    )
+    return out.select(
+        F.col("_season").cast("int").alias("season"),
+        _r(F.col("ustar_threshold") / 10000.0).alias("ustar_threshold"),
+        "n_classes_used", "n_classes_total",
+    )
+
+
+SQL_USTAR_MPT = """
+WITH d AS (
+  SELECT event_id, value AS ta,
+         CAST(round((event_id % 1000) / 1250.0 * 10000, 0) AS BIGINT)
+           AS ustar_s,
+         CAST(round((least((event_id % 1000) / 1250.0, 0.3) / 0.3 * 10.0
+                     + (event_id % 7) / 100.0) * 10000, 0) AS BIGINT)
+           AS nee_s
+  FROM events WHERE value IS NOT NULL),
+ta AS (
+  SELECT *, ntile(6) OVER (ORDER BY ta, event_id) AS ta_class FROM d),
+us AS (
+  SELECT *, ntile(20) OVER (PARTITION BY ta_class
+                            ORDER BY ustar_s, event_id) AS u_class
+  FROM ta),
+cls AS (
+  SELECT ta_class, u_class, avg(ustar_s) AS mu, avg(nee_s) AS mn
+  FROM us GROUP BY 1, 2),
+crit AS (
+  SELECT *, avg(mn) OVER (PARTITION BY ta_class ORDER BY u_class
+                          ROWS BETWEEN 1 FOLLOWING AND 10 FOLLOWING) AS fwd
+  FROM cls),
+per_ta AS (
+  SELECT ta_class,
+         arg_min(mu, u_class) FILTER (WHERE mn >= 0.99 * fwd)
+           AS class_threshold
+  FROM crit GROUP BY 1)
+SELECT CAST(0 AS INTEGER) AS season,
+       round(max(class_threshold) / 10000.0, 6) AS ustar_threshold,
+       CAST(count(class_threshold) AS BIGINT) AS n_classes_used,
+       CAST(count(*) AS BIGINT) AS n_classes_total
+FROM per_ta
+"""
+
+
 def q_multimodal_decode(spark, sf_dir):
     """Multimodal real-decode oracle: the deterministic media table
     carries REAL binary PPM images and PCM WAV audio (pure-numpy
@@ -2408,6 +2475,7 @@ QUERIES = {
     "tier_cascade": (q_tier_cascade, SQL_TIER_CASCADE),
     "linear_fit": (q_linear_fit, SQL_LINEAR_FIT),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
+    "ustar_mpt": (q_ustar_mpt, SQL_USTAR_MPT),
     # --- driver-green in CORRECTNESS_r02.json -----------------------
     "rollup_mincount_gate": (q_rollup, SQL_ROLLUP),
     "rollup_compose_tiers": (q_rollup_compose, SQL_ROLLUP_COMPOSE),

@@ -375,3 +375,31 @@ def test_quick_rf_fill_one_call(spark):
     g = out.toPandas()
     assert g["value_gfRF"].isna().sum() < np.isnan(v).sum()
     assert sc["full_model"]["r2"] > 0.5
+
+
+def test_ustar_mpt_recovers_plateau(spark):
+    """Seeded MPT oracle: NEE saturates above ustar=0.3, so the
+    detected season threshold must land at the first u* subclass on the
+    plateau (~0.3 given 20 subclasses over [0, 0.8])."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.flux import ustar_mpt_threshold
+
+    rng = np.random.RandomState(11)
+    n = 4000
+    ustar = rng.uniform(0, 0.8, n)
+    ta = rng.uniform(-5, 25, n)
+    nee = np.minimum(ustar, 0.3) / 0.3 * 10.0 + rng.normal(0, 0.05, n)
+    pdf = pd.DataFrame({
+        "rid": np.arange(n), "ustar": ustar, "ta": ta, "nee": nee,
+    })
+    out = ustar_mpt_threshold(
+        spark.createDataFrame(pdf), nee_col="nee", ta_col="ta",
+        ustar_col="ustar", tiebreak_col="rid",
+    ).toPandas()
+    assert len(out) == 1
+    thr = out.iloc[0]["ustar_threshold"]
+    assert 0.25 < thr < 0.42, thr
+    assert out.iloc[0]["n_classes_used"] >= 4
+    assert out.iloc[0]["n_classes_total"] == 6
