@@ -203,6 +203,11 @@ def main() -> None:
         _pudf(_noop, "long")("id")
     ).write.format("noop").mode("overwrite").save()
 
+    spreads: dict[str, float] = {
+        "tokens_cascade": round(
+            max(r["wall_s"] for r in runs) - min(r["wall_s"] for r in runs), 3
+        )
+    }
     for name in BENCH_QUERIES:
         fn = QUERIES[name][0]
         walls = []
@@ -214,6 +219,7 @@ def main() -> None:
             df.write.format("noop").mode("overwrite").save()
             walls.append(time.monotonic() - t0)
         timings[name] = round(min(walls), 3)
+        spreads[name] = round(max(walls) - min(walls), 3)
 
     total = round(sum(timings.values()), 3)
     result = {
@@ -221,6 +227,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        # per-query max-min over the 3 samples: the noise context a
+        # reader needs before calling any round-over-round delta a
+        # regression (VERDICT r2 item 10)
+        "query_spread_sec": spreads,
         "sf": SF_DIR,
         "cpus": CPUS,
         "bench_docs": BENCH_DOCS,
