@@ -69,3 +69,37 @@ def identify_flagcols(columns: list[str], seriescol: str) -> list[str]:
     ]
     relevant = identify_relevants(seriescol)
     return [f for f in flagcols if any(n in f for n in relevant)]
+
+
+# Variable-group glob patterns (reference core/utils/vargroups.py:1-70 —
+# only consumed by a __BAK__ module there, kept here as the documented
+# selector idiom).  Patterns are fnmatch-style; match_var_group picks a
+# frame's columns for batch operations ("flag every TA_* column").
+VAR_GROUPS: dict[str, list[str]] = {
+    "AIR_TEMPERATURE": ["*TA_*", "Ta_*", "*air_temperature*"],
+    "SHORTWAVE_IN": ["*SW_IN_*", "Rg_*"],
+    "NIGHTTIME_DETECTION": ["*SW_IN*", "*Rg_*", "*daytime*", "*PPFD_*"],
+    "FLUXES": ["co2_flux", "h2o_flux", "LE", "H", "ET", "n2o_flux",
+               "ch4_flux", "NEE*", "GPP*", "RECO*"],
+    "WIND_SPEED": ["*wind_speed*", "*u_rot*"],
+    "WIND_DIR": ["wind_dir"],
+    "VPD": ["*VPD*"],
+    "STORAGE": ["*_strg*"],
+    "SPECTRAL_CORRECTION_FACTOR": ["*_scf*"],
+    "SIGNAL_STRENGTH": ["*signal_strength*", "*window_dirtiness*",
+                        "*status_byte*", "*agc*"],
+}
+
+
+def match_var_group(columns: list[str], patterns: list[str] | str) -> list[str]:
+    """Columns matching any fnmatch-style pattern (a VAR_GROUPS key or
+    an explicit pattern list), order-preserving and deduplicated."""
+    import fnmatch
+
+    if isinstance(patterns, str):
+        patterns = VAR_GROUPS[patterns]
+    out: list[str] = []
+    for c in columns:
+        if any(fnmatch.fnmatch(str(c), p) for p in patterns) and c not in out:
+            out.append(c)
+    return out

@@ -152,3 +152,15 @@ def test_reference_name_facade(spark, tiny_series):
     rolled = api.resample_series_to_30MIN(filled, every=1800,
                                           value_col="value_gf")
     assert rolled.where(F.col("n") > 0).count() > 0
+
+
+def test_match_var_group_selects_by_glob():
+    """Variable-group glob selection (reference vargroups.py idiom)."""
+    from diive_spark.conventions import VAR_GROUPS, match_var_group
+
+    cols = ["TA_1_1_1", "Ta_f", "SW_IN_POT", "co2_flux", "NEE_CUT_50",
+            "wind_dir", "VPD_hPa", "junk"]
+    assert match_var_group(cols, "AIR_TEMPERATURE") == ["TA_1_1_1", "Ta_f"]
+    assert match_var_group(cols, "FLUXES") == ["co2_flux", "NEE_CUT_50"]
+    assert match_var_group(cols, ["*VPD*", "wind_dir"]) == ["wind_dir", "VPD_hPa"]
+    assert "SHORTWAVE_IN" in VAR_GROUPS
