@@ -195,13 +195,24 @@ def rf_gapfill(
     seed: int = 42,
     feature_reduction: bool = False,
     importance: str = "permutation",
+    model: str = "rf",
 ) -> tuple[DataFrame, dict]:
     """Gap-fill *target_col*; returns (df + ``<target>_gfRF`` +
     ``<target>_gfRF_flag``, scores dict).  With ``feature_reduction``
     the full model keeps only features beating the seeded random
-    benchmark (reference randomforest_ts.py:345-398)."""
+    benchmark (reference randomforest_ts.py:345-398).
+
+    ``model='gbt'`` swaps the forest for Spark ML's gradient-boosted
+    trees — the distributed analog of the reference's unreleased
+    XGBoostTS (gapfilling/__future__/xgboost_ts.py: same feature
+    matrix, boosted ensemble instead of bagged; n_trees becomes
+    maxIter).  Everything else (features, fallback model, flags,
+    score battery) is identical."""
     from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.regression import RandomForestRegressor
+    from pyspark.ml.regression import GBTRegressor, RandomForestRegressor
+
+    if model not in ("rf", "gbt"):
+        raise ValueError(f"model must be 'rf' or 'gbt', got {model!r}")
 
     feat_df, full_feats, fb_feats = build_features(
         df, target_col, axis_col, key_cols, lags, cycle
@@ -232,15 +243,22 @@ def rf_gapfill(
         for c in features:
             observed = observed.where(F.col(c).isNotNull())
         train, test = observed.randomSplit([1 - test_frac, test_frac], seed=seed)
-        rf = RandomForestRegressor(
-            featuresCol=f"_vec_{name}", labelCol=target_col,
-            predictionCol=f"_pred_{name}", numTrees=n_trees,
-            maxDepth=max_depth, seed=seed,
-        )
-        model = rf.fit(asm.transform(train))
-        test_pred = model.transform(asm.transform(test))
+        if model == "gbt":
+            reg = GBTRegressor(
+                featuresCol=f"_vec_{name}", labelCol=target_col,
+                predictionCol=f"_pred_{name}", maxIter=n_trees,
+                maxDepth=max_depth, seed=seed,
+            )
+        else:
+            reg = RandomForestRegressor(
+                featuresCol=f"_vec_{name}", labelCol=target_col,
+                predictionCol=f"_pred_{name}", numTrees=n_trees,
+                maxDepth=max_depth, seed=seed,
+            )
+        fitted = reg.fit(asm.transform(train))
+        test_pred = fitted.transform(asm.transform(test))
         scores = regression_scores(test_pred, target_col, f"_pred_{name}")
-        pred_all = model.transform(asm.transform(feat_df))
+        pred_all = fitted.transform(asm.transform(feat_df))
         return pred_all.select(
             *key_cols, axis_col, F.col(f"_pred_{name}").alias(f"pred_{name}")
         ), scores

@@ -403,3 +403,29 @@ def test_ustar_mpt_recovers_plateau(spark):
     assert 0.25 < thr < 0.42, thr
     assert out.iloc[0]["n_classes_used"] >= 4
     assert out.iloc[0]["n_classes_total"] == 6
+
+
+def test_gbt_gapfill_learns_structure(spark):
+    """model='gbt' swaps the bagged forest for Spark ML gradient-
+    boosted trees (the XGBoostTS analog) with identical plumbing:
+    fills, flags, and score battery all present; learns the cycle."""
+    rng = np.random.default_rng(12)
+    n = 1200
+    base = 50 + 20 * np.sin(2 * np.pi * np.arange(n) / 64)
+    v = base + rng.normal(0, 1.0, n)
+    v[rng.random(n) < 0.15] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    out, scores = rf_gapfill(
+        spark.createDataFrame(pdf), cycle=64, n_trees=15, model="gbt"
+    )
+    got = out.toPandas().sort_values("pos").reset_index(drop=True)
+    filled = got[got["value_gfRF_flag"] >= 1]
+    assert len(filled) > 0
+    err = np.abs(filled["value_gfRF"].values - base[filled["pos"].values])
+    assert np.median(err) < 5.0
+    assert scores["full_model"]["r2"] > 0.5
+    import pytest
+
+    with pytest.raises(ValueError):
+        rf_gapfill(spark.createDataFrame(pdf), model="nope")
