@@ -2476,6 +2476,15 @@ QUERIES = {
     "linear_fit": (q_linear_fit, SQL_LINEAR_FIT),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "ustar_mpt": (q_ustar_mpt, SQL_USTAR_MPT),
+    # --- rows-only (non-SQL-expressible / seeded internals): early so
+    # the capped driver snapshot still records their rows-only checks
+    # (they last appeared in CORRECTNESS_r01) -------------------------
+    "compression_ratio": (q_compression_ratio, None),
+    "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
+    "dedup_simhash": (q_simhash_docs, None),
+    "similarity_topk_lsh": (q_cosine_lsh_topk, None),
+    "ml_gapfill_rf": (q_rf_gapfill, None),
+    "similarity_topk_ivf": (q_ivf_topk, None),
     # --- driver-green in CORRECTNESS_r02.json -----------------------
     "rollup_mincount_gate": (q_rollup, SQL_ROLLUP),
     "rollup_compose_tiers": (q_rollup_compose, SQL_ROLLUP_COMPOSE),
@@ -2527,11 +2536,4 @@ QUERIES = {
     "csv_ingest_filetype": (q_csv_ingest, SQL_CSV_INGEST),
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "repetition_features": (q_repetition_features, SQL_REPETITION),
-    # rows-only (non-SQL-expressible / seeded internals)
-    "compression_ratio": (q_compression_ratio, None),
-    "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
-    "dedup_simhash": (q_simhash_docs, None),
-    "similarity_topk_lsh": (q_cosine_lsh_topk, None),
-    "ml_gapfill_rf": (q_rf_gapfill, None),
-    "similarity_topk_ivf": (q_ivf_topk, None),
 }
