@@ -255,12 +255,19 @@ def linear_fit(
         F.count(F.lit(1)).alias("n"),
         F.covar_samp(xc, yc).alias("_cov"),
         F.var_samp(xc).alias("_varx"),
+        F.var_samp(yc).alias("_vary"),
         F.avg(xc).alias("_mx"),
         F.avg(yc).alias("_my"),
-        F.corr(xc, yc).alias("_r"),
     )
-    slope = F.col("_cov") / F.col("_varx")
-    r2 = F.col("_r") * F.col("_r")
+    # try_divide everywhere a degenerate group can zero a denominator:
+    # constant x/y or n<=2 yields NULL fit columns instead of aborting
+    # the whole job under ANSI mode (even F.corr itself throws
+    # DIVIDE_BY_ZERO on zero variance there — r2 comes from the
+    # covariance components instead)
+    slope = F.try_divide(F.col("_cov"), F.col("_varx"))
+    r2 = F.try_divide(
+        F.col("_cov") * F.col("_cov"), F.col("_varx") * F.col("_vary")
+    )
     return agg.select(
         *keys,
         "n",
@@ -269,7 +276,8 @@ def linear_fit(
         r2.alias("r2"),
         (
             F.lit(1.0)
-            - (F.lit(1.0) - r2) * (F.col("n") - 1) / (F.col("n") - 2)
+            - F.try_divide((F.lit(1.0) - r2) * (F.col("n") - 1),
+                           (F.col("n") - 2).cast("double"))
         ).alias("r2_adj"),
     )
 

@@ -173,3 +173,20 @@ def test_linear_fit_matches_numpy_ols(spark):
         spark.createDataFrame(pdf), "x", on=["g"],
     ).toPandas().sort_values("x")
     assert np.allclose(fitted["y_fit"], k * x + d, atol=1e-7)
+
+
+def test_linear_fit_degenerate_groups_yield_null_not_crash(spark):
+    """ANSI mode turns /0 into a job abort; degenerate groups
+    (constant x, n<=2) must yield NULL fit columns instead."""
+    from diive_spark.operators.fits import linear_fit
+
+    rows = [("const_x", 1.0, float(i)) for i in range(5)]
+    rows += [("two_pts", 0.0, 1.0), ("two_pts", 1.0, 3.0)]
+    rows += [("good", float(i), 2.0 * i + 1) for i in range(10)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    out = {r["g"]: r for r in linear_fit(df, "y", "x", ["g"]).collect()}
+    assert out["const_x"]["slope"] is None
+    assert out["two_pts"]["r2_adj"] is None        # n-2 == 0
+    assert abs(out["two_pts"]["slope"] - 2.0) < 1e-12
+    assert abs(out["good"]["slope"] - 2.0) < 1e-12
+    assert abs(out["good"]["r2"] - 1.0) < 1e-12
