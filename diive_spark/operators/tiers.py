@@ -78,11 +78,18 @@ class TierStore:
 
     def __init__(self, spark: SparkSession, root: str,
                  key_cols: Sequence[str] = KEY_COLS,
-                 partition_col: str = "source"):
+                 partition_col: str = "source",
+                 range_layout: bool = True):
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
+        # range_layout: tier files are range-partitioned + sorted on
+        # (partition_col, doc_id, bin_start) so parquet row-group
+        # min/max statistics are monotone — time-range and per-doc
+        # scans prune at the row-group level instead of reading whole
+        # partitions (the north-rule's explicit range partitioning)
+        self.range_layout = range_layout
         os.makedirs(root, exist_ok=True)
         self._lineage_path = os.path.join(root, "_lineage.jsonl")
         self._metrics_path = os.path.join(root, "_metrics.jsonl")
@@ -135,9 +142,21 @@ class TierStore:
 
     def _write_partitions(self, df: DataFrame, tier: str) -> None:
         """MERGE INTO analog: dynamic partition overwrite replaces only
-        the partitions present in *df* (idempotent per partition)."""
+        the partitions present in *df* (idempotent per partition).
+        With ``range_layout``, rows are range-partitioned and sorted on
+        (partition_col, doc_id, bin_start) first — one extra Exchange
+        per tier write buys monotone row-group statistics."""
+        out = df
+        if self.range_layout:
+            sort_cols = [
+                c for c in ("doc_id", "bin_start") if c in df.columns
+            ]
+            if sort_cols:
+                out = df.repartitionByRange(
+                    self.partition_col, *sort_cols
+                ).sortWithinPartitions(self.partition_col, *sort_cols)
         (
-            df.write.mode("overwrite")
+            out.write.mode("overwrite")
             .partitionBy(self.partition_col)
             .parquet(self.path(tier))
         )
