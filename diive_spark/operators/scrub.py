@@ -141,6 +141,101 @@ def hash_split(
     return df.withColumn(out_col, expr.otherwise(F.lit(sorted(weights)[-1])))
 
 
+def word_ngrams(text_col, n: int):
+    """Array of distinct space-joined word ``n``-grams of the
+    whitespace-lowercased tokenization of ``text_col``; empty array when
+    the doc has fewer than ``n`` words.  Pure column expression — the
+    guard matters because ``sequence(1, size-n+1)`` would count DOWN
+    when the doc is shorter than ``n``."""
+    w = F.split(F.lower(F.trim(text_col)), r"\s+")
+    grams = F.when(
+        F.size(w) >= n,
+        F.transform(
+            F.sequence(F.lit(1), F.size(w) - n + 1),
+            lambda i: F.concat_ws(" ", F.slice(w, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def contamination_hits(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+) -> DataFrame:
+    """Benchmark decontamination (the n-gram-overlap check every
+    pre-training pipeline runs against its eval sets; public method —
+    GPT-3 App. C / PaLM-style 13-gram overlap): per corpus doc, the
+    number of distinct word ``n``-grams it shares with any benchmark
+    document.  Returns only contaminated docs: (id_col, n_hits).
+
+    Scale shape: the benchmark side (eval suites — thousands of docs) is
+    reduced to a DISTINCT set of 64-bit n-gram hashes and broadcast; the
+    corpus side is a row-local explode of per-doc distinct n-gram hashes
+    followed by the broadcast hash join and a partially-aggregated
+    per-doc count.  The corpus text itself is never shuffled — the only
+    exchange carries (doc_id, partial count) rows.  Joining on
+    ``xxhash64`` keeps the broadcast map ~5x smaller than the gram
+    strings; a collision needs 2^-64 odds against the benchmark set.
+    """
+    bench_text = bench_text_col or text_col
+    bench = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(bench_text), n)).alias("_g")
+        )
+        .select(F.xxhash64("_g").alias("_gh"))
+        .distinct()
+    )
+    return (
+        corpus.select(
+            F.col(id_col),
+            F.explode(word_ngrams(F.col(text_col), n)).alias("_g"),
+        )
+        .select(id_col, F.xxhash64("_g").alias("_gh"))
+        .join(F.broadcast(bench), on="_gh")
+        .groupBy(id_col)
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    n: int = 13,
+    min_hits: int = 1,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str | None = None,
+    drop: bool = False,
+) -> DataFrame:
+    """Join the contamination verdict back onto the corpus: adds
+    ``n_contam_hits`` (0 when clean) and ``flag_contaminated`` (1 when
+    n_hits >= min_hits).  ``drop=True`` filters contaminated docs out
+    instead — the production decontamination pass.  The hits table is
+    tiny (contaminated docs only), so AQE broadcasts the join-back."""
+    hits = contamination_hits(
+        corpus, benchmark, n=n, text_col=text_col, id_col=id_col,
+        bench_text_col=bench_text_col,
+    )
+    out = (
+        corpus.join(hits, on=id_col, how="left")
+        .withColumn("n_contam_hits", F.coalesce(F.col("n_hits"), F.lit(0)))
+        .drop("n_hits")
+        .withColumn(
+            "flag_contaminated",
+            (F.col("n_contam_hits") >= min_hits).cast("int"),
+        )
+    )
+    if drop:
+        out = out.where(F.col("flag_contaminated") == 0).drop(
+            "n_contam_hits", "flag_contaminated"
+        )
+    return out
+
+
 def remove_boilerplate_paragraphs(
     df: DataFrame,
     max_df: int = 2,

@@ -2451,6 +2451,39 @@ FROM m
 """
 
 
+def q_decontaminate(spark, sf_dir):
+    """Benchmark decontamination: distinct 4-gram overlap between train
+    docs and a held-out benchmark source (broadcast bench-hash join, no
+    corpus shuffle)."""
+    from .operators.scrub import contamination_hits
+
+    docs = _load(spark, sf_dir, "documents")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = contamination_hits(corpus, bench, n=4)
+    return out.select("doc_id", F.col("n_hits").cast("long").alias("n_hits"))
+
+
+SQL_DECONTAMINATE = r"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w) - 4 + 2),
+                       i -> array_to_string(w[i:i+3], ' '))) AS gs
+  FROM toks WHERE len(w) >= 4),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src0'),
+corpus AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src0')
+SELECT doc_id, count(*) AS n_hits
+FROM corpus JOIN bench USING (g)
+GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2476,6 +2509,7 @@ QUERIES = {
     "linear_fit": (q_linear_fit, SQL_LINEAR_FIT),
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "ustar_mpt": (q_ustar_mpt, SQL_USTAR_MPT),
+    "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

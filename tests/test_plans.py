@@ -252,3 +252,21 @@ def test_corpus_job_plan_gate(spark):
     # output contract: frozen split column present and populated
     splits = {r["split"] for r in final.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
+
+
+def test_decontaminate_broadcasts_benchmark(spark):
+    """Decontamination must broadcast the benchmark n-gram hash set and
+    never shuffle the corpus text: the only hashpartitioning Exchanges
+    allowed are the benchmark DISTINCT and the per-doc hit count — a
+    SortMergeJoin here would shuffle every corpus n-gram at 100 TB."""
+    from diive_spark.operators.scrub import contamination_hits
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bench = docs.where(F.col("source") == "src0")
+    corpus = docs.where(F.col("source") != "src0")
+    out = contamination_hits(corpus, bench, n=4)
+    plan = _physical_plan(out)
+    assert "BroadcastHashJoin" in plan
+    for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
+        assert bad not in plan, bad
+    assert plan.count("Exchange hashpartitioning") <= 2, plan

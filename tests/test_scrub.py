@@ -146,3 +146,45 @@ def test_remove_boilerplate_paragraphs(spark):
     assert out[3]["text_clean"] == "body three"
     assert out[4]["text_clean"] == "totally unique document"
     assert out[1]["n_dropped"] == 1 and out[4]["n_dropped"] == 0
+
+
+def test_decontaminate_planted_overlap(spark):
+    from diive_spark.operators.scrub import contamination_hits, decontaminate
+
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string",
+    )
+    corpus = spark.createDataFrame(
+        [
+            # contains "quick brown fox jumps" and "brown fox jumps over"
+            (1, "she saw the quick brown fox jumps over a fence"),
+            (2, "completely unrelated sentence about sparking rollups"),
+            (3, "short doc"),
+            # exact benchmark copy: all 6 distinct 4-grams hit
+            (4, "the quick brown fox jumps over the lazy dog"),
+        ],
+        "doc_id long, text string",
+    )
+    hits = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_hits(corpus, bench, n=4).collect()
+    }
+    assert hits == {1: 3, 4: 6}
+
+    flagged = decontaminate(corpus, bench, n=4, min_hits=4)
+    got = {r["doc_id"]: (r["n_contam_hits"], r["flag_contaminated"])
+           for r in flagged.collect()}
+    assert got == {1: (3, 0), 2: (0, 0), 3: (0, 0), 4: (6, 1)}
+
+    kept = decontaminate(corpus, bench, n=4, drop=True)
+    assert sorted(r["doc_id"] for r in kept.collect()) == [2, 3]
+    assert "n_contam_hits" not in kept.columns
+
+
+def test_word_ngrams_short_doc_guard(spark):
+    from diive_spark.operators.scrub import word_ngrams
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    out = df.select(word_ngrams(F.col("text"), 4).alias("g")).collect()
+    assert out[0]["g"] == []
