@@ -141,6 +141,68 @@ def hash_split(
     return df.withColumn(out_col, expr.otherwise(F.lit(sorted(weights)[-1])))
 
 
+def perplexity_bucket_sample(
+    df: DataFrame,
+    rates: tuple[float, ...] = (1.0, 0.5, 0.1),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    score_col: str | None = None,
+    seed: int = 0,
+    exact_quantiles: bool = True,
+    bucket_col: str = "ppl_bucket",
+) -> DataFrame:
+    """CCNet-style perplexity-bucketed sampling: rank docs by an
+    LM-quality proxy (mean unigram log-prob — the negative log of
+    perplexity), cut the corpus into ``len(rates)`` equal-probability
+    buckets (bucket 0 = head/most-fluent ... last = tail), and keep
+    each bucket at its deterministic hash rate keyed on ``id_col``.
+    Head-heavy ``rates`` reproduce the classic head/middle/tail corpus
+    rebalancing; the verdict depends only on (score, key), never on
+    partitioning.
+
+    Scale shape: one score pass (two aggregations, see
+    ``unigram_logprob_score``), one tiny quantile row cross-joined
+    broadcast, then a pure filter — the docs themselves are never
+    shuffled.  ``exact_quantiles=False`` switches the cut points to
+    ``approx_percentile`` (t-digest) for corpora where exact
+    percentile's per-group buffering is unreasonable; bucket edges then
+    move by the sketch error, the keep-decision stays deterministic.
+    Docs with no score (no words) land in the tail bucket.  Ties at a
+    cut point go to the BETTER bucket (``>=``): with heavy duplicate
+    mass the whole tie lands on one side of any threshold, and sending
+    equal-quality docs tail-ward would down-sample them for sharing a
+    score with the quantile edge.
+    """
+    if score_col is None:
+        from .textstats import unigram_logprob_score
+
+        df = unigram_logprob_score(df, text_col=text_col, id_col=id_col)
+        score_col = "unigram_logprob"
+    n_b = len(rates)
+    qs = F.array(*[F.lit(i / n_b) for i in range(1, n_b)])
+    pct = F.percentile(F.col(score_col), qs) if exact_quantiles else (
+        F.approx_percentile(F.col(score_col), qs, F.lit(10000))
+    )
+    thrs = df.agg(pct.alias("_thrs"))
+    s = F.col(score_col)
+    n_above = F.size(F.filter(F.col("_thrs"), lambda t: s >= t))
+    bucketed = (
+        df.crossJoin(F.broadcast(thrs))
+        .withColumn(
+            bucket_col,
+            F.lit(n_b - 1) - F.coalesce(n_above, F.lit(0)),
+        )
+        .drop("_thrs")
+    )
+    bucket_hash = _hash_bucket(F.col(id_col), seed)
+    keep = F.lit(False)
+    for i, rate in enumerate(rates):
+        keep = F.when(
+            F.col(bucket_col) == i, _keep_cond(bucket_hash, rate)
+        ).otherwise(keep)
+    return bucketed.where(keep)
+
+
 def word_ngrams(text_col, n: int):
     """Array of distinct space-joined word ``n``-grams of the
     whitespace-lowercased tokenization of ``text_col``; empty array when

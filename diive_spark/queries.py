@@ -2484,6 +2484,49 @@ GROUP BY 1
 """
 
 
+def q_perplexity_sample(spark, sf_dir):
+    """CCNet-style head/middle/tail sampling: tercile buckets on the
+    unigram-logprob fluency proxy, kept at rates (1.0, 0.5, 0.1) via
+    the deterministic doc_id hash."""
+    from .operators.scrub import perplexity_bucket_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = perplexity_bucket_sample(docs, rates=(1.0, 0.5, 0.1), seed=7)
+    return out.groupBy("ppl_bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+SQL_PERPLEXITY_SAMPLE = r"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+c AS (SELECT w, count(*) AS c FROM tok GROUP BY 1),
+tot AS (SELECT sum(c) AS tot, count(*) AS v FROM c),
+lp AS (
+  SELECT t.doc_id, avg(ln((c.c + 1.0) / (tot.tot + tot.v))) AS s
+  FROM tok t JOIN c ON t.w = c.w CROSS JOIN tot GROUP BY 1),
+thr AS (SELECT quantile_cont(s, [1.0/3, 2.0/3]) AS t FROM lp),
+b AS (
+  SELECT doc_id,
+         CASE WHEN s >= t[2] THEN 0 WHEN s >= t[1] THEN 1 ELSE 2 END
+           AS ppl_bucket
+  FROM lp CROSS JOIN thr)
+SELECT ppl_bucket, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(doc_id) AS BIGINT) AS id_sum
+FROM b
+WHERE CASE ppl_bucket
+        WHEN 0 THEN TRUE
+        WHEN 1 THEN substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                    < '80000000'
+        ELSE substr(md5('7:' || CAST(doc_id AS VARCHAR)), 1, 8)
+             < '19999999' END
+GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2510,6 +2553,7 @@ QUERIES = {
     "multimodal_decode": (q_multimodal_decode, SQL_MULTIMODAL_DECODE),
     "ustar_mpt": (q_ustar_mpt, SQL_USTAR_MPT),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
+    "perplexity_bucket_sample": (q_perplexity_sample, SQL_PERPLEXITY_SAMPLE),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

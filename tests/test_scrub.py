@@ -188,3 +188,28 @@ def test_word_ngrams_short_doc_guard(spark):
     df = spark.createDataFrame([("a b",)], "text string")
     out = df.select(word_ngrams(F.col("text"), 4).alias("g")).collect()
     assert out[0]["g"] == []
+
+
+def test_perplexity_bucket_sample_head_tail(spark):
+    from diive_spark.operators.scrub import perplexity_bucket_sample
+
+    common = "the cat sat on the mat and the dog ran to the cat"
+    rows = []
+    # 12 fluent docs built from the same common words -> high logprob
+    for i in range(12):
+        rows.append((i, common))
+    # 6 gibberish docs of unique rare tokens -> low logprob
+    for i in range(12, 18):
+        rows.append((i, f"qzx{i}a wvu{i}b jkl{i}c mnp{i}d xyz{i}e"))
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    kept = perplexity_bucket_sample(df, rates=(1.0, 1.0, 1.0), seed=3)
+    buckets = {r["doc_id"]: r["ppl_bucket"] for r in kept.collect()}
+    assert len(buckets) == 18  # all-1.0 rates keep everything
+    assert all(buckets[i] == 0 for i in range(12))      # fluent = head
+    assert all(buckets[i] == 2 for i in range(12, 18))  # gibberish = tail
+
+    # tail rate 0 drops every gibberish doc, head rate 1 keeps all fluent
+    kept2 = perplexity_bucket_sample(df, rates=(1.0, 1.0, 0.0), seed=3)
+    ids = sorted(r["doc_id"] for r in kept2.collect())
+    assert ids == list(range(12))
