@@ -2527,6 +2527,23 @@ GROUP BY 1
 """
 
 
+def q_quality_classifier(spark, sf_dir):
+    """Trained LR quality filter (weak labels from the fluency proxy,
+    distributed L-BFGS fit, map-only scoring).  Rows-only: coefficients
+    are not SQL-expressible; the pytest oracle asserts holdout AUC and
+    planted fluent/gibberish separation."""
+    from .operators.quality_model import score_quality, train_quality_classifier
+
+    docs = _load(spark, sf_dir, "documents")
+    model, auc = train_quality_classifier(docs)
+    out = score_quality(model, docs)
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("quality_pred").cast("long").alias("n_pred_high"),
+        F.lit(1 if auc >= 0.8 else 0).cast("long").alias("auc_ok"),
+    )
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2557,6 +2574,7 @@ QUERIES = {
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------
+    "quality_classifier": (q_quality_classifier, None),
     "compression_ratio": (q_compression_ratio, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
     "dedup_simhash": (q_simhash_docs, None),

@@ -637,3 +637,35 @@ def test_unigram_logprob_orders_fluent_above_gibberish(spark):
            for r in unigram_logprob_score(df).collect()}
     assert got[0] > got[100]
     assert all(v < 0 for v in got.values())
+
+
+def test_quality_classifier_recovers_fluency_signal(spark):
+    """Weak-label LR quality filter: 0.8+ holdout AUC against its own
+    weak labels, and the scored probabilities must order the held-out
+    docs by the fluency proxy (top-prob docs more fluent than
+    bottom-prob docs) — the in-distribution recovery check; a planted
+    out-of-distribution doc pair would only measure transfer to text
+    unlike anything in the training corpus."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.quality_model import (
+        score_quality,
+        train_quality_classifier,
+    )
+    from diive_spark.operators.scrub import hash_split
+    from diive_spark.operators.textstats import unigram_logprob_score
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    model, auc = train_quality_classifier(docs)
+    assert auc >= 0.8, auc
+
+    holdout = hash_split(docs, {"fit": 0.8, "holdout": 0.2},
+                         key_col="doc_id", seed=11)
+    holdout = holdout.where(F.col("split") == "holdout").drop("split")
+    scored = unigram_logprob_score(score_quality(model, holdout))
+    pdf = scored.select("quality_prob", "unigram_logprob").toPandas()
+    pdf = pdf.sort_values("quality_prob")
+    k = max(len(pdf) // 10, 5)
+    bottom = pdf.head(k)["unigram_logprob"].mean()
+    top = pdf.tail(k)["unigram_logprob"].mean()
+    assert top > bottom, (top, bottom)
