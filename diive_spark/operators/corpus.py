@@ -15,7 +15,7 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
 from .dedup import MinHashIndex, exact_dedup, minhash_dedup
-from .scrub import hash_split, redact_pii
+from .scrub import decontaminate, hash_split, redact_pii
 from .textstats import clean_text, quality_score, repetition_features
 
 
@@ -26,12 +26,17 @@ def corpus_pipeline(
     quality_min: float = 0.5,
     weights: dict[str, float] | None = None,
     multi_hop: bool = True,
+    benchmark: DataFrame | None = None,
+    decontam_ngram: int = 13,
 ) -> DataFrame:
     """The full preprocessing composition; returns the final frame with
     a ``split`` column, ready for a partitioned write.  When
     ``minhash_index`` is given and already populated, survivors are
     additionally deduped against (and appended to) the cross-batch band
-    index."""
+    index.  When ``benchmark`` is given, docs sharing any word
+    ``decontam_ngram``-gram with it are dropped before the quality
+    gates (eval-set decontamination — a broadcast hash join, see
+    scrub.contamination_hits)."""
     cleaned = redact_pii(
         clean_text(docs), text_col="text_clean", out_col="text_scrubbed"
     )
@@ -48,6 +53,11 @@ def corpus_pipeline(
             ).where("kept").drop("kept")
         else:
             minhash_index.add(near, text_col="text_scrubbed")
+    if benchmark is not None:
+        near = decontaminate(
+            near, benchmark, n=decontam_ngram,
+            text_col="text_scrubbed", bench_text_col="text", drop=True,
+        )
     scored = quality_score(
         repetition_features(near, text_col="text_scrubbed"),
         text_col="text_scrubbed",

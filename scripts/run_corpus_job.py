@@ -17,9 +17,11 @@ The job, in one pass over the corpus plus the dedup band joins:
   4. minhash_dedup    — near-dup canonicalization (multi-hop CC);
                         with --minhash-index, also dedup against the
                         persistent cross-batch band index
-  5. quality gates    — Gopher repetition flags + quality_score
-  6. hash_split       — frozen 98/1/1 train/val/test assignment
-  7. write            — parquet partitioned by split
+  5. decontaminate    — with --benchmark, drop docs sharing any word
+                        n-gram with the eval set (broadcast hash join)
+  6. quality gates    — Gopher repetition flags + quality_score
+  7. hash_split       — frozen 98/1/1 train/val/test assignment
+  8. write            — parquet partitioned by split
 
 Prints ONE JSON metrics line (docs in/kept, dup/flag counts, wall).
 """
@@ -42,6 +44,10 @@ def main() -> None:
     ap.add_argument("--docs", required=True)
     ap.add_argument("--out", required=True)
     ap.add_argument("--minhash-index", default=None)
+    ap.add_argument("--benchmark", default=None,
+                    help="parquet of eval docs (doc_id, text) to "
+                         "decontaminate against")
+    ap.add_argument("--decontam-ngram", type=int, default=13)
     ap.add_argument("--est-threshold", type=float, default=0.7)
     ap.add_argument("--parallelism", type=int, default=8)
     args = ap.parse_args()
@@ -59,8 +65,10 @@ def main() -> None:
     # is gated in tests/test_plans.py; the index existence probe goes
     # through Hadoop FS (HDFS/S3-safe), not os.path
     idx = MinHashIndex(spark, args.minhash_index) if args.minhash_index else None
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     final = corpus_pipeline(docs, est_threshold=args.est_threshold,
-                            minhash_index=idx)
+                            minhash_index=idx, benchmark=bench,
+                            decontam_ngram=args.decontam_ngram)
     (final.write.mode("overwrite").partitionBy("split").parquet(args.out))
 
     out_df = spark.read.parquet(args.out)

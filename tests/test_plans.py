@@ -270,3 +270,20 @@ def test_decontaminate_broadcasts_benchmark(spark):
     for bad in ("SortMergeJoin", "CartesianProduct", "BroadcastNestedLoop"):
         assert bad not in plan, bad
     assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_corpus_job_with_decontamination_plan_gate(spark):
+    """The decontaminated composition must keep the same no-cartesian
+    guarantee; the extra stage adds the benchmark DISTINCT, the hit
+    count, and the verdict join-back (AQE-broadcast) Exchanges only."""
+    from diive_spark.operators.corpus import corpus_pipeline
+
+    docs = spark.read.parquet(f"{SF}/../sf0.001/documents.parquet")
+    bench = docs.where(F.col("doc_id") % 17 == 0).select("doc_id", "text")
+    final = corpus_pipeline(docs, est_threshold=0.6, benchmark=bench,
+                            decontam_ngram=4)
+    plan = final._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoop" not in plan
+    assert plan.count("Exchange") <= 10, plan.count("Exchange")
+    assert final.count() > 0
