@@ -2544,6 +2544,56 @@ def q_quality_classifier(spark, sf_dir):
     )
 
 
+def q_pack_sequences(spark, sf_dir):
+    """Sequence packing: whitespace token counts, 8 hash shards,
+    seq_len=512 concat-and-chunk; per-shard packing summary."""
+    from .operators.packing import pack_sequences, packing_stats
+
+    docs = _load(spark, sf_dir, "documents").withColumn(
+        "n_tok", F.size(F.split(F.trim(F.col("text")), r"\s+"))
+    )
+    # engine-portable shard (doc_id % 8) so the DuckDB twin can
+    # re-derive the exact layout; production default is xxhash64
+    packed = pack_sequences(
+        docs, seq_len=512, shard_expr=F.pmod(F.col("doc_id"), F.lit(8))
+    )
+    out = packing_stats(packed, seq_len=512)
+    return out.select(
+        "shard",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.col("n_seqs").cast("long").alias("n_seqs"),
+        F.col("n_crossings").cast("long").alias("n_crossings"),
+        _r(F.col("fill_ratio")).alias("fill_ratio"),
+    )
+
+
+SQL_PACK_SEQUENCES = r"""
+WITH d AS (
+  SELECT doc_id, doc_id % 8 AS shard,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents),
+packed AS (
+  SELECT shard, n_tok,
+         sum(n_tok) OVER (PARTITION BY shard ORDER BY doc_id
+                          ROWS UNBOUNDED PRECEDING) AS tok_end
+  FROM d),
+spans AS (
+  SELECT shard, n_tok, tok_end, tok_end - n_tok AS tok_start,
+         (tok_end - n_tok) // 512 AS first_seq,
+         (greatest(tok_end, tok_end - n_tok + 1) - 1) // 512 AS last_seq
+  FROM packed)
+SELECT shard,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+       CAST(ceil(sum(n_tok) / 512.0) AS BIGINT) AS n_seqs,
+       CAST(sum(last_seq - first_seq) AS BIGINT) AS n_crossings,
+       round(sum(n_tok) / (ceil(sum(n_tok) / 512.0) * 512.0), 6)
+         AS fill_ratio
+FROM spans GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2571,6 +2621,7 @@ QUERIES = {
     "ustar_mpt": (q_ustar_mpt, SQL_USTAR_MPT),
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "perplexity_bucket_sample": (q_perplexity_sample, SQL_PERPLEXITY_SAMPLE),
+    "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------
