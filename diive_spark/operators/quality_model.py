@@ -87,6 +87,47 @@ def weak_labels(
     )
 
 
+def binned_auc(
+    scored: DataFrame,
+    label_col: str = "label",
+    prob_col: str = "quality_prob",
+    bins: int = 10000,
+) -> float:
+    """Area under the ROC curve via probability-binned trapezoids: one
+    hash aggregate over (bin, label) counts, the cumulative sweep over
+    the <=``bins`` bin rows on the driver.  Chosen over
+    ``BinaryClassificationEvaluator`` deliberately — the evaluator
+    serializes the model's training summary (which drags the
+    unserializable SparkSession/ObservationManager into an RDD task
+    closure once any ``observe()`` has run in the session), and its
+    RDD path sorts every (score, label) pair; binned counts shuffle
+    ``bins`` rows regardless of corpus size and are exactly
+    reproducible under any partitioning."""
+    b = F.least(
+        F.floor(F.col(prob_col) * bins).cast("long"), F.lit(bins - 1)
+    )
+    counts = (
+        scored.groupBy(b.alias("_bin"))
+        .agg(
+            F.sum(F.col(label_col)).alias("_pos"),
+            F.sum(F.lit(1.0) - F.col(label_col)).alias("_neg"),
+        )
+        .orderBy(F.col("_bin").desc())
+        .toPandas()
+    )
+    tot_pos, tot_neg = counts["_pos"].sum(), counts["_neg"].sum()
+    if tot_pos == 0 or tot_neg == 0:
+        return float("nan")
+    auc, tpr_prev, fpr_prev, cp, cn = 0.0, 0.0, 0.0, 0.0, 0.0
+    for _, row in counts.iterrows():
+        cp += row["_pos"]
+        cn += row["_neg"]
+        tpr, fpr = cp / tot_pos, cn / tot_neg
+        auc += (fpr - fpr_prev) * (tpr + tpr_prev) / 2.0
+        tpr_prev, fpr_prev = tpr, fpr
+    return float(auc)
+
+
 def train_quality_classifier(
     df: DataFrame,
     text_col: str = "text",
@@ -98,7 +139,6 @@ def train_quality_classifier(
     (model, auc) where auc is evaluated on a deterministic 20% holdout
     (hash_split on ``id_col`` — frozen across runs/partitionings)."""
     from pyspark.ml.classification import LogisticRegression
-    from pyspark.ml.evaluation import BinaryClassificationEvaluator
     from pyspark.ml.feature import VectorAssembler
 
     from .scrub import hash_split
@@ -117,10 +157,24 @@ def train_quality_classifier(
         regParam=reg_param, maxIter=max_iter, standardization=True,
     )
     model = lr.fit(fit_df)
-    auc = BinaryClassificationEvaluator(
-        labelCol="label", metricName="areaUnderROC"
-    ).evaluate(model.transform(hold_df))
+    hold_scored = hold_df.withColumn("quality_prob", _sigmoid_expr(model))
+    auc = binned_auc(hold_scored)
     return model, auc
+
+
+def _sigmoid_expr(model):
+    """P(label=1) as a pure column expression from the fitted linear
+    model: sigmoid(w·x + b) over FEATURE_COLS.  Used instead of
+    ``model.transform`` everywhere: the transform closure serializes
+    the model WITH its training summary, which references the
+    unserializable SparkSession/ObservationManager once any
+    ``observe()`` has run in the session — and a dot product of column
+    expressions stays in whole-stage codegen anyway (no predict UDF)."""
+    w = model.coefficients.toArray().tolist()
+    z = F.lit(float(model.intercept))
+    for coef, col_name in zip(w, FEATURE_COLS):
+        z = z + F.lit(float(coef)) * F.col(col_name)
+    return F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
 
 
 def score_quality(
@@ -132,16 +186,12 @@ def score_quality(
 ) -> DataFrame:
     """Score every doc with the fitted model: adds ``quality_prob``
     (P(high quality)) and ``quality_pred`` (prob >= threshold).
-    Map-only: featurize -> assemble -> dot product."""
-    from pyspark.ml.feature import VectorAssembler
-    from pyspark.ml.functions import vector_to_array
-
-    asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features",
-                          handleInvalid="keep")
-    scored = model.transform(asm.transform(featurize(df, text_col=text_col)))
-    return (
-        scored.withColumn(out_col, vector_to_array("probability")[1])
-        .withColumn("quality_pred",
-                    (F.col(out_col) >= threshold).cast("int"))
-        .drop("features", "rawPrediction", "probability", "prediction")
+    Map-only: featurize -> sigmoid dot-product column expression
+    (see ``_sigmoid_expr`` — no predict UDF, no model in any task
+    closure)."""
+    scored = featurize(df, text_col=text_col).withColumn(
+        out_col, _sigmoid_expr(model)
+    )
+    return scored.withColumn(
+        "quality_pred", (F.col(out_col) >= threshold).cast("int")
     )

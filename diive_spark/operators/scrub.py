@@ -203,6 +203,57 @@ def perplexity_bucket_sample(
     return bucketed.where(keep)
 
 
+def temperature_mix_sample(
+    df: DataFrame,
+    alpha: float = 0.3,
+    strata_col: str = "source",
+    key_col: str = "doc_id",
+    seed: int = 0,
+) -> DataFrame:
+    """Temperature-based source rebalancing (the multinomial
+    alpha-resampling of mT5/XLM-R, public): target share of stratum s
+    is p_s ∝ n_s^alpha, flattening the head so low-resource sources
+    are not drowned.  Down-sampling only — the largest feasible total
+    is chosen so the most-upweighted stratum keeps ALL its rows (rate
+    1.0) and every other stratum keeps ``rate_s = (p_s / n_s) /
+    max_t(p_t / n_t)``; verdicts are the deterministic per-key hash,
+    so the draw is stable across runs, partitionings and engines.
+
+    Scale shape: one tiny per-stratum count aggregate, rates derived
+    row-free on the driver-side plan as a broadcast join, then a pure
+    filter — the corpus is never shuffled.  Adds ``mix_rate``.
+    """
+    if alpha < 0:
+        raise ValueError(f"alpha must be >= 0, got {alpha}")
+    counts = df.groupBy(strata_col).agg(F.count(F.lit(1)).alias("_n"))
+    # rate_s ∝ n_s^(alpha-1); normalize so max rate == 1.0
+    rated = counts.withColumn(
+        "_w", F.pow(F.col("_n").cast("double"), F.lit(alpha - 1.0))
+    )
+    max_w = rated.agg(F.max("_w").alias("_mw"))
+    rates = (
+        rated.crossJoin(F.broadcast(max_w))
+        .withColumn("mix_rate", F.col("_w") / F.col("_mw"))
+        .select(strata_col, "mix_rate")
+    )
+    bucket = _hash_bucket(F.col(key_col), seed)
+    thr = F.lpad(
+        F.lower(
+            F.conv(
+                F.floor(
+                    F.least(F.col("mix_rate"), F.lit(1.0)) * F.lit(2.0**32)
+                ).cast("string"),
+                10, 16,
+            )
+        ),
+        8, "0",
+    )
+    return (
+        df.join(F.broadcast(rates), on=strata_col, how="left")
+        .where((F.col("mix_rate") >= 1.0) | (bucket < thr))
+    )
+
+
 def word_ngrams(text_col, n: int):
     """Array of distinct space-joined word ``n``-grams of the
     whitespace-lowercased tokenization of ``text_col``; empty array when
