@@ -2594,6 +2594,41 @@ FROM spans GROUP BY 1
 """
 
 
+def q_temperature_mix(spark, sf_dir):
+    """mT5-style alpha=0.3 temperature rebalancing across languages:
+    the en head is down-sampled toward the flattened target shares,
+    low-resource langs keep everything."""
+    from .operators.scrub import temperature_mix_sample
+
+    docs = _load(spark, sf_dir, "documents")
+    out = temperature_mix_sample(docs, alpha=0.3, strata_col="lang")
+    return out.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_kept"),
+        F.sum("doc_id").cast("long").alias("id_sum"),
+    )
+
+
+SQL_TEMPERATURE_MIX = """
+WITH counts AS (
+  SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+rates AS (
+  SELECT lang, pow(n, 0.3 - 1.0) / max(pow(n, 0.3 - 1.0)) OVER ()
+           AS mix_rate
+  FROM counts),
+thr AS (
+  SELECT lang, mix_rate,
+         printf('%08x', CAST(floor(mix_rate * 4294967296.0) AS BIGINT))
+           AS hex_thr
+  FROM rates)
+SELECT d.lang, CAST(count(*) AS BIGINT) AS n_kept,
+       CAST(sum(d.doc_id) AS BIGINT) AS id_sum
+FROM documents d JOIN thr ON d.lang = thr.lang
+WHERE thr.mix_rate >= 1.0
+   OR substr(md5('0:' || CAST(d.doc_id AS VARCHAR)), 1, 8) < thr.hex_thr
+GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2622,6 +2657,7 @@ QUERIES = {
     "decontaminate_ngrams": (q_decontaminate, SQL_DECONTAMINATE),
     "perplexity_bucket_sample": (q_perplexity_sample, SQL_PERPLEXITY_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
+    "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

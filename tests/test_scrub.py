@@ -213,3 +213,32 @@ def test_perplexity_bucket_sample_head_tail(spark):
     kept2 = perplexity_bucket_sample(df, rates=(1.0, 1.0, 0.0), seed=3)
     ids = sorted(r["doc_id"] for r in kept2.collect())
     assert ids == list(range(12))
+
+
+def test_temperature_mix_flattens_head(spark):
+    from diive_spark.operators.scrub import temperature_mix_sample
+
+    rows = ([(i, "big") for i in range(1000)]
+            + [(1000 + i, "small") for i in range(10)])
+    df = spark.createDataFrame(rows, "doc_id long, src string")
+
+    kept = temperature_mix_sample(df, alpha=0.3, strata_col="src")
+    n = {r["src"]: r["n"] for r in
+         kept.groupBy("src").agg(F.count("*").alias("n")).collect()}
+    # smallest stratum is the most-upweighted: keeps everything
+    assert n["small"] == 10
+    # head keeps rate = (1000/10)^(0.3-1) = 100^-0.7 ~ 0.0398
+    assert 15 <= n["big"] <= 70, n
+
+    # alpha=1 is proportional sampling: every stratum keeps all rows
+    all_kept = temperature_mix_sample(df, alpha=1.0, strata_col="src")
+    assert all_kept.count() == 1010
+
+    # determinism across partitionings
+    a = sorted(r["doc_id"] for r in
+               temperature_mix_sample(df.repartition(1), alpha=0.3,
+                                      strata_col="src").collect())
+    b = sorted(r["doc_id"] for r in
+               temperature_mix_sample(df.repartition(16), alpha=0.3,
+                                      strata_col="src").collect())
+    assert a == b
