@@ -83,14 +83,17 @@ def cascade_job(spark, tokens_path: str) -> dict:
     and wall seconds."""
     import pyspark.sql.functions as F
 
-    from diive_spark.datagen import series_view
-    from diive_spark.operators.outliers import zscore_flag
+    from diive_spark.datagen import NA_SENTINEL
+    from diive_spark.operators.outliers import zscore_flag_tokens
     from diive_spark.operators.resample import bucket_rollup, compose_rollup
 
     t0 = time.monotonic()
     toks = spark.read.parquet(tokens_path)
-    series = series_view(toks)
-    flagged = zscore_flag(series, thres=4.0)
+    # fused array-side z-score: the population is the doc itself, so
+    # stats are row-local — single explode, zero joins, the 1m rollup
+    # exchange is the job's only shuffle (parity-tested vs the generic
+    # series_view |> zscore_flag path in test_outliers)
+    flagged = zscore_flag_tokens(toks, thres=4.0, na_sentinel=NA_SENTINEL)
     clean = flagged.withColumn(
         "v", F.when(F.col("flag_zscore") == 2, None).otherwise(F.col("value"))
     )
@@ -120,33 +123,53 @@ def run_scaling(n: int | None = None) -> dict:
     """Run cascade_job in fresh subprocesses at local[N] and local[4N]
     on the same input; verify identical outputs; report efficiency."""
     n = n or SCALE_N
+    rounds = int(os.environ.get("SPARK_GRAFT_SCALE_ROUNDS", "4"))
     out = {}
+    # The sandbox VM has BURSTY noisy-neighbor interference lasting
+    # minutes (observed: identical code measuring 34.7s and 204s at
+    # local[2] an hour apart).  Two defenses: (1) the two levels
+    # ALTERNATE in time — local[N], local[4N], local[N], ... — so a
+    # burst lands on both sides of the ratio instead of poisoning one;
+    # (2) min-of-R per level: noise is strictly additive on fixed
+    # work, so the min estimates the clean-machine wall.  Each trial
+    # is a fresh subprocess (fresh JVM) that warms up on the small
+    # bench table (JIT) before ONE measured run on the scaling input.
+    walls: dict[int, list[float]] = {n: [], 4 * n: []}
+    results: dict[int, dict] = {}
+    for _ in range(rounds):
+        for cpus in (n, 4 * n):
+            code = (
+                "import sys, json; sys.path.insert(0, %r);"
+                "from bench import cascade_job, _tokens_parquet;"
+                "from diive_spark.session import get_spark;"
+                "spark = get_spark(parallelism=%d, shuffle_partitions=%d);"
+                "cascade_job(spark, _tokens_parquet(spark, %d));"  # warm-up
+                "r = cascade_job(spark, _tokens_parquet(spark, %d));"
+                "print('RESULT ' + json.dumps(r)); spark.stop()"
+            ) % (REPO, cpus, cpus, BENCH_DOCS, SCALING_DOCS)
+            proc = subprocess.run(
+                [sys.executable, "-c", code],
+                capture_output=True, text=True, timeout=3000,
+            )
+            line = [l for l in proc.stdout.splitlines()
+                    if l.startswith("RESULT ")]
+            if not line:
+                raise RuntimeError(
+                    f"scaling run local[{cpus}] failed: {proc.stderr[-2000:]}"
+                )
+            r = json.loads(line[0][len("RESULT "):])
+            walls[cpus].append(r["wall_s"])
+            prev = results.get(cpus)
+            if prev is not None and prev["checksum"] != r["checksum"]:
+                raise RuntimeError(f"non-deterministic output at local[{cpus}]")
+            results[cpus] = r
     for cpus in (n, 4 * n):
-        # warm JVM + 3 measured runs per level (BASELINE.md protocol).
-        # The sandbox VM has bursty noisy-neighbor interference (observed
-        # single-run efficiencies 0.60-0.90 on identical code); noise is
-        # strictly ADDITIVE on fixed work, so min-of-3 estimates the
-        # clean-machine wall time; the median is reported alongside.
-        code = (
-            "import sys, json; sys.path.insert(0, %r);"
-            "from bench import cascade_job, _tokens_parquet;"
-            "from diive_spark.session import get_spark;"
-            "spark = get_spark(parallelism=%d, shuffle_partitions=%d);"
-            "p = _tokens_parquet(spark, %d);"
-            "cascade_job(spark, p);"  # warm-up run (JIT/JVM)
-            "runs = [cascade_job(spark, p) for _ in range(3)];"
-            "r = runs[0]; r['walls'] = sorted(x['wall_s'] for x in runs);"
-            "r['wall_s'] = r['walls'][0]; r['wall_median'] = r['walls'][1];"
-            "assert len({x['checksum'] for x in runs}) == 1;"
-            "print('RESULT ' + json.dumps(r)); spark.stop()"
-        ) % (REPO, cpus, cpus, SCALING_DOCS)
-        proc = subprocess.run(
-            [sys.executable, "-c", code], capture_output=True, text=True, timeout=3000
-        )
-        line = [l for l in proc.stdout.splitlines() if l.startswith("RESULT ")]
-        if not line:
-            raise RuntimeError(f"scaling run local[{cpus}] failed: {proc.stderr[-2000:]}")
-        out[f"local[{cpus}]"] = json.loads(line[0][len("RESULT "):])
+        r = results[cpus]
+        ws = sorted(walls[cpus])
+        r["walls"] = ws
+        r["wall_s"] = ws[0]
+        r["wall_median"] = ws[len(ws) // 2]
+        out[f"local[{cpus}]"] = r
     lo, hi = f"local[{n}]", f"local[{4 * n}]"
     t_lo, t_hi = out[lo]["wall_s"], out[hi]["wall_s"]
     # identical outputs at both parallelism levels (determinism gate)
@@ -164,6 +187,13 @@ def run_scaling(n: int | None = None) -> dict:
     out["points_per_sec_N"] = out[lo]["rolled_points"] / t_lo
     out["points_per_sec_4N"] = out[hi]["rolled_points"] / t_hi
     out["tokens_per_sec_4N"] = out[hi]["n_tokens"] / t_hi
+    # flag measurements taken through a noise burst: with min-of-R on
+    # fixed work a clean level has spread/min well under 0.5
+    out["noisy"] = any(
+        (max(out[k]["walls"]) - min(out[k]["walls"])) / min(out[k]["walls"])
+        > 0.5
+        for k in (lo, hi)
+    )
     return out
 
 
@@ -243,9 +273,14 @@ def main() -> None:
         "scaling_evidence": "see BENCH.md (run with --scaling to refresh)",
     }
     if scaling:
+        # stop the parent 32-thread JVM FIRST: an idle multi-GB heap
+        # alongside the measured subprocesses costs ~25% wall at
+        # local[8] on this VM and corrupts the efficiency ratio
+        spark.stop()
         result["scaling"] = run_scaling()
         _append_bench_md(result)
-    spark.stop()
+    else:
+        spark.stop()
     print(json.dumps(result))
 
 
@@ -266,9 +301,12 @@ def _append_bench_md(result: dict) -> None:
         f"(min {s[hi]['wall_s']:.2f}s; {s['points_per_sec_4N']:.0f} points/s, "
         f"{s['tokens_per_sec_4N']:.0f} raw token-values/s)",
         f"- speedup {s['speedup']:.2f}x over 4x cores -> "
-        f"**scaling efficiency {s['scaling_efficiency']:.3f}** (min-of-3; "
-        f"median-of-3: {s['scaling_efficiency_median']:.3f}; "
-        f"north-rule target >= 0.8)",
+        f"**scaling efficiency {s['scaling_efficiency']:.3f}** "
+        f"(min-of-R, levels time-alternated; "
+        f"median-of-R: {s['scaling_efficiency_median']:.3f}; "
+        f"north-rule target >= 0.8)"
+        + ("  [NOISY: wall spread > 50% of min at a level — rerun]"
+           if s.get("noisy") else ""),
         "",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as f:

