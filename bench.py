@@ -267,9 +267,9 @@ def main() -> None:
         "raw_tokens_per_sec": round(c["n_tokens"] / c["wall_s"]),
         "rolled_up_points_per_sec": round(c["rolled_points"] / c["wall_s"]),
         # two-parallelism evidence is produced by `bench.py --scaling`
-        # and recorded in BENCH.md/BASELINE.md (last official run:
-        # efficiency 0.847, local[2] 140.4s -> local[8] 41.4s, outputs
-        # bit-identical)
+        # and recorded in BENCH.md/BASELINE.md (round-3 fused cascade,
+        # clean-machine: efficiency 0.84, local[2] 34.7s -> local[8]
+        # 10.3s on 135M tokens, outputs bit-identical)
         "scaling_evidence": "see BENCH.md (run with --scaling to refresh)",
     }
     if scaling:
