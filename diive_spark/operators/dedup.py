@@ -671,3 +671,132 @@ class MinHashIndex:
         fs.rename(src, dst)
         fs.delete(bak, True)
         return n
+
+
+# --------------------------------------------------------------- token spans
+def token_span_occurrences(
+    df: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    emit_span: bool = False,
+) -> DataFrame:
+    """One row per k-token window: (id, pos, span_hash[, span_key]).
+
+    The window hashes are computed ROW-LOCALLY (one ``transform`` over a
+    position sequence, ``xxhash64`` on each slice) so the exploded
+    relation that reaches the shuffle carries only (id, pos, long) —
+    never the token arrays themselves.  ``emit_span=True`` additionally
+    carries the span rendered as a space-joined string: collision-free
+    grouping for verification/oracle runs (at corpus scale the 64-bit
+    hash's collision odds are ~n^2/2^64; keep the default).
+    """
+    toks = F.col(tokens_col)
+    eligible = df.where(F.size(toks) >= k)
+    hashes = F.transform(
+        F.sequence(F.lit(0), F.size(toks) - k),
+        lambda i: F.xxhash64(F.slice(toks, i + 1, k)),
+    )
+    cols = [F.col(id_col), F.posexplode(hashes).alias("pos", "span_hash")]
+    out = eligible.select(*cols)
+    if emit_span:
+        spans = F.transform(
+            F.sequence(F.lit(0), F.size(toks) - k),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, k)),
+        )
+        keyed = eligible.select(
+            F.col(id_col), F.posexplode(spans).alias("pos", "span_key")
+        )
+        out = out.join(keyed, on=[id_col, "pos"])
+    return out
+
+
+def duplicate_token_spans(
+    df: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    max_occ: int | None = None,
+    emit_span: bool = False,
+) -> DataFrame:
+    """Exact duplicate k-token span detection over a pre-tokenized
+    corpus — the substring-level dedup of Lee et al. 2022
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as explode + groupBy instead of a suffix array.
+
+    A span counts as duplicated when it appears in >= ``min_docs``
+    distinct documents.  Returns one row per duplicated span:
+    (span_hash[, span_key], n_docs, n_occ, first_doc, first_pos) where
+    (first_doc, first_pos) is the lexicographically first occurrence —
+    the canonical copy ``mask_duplicate_spans`` preserves.
+
+    Scale shape: the only shuffle is the groupBy on the 64-bit span
+    hash (map-side partial aggregation applies); ``max_occ`` caps
+    pathological spans (e.g. all-zero padding runs) the same way
+    jaccard_pairs_exact's max_df guard bounds hot shingles — dropped
+    spans are boilerplate, not content, at that frequency.
+    """
+    occ = token_span_occurrences(df, k, tokens_col, id_col, emit_span)
+    key = ["span_key", "span_hash"] if emit_span else ["span_hash"]
+    agg = occ.groupBy(*key).agg(
+        F.countDistinct(id_col).cast("long").alias("n_docs"),
+        F.count(F.lit(1)).cast("long").alias("n_occ"),
+        F.min(F.struct(F.col(id_col).alias("d"), F.col("pos").alias("p"))).alias("_f"),
+    )
+    out = (
+        agg.where(F.col("n_docs") >= min_docs)
+        .withColumn("first_doc", F.col("_f.d"))
+        .withColumn("first_pos", F.col("_f.p"))
+        .drop("_f")
+    )
+    if max_occ is not None:
+        out = out.where(F.col("n_occ") <= max_occ)
+    return out
+
+
+def mask_duplicate_spans(
+    df: DataFrame,
+    k: int = 8,
+    tokens_col: str = "tokens",
+    id_col: str = "doc_id",
+    min_docs: int = 2,
+    out_col: str = "tokens_dedup",
+) -> DataFrame:
+    """Remove duplicated k-token spans from every document except the
+    canonical (globally first) occurrence: any token covered by a
+    non-canonical occurrence of a duplicated span is dropped, and the
+    survivors are re-concatenated in order (Lee et al. 2022 semantics,
+    minus the suffix array).
+
+    Two shuffles end-to-end: the span-hash groupBy (inherited from
+    duplicate_token_spans) and the join-back of per-doc drop-position
+    lists; the token arrays are rebuilt row-locally with a nested
+    higher-order filter — no Python, no second pass over the corpus.
+    """
+    dups = duplicate_token_spans(df, k, tokens_col, id_col, min_docs).select(
+        "span_hash", "first_doc", "first_pos"
+    )
+    occ = token_span_occurrences(df, k, tokens_col, id_col)
+    losers = (
+        occ.join(dups, on="span_hash")
+        .where(
+            (F.col(id_col) != F.col("first_doc"))
+            | (F.col("pos") != F.col("first_pos"))
+        )
+        .groupBy(id_col)
+        .agg(F.sort_array(F.collect_set("pos")).alias("_drop_starts"))
+    )
+    joined = df.join(losers, on=id_col, how="left")
+    toks = F.col(tokens_col)
+    keep = F.filter(
+        F.transform(toks, lambda x, i: F.struct(x.alias("t"), i.alias("i"))),
+        lambda s: ~F.exists(
+            F.col("_drop_starts"),
+            lambda d: (s["i"] >= d) & (s["i"] < d + k),
+        ),
+    )
+    rebuilt = F.when(F.col("_drop_starts").isNull(), toks).otherwise(
+        F.transform(keep, lambda s: s["t"])
+    )
+    return joined.withColumn(out_col, rebuilt).drop("_drop_starts")

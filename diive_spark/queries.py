@@ -2629,6 +2629,123 @@ GROUP BY 1
 """
 
 
+# Engine-portable token derivation shared by the token-span queries:
+# both Spark and DuckDB compute ascii(first char)*256 + len(word)%256
+# per non-empty word, so duplicated word sequences become duplicated
+# token spans in BOTH engines (the synthetic stand-in for a real
+# tokenizer, which neither engine embeds).
+_TOKENS_FROM_TEXT = (
+    "transform(filter(split(text, ' '), w -> w <> ''), "
+    "w -> CAST(ascii(w) * 256 + length(w) % 256 AS INT))"
+)
+
+
+def q_duplicate_token_spans(spark, sf_dir):
+    """Exact duplicate k-token span detection (Lee et al. 2022 substring
+    dedup re-expressed as explode+groupBy; operators/dedup.py) over
+    tokens derived deterministically from documents text."""
+    from .operators.dedup import duplicate_token_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", F.expr(_TOKENS_FROM_TEXT))
+    out = duplicate_token_spans(toks, k=8, emit_span=True)
+    return out.select(
+        "span_key",
+        "n_docs",
+        "n_occ",
+        F.col("first_doc").cast("long").alias("first_doc"),
+        F.col("first_pos").cast("long").alias("first_pos"),
+    )
+
+
+SQL_DUPLICATE_TOKEN_SPANS = """
+WITH toks AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> CAST(ascii(w) * 256 + length(w) % 256 AS INT))
+           AS tokens
+  FROM documents),
+pos AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - 8 + 1)) AS i
+  FROM toks WHERE len(tokens) >= 8),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tokens, i, i + 7), ' ') AS span_key
+  FROM pos),
+rk AS (
+  SELECT span_key, doc_id, pos,
+         row_number() OVER (PARTITION BY span_key ORDER BY doc_id, pos) AS rn
+  FROM occ)
+SELECT span_key,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS n_occ,
+       CAST(min(CASE WHEN rn = 1 THEN doc_id END) AS BIGINT) AS first_doc,
+       CAST(min(CASE WHEN rn = 1 THEN pos END) AS BIGINT) AS first_pos
+FROM rk GROUP BY 1 HAVING count(DISTINCT doc_id) >= 2
+"""
+
+
+def q_mask_duplicate_spans(spark, sf_dir):
+    """Span-level dedup applied: every non-canonical occurrence of a
+    duplicated 8-token span is cut out of its document; emits per-source
+    token counts before/after plus a checksum of the surviving tokens
+    (operators/dedup.py:mask_duplicate_spans)."""
+    from .operators.dedup import mask_duplicate_spans
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.withColumn("tokens", F.expr(_TOKENS_FROM_TEXT))
+    out = mask_duplicate_spans(toks, k=8)
+    return out.groupBy("source").agg(
+        F.sum(F.size("tokens")).cast("long").alias("n_tok_before"),
+        F.sum(F.size("tokens_dedup")).cast("long").alias("n_tok_after"),
+        F.sum(F.aggregate("tokens_dedup", F.lit(0).cast("long"),
+                          lambda a, x: a + x)).cast("long").alias("tok_sum"),
+    )
+
+
+SQL_MASK_DUPLICATE_SPANS = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> CAST(ascii(w) * 256 + length(w) % 256 AS INT))
+           AS tokens
+  FROM documents),
+pos AS (
+  SELECT doc_id, tokens,
+         unnest(generate_series(1, len(tokens) - 8 + 1)) AS i
+  FROM toks WHERE len(tokens) >= 8),
+occ AS (
+  SELECT doc_id, i - 1 AS pos,
+         array_to_string(list_slice(tokens, i, i + 7), ' ') AS span_key
+  FROM pos),
+rk AS (
+  SELECT span_key, doc_id, pos,
+         row_number() OVER (PARTITION BY span_key ORDER BY doc_id, pos) AS rn,
+         count(DISTINCT doc_id) OVER (PARTITION BY span_key) AS n_docs
+  FROM occ),
+drops AS (
+  SELECT DISTINCT doc_id, pos FROM rk WHERE n_docs >= 2 AND rn > 1),
+covered AS (  -- token indexes (0-based) blanked by any dropped span
+  SELECT DISTINCT doc_id, unnest(generate_series(pos, pos + 7)) AS idx
+  FROM drops),
+dropped AS (
+  SELECT c.doc_id, count(*) AS n_drop,
+         sum(t.tokens[c.idx + 1]) AS drop_sum
+  FROM covered c JOIN toks t USING (doc_id) GROUP BY 1),
+per_doc AS (
+  SELECT t.source, len(t.tokens) AS n_before,
+         len(t.tokens) - coalesce(d.n_drop, 0) AS n_after,
+         coalesce(list_sum(t.tokens), 0) - coalesce(d.drop_sum, 0) AS tsum
+  FROM toks t LEFT JOIN dropped d USING (doc_id))
+SELECT source,
+       CAST(sum(n_before) AS BIGINT) AS n_tok_before,
+       CAST(sum(n_after) AS BIGINT) AS n_tok_after,
+       CAST(sum(tsum) AS BIGINT) AS tok_sum
+FROM per_doc GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2658,6 +2775,10 @@ QUERIES = {
     "perplexity_bucket_sample": (q_perplexity_sample, SQL_PERPLEXITY_SAMPLE),
     "pack_sequences": (q_pack_sequences, SQL_PACK_SEQUENCES),
     "temperature_mix": (q_temperature_mix, SQL_TEMPERATURE_MIX),
+    "duplicate_token_spans": (q_duplicate_token_spans,
+                              SQL_DUPLICATE_TOKEN_SPANS),
+    "mask_duplicate_spans": (q_mask_duplicate_spans,
+                             SQL_MASK_DUPLICATE_SPANS),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

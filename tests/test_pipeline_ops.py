@@ -669,3 +669,89 @@ def test_quality_classifier_recovers_fluency_signal(spark):
     bottom = pdf.head(k)["unigram_logprob"].mean()
     top = pdf.tail(k)["unigram_logprob"].mean()
     assert top > bottom, (top, bottom)
+
+
+def test_duplicate_token_spans_bruteforce(spark):
+    """Span detection == brute-force python enumeration of k-windows."""
+    from diive_spark.operators.dedup import duplicate_token_spans
+
+    rng = np.random.default_rng(7)
+    base = rng.integers(0, 50, size=40).tolist()
+    rows = [
+        (1, base),
+        (2, rng.integers(0, 50, size=30).tolist() + base[5:17]),
+        (3, rng.integers(0, 50, size=25).tolist()),
+        (4, base[:12] + rng.integers(0, 50, size=20).tolist()),
+        (5, [9] * 3),  # shorter than k
+    ]
+    k = 8
+    # brute force: span -> list of (doc, pos)
+    occ: dict[tuple, list] = {}
+    for doc, toks in rows:
+        for p in range(len(toks) - k + 1):
+            occ.setdefault(tuple(toks[p : p + k]), []).append((doc, p))
+    want = {
+        " ".join(map(str, s)): (
+            len({d for d, _ in o}),
+            len(o),
+            min(o)[0],
+            min(o)[1],
+        )
+        for s, o in occ.items()
+        if len({d for d, _ in o}) >= 2
+    }
+    assert want, "fixture must contain cross-doc duplicate spans"
+
+    df = spark.createDataFrame(
+        [(d, [int(x) for x in t]) for d, t in rows],
+        "doc_id int, tokens array<int>",
+    )
+    got = {
+        r.span_key: (r.n_docs, r.n_occ, r.first_doc, r.first_pos)
+        for r in duplicate_token_spans(df, k=k, emit_span=True).collect()
+    }
+    assert got == want
+
+
+def test_mask_duplicate_spans_semantics(spark):
+    """Canonical occurrence survives; every other occurrence's tokens
+    are cut; non-duplicated docs pass through untouched."""
+    from diive_spark.operators.dedup import mask_duplicate_spans
+
+    rows = [
+        (1, list(range(1, 11))),          # canonical 1..8 at pos 0
+        (2, [99, 98] + list(range(1, 9))),  # loses pos 2..9
+        (3, [55, 56, 57]),                 # too short, untouched
+        (4, list(range(1, 9))),            # exactly the span, emptied
+    ]
+    df = spark.createDataFrame(rows, "doc_id int, tokens array<int>")
+    out = {r.doc_id: r.tokens_dedup
+           for r in mask_duplicate_spans(df, k=8).collect()}
+    assert out[1] == list(range(1, 11))
+    assert out[2] == [99, 98]
+    assert out[3] == [55, 56, 57]
+    assert out[4] == []
+
+
+def test_token_span_hash_vs_exact_grouping(spark):
+    """Hash-keyed grouping (the scale path) produces the same duplicate
+    groups as span-keyed grouping on a real corpus slice."""
+    from diive_spark.operators.dedup import duplicate_token_spans
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    toks = docs.withColumn(
+        "tokens",
+        F.expr(
+            "transform(filter(split(text, ' '), w -> w <> ''), "
+            "w -> CAST(ascii(w) * 256 + length(w) % 256 AS INT))"
+        ),
+    ).select("doc_id", "tokens")
+    hashed = duplicate_token_spans(toks, k=8).select(
+        "span_hash", "n_docs", "n_occ", "first_doc", "first_pos"
+    )
+    exact = duplicate_token_spans(toks, k=8, emit_span=True).select(
+        "span_hash", "n_docs", "n_occ", "first_doc", "first_pos"
+    )
+    a = sorted(map(tuple, hashed.collect()))
+    b = sorted(map(tuple, exact.collect()))
+    assert a == b and len(a) > 0
