@@ -311,3 +311,82 @@ def cosine_pairs_exact(
             "cosine",
         )
     )
+
+
+def with_sign_bucket(
+    df: DataFrame,
+    bucket_bits: int = 4,
+    vec_col: str = "embedding",
+    out_col: str = "bucket",
+) -> DataFrame:
+    """Axis-aligned LSH: bucket id = sign bits of the first
+    ``bucket_bits`` coordinates.  Strictly weaker recall than random
+    hyperplanes (with_lsh_bucket) but fully deterministic and portable
+    across engines — the oracle-able twin used by semantic_dedup's
+    verification mode."""
+    b = F.lit(0)
+    for i in range(bucket_bits):
+        bit = F.when(F.element_at(F.col(vec_col), i + 1) >= 0, 1 << i).otherwise(0)
+        b = b + bit
+    return df.withColumn(out_col, b.cast("long"))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    bucket_bits: int = 4,
+    mode: str = "lsh",
+    dim: int | None = None,
+    seed: int = 42,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): bucket
+    the corpus by an embedding hash, then inside each bucket flag every
+    row whose cosine to ANY lower-id row reaches ``threshold`` —
+    greedy keep-lowest-id, so exactly one representative per semantic
+    duplicate group survives within a bucket.
+
+    ``mode='lsh'`` buckets with random hyperplanes (recall path;
+    seeded); ``mode='sign'`` buckets by the sign bits of the first
+    ``bucket_bits`` coordinates — deterministic and reproducible in
+    plain SQL, which is what the DuckDB oracle checks.  At corpus scale
+    the real clustering is IVF cells (ivf_build/ivf_topk); this
+    operator's bucket self-join shape is identical, so the plan gates
+    transfer.
+
+    Returns the input plus (bucket, is_semdup) — filter
+    ``~is_semdup`` to apply the dedup.
+    """
+    if mode == "sign":
+        b = with_sign_bucket(df, bucket_bits, vec_col)
+    elif mode == "lsh":
+        if dim is None:
+            raise ValueError("mode='lsh' needs dim (embedding width)")
+        b = with_lsh_bucket(df, dim, bucket_bits, seed, vec_col, out_col="bucket")
+    else:
+        raise ValueError(f"mode must be sign|lsh, got {mode!r}")
+    n = with_normalized(b, vec_col)
+    side = n.where(F.col("_unit").isNotNull()).select(
+        F.col(id_col).alias("vid"), F.col("_unit").alias("_u"), "bucket"
+    )
+    a, c = side.alias("a"), side.alias("b")
+    dropped = (
+        a.join(
+            c,
+            on=[
+                F.col("a.bucket") == F.col("b.bucket"),
+                F.col("a.vid") < F.col("b.vid"),
+            ],
+        )
+        .where(_dot(F.col("a._u"), F.col("b._u")) >= threshold)
+        .select(F.col("b.vid").alias(id_col))
+        .distinct()
+        .withColumn("_dup", F.lit(True))
+    )
+    return (
+        n.drop("_unit")
+        .join(dropped, on=id_col, how="left")
+        .withColumn("is_semdup", F.coalesce(F.col("_dup"), F.lit(False)))
+        .drop("_dup")
+    )

@@ -2746,6 +2746,43 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_semantic_dedup(spark, sf_dir):
+    """SemDeDup-style semantic dedup (operators/similarity.py:
+    semantic_dedup) in its deterministic sign-bucket mode: flag every
+    vector whose cosine to a lower-id vector in the same bucket is
+    >= 0.42 (greedy keep-lowest-id)."""
+    from .operators.similarity import semantic_dedup
+
+    emb = _load(spark, sf_dir, "embeddings")
+    out = semantic_dedup(emb, threshold=0.42, bucket_bits=4, mode="sign")
+    return out.select(
+        "vec_id",
+        F.col("bucket").cast("long").alias("bucket"),
+        F.col("is_semdup").cast("int").alias("is_semdup"),
+    )
+
+
+SQL_SEMANTIC_DEDUP = """
+WITH n AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb,
+         sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+                                      x -> x * x))) AS nrm,
+         (CASE WHEN embedding[1] >= 0 THEN 1 ELSE 0 END)
+       + (CASE WHEN embedding[2] >= 0 THEN 2 ELSE 0 END)
+       + (CASE WHEN embedding[3] >= 0 THEN 4 ELSE 0 END)
+       + (CASE WHEN embedding[4] >= 0 THEN 8 ELSE 0 END) AS bucket
+  FROM embeddings)
+SELECT a.vec_id, CAST(a.bucket AS BIGINT) AS bucket,
+       CAST(EXISTS (
+         SELECT 1 FROM n p
+         WHERE p.bucket = a.bucket AND p.vec_id < a.vec_id
+           AND p.nrm > 0 AND a.nrm > 0
+           AND list_dot_product(p.emb, a.emb) / (p.nrm * a.nrm) >= 0.42
+       ) AS INT) AS is_semdup
+FROM n a
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -2779,6 +2816,7 @@ QUERIES = {
                               SQL_DUPLICATE_TOKEN_SPANS),
     "mask_duplicate_spans": (q_mask_duplicate_spans,
                              SQL_MASK_DUPLICATE_SPANS),
+    "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

@@ -755,3 +755,62 @@ def test_token_span_hash_vs_exact_grouping(spark):
     a = sorted(map(tuple, hashed.collect()))
     b = sorted(map(tuple, exact.collect()))
     assert a == b and len(a) > 0
+
+
+def test_semantic_dedup_sign_mode_matches_numpy(spark):
+    """Sign-bucket semantic dedup == numpy brute force per bucket."""
+    from diive_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.42, bucket_bits=4, mode="sign")
+    got = {r.vec_id: (r.bucket, bool(r.is_semdup)) for r in out.collect()}
+
+    pdf = emb.toPandas().sort_values("vec_id")
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in pdf.itertuples()}
+    bucket = {
+        vid: sum((1 << i) for i in range(4) if v[i] >= 0)
+        for vid, v in vecs.items()
+    }
+    want = {}
+    for vid, v in vecs.items():
+        nv = np.linalg.norm(v)
+        dup = False
+        for pid, p in vecs.items():
+            if pid >= vid or bucket[pid] != bucket[vid]:
+                continue
+            np_ = np.linalg.norm(p)
+            if nv > 0 and np_ > 0 and float(v @ p) / (nv * np_) >= 0.42:
+                dup = True
+                break
+        want[vid] = (bucket[vid], dup)
+    assert got == want
+    assert sum(d for _, d in got.values()) > 0, "fixture must contain semdups"
+
+
+def test_semantic_dedup_lsh_mode_flags_planted_dup(spark, vecs):
+    """LSH mode: a planted near-identical vector is flagged, its
+    lower-id original kept; greedy keep-lowest-id leaves one
+    representative per duplicate group."""
+    from diive_spark.operators.similarity import semantic_dedup
+
+    dim = len(vecs.select("embedding").first()[0])
+    out = semantic_dedup(vecs, threshold=0.98, bucket_bits=6,
+                         mode="lsh", dim=dim)
+    rows = {r.vec_id: bool(r.is_semdup) for r in out.collect()}
+    pdf = vecs.toPandas()
+    m = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+         for r in pdf.itertuples()}
+    planted = [
+        (a, b) for a in m for b in m if a < b
+        and float(m[a] @ m[b]) / (np.linalg.norm(m[a]) * np.linalg.norm(m[b]))
+        >= 0.995
+    ]
+    assert planted, "fixture must contain a >=0.995 near-dup pair"
+    for a, b in planted:
+        assert rows[b], f"near-dup {b} of {a} not flagged"
+        # the group's lowest id must survive
+    lowest = {min(a for a, _ in planted)}
+    for a in lowest:
+        if not any(a == hi for _, hi in planted):
+            assert not rows[a]
