@@ -157,6 +157,10 @@ class TierStore:
                 ).sortWithinPartitions(self.partition_col, *sort_cols)
         (
             out.write.mode("overwrite")
+            # per-writer option, NOT ambient session config: a plain
+            # SparkSession defaults to STATIC overwrite, which would
+            # truncate untouched partitions on incremental merges
+            .option("partitionOverwriteMode", "dynamic")
             .partitionBy(self.partition_col)
             .parquet(self.path(tier))
         )
@@ -298,6 +302,171 @@ class TierStore:
             self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
             report[spec.name] = metrics
         agg1.unpersist()
+        return report
+
+    # ------------------------------------------------------ incremental
+    def ingest_increment(
+        self,
+        tokens_df: DataFrame,
+        cascade: Sequence[TierSpec] = DEFAULT_CASCADE,
+        axis_col: str = "pos",
+        value_col: str = "value",
+    ) -> dict[str, dict]:
+        """Continuous-aggregate MERGE: fold a batch of WHOLE documents
+        into the raw tier and every aggregate tier without rescanning
+        history — the Iceberg ``MERGE INTO ... ON (source, doc_id)``
+        analog (``WHEN MATCHED THEN UPDATE, WHEN NOT MATCHED THEN
+        INSERT``), which :meth:`materialize_cascade` cannot give you
+        because its change detection re-aggregates the full series.
+
+        Contract: each increment row carries a complete document; a
+        (source, doc_id) already stored is replaced, a new one is
+        inserted.  Only the increment is aggregated — per-doc series
+        never span batches, so its tier bins are exact from the batch
+        alone; history enters as already-materialized tier rows (anti-
+        joined on the doc key) and, for replaced docs, as their raw
+        payloads (a pruned scan of the affected partitions only).
+        Lineage fingerprints compose by xor, so after the call the
+        store — tier tables AND fingerprints — is exactly what a fresh
+        materialize_cascade over the merged corpus would record (the
+        pytest oracle asserts bit-identical tiers), and a later full
+        run skips every partition.
+        """
+        from ..datagen import series_view
+
+        first = cascade[0]
+        if first.from_tier is not None:
+            raise ValueError("cascade[0] must build from the raw series")
+        if not os.path.exists(self.path("raw")):
+            raise ValueError(
+                "ingest_increment needs the raw tier (write_raw first): "
+                "replaced docs' fingerprints are subtracted from it"
+            )
+        keys = list(self.key_cols)
+        inc = tokens_df.persist()
+        inc_keys = inc.select(*keys).distinct().persist()
+        affected = [r[self.partition_col]
+                    for r in inc_keys.select(self.partition_col).distinct().collect()]
+        inc_series = series_view(inc)
+
+        # fingerprint deltas: xor removes replaced docs, adds the batch
+        old_raw = self.read("raw").where(F.col(self.partition_col).isin(affected))
+        replaced_tokens = (
+            old_raw.join(inc_keys, on=keys, how="left_semi")
+            .select(
+                "doc_id",
+                gorilla_decode_values("payload").alias("tokens"),
+                "n_tok", "source",
+            )
+        )
+        inc_fps = self._fingerprints(inc_series, axis_col)
+        rm_fps = self._fingerprints(series_view(replaced_tokens), axis_col)
+        old_fps = self._completed(cascade[0].name)
+        mask = (1 << 64) - 1
+
+        def _combine(part: str) -> str:
+            n, h = 0, 0
+            if part in old_fps:
+                sn, sh = old_fps[part].split(":")
+                n, h = int(sn), int(sh)
+            for delta, sign in ((rm_fps.get(part), -1), (inc_fps.get(part), 1)):
+                if delta is None:
+                    continue
+                dn, dh = delta.split(":")
+                n += sign * int(dn)
+                h ^= int(dh)  # xor is its own inverse — same op both ways
+            h &= mask
+            return f"{n}:{h - (1 << 64) if h >= (1 << 63) else h}"
+
+        new_fps = {p: _combine(p) for p in affected}
+
+        # raw tier merge (upsert whole docs).  localCheckpoint severs the
+        # lineage back to the parquet path being overwritten — parquet
+        # cannot overwrite a path it is reading from; Iceberg MERGE INTO
+        # gets this for free via snapshot isolation, this is the sandbox
+        # equivalent (bounded: only the affected partitions are staged).
+        kept_raw = old_raw.join(inc_keys, on=keys, how="left_anti")
+        inc_raw = inc.select(
+            "doc_id", "n_tok",
+            gorilla_encode_values("tokens").alias("payload"), "source",
+        ).withColumn("checksum", F.crc32("payload"))
+        self._write_partitions(
+            kept_raw.select(*inc_raw.columns)
+            .unionByName(inc_raw)
+            .localCheckpoint(),
+            "raw",
+        )
+
+        report: dict[str, dict] = {}
+        inc_tiers: dict[str, DataFrame] = {}
+        for spec in cascade:
+            t0 = time.monotonic()
+            if spec.from_tier is None:
+                out = bucket_rollup(
+                    inc_series, every=spec.every, axis_col=axis_col,
+                    value_col=value_col, key_cols=keys,
+                    mincounts_perc=0.0, min_floor_rule=False,
+                    percentiles=list(spec.percentiles) or None,
+                    distinct_col=spec.distinct_col,
+                )
+            else:
+                out = compose_rollup(
+                    inc_tiers[spec.from_tier], every=spec.every,
+                    key_cols=keys, mincounts_perc=0.0, min_floor_rule=False,
+                )
+                if spec.percentiles:
+                    pct = bucket_rollup(
+                        inc_series, every=spec.every, axis_col=axis_col,
+                        value_col=value_col, key_cols=keys,
+                        mincounts_perc=0.0, min_floor_rule=False,
+                        percentiles=list(spec.percentiles),
+                    ).select(
+                        *keys, "bin_start",
+                        *[f"p{int(round(q * 100)):02d}" for q in spec.percentiles],
+                    )
+                    out = out.join(pct, on=keys + ["bin_start"], how="left")
+            cols = TIER_COLS + [
+                f"p{int(round(q * 100)):02d}" for q in spec.percentiles
+            ]
+            if "hll" in out.columns:
+                cols = cols + ["hll"]
+            out = out.select(*cols).localCheckpoint()
+            inc_tiers[spec.name] = out
+
+            if os.path.exists(self.path(spec.name)):
+                stored = self.read(spec.name).where(
+                    F.col(self.partition_col).isin(affected)
+                )
+                # staged via localCheckpoint: same read-then-overwrite
+                # constraint as the raw merge above
+                merged = stored.select(*cols).join(
+                    inc_keys, on=keys, how="left_anti"
+                ).unionByName(out).localCheckpoint()
+            else:
+                merged = out
+            obs = Observation()
+            self._write_partitions(
+                merged.observe(obs, F.count(F.lit(1)).alias("n_rows")), spec.name
+            )
+            n_rows = int(obs.get["n_rows"])
+            wall = time.monotonic() - t0
+            ts = time.time()
+            for p in affected:
+                self._append(self._lineage_path, {
+                    "tier": spec.name, "partition": p,
+                    "fingerprint": new_fps[p],
+                    "n_rows": n_rows, "wall_s": wall, "ts": ts,
+                })
+            metrics = {
+                "partitions_merged": len(affected),
+                "n_rows": n_rows,
+                "wall_s": wall,
+                "points_per_sec": n_rows / wall if wall > 0 else 0.0,
+            }
+            self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
+            report[spec.name] = metrics
+        inc.unpersist()
+        inc_keys.unpersist()
         return report
 
 

@@ -2746,6 +2746,105 @@ FROM per_doc GROUP BY 1
 """
 
 
+def q_tier_incremental_merge(spark, sf_dir):
+    """SELF-VERIFYING oracle for TierStore.ingest_increment (the
+    Iceberg MERGE INTO analog): batch1 is materialized, batch2 (new
+    docs + replacements) is merged incrementally, and a second store
+    is materialized from scratch over the merged corpus — the query
+    compares every tier IN-QUERY and emits (tier, n_rows, n_mismatch).
+    n_mismatch must be 0, so the DuckDB twin recomputes only the bin
+    counts (pure n_tok arithmetic) plus a literal zero; any divergence
+    between the incremental and full paths breaks the driver hash."""
+    import tempfile
+
+    from .datagen import series_view
+    from .operators.tiers import TierStore
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr(_TOKENS_FROM_TEXT).alias("tokens"),
+            "source",
+            F.col("doc_id").alias("_id"),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .where("n_tok >= 1")
+    )
+    b1 = toks.where(F.pmod("_id", F.lit(2)) == 0)
+    new_docs = toks.where(F.pmod("_id", F.lit(2)) == 1)
+    repl = (
+        b1.where(F.pmod("_id", F.lit(10)) == 0)
+        .withColumn(
+            "tokens",
+            F.slice("tokens", 1, F.greatest(F.col("n_tok") - 10, F.lit(1))),
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    b2 = new_docs.unionByName(repl)
+    cols = ["doc_id", "tokens", "n_tok", "source"]
+    b1, b2 = b1.select(*cols), b2.select(*cols)
+    merged = b1.join(b2.select("source", "doc_id"),
+                     on=["source", "doc_id"], how="left_anti").unionByName(b2)
+
+    inc = TierStore(spark, tempfile.mkdtemp(prefix="tiers_inc_"))
+    inc.write_raw(b1)
+    inc.materialize_cascade(series_view(b1))
+    inc.ingest_increment(b2)
+    full = TierStore(spark, tempfile.mkdtemp(prefix="tiers_full_"))
+    full.write_raw(merged)
+    full.materialize_cascade(series_view(merged))
+
+    keys = ["source", "doc_id", "bin_start"]
+    stat_i = ["n", "n_grid"]
+    stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
+    parts = []
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = inc.read(tier).select(keys + stat_i + stat_f)
+        b = full.read(tier).select(keys + stat_i + stat_f)
+        j = a.alias("a").join(b.alias("b"), on=keys, how="full_outer")
+        diff = F.lit(False)
+        for c in stat_i:
+            diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        for c in stat_f:
+            diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
+                F.round(F.col(f"b.{c}"), 6)
+            )
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
+            ).select(F.lit(tier).alias("tier"), "n_rows", "n_mismatch")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TIER_INCREMENTAL_MERGE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_pos
+  FROM documents),
+eligible AS (SELECT * FROM toks WHERE n_pos >= 1),
+merged AS (
+  SELECT doc_id, source,
+         CASE WHEN doc_id % 10 = 0 AND doc_id % 2 = 0
+              THEN greatest(n_pos - 10, 1) ELSE n_pos END AS n_pos
+  FROM eligible),
+t AS (
+  SELECT * FROM (VALUES ('tier_1m', 60), ('tier_1h', 3600),
+                        ('tier_1d', 86400)) AS v(tier, every))
+SELECT t.tier,
+       CAST(sum(CAST(floor((m.n_pos - 1) / t.every) AS BIGINT) + 1)
+            AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM merged m CROSS JOIN t
+GROUP BY 1
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.py:
     semantic_dedup) in its deterministic sign-bucket mode: flag every
@@ -2817,6 +2916,8 @@ QUERIES = {
     "mask_duplicate_spans": (q_mask_duplicate_spans,
                              SQL_MASK_DUPLICATE_SPANS),
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
+    "tier_incremental_merge": (q_tier_incremental_merge,
+                               SQL_TIER_INCREMENTAL_MERGE),
     # --- rows-only (non-SQL-expressible / seeded internals): early so
     # the capped driver snapshot still records their rows-only checks
     # (they last appeared in CORRECTNESS_r01) -------------------------

@@ -249,3 +249,59 @@ def test_range_layout_files_sorted_and_disjoint(spark, tmp_path):
     b = st2.read_gated("tier_1m", 0.25).orderBy("source", "doc_id", "bin_start")
     pa_, pb_ = a.toPandas(), b.toPandas()
     assert pa_.equals(pb_)
+
+
+def test_ingest_increment_equals_full_materialize(spark, tmp_path):
+    """MERGE semantics oracle: batch1 + ingest_increment(batch2) leaves
+    tiers, raw, and lineage fingerprints bit-identical to a fresh
+    materialize over the merged corpus (batch2 upserts: some docs are
+    new, some replace batch1 docs with edited token streams)."""
+    from diive_spark.datagen import series_view, tokens_table
+
+    b1 = tokens_table(spark, n_docs=60, seed=42).cache()
+    # batch 2: 20 brand-new docs + 10 REPLACEMENTS of batch-1 docs
+    # (same source, first 30 tokens sliced off — a re-crawl analog)
+    new_docs = tokens_table(spark, n_docs=80, seed=42).where("doc_id >= 'doc00000060'")
+    replaced = (
+        b1.where("doc_id < 'doc00000010'")
+        .withColumn("tokens", F.expr("slice(tokens, 31, size(tokens))"))
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+    )
+    b2 = new_docs.unionByName(replaced).cache()
+
+    inc_store = TierStore(spark, str(tmp_path / "inc"))
+    inc_store.write_raw(b1)
+    inc_store.materialize_cascade(series_view(b1))
+    rep = inc_store.ingest_increment(b2)
+    assert rep["tier_1m"]["n_rows"] > 0
+
+    merged = b1.join(b2.select("source", "doc_id"),
+                     on=["source", "doc_id"], how="left_anti").unionByName(b2)
+    full_store = TierStore(spark, str(tmp_path / "full"))
+    full_store.write_raw(merged)
+    full_store.materialize_cascade(series_view(merged))
+
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = inc_store.read(tier).drop("hll").toPandas()
+        b = full_store.read(tier).drop("hll").toPandas()
+        assert len(a) == len(b), tier
+        assert_frame_close(a, b, ["source", "doc_id", "bin_start"])
+
+    ra = inc_store.read_raw_decoded().toPandas().sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+    rb = full_store.read_raw_decoded().toPandas().sort_values(
+        ["source", "doc_id"]).reset_index(drop=True)
+    assert ra["tokens"].map(tuple).tolist() == rb["tokens"].map(tuple).tolist()
+
+    # fingerprints compose: a later FULL run must skip every partition
+    rep2 = inc_store.materialize_cascade(series_view(merged))
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        assert rep2[tier]["partitions_computed"] == 0, tier
+        assert rep2[tier]["partitions_skipped"] > 0, tier
+    b1.unpersist(); b2.unpersist()
+
+
+def test_ingest_increment_requires_raw(spark, tmp_path, tiny_tokens):
+    store = TierStore(spark, str(tmp_path / "noraw"))
+    with pytest.raises(ValueError, match="raw tier"):
+        store.ingest_increment(tiny_tokens)
