@@ -287,3 +287,80 @@ def test_corpus_job_with_decontamination_plan_gate(spark):
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 10, plan.count("Exchange")
     assert final.count() > 0
+
+
+def test_token_span_shuffle_carries_hashes_not_arrays(spark):
+    """duplicate_token_spans (hash mode): the groupBy's Exchange input
+    must be the narrow (id, pos, span_hash) projection — the token
+    arrays are hashed row-locally and never reach a shuffle — and the
+    aggregation must have a map-side partial."""
+    from diive_spark.operators.dedup import duplicate_token_spans
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    toks = docs.withColumn(
+        "tokens",
+        F.expr("transform(split(text, ' '), w -> CAST(length(w) AS INT))"),
+    ).select("doc_id", "tokens")
+    out = duplicate_token_spans(toks, k=8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert has_partial_aggregation(out)
+    # count(DISTINCT doc_id) plans as a two-phase aggregate: exactly
+    # two Exchanges — (span_hash, doc_id) then span_hash — and neither
+    # may partition on (i.e. carry) the token arrays
+    ex_lines = [ln for ln in plan.splitlines() if "Exchange" in ln]
+    assert len(ex_lines) == 2, plan
+    for ln in ex_lines:
+        assert "tokens" not in ln, f"token arrays in shuffle: {ln}"
+    # the hashes are computed BEFORE the explode: the Generate node's
+    # output is already the narrow (pos, span_hash) pair
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen and all("span_hash" in ln for ln in gen), gen
+
+
+def test_semantic_dedup_bucket_join_not_cartesian(spark):
+    """semantic_dedup's candidate generation must be an equi-join on
+    the bucket id — never a cartesian/broadcast-nested-loop product."""
+    from diive_spark.operators.similarity import semantic_dedup
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    out = semantic_dedup(emb, threshold=0.42, bucket_bits=4, mode="sign")
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ingest_increment_aggregates_only_the_batch(spark, tmp_path):
+    """The incremental merge must never re-aggregate history: stored
+    tier rows enter the plan as plain parquet scans (no bucket_rollup
+    over decoded raw history), so the raw tier's payload column is
+    read only for the replaced-docs fingerprint subtraction, and the
+    merged tier write scans the increment — not the stored raw tier."""
+    from diive_spark.datagen import series_view, tokens_table
+    from diive_spark.operators.tiers import TierStore
+
+    b1 = tokens_table(spark, n_docs=40, seed=42)
+    b2 = tokens_table(spark, n_docs=60, seed=42).where(
+        "doc_id >= 'doc00000040'"
+    )
+    store = TierStore(spark, str(tmp_path / "t"))
+    store.write_raw(b1)
+    store.materialize_cascade(series_view(b1))
+
+    import diive_spark.operators.tiers as tiers_mod
+
+    seen_plans = []
+    orig = tiers_mod.TierStore._write_partitions
+
+    def spy(self, df, tier):
+        seen_plans.append((tier, df._jdf.queryExecution().executedPlan().toString()))
+        return orig(self, df, tier)
+
+    tiers_mod.TierStore._write_partitions = spy
+    try:
+        store.ingest_increment(b2)
+    finally:
+        tiers_mod.TierStore._write_partitions = orig
+    assert seen_plans
+    for tier, plan in seen_plans:
+        # gorilla decode of stored history must never feed a tier write
+        assert "gorilla_decode" not in plan, tier
