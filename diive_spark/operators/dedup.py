@@ -564,19 +564,8 @@ class MinHashIndex:
         False there, silently turning cross-batch dedup into a no-op);
         falls back to a schema-inference read probe if the JVM gateway
         shape ever changes."""
-        try:
-            jvm = self.spark._jvm
-            jpath = jvm.org.apache.hadoop.fs.Path(self._path())
-            fs = jpath.getFileSystem(
-                self.spark._jsc.hadoopConfiguration()
-            )
-            return bool(fs.exists(jpath))
-        except Exception:
-            try:
-                self.spark.read.parquet(self._path()).schema
-                return True
-            except Exception:
-                return False
+        from ..session import fs_exists
+        return fs_exists(self.spark, self._path())
 
     def add(self, docs: DataFrame, id_col="doc_id", text_col="text") -> int:
         """Append a batch's band rows; returns rows written."""

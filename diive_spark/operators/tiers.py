@@ -43,6 +43,7 @@ from pyspark.sql import DataFrame, Observation, SparkSession
 
 from ..conventions import KEY_COLS
 from ..functions.gorilla import gorilla_decode_values, gorilla_encode_values
+from ..session import fs_exists
 from .resample import apply_mincount_gate, bucket_rollup, compose_rollup
 
 TIER_COLS = [
@@ -337,11 +338,6 @@ class TierStore:
         first = cascade[0]
         if first.from_tier is not None:
             raise ValueError("cascade[0] must build from the raw series")
-        if not os.path.exists(self.path("raw")):
-            raise ValueError(
-                "ingest_increment needs the raw tier (write_raw first): "
-                "replaced docs' fingerprints are subtracted from it"
-            )
         keys = list(self.key_cols)
         inc = tokens_df.persist()
         inc_keys = inc.select(*keys).distinct().persist()
@@ -349,8 +345,29 @@ class TierStore:
                     for r in inc_keys.select(self.partition_col).distinct().collect()]
         inc_series = series_view(inc)
 
-        # fingerprint deltas: xor removes replaced docs, adds the batch
-        old_raw = self.read("raw").where(F.col(self.partition_col).isin(affected))
+        inc_raw = inc.select(
+            "doc_id", "n_tok",
+            gorilla_encode_values("tokens").alias("payload"), "source",
+        ).withColumn("checksum", F.crc32("payload"))
+
+        # fingerprint deltas: xor removes replaced docs, adds the batch.
+        # A fresh store bootstraps with an empty raw side (probed via
+        # Hadoop's FileSystem, not a driver-local path check — works
+        # for HDFS/S3 roots too); a store with lineage but no raw tier
+        # is corrupt for MERGE purposes, because replaced docs'
+        # fingerprints could not be subtracted.
+        if fs_exists(self.spark, self.path("raw")):
+            old_raw_all = self.read("raw")
+        else:
+            if self.lineage():
+                raise ValueError(
+                    "ingest_increment needs the raw tier (write_raw "
+                    "first): replaced docs' fingerprints are subtracted "
+                    "from it, and this store already has materialized "
+                    "lineage"
+                )
+            old_raw_all = self.spark.createDataFrame([], inc_raw.schema)
+        old_raw = old_raw_all.where(F.col(self.partition_col).isin(affected))
         replaced_tokens = (
             old_raw.join(inc_keys, on=keys, how="left_semi")
             .select(
@@ -386,10 +403,6 @@ class TierStore:
         # gets this for free via snapshot isolation, this is the sandbox
         # equivalent (bounded: only the affected partitions are staged).
         kept_raw = old_raw.join(inc_keys, on=keys, how="left_anti")
-        inc_raw = inc.select(
-            "doc_id", "n_tok",
-            gorilla_encode_values("tokens").alias("payload"), "source",
-        ).withColumn("checksum", F.crc32("payload"))
         self._write_partitions(
             kept_raw.select(*inc_raw.columns)
             .unionByName(inc_raw)

@@ -71,3 +71,23 @@ def get_spark(
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
+
+
+def fs_exists(spark: SparkSession, path: str) -> bool:
+    """True if *path* exists on the table's filesystem.
+
+    Probes through Hadoop's FileSystem API so HDFS/S3 URIs resolve on a
+    cluster — a driver-local ``os.path.exists`` is always False there
+    and silently disables exists-gated logic.  Falls back to a
+    schema-inference read probe if the JVM gateway shape ever changes.
+    """
+    try:
+        jpath = spark._jvm.org.apache.hadoop.fs.Path(path)
+        fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+        return bool(fs.exists(jpath))
+    except Exception:
+        try:
+            spark.read.parquet(path).schema
+            return True
+        except Exception:
+            return False

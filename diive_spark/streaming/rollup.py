@@ -77,3 +77,43 @@ def write_tier_stream(
     if available_now:
         w = w.trigger(availableNow=True)
     return w
+
+
+def stream_ingest_tokens(
+    spark,
+    source_path: str,
+    store,
+    schema: str = "doc_id string, tokens array<int>, n_tok int, source string",
+    checkpoint: str | None = None,
+    available_now: bool = True,
+):
+    """Stream whole-document token batches straight into a
+    :class:`~diive_spark.operators.tiers.TierStore` — the streaming
+    face of the continuous-aggregate MERGE.
+
+    Each micro-batch is folded with ``store.ingest_increment`` inside
+    ``foreachBatch``: only the batch is aggregated, stored tiers merge
+    by doc key, lineage fingerprints xor-compose.  Because
+    ingest_increment is an idempotent upsert ON (source, doc_id), a
+    replayed micro-batch after a crash re-merges to the identical
+    store — exactly-once TABLE STATE from at-least-once delivery, the
+    standard foreachBatch contract.  Restarting with the same
+    ``checkpoint`` resumes from the recorded source offsets.
+
+    Returns the started StreamingQuery; with ``available_now`` the
+    caller should ``awaitTermination()`` to drain what is currently in
+    ``source_path`` (the scheduled-incremental pattern).
+    """
+    stream = spark.readStream.schema(schema).parquet(source_path)
+
+    def _fold(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        store.ingest_increment(batch_df)
+
+    w = stream.writeStream.foreachBatch(_fold).outputMode("update")
+    if checkpoint:
+        w = w.option("checkpointLocation", checkpoint)
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

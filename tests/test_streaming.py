@@ -324,3 +324,50 @@ def test_streamed_partials_compose_into_batch_tier(spark, tmp_path):
     assert g.loc[0, "n"] == e.loc[0, "n"]
     assert abs(g.loc[0, "sum"] - e.loc[0, "s"]) < 1e-9
     assert g.loc[0, "min"] == e.loc[0, "mn"] and g.loc[0, "max"] == e.loc[0, "mx"]
+
+
+def test_stream_ingest_tokens_matches_batch_store(spark, tmp_path):
+    """foreachBatch -> ingest_increment: streaming two token-batch
+    files into a TierStore yields tiers bit-identical to one batch
+    materialize over everything, and a restart with the same
+    checkpoint re-reads nothing (offsets resumed)."""
+    from diive_spark.datagen import series_view, tokens_table
+    from diive_spark.operators.tiers import TierStore
+    from diive_spark.streaming.rollup import stream_ingest_tokens
+
+    src = str(tmp_path / "in")
+    ckpt = str(tmp_path / "ckpt")
+    b1 = tokens_table(spark, n_docs=40, seed=42)
+    b2 = tokens_table(spark, n_docs=70, seed=42).where(
+        "doc_id >= 'doc00000040'"
+    )
+    b1.write.mode("append").parquet(src)
+
+    store = TierStore(spark, str(tmp_path / "stream_store"))
+
+    q = stream_ingest_tokens(spark, src, store, checkpoint=ckpt)
+    q.awaitTermination(120)
+    b2.write.mode("append").parquet(src)
+    q = stream_ingest_tokens(spark, src, store, checkpoint=ckpt)
+    q.awaitTermination(120)
+
+    full = TierStore(spark, str(tmp_path / "batch_store"))
+    both = b1.unionByName(b2)
+    full.write_raw(both)
+    full.materialize_cascade(series_view(both))
+
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = store.read(tier).drop("hll").toPandas().sort_values(
+            ["source", "doc_id", "bin_start"]).reset_index(drop=True)
+        b = full.read(tier).drop("hll").toPandas().sort_values(
+            ["source", "doc_id", "bin_start"]).reset_index(drop=True)
+        assert len(a) == len(b) > 0, tier
+        pd.testing.assert_frame_equal(
+            a[sorted(a.columns)], b[sorted(b.columns)], check_dtype=False
+        )
+
+    # resume with nothing new: offsets are checkpointed, no re-merge
+    n_lineage = len(store.lineage())
+    q = stream_ingest_tokens(spark, src, store, checkpoint=ckpt)
+    q.awaitTermination(120)
+    assert len(store.lineage()) == n_lineage

@@ -301,7 +301,16 @@ def test_ingest_increment_equals_full_materialize(spark, tmp_path):
     b1.unpersist(); b2.unpersist()
 
 
-def test_ingest_increment_requires_raw(spark, tmp_path, tiny_tokens):
-    store = TierStore(spark, str(tmp_path / "noraw"))
+def test_ingest_increment_raw_contract(spark, tmp_path, tiny_tokens,
+                                       tiny_series):
+    # fresh store: bootstraps from an empty raw side
+    fresh = TierStore(spark, str(tmp_path / "fresh"))
+    rep = fresh.ingest_increment(tiny_tokens)
+    assert rep["tier_1m"]["n_rows"] > 0
+    assert fresh.read_raw_decoded().count() == tiny_tokens.count()
+    # store with materialized lineage but no raw tier: MERGE is unsafe
+    # (replaced docs' fingerprints could not be subtracted) -> refuse
+    noraw = TierStore(spark, str(tmp_path / "noraw"))
+    noraw.materialize_cascade(tiny_series)
     with pytest.raises(ValueError, match="raw tier"):
-        store.ingest_increment(tiny_tokens)
+        noraw.ingest_increment(tiny_tokens)
