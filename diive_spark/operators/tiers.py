@@ -169,6 +169,24 @@ class TierStore:
     def read(self, tier: str) -> DataFrame:
         return self.spark.read.parquet(self.path(tier))
 
+    def partitions(self, tier: str) -> list[str]:
+        """Partition values present in *tier*, read from the directory
+        layout alone (metadata-only, the parquet analog of listing an
+        Iceberg manifest; plain string partition values assumed — the
+        `source` convention)."""
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.path(tier))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        prefix = f"{self.partition_col}="
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out.append(name[len(prefix):])
+        return sorted(out)
+
     def read_gated(self, tier: str, mincounts_perc: float,
                    min_floor_rule: bool = True) -> DataFrame:
         """Tier bins passing diive's min-count gate
@@ -178,6 +196,16 @@ class TierStore:
         )
 
     # ------------------------------------------------------- raw (gorilla)
+    def _record_raw_write(self, parts: Sequence[str], n_rows: int) -> None:
+        """Lineage rows for a raw-tier write: retention (expire_raw's
+        before_ts selector) and the MERGE guards key off these."""
+        ts = time.time()
+        for p in parts:
+            self._append(self._lineage_path, {
+                "tier": "raw", "partition": p, "fingerprint": "-",
+                "n_rows": n_rows, "wall_s": 0.0, "ts": ts,
+            })
+
     def write_raw(self, tokens_df: DataFrame) -> None:
         """Raw tier: Gorilla-compressed token arrays + crc32 checksum,
         partitioned like the aggregate tiers."""
@@ -185,7 +213,14 @@ class TierStore:
             "doc_id", "n_tok",
             gorilla_encode_values("tokens").alias("payload"), "source",
         ).withColumn("checksum", F.crc32("payload"))
-        self._write_partitions(raw, "raw")
+        obs = Observation()
+        self._write_partitions(
+            raw.observe(obs, F.count(F.lit(1)).alias("n_rows"),
+                        F.collect_set(self.partition_col).alias("parts")),
+            "raw",
+        )
+        got = obs.get
+        self._record_raw_write(sorted(got["parts"]), int(got["n_rows"]))
 
     def read_raw_decoded(self) -> DataFrame:
         """Decode the raw tier back to (doc_id, tokens, n_tok, source)."""
@@ -195,6 +230,61 @@ class TierStore:
             "n_tok",
             "source",
         )
+
+    # ----------------------------------------------------------- retention
+    def expire_raw(
+        self,
+        sources: Sequence[str] | None = None,
+        before_ts: float | None = None,
+    ) -> dict:
+        """Retention policy: drop raw partitions wholesale while every
+        aggregate tier keeps serving — the continuous-aggregate analog
+        of TimescaleDB's ``drop_chunks`` / an Iceberg metadata-only
+        partition DELETE.  At 100 TB the raw tier dominates storage;
+        rolled-up tiers are orders of magnitude smaller, so expiring
+        raw is how the store's footprint is bounded.
+
+        Partitions are selected by name (*sources*) and/or by age
+        (*before_ts*: partitions whose last raw write, per lineage, is
+        older).  Each drop is a single directory delete (no data job)
+        and is recorded in lineage with fingerprint ``EXPIRED``;
+        :meth:`ingest_increment` refuses to MERGE into an expired
+        partition (replaced docs' fingerprints can no longer be
+        subtracted) until a fresh :meth:`write_raw` repopulates it.
+        """
+        if sources is None and before_ts is None:
+            raise ValueError("expire_raw needs sources and/or before_ts")
+        existing = set(self.partitions("raw"))
+        targets = set(sources or ())
+        if before_ts is not None:
+            last_write: dict[str, float] = {}
+            for rec in self.lineage():
+                if rec["tier"] == "raw" and rec["fingerprint"] != "EXPIRED":
+                    last_write[rec["partition"]] = rec["ts"]
+            targets |= {p for p, t in last_write.items() if t < before_ts}
+        hit = sorted(targets & existing)
+        missing = sorted(targets - existing)
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.path("raw"))
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        ts = time.time()
+        for p in hit:
+            fs.delete(
+                jvm.org.apache.hadoop.fs.Path(
+                    self.path("raw"), f"{self.partition_col}={p}"
+                ),
+                True,
+            )
+            self._append(self._lineage_path, {
+                "tier": "raw", "partition": p, "fingerprint": "EXPIRED",
+                "n_rows": 0, "wall_s": 0.0, "ts": ts,
+            })
+        self._append(self._metrics_path, {
+            "tier": "raw", "op": "expire", "ts": ts,
+            "partitions_expired": len(hit),
+            "partitions_missing": len(missing),
+        })
+        return {"expired": hit, "missing": missing}
 
     # ------------------------------------------------------------ cascade
     def materialize_cascade(
@@ -351,21 +441,33 @@ class TierStore:
         ).withColumn("checksum", F.crc32("payload"))
 
         # fingerprint deltas: xor removes replaced docs, adds the batch.
-        # A fresh store bootstraps with an empty raw side (probed via
-        # Hadoop's FileSystem, not a driver-local path check — works
-        # for HDFS/S3 roots too); a store with lineage but no raw tier
-        # is corrupt for MERGE purposes, because replaced docs'
-        # fingerprints could not be subtracted.
-        if fs_exists(self.spark, self.path("raw")):
+        # A fresh store bootstraps with an empty raw side; raw presence
+        # is probed via Hadoop's FileSystem (not a driver-local path
+        # check) so HDFS/S3 store roots behave identically.  Two
+        # unsafe-MERGE states are refused: a retention-expired
+        # partition (raw payloads gone — replaced docs' fingerprints
+        # can no longer be subtracted) and an orphaned partition with
+        # materialized tier lineage but no raw tier behind it.
+        raw_state = self._completed("raw")
+        expired = [p for p in affected if raw_state.get(p) == "EXPIRED"]
+        if expired:
+            raise ValueError(
+                f"partitions {expired} were raw-expired by retention: "
+                "MERGE needs their raw payloads to subtract replaced "
+                "docs — write_raw the full partition again first"
+            )
+        tier1_done = self._completed(cascade[0].name)
+        orphaned = [p for p in affected
+                    if p in tier1_done and p not in raw_state]
+        if orphaned:
+            raise ValueError(
+                f"partitions {orphaned} have materialized lineage but "
+                "no raw tier (write_raw first): replaced docs' "
+                "fingerprints are subtracted from it"
+            )
+        if self.partitions("raw"):
             old_raw_all = self.read("raw")
         else:
-            if self.lineage():
-                raise ValueError(
-                    "ingest_increment needs the raw tier (write_raw "
-                    "first): replaced docs' fingerprints are subtracted "
-                    "from it, and this store already has materialized "
-                    "lineage"
-                )
             old_raw_all = self.spark.createDataFrame([], inc_raw.schema)
         old_raw = old_raw_all.where(F.col(self.partition_col).isin(affected))
         replaced_tokens = (
@@ -403,12 +505,15 @@ class TierStore:
         # gets this for free via snapshot isolation, this is the sandbox
         # equivalent (bounded: only the affected partitions are staged).
         kept_raw = old_raw.join(inc_keys, on=keys, how="left_anti")
+        raw_obs = Observation()
         self._write_partitions(
             kept_raw.select(*inc_raw.columns)
             .unionByName(inc_raw)
-            .localCheckpoint(),
+            .localCheckpoint()
+            .observe(raw_obs, F.count(F.lit(1)).alias("n_rows")),
             "raw",
         )
+        self._record_raw_write(affected, int(raw_obs.get["n_rows"]))
 
         report: dict[str, dict] = {}
         inc_tiers: dict[str, DataFrame] = {}
@@ -446,7 +551,7 @@ class TierStore:
             out = out.select(*cols).localCheckpoint()
             inc_tiers[spec.name] = out
 
-            if os.path.exists(self.path(spec.name)):
+            if fs_exists(self.spark, self.path(spec.name)):
                 stored = self.read(spec.name).where(
                     F.col(self.partition_col).isin(affected)
                 )

@@ -314,3 +314,54 @@ def test_ingest_increment_raw_contract(spark, tmp_path, tiny_tokens,
     noraw.materialize_cascade(tiny_series)
     with pytest.raises(ValueError, match="raw tier"):
         noraw.ingest_increment(tiny_tokens)
+
+
+def test_expire_raw_retention(spark, tmp_path, tiny_tokens):
+    """drop_chunks analog: expiring a raw partition leaves every
+    aggregate tier serving bit-identical rows, blocks MERGE into the
+    expired partition only, and before_ts age selection works."""
+    import time
+
+    store = TierStore(spark, str(tmp_path / "ret"))
+    store.ingest_increment(tiny_tokens)
+    srcs = store.partitions("raw")
+    assert len(srcs) >= 2, "fixture must span several sources"
+    gone, kept = srcs[0], srcs[1:]
+    t1h_before = (
+        store.read("tier_1h").drop("hll").toPandas()
+        .sort_values(["source", "doc_id", "bin_start"]).reset_index(drop=True)
+    )
+
+    rep = store.expire_raw(sources=[gone, "no_such_source"])
+    assert rep == {"expired": [gone], "missing": ["no_such_source"]}
+    assert store.partitions("raw") == sorted(kept)
+    # raw payloads for surviving sources still decode
+    live = {r[0] for r in
+            store.read_raw_decoded().select("source").distinct().collect()}
+    assert live == set(kept)
+    # aggregate tiers untouched
+    t1h_after = (
+        store.read("tier_1h").drop("hll").toPandas()
+        .sort_values(["source", "doc_id", "bin_start"]).reset_index(drop=True)
+    )
+    import pandas as pd
+    pd.testing.assert_frame_equal(t1h_before, t1h_after)
+
+    # MERGE into the expired partition is refused; live partitions merge
+    batch_gone = tiny_tokens.where(F.col("source") == gone).limit(2)
+    with pytest.raises(ValueError, match="expired"):
+        store.ingest_increment(batch_gone)
+    batch_live = tiny_tokens.where(F.col("source") == kept[0]).limit(2)
+    rep2 = store.ingest_increment(batch_live)
+    assert rep2["tier_1m"]["n_rows"] > 0
+
+    # a fresh write_raw repopulates the partition and re-enables MERGE
+    store.write_raw(tiny_tokens.where(F.col("source") == gone))
+    assert gone in store.partitions("raw")
+    rep3 = store.ingest_increment(batch_gone)
+    assert rep3["tier_1m"]["n_rows"] > 0
+
+    # age-based selection: everything written so far is older than now
+    rep4 = store.expire_raw(before_ts=time.time() + 1)
+    assert set(rep4["expired"]) == set(srcs)
+    assert store.partitions("raw") == []
