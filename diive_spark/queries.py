@@ -2845,6 +2845,102 @@ GROUP BY 1
 """
 
 
+def q_tier_retention(spark, sf_dir):
+    """SELF-VERIFYING oracle for TierStore.expire_raw (retention,
+    the drop_chunks analog): materialize the full cascade, expire the
+    lexicographically-first source's raw partition, then emit per tier
+    (tier, n_rows, n_mismatch) comparing every tier row before vs
+    after expiry — retention must leave aggregates bit-identical — and
+    a final ('raw_docs', docs-remaining, expired-docs-still-readable)
+    row proving the raw drop itself.  The DuckDB twin recomputes the
+    bin counts from n_tok arithmetic and the surviving-doc count with
+    literal-zero mismatches; any tier disturbance or leftover raw row
+    breaks the driver hash."""
+    import tempfile
+
+    from .datagen import series_view
+    from .operators.tiers import TierStore
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr(_TOKENS_FROM_TEXT).alias("tokens"),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .where("n_tok >= 1")
+    )
+    store = TierStore(spark, tempfile.mkdtemp(prefix="tiers_ret_"))
+    store.write_raw(toks)
+    store.materialize_cascade(series_view(toks))
+    gone = store.partitions("raw")[0]  # sorted -> lexicographic min
+
+    keys = ["source", "doc_id", "bin_start"]
+    stat_i = ["n", "n_grid"]
+    stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
+    tiers = ("tier_1m", "tier_1h", "tier_1d")
+    before = {
+        t: store.read(t).select(keys + stat_i + stat_f).localCheckpoint()
+        for t in tiers
+    }
+    store.expire_raw(sources=[gone])
+
+    parts = []
+    for t in tiers:
+        a = before[t].alias("a")
+        b = store.read(t).select(keys + stat_i + stat_f).alias("b")
+        j = a.join(b, on=keys, how="full_outer")
+        diff = F.lit(False)
+        for c in stat_i:
+            diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+        for c in stat_f:
+            diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
+                F.round(F.col(f"b.{c}"), 6)
+            )
+        parts.append(
+            j.agg(
+                F.count(F.lit(1)).cast("long").alias("n_rows"),
+                F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
+            ).select(F.lit(t).alias("tier"), "n_rows", "n_mismatch")
+        )
+    parts.append(
+        store.read("raw").agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.count(F.when(F.col("source") == gone, 1))
+            .cast("long").alias("n_mismatch"),
+        ).select(F.lit("raw_docs").alias("tier"), "n_rows", "n_mismatch")
+    )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+SQL_TIER_RETENTION = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_pos
+  FROM documents),
+eligible AS (SELECT * FROM toks WHERE n_pos >= 1),
+t AS (
+  SELECT * FROM (VALUES ('tier_1m', 60), ('tier_1h', 3600),
+                        ('tier_1d', 86400)) AS v(tier, every))
+SELECT t.tier,
+       CAST(sum(CAST(floor((e.n_pos - 1) / t.every) AS BIGINT) + 1)
+            AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM eligible e CROSS JOIN t
+GROUP BY 1
+UNION ALL
+SELECT 'raw_docs' AS tier,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM eligible
+WHERE source <> (SELECT min(source) FROM eligible)
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.py:
     semantic_dedup) in its deterministic sign-bucket mode: flag every
@@ -2887,7 +2983,8 @@ FROM n a
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
-    # --- never driver-verified (round-2 late additions) -------------
+    # --- never driver-verified (newest first) ------------------------
+    "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
