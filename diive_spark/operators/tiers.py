@@ -114,6 +114,23 @@ class TierStore:
                     "n_rows long, wall_s double, ts double")
         return self.spark.createDataFrame(rows)
 
+    def metrics(self) -> list[dict]:
+        if not os.path.exists(self._metrics_path):
+            return []
+        with open(self._metrics_path) as f:
+            return [json.loads(line) for line in f if line.strip()]
+
+    def metrics_df(self) -> DataFrame:
+        """Per-operation metrics as a queryable table (one row per tier
+        write / merge / expiry; heterogeneous counters land as nulls)."""
+        rows = self.metrics()
+        if not rows:
+            return self.spark.createDataFrame([], "tier string, ts double")
+        cols = sorted({k for r in rows for k in r})
+        return self.spark.createDataFrame(
+            [{c: r.get(c) for c in cols} for r in rows]
+        )
+
     def _completed(self, tier: str) -> dict[str, str]:
         """partition -> latest fingerprint recorded for *tier*."""
         out: dict[str, str] = {}
@@ -390,7 +407,9 @@ class TierStore:
                 "wall_s": wall,
                 "points_per_sec": n_rows / wall if wall > 0 else 0.0,
             }
-            self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
+            self._append(self._metrics_path,
+                         {"tier": spec.name, "op": "materialize", "ts": ts,
+                          **metrics})
             report[spec.name] = metrics
         agg1.unpersist()
         return report
@@ -581,7 +600,9 @@ class TierStore:
                 "wall_s": wall,
                 "points_per_sec": n_rows / wall if wall > 0 else 0.0,
             }
-            self._append(self._metrics_path, {"tier": spec.name, "ts": ts, **metrics})
+            self._append(self._metrics_path,
+                         {"tier": spec.name, "op": "merge", "ts": ts,
+                          **metrics})
             report[spec.name] = metrics
         inc.unpersist()
         inc_keys.unpersist()

@@ -365,3 +365,24 @@ def test_expire_raw_retention(spark, tmp_path, tiny_tokens):
     rep4 = store.expire_raw(before_ts=time.time() + 1)
     assert set(rep4["expired"]) == set(srcs)
     assert store.partitions("raw") == []
+
+
+def test_lineage_and_metrics_tables(spark, tmp_path, tiny_tokens):
+    """lineage_df / metrics_df expose the store's bookkeeping as
+    queryable tables (north rule: per-partition lineage + metrics)."""
+    store = TierStore(spark, str(tmp_path / "lm"))
+    store.ingest_increment(tiny_tokens)
+    store.expire_raw(sources=store.partitions("raw")[:1])
+
+    ldf = store.lineage_df()
+    assert {"tier", "partition", "fingerprint", "n_rows", "ts"}.issubset(
+        set(ldf.columns)
+    )
+    tiers_seen = {r[0] for r in ldf.select("tier").distinct().collect()}
+    assert {"raw", "tier_1m", "tier_1h", "tier_1d"}.issubset(tiers_seen)
+    assert ldf.where("fingerprint = 'EXPIRED'").count() == 1
+
+    mdf = store.metrics_df()
+    assert {"tier", "ts"}.issubset(set(mdf.columns))
+    assert mdf.where("op = 'expire'").count() == 1
+    assert mdf.where("tier = 'tier_1m'").count() >= 1
