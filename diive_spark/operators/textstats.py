@@ -303,6 +303,32 @@ def compression_ratio(
     return df.withColumn(out_col, _ratio(F.col(text_col)))
 
 
+def compression_roundtrip_fail(df: DataFrame, text_col: str = "text",
+                               out_col: str = "zlib_fail") -> DataFrame:
+    """0/1 per row: does zlib decompress(compress(text)) differ from
+    the original bytes?  Always 0 for a healthy codec, which makes it a
+    self-verifying in-query invariant (the SQL twin is a literal 0) —
+    the same pattern as the Gorilla token-array-equality oracle.  Nulls
+    pass (0).  Arrow-batched pandas UDF, no per-row Python."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _fail_fn(s):
+        import zlib
+
+        def one(x):
+            if x is None:
+                return 0
+            b = x.encode("utf-8")
+            return 0 if zlib.decompress(zlib.compress(b, 6)) == b else 1
+
+        return s.map(one)
+
+    _fail_fn.__annotations__ = {"s": pd.Series, "return": pd.Series}
+    _fail = pandas_udf(_fail_fn, "long")
+    return df.withColumn(out_col, _fail(F.col(text_col)))
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

@@ -1488,13 +1488,45 @@ FROM reach GROUP BY node
 
 
 def q_simhash_docs(spark, sf_dir):
-    """SimHash fingerprints + near-pair count (rows-only)."""
+    """SELF-VERIFYING SimHash banding oracle (promoted from rows-only):
+    the 4x16-bit chunk banding is EXACT for hamming distance <= 3 by
+    pigeonhole, so the banded pair set must equal the exhaustive
+    all-pairs hd<=3 scan computed IN-QUERY — n_missed and n_spurious
+    are both deterministically 0 and the DuckDB twin is the trivial
+    per-corpus count with literal zeros (the Gorilla oracle pattern).
+    The exhaustive side is a crossJoin: fine at driver scale (500
+    docs), and exactly the quadratic scan banding exists to avoid at
+    10^9.  Pair counts stay covered by the pytest recall invariant."""
     docs = _load(spark, sf_dir, "documents")
-    fp = dedup.simhash(docs)
-    pairs = dedup.simhash_pairs(fp, max_hamming=3)
-    return spark.createDataFrame(
-        [(fp.count(), pairs.count())], "n_fingerprints long, n_near_pairs long"
+    fp = dedup.simhash(docs).localCheckpoint()
+    band = dedup.simhash_pairs(fp, max_hamming=3).select("id_a", "id_b")
+    a = fp.select(F.col("doc_id").alias("id_a"), F.col("simhash").alias("_sa"))
+    b = fp.select(F.col("doc_id").alias("id_b"), F.col("simhash").alias("_sb"))
+    exhaustive = (
+        a.crossJoin(b)
+        .where(
+            (F.col("id_a") < F.col("id_b"))
+            & (F.bit_count(F.col("_sa").bitwiseXOR(F.col("_sb"))) <= 3)
+        )
+        .select("id_a", "id_b")
     )
+    j = exhaustive.withColumn("_e", F.lit(1)).join(
+        band.withColumn("_b", F.lit(1)), ["id_a", "id_b"], "full"
+    )
+    stats = j.agg(
+        F.count(F.when(F.col("_b").isNull(), 1)).cast("long").alias("n_missed"),
+        F.count(F.when(F.col("_e").isNull(), 1)).cast("long").alias("n_spurious"),
+    )
+    n = fp.agg(F.count(F.lit(1)).cast("long").alias("n_fingerprints"))
+    return n.crossJoin(stats)
+
+
+SQL_DEDUP_SIMHASH = """
+SELECT CAST(count(*) AS BIGINT) AS n_fingerprints,
+       CAST(0 AS BIGINT) AS n_missed,
+       CAST(0 AS BIGINT) AS n_spurious
+FROM documents
+"""
 
 
 def q_cosine_lsh_topk(spark, sf_dir):
@@ -1893,14 +1925,28 @@ LEFT JOIN (
 
 
 def q_compression_ratio(spark, sf_dir):
-    """zlib redundancy signal per language (rows-only: DuckDB has no
-    zlib; the pytest oracle checks bit-exactness vs driver-side zlib)."""
+    """SELF-VERIFYING zlib signal (promoted from rows-only): DuckDB has
+    no zlib, so the driver hash covers what IS SQL-derivable — per-lang
+    doc counts, total UTF-8 byte size, and an IN-QUERY compress/
+    decompress roundtrip failure count that must be 0 (the Gorilla
+    oracle pattern).  The zlib_ratio values themselves stay bit-exact
+    vs driver-side python zlib in pytest (test_pipeline_ops)."""
     docs = _load(spark, sf_dir, "documents")
     out = textstats.compression_ratio(docs)
+    out = textstats.compression_roundtrip_fail(out)
     return out.groupBy("lang").agg(
-        _r(F.avg("zlib_ratio")).alias("avg_ratio"),
-        F.count(F.when(F.col("zlib_ratio") < 0.3, 1)).alias("n_highly_redundant"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("total_bytes"),
+        F.sum("zlib_fail").cast("long").alias("n_roundtrip_fail"),
     )
+
+
+SQL_COMPRESSION_RATIO = """
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(0 AS BIGINT) AS n_roundtrip_fail
+FROM documents GROUP BY 1
+"""
 
 
 def q_clean_text(spark, sf_dir):
@@ -2264,6 +2310,47 @@ def q_ivf_topk(spark, sf_dir):
     out = ivf_topk(emb, queries_df, k=5, n_cells=8, nprobe=3)
     return out.select("query_id", "vec_id", "rank",
                       F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+def q_ivf_topk_exact(spark, sf_dir):
+    """IVF-Flat exactness gate: with nprobe == n_cells every cell is
+    probed, so IVF-Flat is exact BY CONSTRUCTION (each corpus vector is
+    in exactly one cell and every cell is scanned) — the standard
+    validation mode for an IVF index.  The whole machinery (KMeans
+    routing, broadcast centroid probe, cell equi-join, per-query
+    ranking) must therefore reproduce the brute-force top-k, and the
+    DuckDB twin is the same brute-force SQL that similarity_topk_cosine
+    hash-matches.  The approximate path (nprobe < n_cells) stays
+    covered by similarity_topk_ivf's rows-only check + recall pytest."""
+    from .operators.similarity import ivf_topk
+
+    emb = _load(spark, sf_dir, "embeddings")
+    queries_df = emb.where(F.col("vec_id").isin([0, 1, 2]))
+    out = ivf_topk(emb, queries_df, k=5, n_cells=8, nprobe=8)
+    return out.select("query_id", "vec_id", "rank",
+                      F.round(F.col("cosine"), 4).alias("cosine"))
+
+
+# Same brute-force twin as SQL_COSINE_TOPK but with the cosine cast to
+# DOUBLE (DuckDB's list_cosine_similarity on FLOAT lists returns
+# float32; the cast makes the rounded value dtype-identical to Spark's
+# double, strict-harness-proof rather than relying on the driver's
+# float normalization).
+SQL_IVF_EXACT = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
+scored AS (
+  SELECT q.query_id, e.vec_id,
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+           AS cos_raw
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cos_raw DESC, vec_id) AS rank
+  FROM scored)
+SELECT query_id, vec_id, rank, CAST(round(cos_raw, 4) AS DOUBLE) AS cosine
+FROM ranked WHERE rank <= 5
+"""
 
 
 def q_tier_cascade(spark, sf_dir):
@@ -3015,13 +3102,15 @@ QUERIES = {
     "semantic_dedup": (q_semantic_dedup, SQL_SEMANTIC_DEDUP),
     "tier_incremental_merge": (q_tier_incremental_merge,
                                SQL_TIER_INCREMENTAL_MERGE),
-    # --- rows-only (non-SQL-expressible / seeded internals): early so
-    # the capped driver snapshot still records their rows-only checks
-    # (they last appeared in CORRECTNESS_r01) -------------------------
+    # --- promoted from rows-only to self-verifying oracles this round
+    "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
+    "dedup_simhash": (q_simhash_docs, SQL_DEDUP_SIMHASH),
+    "similarity_ivf_exact": (q_ivf_topk_exact, SQL_IVF_EXACT),
+    # --- rows-only (genuinely non-SQL-expressible: trained-model
+    # floats or probabilistic/seeded recall): early so the capped
+    # driver snapshot still records their rows-only checks ------------
     "quality_classifier": (q_quality_classifier, None),
-    "compression_ratio": (q_compression_ratio, None),
     "dedup_minhash_lsh": (q_minhash_dedup_docs, None),
-    "dedup_simhash": (q_simhash_docs, None),
     "similarity_topk_lsh": (q_cosine_lsh_topk, None),
     "ml_gapfill_rf": (q_rf_gapfill, None),
     "similarity_topk_ivf": (q_ivf_topk, None),
