@@ -34,6 +34,11 @@ def _read_pnm_tokens(buf: bytes, n_tokens: int, start: int) -> tuple[list[int], 
             raise CodecError("truncated PNM header")
         c = buf[i:i + 1]
         if c == b"#":                      # comment to end of line
+            if cur:                        # '#' terminates an in-progress
+                vals.append(int(cur))      # number (Netpbm: a comment
+                cur = b""                  # counts as whitespace); the
+                                           # comment's own newline is the
+                                           # post-token whitespace
             while i < len(buf) and buf[i:i + 1] not in (b"\n", b"\r"):
                 i += 1
         elif c.isspace():

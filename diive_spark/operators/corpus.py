@@ -32,11 +32,17 @@ def corpus_pipeline(
     """The full preprocessing composition; returns the final frame with
     a ``split`` column, ready for a partitioned write.  When
     ``minhash_index`` is given and already populated, survivors are
-    additionally deduped against (and appended to) the cross-batch band
-    index.  When ``benchmark`` is given, docs sharing any word
-    ``decontam_ngram``-gram with it are dropped before the quality
-    gates (eval-set decontamination — a broadcast hash join, see
-    scrub.contamination_hits)."""
+    additionally deduped AGAINST the cross-batch band index.  The
+    pipeline only READS the index: appending this batch's survivors is
+    the caller's post-write step (see scripts/run_corpus_job.py), so
+    (a) building the returned plan has no side effects — a dry run or a
+    failed write never mutates persistent state — and (b) only docs
+    that survived EVERY gate are indexed; a doc dropped for
+    contamination or low quality must not suppress a future batch's
+    clean near-duplicate.  When ``benchmark`` is given, docs sharing
+    any word ``decontam_ngram``-gram with it are dropped before the
+    quality gates (eval-set decontamination — a broadcast hash join,
+    see scrub.contamination_hits)."""
     cleaned = redact_pii(
         clean_text(docs), text_col="text_clean", out_col="text_scrubbed"
     )
@@ -46,13 +52,11 @@ def corpus_pipeline(
         est_threshold=est_threshold, multi_hop=multi_hop,
     )
     near = near.where(F.col("canonical_id") == F.col("doc_id"))
-    if minhash_index is not None:
-        if minhash_index.exists():
-            near = minhash_index.dedup_batch(
-                near, est_threshold=est_threshold, text_col="text_scrubbed"
-            ).where("kept").drop("kept")
-        else:
-            minhash_index.add(near, text_col="text_scrubbed")
+    if minhash_index is not None and minhash_index.exists():
+        near = minhash_index.dedup_batch(
+            near, est_threshold=est_threshold, text_col="text_scrubbed",
+            add_survivors=False,
+        ).where("kept").drop("kept")
     if benchmark is not None:
         near = decontaminate(
             near, benchmark, n=decontam_ngram,

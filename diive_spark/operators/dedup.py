@@ -565,7 +565,23 @@ class MinHashIndex:
         falls back to a schema-inference read probe if the JVM gateway
         shape ever changes."""
         from ..session import fs_exists
-        return fs_exists(self.spark, self._path())
+        if fs_exists(self.spark, self._path()):
+            return True
+        # crash recovery: compact() swaps via rename(dst->bak),
+        # rename(tmp->dst); a driver death between the two renames
+        # leaves only the bak — restore it instead of reporting an
+        # empty index (which would silently discard all cross-batch
+        # dedup state on the next batch)
+        bak = f"{self.root}/bands_old.parquet"
+        if fs_exists(self.spark, bak):
+            jvm = self.spark._jvm
+            conf = self.spark._jsc.hadoopConfiguration()
+            dst = jvm.org.apache.hadoop.fs.Path(self._path())
+            fs = dst.getFileSystem(conf)
+            if not fs.rename(jvm.org.apache.hadoop.fs.Path(bak), dst):
+                raise IOError(f"failed to restore band table from {bak}")
+            return True
+        return False
 
     def add(self, docs: DataFrame, id_col="doc_id", text_col="text") -> int:
         """Append a batch's band rows; returns rows written."""
@@ -579,7 +595,15 @@ class MinHashIndex:
     def pairs_against(self, docs: DataFrame, est_threshold: float = 0.7,
                       id_col="doc_id", text_col="text") -> DataFrame:
         """(new_id, index_id, est_jaccard): new docs vs the INDEX only
-        (in-batch pairs come from minhash_lsh_pairs on the new batch)."""
+        (in-batch pairs come from minhash_lsh_pairs on the new batch).
+
+        Same-id matches ARE emitted: a re-submitted doc_id that is
+        already indexed is the strongest possible duplicate (a re-crawl
+        or an overlapping batch), and silently keeping it would put the
+        same document into the corpus twice.  Callers that re-run a
+        whole completed batch should gate on a completion marker
+        instead (see scripts/run_corpus_job.py) — content dedup is not
+        the place to implement retry idempotency."""
         new = self._banded(docs, id_col, text_col).localCheckpoint(eager=True)
         idx = self.stored()
         cand = (
@@ -587,7 +611,6 @@ class MinHashIndex:
             .join(idx.alias("i"),
                   on=[F.col("n.band_idx") == F.col("i.band_idx"),
                       F.col("n.band_hash") == F.col("i.band_hash")])
-            .where(F.col("n.doc_id") != F.col("i.doc_id"))
             .select(F.col("n.doc_id").alias("new_id"),
                     F.col("i.doc_id").alias("index_id"),
                     F.col("n.sig").alias("sig_n"), F.col("i.sig").alias("sig_i"))
@@ -656,8 +679,15 @@ class MinHashIndex:
         bak = jvm.org.apache.hadoop.fs.Path(f"{self.root}/bands_old.parquet")
         if fs.exists(bak):
             fs.delete(bak, True)
-        fs.rename(dst, bak)
-        fs.rename(src, dst)
+        # Hadoop rename returns False instead of raising — check each
+        # step; on a failed second rename restore the original so the
+        # index is never left absent (exists() additionally recovers a
+        # stranded bak if the driver dies between the two renames)
+        if not fs.rename(dst, bak):
+            raise IOError(f"compact: failed to stage {dst} -> {bak}")
+        if not fs.rename(src, dst):
+            fs.rename(bak, dst)
+            raise IOError(f"compact: failed to swap {src} -> {dst}")
         fs.delete(bak, True)
         return n
 

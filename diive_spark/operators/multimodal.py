@@ -189,7 +189,14 @@ def extract_features(
                         elif mt == "audio":
                             x, rate = decode_wav(payload)
                             f = _audio_features(x, rate, feature_dim)
-                    except CodecError:
+                    except Exception:
+                        # fail CLOSED on ANY decode error, not just
+                        # CodecError: malformed payloads can surface as
+                        # ValueError from np.frombuffer (e.g. a PCM data
+                        # chunk that is not a multiple of the sample
+                        # width) or, with pillow installed, as
+                        # UnidentifiedImageError — a poison payload must
+                        # mark the row, never kill the task
                         f = None
                 if f is None:
                     feats.append(_fake_features(payload, feature_dim))
@@ -237,8 +244,8 @@ def resize_images(
                     ws.append(out_w)
                     hs.append(out_h)
                     oks.append(True)
-                except CodecError:
-                    payloads.append(payload)
+                except Exception:  # poison payload: pass through, never
+                    payloads.append(payload)  # abort the task (see above)
                     ws.append(None)
                     hs.append(None)
                     oks.append(False)

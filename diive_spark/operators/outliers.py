@@ -73,11 +73,25 @@ def zscore_flag(
     row-local stats need no second pass and no join at all."""
     parts = list(key_cols) + ([strata_col] if strata_col else [])
     v = F.col(value_col)
+    # null-safe join keys: a NULL stratum (e.g. missing day/night flag)
+    # is its own population, exactly as Window.partitionBy groups NULLs;
+    # a plain equi-join would never match the NULL stats row and those
+    # rows would silently pass unflagged.  Keys are aliased on the stats
+    # side so the eqNullSafe condition is lineage-unambiguous.
     stats = df.groupBy(*parts).agg(
         F.avg(v).alias("_zs_mean"),
         F.stddev_pop(v).alias("_zs_sd"),
+    ).select(
+        *[F.col(c).alias(f"_zs_k{i}") for i, c in enumerate(parts)],
+        "_zs_mean", "_zs_sd",
     )
-    joined = df.join(stats, on=parts, how="left")
+    cond = None
+    for i, c in enumerate(parts):
+        term = F.col(c).eqNullSafe(F.col(f"_zs_k{i}"))
+        cond = term if cond is None else cond & term
+    joined = df.join(stats, on=cond, how="left").drop(
+        *[f"_zs_k{i}" for i in range(len(parts))]
+    )
     z = F.abs(F.try_divide(v - F.col("_zs_mean"), F.col("_zs_sd")))
     return _finalize_flag(joined, z > thres, value_col, flag_col).drop(
         "_zs_mean", "_zs_sd"

@@ -96,6 +96,8 @@ def packing_stats(
             total.alias("n_tokens"),
             n_seqs.alias("n_seqs"),
             F.sum("n_splits").alias("n_crossings"),
-            (total / (n_seqs * F.lit(seq_len))).alias("fill_ratio"),
+            # try_divide: a shard of only zero-length docs has
+            # total=0, n_seqs=0 — NULL fill, not an ANSI divide error
+            F.try_divide(total, n_seqs * F.lit(seq_len)).alias("fill_ratio"),
         )
     )

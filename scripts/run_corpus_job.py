@@ -58,6 +58,19 @@ def main() -> None:
 
     spark = get_spark(parallelism=args.parallelism)
     t0 = time.monotonic()
+
+    # idempotent restart: once a batch's output is written AND indexed,
+    # a re-run must be a no-op — re-processing it would dedup every doc
+    # against its own indexed copy and overwrite good output with an
+    # empty one.  The marker is written only after the index append.
+    from diive_spark.session import fs_exists
+    marker = f"{args.out}/_DIIVE_INDEXED"
+    if fs_exists(spark, marker):
+        print(json.dumps({"skipped": "batch already written and indexed",
+                          "out": args.out}))
+        spark.stop()
+        return
+
     docs = spark.read.parquet(args.docs)
     n_in = docs.count()
 
@@ -72,6 +85,16 @@ def main() -> None:
     (final.write.mode("overwrite").partitionBy("split").parquet(args.out))
 
     out_df = spark.read.parquet(args.out)
+    if idx is not None:
+        # append AFTER the output write, reading the written table
+        # back: (a) only docs that survived every gate enter the
+        # cross-batch index, (b) the pipeline is recomputed zero times
+        # for the append (signatures come from the materialized
+        # output), (c) a failed write indexes nothing
+        idx.add(out_df, text_col="text_scrubbed")
+        spark.createDataFrame([(1,)], "ok int").coalesce(1).write.mode(
+            "overwrite"
+        ).json(marker)
     n_out = out_df.count()
     splits = {r["split"]: r["n"] for r in
               out_df.groupBy("split").agg(F.count("*").alias("n")).collect()}

@@ -164,3 +164,26 @@ def test_zscore_flag_tokens_matches_generic_path(spark):
     plan = fused._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "Exchange" not in plan
+
+
+def test_zscore_flag_null_stratum_is_its_own_population(spark):
+    """Rows whose strata value is NULL form their own z-score
+    population (Window.partitionBy semantics): the aggregate+join-back
+    rewrite must join null-safely or NULL-stratum outliers silently
+    pass unflagged."""
+    rng = np.random.default_rng(7)
+    base = rng.normal(10.0, 1.0, 300)
+    pdf = pd.DataFrame({
+        "source": "s1", "doc_id": 1,
+        "pos": np.arange(300),
+        "value": base,
+        "daytime": [1 if i % 3 == 0 else (0 if i % 3 == 1 else None)
+                    for i in range(300)],
+    })
+    pdf.loc[2, "value"] += 200.0      # spike inside the NULL stratum
+    got = zscore_flag(
+        spark.createDataFrame(pdf), thres=4.0, strata_col="daytime",
+    ).toPandas().set_index("pos")
+    assert got.loc[2, "flag_zscore"] == 2          # flagged, not skipped
+    nulls = got[got["daytime"].isna()]
+    assert (nulls["flag_zscore"] != 0).sum() == 1  # only the spike

@@ -64,3 +64,24 @@ def test_pack_sequences_no_single_partition_window(spark):
     packed = pack_sequences(df, seq_len=16, n_shards=8)
     plan = packed._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan
+
+
+def test_packing_stats_all_zero_length_shard_ansi_safe(spark):
+    """A shard holding only zero-length docs gives total=0, n_seqs=0;
+    fill_ratio must be NULL (try_divide), not an ANSI DIVIDE_BY_ZERO
+    job abort."""
+    docs = spark.createDataFrame(
+        [(i, 0) for i in range(8)], "doc_id long, n_tok int"
+    )
+    packed = pack_sequences(docs, seq_len=16, n_shards=2)
+    prev = spark.conf.get("spark.sql.ansi.enabled", None)
+    spark.conf.set("spark.sql.ansi.enabled", "true")
+    try:
+        rows = packing_stats(packed, seq_len=16).collect()
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.ansi.enabled")
+        else:
+            spark.conf.set("spark.sql.ansi.enabled", prev)
+    assert rows and all(r["fill_ratio"] is None for r in rows)
+    assert all(r["n_seqs"] == 0 for r in rows)

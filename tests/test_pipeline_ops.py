@@ -573,6 +573,12 @@ def test_minhash_index_incremental_dedup(spark, tmp_path, docs):
     assert kept[202] is True
     assert kept[203] is False                      # in-batch dup (higher id)
 
+    # a RE-SUBMITTED id (same doc_id, same text — an overlapping batch
+    # or re-crawl) is the strongest duplicate and must be dropped too
+    resub = spark.createDataFrame([(4, b1[4])], "doc_id long, text string")
+    out_r = idx.dedup_batch(resub, est_threshold=0.6, add_survivors=False)
+    assert out_r.collect()[0]["kept"] is False
+
     # survivors were appended: a batch-3 dup of 202 is now caught
     batch3 = spark.createDataFrame(
         [(300, "totally fresh words appear exactly once here today")],
@@ -814,3 +820,91 @@ def test_semantic_dedup_lsh_mode_flags_planted_dup(spark, vecs):
     for a in lowest:
         if not any(a == hi for _, hi in planted):
             assert not rows[a]
+
+
+def test_multimodal_poison_payload_fails_closed(spark):
+    """A payload whose header parses but whose body is malformed raises
+    a NON-CodecError (np.frombuffer ValueError) inside the codec; the
+    decode seam must mark the row decode_ok=False, never abort the
+    task (the 'a poison payload cannot kill the job' contract)."""
+    from diive_spark.functions.codecs import CodecError, decode_wav, encode_wav
+    from diive_spark.operators.multimodal import extract_features, resize_images
+
+    good = encode_wav(np.zeros(100, dtype=np.float32), rate=8000)
+    poison_wav = good[:-1]  # data chunk no longer a multiple of 2 bytes
+    try:
+        decode_wav(poison_wav)
+        poisonous = False
+    except CodecError:
+        poisonous = False  # seam already covered it; test is vacuous
+    except Exception:
+        poisonous = True   # the hazard this test exists for
+    assert poisonous, "expected a non-CodecError decode failure"
+
+    media = spark.createDataFrame(
+        [("m1", "audio", bytearray(poison_wav)),
+         ("m2", "audio", bytearray(good)),
+         ("m3", "image", bytearray(b"P5\n999999999 999999999\n255\n" + b"x"))],
+        "media_id string, media_type string, payload binary",
+    )
+    feats = {r["media_id"]: r["decode_ok"]
+             for r in extract_features(media, feature_dim=4).collect()}
+    assert feats == {"m1": False, "m2": True, "m3": False}
+    rs = {r["media_id"]: r["decode_ok"] for r in resize_images(media).collect()}
+    assert rs["m3"] is False  # huge-dims image: fails closed, no abort
+
+
+def test_pnm_comment_terminates_number():
+    """Netpbm: a '#' comment counts as whitespace, so it terminates an
+    in-progress header number — 'P5\\n2# c\\n2\\n255\\n' is a legal 2x2
+    PGM (previously the 2s merged into width=22 and parsing failed)."""
+    from diive_spark.functions.codecs import decode_pnm
+
+    payload = b"P5\n2# comment\n2\n255\n" + bytes([7, 8, 9, 10])
+    assert decode_pnm(payload).tolist() == [[7, 8], [9, 10]]
+    # comment directly after the LAST header token: its newline is the
+    # single post-maxval whitespace, raster starts right after it
+    payload2 = b"P5\n2 2\n255# c\n" + bytes([1, 2, 3, 4])
+    assert decode_pnm(payload2).tolist() == [[1, 2], [3, 4]]
+
+
+def test_minhash_index_compact_crash_recovery(spark, tmp_path, docs):
+    """Driver death between compact()'s two renames leaves only the
+    bands_old backup; exists() must restore it instead of reporting an
+    empty index (which would silently reseed and drop all cross-batch
+    state)."""
+    import os
+
+    from diive_spark.operators.dedup import MinHashIndex
+
+    root = str(tmp_path / "mh_crash")
+    idx = MinHashIndex(spark, root)
+    idx.add(docs.where(F.col("doc_id") < 20))
+    n_before = idx.stored().count()
+
+    # simulate the crash window: dst renamed to bak, new table never
+    # landed
+    os.rename(f"{root}/bands.parquet", f"{root}/bands_old.parquet")
+    assert idx.exists() is True                     # recovery path
+    assert not os.path.exists(f"{root}/bands_old.parquet")
+    assert idx.stored().count() == n_before         # nothing lost
+
+
+def test_corpus_pipeline_does_not_mutate_index(spark, tmp_path, docs):
+    """corpus_pipeline only READS the cross-batch index: building and
+    even executing the plan appends nothing (the caller indexes the
+    written output post-write) and never bootstraps an absent index."""
+    from diive_spark.operators.corpus import corpus_pipeline
+    from diive_spark.operators.dedup import MinHashIndex
+
+    # absent index: plan construction + execution must not create it
+    idx = MinHashIndex(spark, str(tmp_path / "mh_ro"))
+    out = corpus_pipeline(docs, est_threshold=0.6, minhash_index=idx)
+    out.count()
+    assert idx.exists() is False
+
+    # populated index: row count unchanged by a full pipeline run
+    idx.add(docs.where(F.col("doc_id") < 10))
+    n0 = idx.stored().count()
+    corpus_pipeline(docs, est_threshold=0.6, minhash_index=idx).count()
+    assert idx.stored().count() == n0
