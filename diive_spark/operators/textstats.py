@@ -329,6 +329,41 @@ def compression_roundtrip_fail(df: DataFrame, text_col: str = "text",
     return df.withColumn(out_col, _fail(F.col(text_col)))
 
 
+def bpe_pair_counts(
+    df: DataFrame,
+    tokens_col: str = "tokens",
+    top_k: int | None = None,
+) -> DataFrame:
+    """Adjacent token-pair frequencies over a token-array column — the
+    counting kernel of BPE vocabulary induction (the most frequent pair
+    is the next merge candidate) and a corpus-bigram statistic in its
+    own right.
+
+    Scale shape: pair extraction is ROW-LOCAL (one ``transform`` over a
+    position sequence — the token arrays never reach the shuffle); the
+    only exchange moves map-side-combined (a, b, partial_count) rows.
+    ``top_k`` ranks by (count DESC, a, b) — a deterministic total order
+    — via TakeOrdered, never a full global sort.
+
+    Returns (a, b, n_pairs)."""
+    t = F.col(tokens_col)
+    eligible = df.where(F.size(t) >= 2)  # sequence(0, -1) would descend
+    pairs = eligible.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.size(t) - 2),
+                lambda i: F.struct(t[i].alias("a"), t[i + 1].alias("b")),
+            )
+        ).alias("p")
+    ).select("p.a", "p.b")
+    counts = pairs.groupBy("a", "b").agg(F.count(F.lit(1)).alias("n_pairs"))
+    if top_k is not None:
+        counts = counts.orderBy(
+            F.col("n_pairs").desc(), "a", "b"
+        ).limit(top_k)
+    return counts
+
+
 def unigram_logprob_score(
     df: DataFrame,
     text_col: str = "text",

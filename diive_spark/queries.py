@@ -1949,6 +1949,39 @@ FROM documents GROUP BY 1
 """
 
 
+def q_bpe_pair_counts(spark, sf_dir):
+    """Top-20 adjacent token-pair counts (the BPE merge-candidate
+    kernel, textstats.bpe_pair_counts) over tokens derived with the
+    engine-portable expression; ties broken by (a, b) so the top-k set
+    is deterministic in both engines."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(F.expr(_TOKENS_FROM_TEXT).alias("tokens"))
+    out = textstats.bpe_pair_counts(toks, top_k=20)
+    return out.select(
+        F.col("a").cast("long").alias("a"),
+        F.col("b").cast("long").alias("b"),
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+    )
+
+
+SQL_BPE_PAIR_COUNTS = """
+WITH toks AS (
+  SELECT list_transform(list_filter(string_split(text, ' '), w -> w <> ''),
+                        w -> CAST(ascii(w) * 256 + length(w) % 256 AS INT))
+           AS tokens
+  FROM documents),
+pairs AS (
+  SELECT unnest(list_transform(range(1, len(tokens)),
+                               i -> struct_pack(a := tokens[i],
+                                                b := tokens[i + 1]))) AS p
+  FROM toks WHERE len(tokens) >= 2)
+SELECT CAST(p.a AS BIGINT) AS a, CAST(p.b AS BIGINT) AS b,
+       CAST(count(*) AS BIGINT) AS n_pairs
+FROM pairs GROUP BY 1, 2
+ORDER BY n_pairs DESC, a, b LIMIT 20
+"""
+
+
 def q_clean_text(spark, sf_dir):
     """Text normalization: plant control chars / tab runs / padding
     into every 5th doc, normalize, hash-check the cleaned text."""
@@ -3106,6 +3139,7 @@ QUERIES = {
     "compression_ratio": (q_compression_ratio, SQL_COMPRESSION_RATIO),
     "dedup_simhash": (q_simhash_docs, SQL_DEDUP_SIMHASH),
     "similarity_ivf_exact": (q_ivf_topk_exact, SQL_IVF_EXACT),
+    "bpe_pair_counts": (q_bpe_pair_counts, SQL_BPE_PAIR_COUNTS),
     # --- rows-only (genuinely non-SQL-expressible: trained-model
     # floats or probabilistic/seeded recall): early so the capped
     # driver snapshot still records their rows-only checks ------------

@@ -908,3 +908,24 @@ def test_corpus_pipeline_does_not_mutate_index(spark, tmp_path, docs):
     n0 = idx.stored().count()
     corpus_pipeline(docs, est_threshold=0.6, minhash_index=idx).count()
     assert idx.stored().count() == n0
+
+
+def test_bpe_pair_counts(spark):
+    """Hand-checked adjacent-pair counts + deterministic top-k; plan
+    stays TakeOrdered (no global sort) with map-side partial counts."""
+    from diive_spark.operators.textstats import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, [1, 2, 3, 2, 3]), (2, [2, 3]), (3, [9]), (4, [])],
+        "doc_id long, tokens array<int>",
+    )
+    got = {(r["a"], r["b"]): r["n_pairs"]
+           for r in bpe_pair_counts(df).collect()}
+    assert got == {(1, 2): 1, (2, 3): 3, (3, 2): 1}
+
+    top = bpe_pair_counts(df, top_k=2)
+    assert [(r["a"], r["b"], r["n_pairs"]) for r in top.collect()] == [
+        (2, 3, 3), (1, 2, 1)]
+    plan = top._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "partial_count" in plan.lower() or "partial count" in plan.lower()
