@@ -525,3 +525,97 @@ def rolling_correlation(
         cov / F.sqrt(var_a * var_b),
     )
     return df.withColumn(out_col, r)
+
+
+def counter_agg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Reset-aware monotonic-counter aggregate per ``every``-sized bin
+    (the TimescaleDB ``counter_agg``/``rollup`` analog — public
+    semantics; no reference-repo counterpart, diive has no counters).
+
+    A counter is a non-decreasing gauge that occasionally RESETS to ~0
+    (process restart, 32-bit wrap).  Per series (``key_cols``) ordered
+    by ``axis_col``:
+
+    - ``delta = value - lag(value)``; a negative delta is a reset, and
+      the increment credited is ``value`` itself (counter restarted
+      from 0 and counted up to ``value``);
+    - per bin: ``counter_delta`` = sum of adjusted increments (the
+      true amount counted in the bin, resets healed), ``n_resets``,
+      ``first``/``last`` raw readings, ``n`` points.
+
+    The increment at a bin's first point uses the PREVIOUS bin's last
+    reading (lag crosses bin edges) — counting is attributed to the
+    bin where the later reading lands, so bins tile the series total
+    exactly.  One per-series window pass + one bin groupBy (single
+    shuffle each); no Python.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    v = F.col(value_col)
+    prev = F.lag(v).over(w)
+    delta = v - prev
+    adj = F.when(prev.isNull(), F.lit(0.0)).otherwise(
+        F.when(delta < 0, v).otherwise(delta)
+    )
+    reset = F.when(prev.isNotNull() & (delta < 0), 1).otherwise(0)
+    from .resample import with_bin
+
+    stepped = df.withColumn("_inc", adj).withColumn("_reset", reset)
+    binned = with_bin(stepped, axis_col, every)
+    ax = F.col(axis_col)
+    return binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(
+        F.count(v).alias("n"),
+        F.sum("_inc").alias("counter_delta"),
+        F.sum("_reset").alias("n_resets"),
+        F.min_by(v, ax).alias("first"),
+        F.max_by(v, ax).alias("last"),
+    )
+
+
+def ltob_downsample(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Largest-Triangle-One-Bucket downsampling (Steinarsson 2013,
+    §4.1 — the bucket-independent sibling of LTTB; public algorithm,
+    no reference-repo counterpart): per ``every``-sized bucket keep
+    the ONE point forming the largest triangle with its immediate
+    neighbors, preserving visual extremes that mean/min/max rollups
+    smear.
+
+    Unlike LTTB (whose choice depends on the previously selected
+    point, an inherently sequential chain), LTOB ranks each point by
+    the triangle area over its ±1 neighbors — two per-series window
+    passes (lag/lead, then a per-bucket argmax), fully parallel and
+    SQL-expressible, hence oracle-checkable.  Series endpoints (no
+    neighbor) rank last but are still kept when alone in a bucket.
+    Ties break on the earlier point.  Nulls are dropped first (a gap
+    contributes no triangle).
+    """
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    x, y = F.col(axis_col).cast("double"), F.col(value_col)
+    xp, yp = F.lag(x).over(w), F.lag(y).over(w)
+    xn, yn = F.lead(x).over(w), F.lead(y).over(w)
+    area = F.abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) / 2.0
+    from .resample import with_bin
+
+    scored = with_bin(pts.withColumn("_area", area), axis_col, every)
+    wb = Window.partitionBy(*keys, "bin_start").orderBy(
+        F.col("_area").desc_nulls_last(), F.col(axis_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(wb))
+        .where(F.col("_rn") == 1)
+        .drop("_rn", "_area")
+    )

@@ -92,6 +92,71 @@ def _sd_from_partials(n: Column, s: Column, ss: Column) -> Column:
     )
 
 
+def _hist_index(v: Column, bounds: tuple[float, float], bins: int) -> Column:
+    """0-based fixed-width value-bin index over [lo, hi); clamps
+    out-of-range values into the edge bins; null in -> null out."""
+    lo, hi = bounds
+    width = (hi - lo) / bins
+    raw = F.floor((v - F.lit(float(lo))) / F.lit(float(width)))
+    return F.when(
+        v.isNotNull(),
+        F.greatest(F.lit(0), F.least(F.lit(bins - 1), raw)).cast("int"),
+    )
+
+
+def hist_percentile_estimate(
+    df: DataFrame,
+    qs: Sequence[float],
+    bounds: tuple[float, float],
+    bins: int,
+    hist_col: str = "hist",
+    prefix: str = "p",
+) -> DataFrame:
+    """Percentile estimates off a fixed-bin ``hist`` count array
+    (``bucket_rollup(hist_bounds=...)`` / composed tiers) — error is
+    bounded by one bin width, zero raw re-scan at ANY tier.
+
+    Estimator (continuous-rank): target rank ``t = q * n`` with
+    ``q > 0``; the estimate linearly interpolates inside the first bin
+    whose cumulative count reaches ``t``.  All inputs are integer
+    counts + literals, so the result is bit-deterministic across
+    partitionings and engines.  Pure column expressions (``slice`` +
+    ``aggregate`` cumulative sums over a ``bins``-length array — O(bins²)
+    adds per row, negligible for sketch-sized arrays).
+    """
+    lo, hi = bounds
+    width = (hi - lo) / bins
+    cum_expr = (
+        f"transform(sequence(1, {bins}), i -> "
+        f"aggregate(slice({hist_col}, 1, i), CAST(0 AS BIGINT), (a, x) -> a + x))"
+    )
+    out = df.withColumn("_cum", F.expr(cum_expr))
+    n = F.element_at(F.col("_cum"), bins)
+    for q in qs:
+        if not 0.0 < q <= 1.0:
+            raise ValueError(f"q must be in (0, 1], got {q}")
+        t = F.lit(float(q)) * n.cast("double")
+        # first 0-based bin index whose cumulative count reaches t;
+        # t > 0 guarantees that bin has a positive count
+        idx0 = F.array_min(
+            F.expr(
+                f"filter(transform(sequence(1, {bins}), "
+                f"i -> IF(element_at(_cum, i) >= {float(q)} * "
+                f"CAST(element_at(_cum, {bins}) AS DOUBLE), i - 1, NULL)), "
+                f"x -> x IS NOT NULL)"
+            )
+        )
+        cum_before = F.when(idx0 == 0, F.lit(0).cast("bigint")).otherwise(
+            F.element_at(F.col("_cum"), idx0.cast("int"))
+        )
+        cnt = F.element_at(F.col(hist_col), (idx0 + 1).cast("int"))
+        frac = (t - cum_before.cast("double")) / cnt.cast("double")
+        est = F.lit(float(lo)) + (idx0.cast("double") + frac) * F.lit(float(width))
+        name = f"{prefix}{int(round(q * 100)):02d}_est"
+        out = out.withColumn(name, F.when(n > 0, est))
+    return out.drop("_cum")
+
+
 def bucket_rollup(
     df: DataFrame,
     every: int,
@@ -106,6 +171,8 @@ def bucket_rollup(
     fingerprint_over: Sequence[str] | None = None,
     percentile_accuracy: int | None = None,
     distinct_col: str | None = None,
+    hist_bounds: tuple[float, float] | None = None,
+    hist_bins: int = 64,
 ) -> DataFrame:
     """Downsample a long series table to ``every``-sized bins.
 
@@ -127,6 +194,16 @@ def bucket_rollup(
     them, so tier N+1's distinct counts need no raw re-scan — read the
     estimate off any tier with ``with_distinct_estimate``.
 
+    ``hist_bounds=(lo, hi)``: adds a per-bin ``hist`` fixed-bin count
+    array (``hist_bins`` equal-width value bins over [lo, hi);
+    out-of-range values clamp into the edge bins).  Unlike exact or
+    t-digest percentiles, these count arrays COMPOSE upward
+    LOSSLESSLY — ``compose_rollup(hist_bins=...)`` sums them
+    element-wise, so tier N+1 percentile *estimates* (error <= one
+    bin width; ``hist_percentile_estimate``) need no raw re-scan.
+    This is the mergeable-percentile path for 100 TB tiers where even
+    one t-digest per bin cannot be merged by Spark's built-ins.
+
     Returns one row per (key..., bin) that passes the min-count gate, with
     columns ``bin_start, bin_end, bin_label, n, n_grid, sum, sumsq, min,
     max, mean, sd`` (+ ``p{XX}`` exact percentiles if requested).
@@ -139,6 +216,10 @@ def bucket_rollup(
     keys = list(key_cols)
     v = F.col(value_col)
     binned = with_bin(df, axis_col, every, origin, label)
+    if hist_bounds is not None:
+        binned = binned.withColumn(
+            "_hidx", _hist_index(v, hist_bounds, hist_bins)
+        )
 
     aggs = [
         F.count(v).alias("n"),
@@ -164,6 +245,20 @@ def bucket_rollup(
         )
     if distinct_col:
         aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+    if hist_bounds is not None:
+        # one conditional-count aggregate per value bin, assembled into
+        # an array — stays inside the same (single-shuffle) groupBy and
+        # composes map-side like every other partial
+        aggs.append(
+            F.array(
+                *[
+                    F.coalesce(
+                        F.sum((F.col("_hidx") == i).cast("long")), F.lit(0)
+                    )
+                    for i in range(hist_bins)
+                ]
+            ).alias("hist")
+        )
     agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
 
     out = (
@@ -284,6 +379,7 @@ def compose_rollup(
     min_floor_rule: bool = True,
     label: str = LABEL_RIGHT,
     origin: int = 0,
+    hist_bins: int | None = None,
 ) -> DataFrame:
     """Build tier N+1 from tier N **partials only** — no raw re-scan.
 
@@ -292,8 +388,19 @@ def compose_rollup(
     direct rollup of the raw series bit-for-bit up to float summation
     order.  ``every`` is in raw-axis units and must be a multiple of the
     input tier's bin width.
+
+    When tier N carries a ``hist`` fixed-bin count array
+    (``bucket_rollup(hist_bounds=...)``), pass ``hist_bins`` to compose
+    it element-wise — integer sums, so composed histograms equal a
+    direct rollup of the raw data BIT-FOR-BIT (tested), and percentile
+    estimates (``hist_percentile_estimate``) are served off any tier.
     """
     keys = list(key_cols)
+    if "hist" in tier_df.columns and hist_bins is None:
+        raise ValueError(
+            "tier carries a 'hist' sketch column: pass hist_bins=<n> to "
+            "compose it (or drop('hist') explicitly)"
+        )
     binned = with_bin(tier_df, "bin_start", every, origin, label)
     aggs = [
         F.sum("n").alias("n"),
@@ -307,6 +414,13 @@ def compose_rollup(
         # HLL distinct sketches union losslessly — the one per-bin
         # statistic beyond the moment partials that composes upward
         aggs.append(F.hll_union_agg(F.col("hll")).alias("hll"))
+    if "hist" in tier_df.columns:
+        # element-wise integer sum: lossless histogram composition
+        aggs.append(
+            F.array(
+                *[F.sum(F.col("hist")[i]) for i in range(int(hist_bins))]
+            ).alias("hist")
+        )
     agg = binned.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(*aggs)
     return (
         apply_mincount_gate(agg, mincounts_perc, min_floor_rule, keys)

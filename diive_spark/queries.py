@@ -3098,11 +3098,174 @@ FROM n a
 """
 
 
+def q_hist_sketch_percentiles(spark, sf_dir):
+    """Mergeable percentile sketches across retention tiers: 1m bins
+    carry a fixed-bin count-array histogram (bucket_rollup
+    hist_bounds), composed LOSSLESSLY (element-wise integer sum) into
+    1h bins with NO raw re-scan, then percentile estimates read off
+    the composed tier (hist_percentile_estimate; error <= one bin
+    width).  The oracle recomputes the same estimator directly from
+    raw in SQL — equality proves both the estimator math and that the
+    composition lost nothing.  Integer counts + literal arithmetic =
+    bit-deterministic across engines and partitionings."""
+    from .operators.resample import (
+        bucket_rollup,
+        compose_rollup,
+        hist_percentile_estimate,
+    )
+
+    bounds, bins = (0.0, 110.0), 55
+    t1m = bucket_rollup(
+        series(spark, sf_dir), every=60, key_cols=["source"],
+        mincounts_perc=0.0, min_floor_rule=False,
+        hist_bounds=bounds, hist_bins=bins,
+    )
+    t1h = compose_rollup(
+        t1m, every=3600, key_cols=["source"],
+        mincounts_perc=0.0, min_floor_rule=False, hist_bins=bins,
+    )
+    est = hist_percentile_estimate(t1h, [0.5, 0.9], bounds, bins)
+    return est.select(
+        "source", "bin_start", F.col("n").cast("long").alias("n"),
+        _r(F.col("p50_est")).alias("p50_est"),
+        _r(F.col("p90_est")).alias("p90_est"),
+    )
+
+
+SQL_HIST_SKETCH = f"""
+WITH series AS ({SERIES_SQL}),
+good AS (SELECT source, pos, value FROM series WHERE value IS NOT NULL),
+h AS (
+  SELECT source, CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+         LEAST(GREATEST(CAST(floor((value - 0.0) / 2.0) AS INTEGER), 0), 54)
+           AS hidx,
+         count(*) AS c
+  FROM good GROUP BY 1, 2, 3),
+cum AS (
+  SELECT source, bin_start, hidx, c,
+         SUM(c) OVER (PARTITION BY source, bin_start ORDER BY hidx) AS cm,
+         SUM(c) OVER (PARTITION BY source, bin_start) AS n
+  FROM h),
+p50 AS (
+  SELECT source, bin_start, n,
+         0.0 + (hidx + (0.5 * n - (cm - c)) / c) * 2.0 AS est
+  FROM cum WHERE cm >= 0.5 * n
+  QUALIFY row_number() OVER (PARTITION BY source, bin_start
+                             ORDER BY hidx) = 1),
+p90 AS (
+  SELECT source, bin_start,
+         0.0 + (hidx + (0.9 * n - (cm - c)) / c) * 2.0 AS est
+  FROM cum WHERE cm >= 0.9 * n
+  QUALIFY row_number() OVER (PARTITION BY source, bin_start
+                             ORDER BY hidx) = 1)
+SELECT p50.source, p50.bin_start, CAST(p50.n AS BIGINT) AS n,
+       round(p50.est, 6) AS p50_est, round(p90.est, 6) AS p90_est
+FROM p50 JOIN p90 USING (source, bin_start)
+"""
+
+
+def q_counter_agg(spark, sf_dir):
+    """Reset-aware monotonic-counter rollup (TimescaleDB counter_agg
+    analog): a synthetic wrap-around counter (integer cumsum mod 1000,
+    derived identically in both engines) is aggregated per 1h bin —
+    sum of reset-healed increments, reset count, first/last readings.
+    Pure lag + groupBy; integer arithmetic end to end."""
+    from .operators.analyses import counter_agg
+
+    w = Window.partitionBy("source", "doc_id").orderBy("pos")
+    s = series(spark, sf_dir).withColumn(
+        "ctr",
+        F.sum(
+            F.floor(F.abs(F.coalesce(F.col("value"), F.lit(0.0))) * 10)
+            .cast("long") % 13
+        ).over(w) % 1000,
+    )
+    out = counter_agg(s, every=3600, value_col="ctr",
+                      key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("counter_delta").cast("long").alias("counter_delta"),
+        F.col("n_resets").cast("long").alias("n_resets"),
+        F.col("first").cast("long").alias("first"),
+        F.col("last").cast("long").alias("last"),
+    )
+
+
+SQL_COUNTER_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+ctr AS (
+  SELECT source, doc_id, pos,
+         SUM(CAST(floor(abs(coalesce(value, 0)) * 10) AS BIGINT) % 13)
+           OVER (PARTITION BY source, doc_id ORDER BY pos) % 1000 AS ctr
+  FROM series),
+st AS (
+  SELECT source, doc_id, pos, ctr,
+         lag(ctr) OVER (PARTITION BY source, doc_id ORDER BY pos) AS prev
+  FROM ctr),
+inc AS (
+  SELECT source, doc_id,
+         CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start, pos, ctr,
+         CASE WHEN prev IS NULL THEN 0
+              WHEN ctr - prev < 0 THEN ctr ELSE ctr - prev END AS inc,
+         CASE WHEN prev IS NOT NULL AND ctr - prev < 0 THEN 1 ELSE 0
+              END AS rst
+  FROM st)
+SELECT source, doc_id, bin_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(inc) AS BIGINT) AS counter_delta,
+       CAST(SUM(rst) AS BIGINT) AS n_resets,
+       CAST(arg_min(ctr, pos) AS BIGINT) AS first,
+       CAST(arg_max(ctr, pos) AS BIGINT) AS last
+FROM inc GROUP BY 1, 2, 3
+"""
+
+
+def q_ltob_downsample(spark, sf_dir):
+    """Largest-Triangle-One-Bucket visual downsample (Steinarsson 2013
+    §4.1): keep the one point per 500-pos bucket with the largest
+    triangle over its ±1 neighbors — extremes survive where mean/max
+    rollups smear them.  Fully parallel (two window passes), hence
+    SQL-expressible and oracle-checkable, unlike sequential LTTB."""
+    from .operators.analyses import ltob_downsample
+
+    out = ltob_downsample(series(spark, sf_dir), every=500,
+                          key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start", "pos",
+        _r(F.col("value")).alias("value"),
+    )
+
+
+SQL_LTOB = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+nb AS (
+  SELECT *, lag(pos) OVER w AS xp, lag(value) OVER w AS yp,
+         lead(pos) OVER w AS xn, lead(value) OVER w AS yn
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+sc AS (
+  SELECT source, doc_id, pos, value,
+         CAST(floor(pos / 500) AS BIGINT) * 500 AS bin_start,
+         abs((xp - xn) * (value - yp) - (xp - pos) * (yn - yp)) / 2.0
+           AS area
+  FROM nb)
+SELECT source, doc_id, bin_start, pos, round(value, 6) AS value
+FROM sc
+QUALIFY row_number() OVER (PARTITION BY source, doc_id, bin_start
+                           ORDER BY area DESC NULLS LAST, pos) = 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "hist_sketch_percentiles": (q_hist_sketch_percentiles, SQL_HIST_SKETCH),
+    "counter_agg_bins": (q_counter_agg, SQL_COUNTER_AGG),
+    "ltob_downsample": (q_ltob_downsample, SQL_LTOB),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),

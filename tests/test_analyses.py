@@ -221,3 +221,84 @@ def test_timezone_and_axis_range_helpers(spark):
 
     axis = build_axis_range(df, start=100, n=5, step=30)
     assert [r["pos"] for r in axis.collect()] == [100, 130, 160, 190, 220]
+
+
+def test_counter_agg_heals_resets(spark):
+    """counter_agg vs a pandas twin on a wrap-around counter: per-bin
+    increment sums, reset counts, first/last; bins tile the series
+    total exactly."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.analyses import counter_agg
+
+    rng = np.random.default_rng(3)
+    steps = rng.integers(0, 9, 3000)
+    ctr = np.cumsum(steps) % 500                 # wraps ~ every 125 rows
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(3000), "ctr": ctr})
+    out = (
+        counter_agg(spark.createDataFrame(pdf), every=600,
+                    value_col="ctr", key_cols=["source", "doc_id"])
+        .orderBy("bin_start").toPandas()
+    )
+    p = pdf.copy()
+    p["prev"] = p.ctr.shift()
+    d = p.ctr - p.prev
+    p["inc"] = np.where(p.prev.isna(), 0, np.where(d < 0, p.ctr, d))
+    p["rst"] = ((~p.prev.isna()) & (d < 0)).astype(int)
+    p["bin"] = (p.pos // 600) * 600
+    exp = p.groupby("bin").agg(cd=("inc", "sum"), nr=("rst", "sum"),
+                               first=("ctr", "first"), last=("ctr", "last"))
+    assert (out.set_index("bin_start").counter_delta == exp.cd).all()
+    assert (out.set_index("bin_start").n_resets == exp.nr).all()
+    assert (out.set_index("bin_start")["first"] == exp["first"]).all()
+    assert (out.set_index("bin_start")["last"] == exp["last"]).all()
+    # bins tile the whole-series counter_agg exactly (same healing
+    # convention: a reset credits the post-reset reading, so the
+    # pre-wrap remainder is not invented — Timescale counter_agg
+    # semantics)
+    whole = counter_agg(spark.createDataFrame(pdf), every=10**9,
+                        value_col="ctr",
+                        key_cols=["source", "doc_id"]).toPandas()
+    assert (out.counter_delta.sum() == whole.counter_delta.sum()
+            == p.inc.sum())
+
+
+def test_ltob_keeps_extremes(spark):
+    """LTOB picks exactly one point per bucket, matches a pandas twin,
+    and keeps a planted spike that a mean-rollup would smear."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.analyses import ltob_downsample
+
+    rng = np.random.default_rng(5)
+    n = 2000
+    v = rng.normal(0, 0.1, n)
+    v[rng.choice(n, 100, replace=False)] = np.nan
+    v[776:779] = [0.0, 40.0, 0.0]                 # the spike (kept non-NaN)
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.nanvl(F.col("value"), F.lit(None))
+    )
+    out = ltob_downsample(df, every=100,
+                          key_cols=["source", "doc_id"]).toPandas()
+    assert out.groupby("bin_start").size().eq(1).all()
+    assert (out.bin_start == 700).sum() == 1
+    assert out.set_index("bin_start").loc[700, "pos"] == 777   # spike kept
+
+    g = pdf.dropna(subset=["value"]).reset_index(drop=True)
+    x = g.pos.to_numpy(dtype=float); y = g.value.to_numpy()
+    xp, yp = np.roll(x, 1), np.roll(y, 1)
+    xn, yn = np.roll(x, -1), np.roll(y, -1)
+    area = np.abs((xp - xn) * (y - yp) - (xp - x) * (yn - yp)) / 2
+    area[0] = area[-1] = -1.0
+    t = pd.DataFrame({"b": (x // 100).astype(int) * 100,
+                      "pos": g.pos, "area": area})
+    pick = (t.sort_values(["b", "area", "pos"],
+                          ascending=[True, False, True])
+            .groupby("b").first()["pos"])
+    assert (out.set_index("bin_start")["pos"].sort_index()
+            == pick.sort_index()).all()

@@ -364,3 +364,43 @@ def test_ingest_increment_aggregates_only_the_batch(spark, tmp_path):
     for tier, plan in seen_plans:
         # gorilla decode of stored history must never feed a tier write
         assert "gorilla_decode" not in plan, tier
+
+
+def test_hist_sketch_is_shuffle_neutral(spark, tiny_series):
+    """The per-bin histogram count array rides the SAME groupBy as the
+    moment partials: adding hist_bounds must not add an Exchange, and
+    the composition stage must stay a plain two-Exchange agg (no
+    explode/re-shuffle of the sketch arrays)."""
+    from diive_spark.operators.resample import bucket_rollup, compose_rollup
+
+    kw = dict(every=60, key_cols=["source"], mincounts_perc=0.0,
+              min_floor_rule=False)
+    base = _physical_plan(bucket_rollup(tiny_series, **kw))
+    hist = bucket_rollup(tiny_series, hist_bounds=(0.0, 110.0),
+                         hist_bins=55, **kw)
+    withh = _physical_plan(hist)
+    assert withh.count("Exchange") == base.count("Exchange")
+    comp = _physical_plan(
+        compose_rollup(hist, every=3600, key_cols=["source"],
+                       mincounts_perc=0.0, min_floor_rule=False,
+                       hist_bins=55)
+    )
+    assert comp.count("Exchange") <= 2
+    assert "explode(hist" not in comp    # no explode of sketch arrays
+
+
+def test_counter_agg_and_ltob_single_exchange(spark, tiny_series):
+    """counter_agg and ltob_downsample each need exactly one shuffle
+    (the per-series window; the bin agg / bucket argmax reuses that
+    partitioning) and never collapse to SinglePartition."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.analyses import counter_agg, ltob_downsample
+
+    ca = counter_agg(tiny_series.withColumn("ctr", F.col("pos")),
+                     every=3600, value_col="ctr")
+    p = _physical_plan(ca)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+    lt = ltob_downsample(tiny_series, every=500)
+    p = _physical_plan(lt)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p

@@ -241,3 +241,51 @@ def test_approx_percentile_mode_bounded_error(spark):
             a = approx.loc[(src, b * 3600), c]
             cdf = np.searchsorted(vals, a, side="right") / n
             assert q - 0.02 - 1 / n <= cdf <= q + 0.02 + 1 / n, (src, b, c)
+
+
+def test_hist_sketch_composes_losslessly(spark):
+    """Fixed-bin histogram sketches: tier-1h composed element-wise from
+    tier-1m count arrays equals a direct raw->1h histogram BIT-FOR-BIT
+    (integer sums), and percentile estimates off the composed tier are
+    within one bin width of the exact percentile."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.resample import (
+        bucket_rollup, compose_rollup, hist_percentile_estimate,
+    )
+
+    pdf = seeded_series(n=4000, seed=11)
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.nanvl(F.col("value"), F.lit(None))
+    )
+    bounds, bins = (0.0, 110.0), 55
+    kw = dict(mincounts_perc=0.0, min_floor_rule=False,
+              key_cols=["source"], hist_bounds=bounds, hist_bins=bins)
+    t1m = bucket_rollup(df, every=50, **kw)
+    composed = compose_rollup(t1m, every=1000, mincounts_perc=0.0,
+                              min_floor_rule=False, key_cols=["source"],
+                              hist_bins=bins)
+    direct = bucket_rollup(df, every=1000, **kw)
+    a = {r["bin_start"]: list(r["hist"])
+         for r in composed.select("bin_start", "hist").collect()}
+    b = {r["bin_start"]: list(r["hist"])
+         for r in direct.select("bin_start", "hist").collect()}
+    assert a == b and len(a) == 4                         # lossless
+
+    est = hist_percentile_estimate(composed, [0.25, 0.5, 0.9],
+                                   bounds, bins).toPandas()
+    g = pdf.dropna(subset=["value"]).copy()
+    g["bin"] = (g.pos // 1000) * 1000
+    width = (bounds[1] - bounds[0]) / bins
+    for q, col in [(0.25, "p25_est"), (0.5, "p50_est"), (0.9, "p90_est")]:
+        exact = g.groupby("bin")["value"].quantile(q)
+        got = est.set_index("bin_start")[col].sort_index()
+        assert (abs(got.to_numpy() - exact.sort_index().to_numpy())
+                <= width + 1e-9).all()
+
+    # composing a hist-bearing tier without hist_bins is an error, not
+    # a silent sketch drop
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="hist_bins"):
+        compose_rollup(t1m, every=1000, mincounts_perc=0.0,
+                       min_floor_rule=False, key_cols=["source"])
