@@ -118,11 +118,18 @@ def hist_percentile_estimate(
 
     Estimator (continuous-rank): target rank ``t = q * n`` with
     ``q > 0``; the estimate linearly interpolates inside the first bin
-    whose cumulative count reaches ``t``.  All inputs are integer
-    counts + literals, so the result is bit-deterministic across
-    partitionings and engines.  Pure column expressions (``slice`` +
-    ``aggregate`` cumulative sums over a ``bins``-length array — O(bins²)
-    adds per row, negligible for sketch-sized arrays).
+    whose cumulative count reaches ``t``.  Error bound: the exact
+    rank-``ceil(t)`` order statistic provably lies in that same bin,
+    so ``|estimate - that order statistic| <= one bin width`` (for
+    un-clamped values).  NOTE the bound is against the order
+    statistic (type-1 quantile); *interpolated* quantile definitions
+    (pandas/Spark ``percentile``) can additionally differ by the size
+    of an empty-value gap between consecutive order statistics.  All
+    inputs are integer counts + literals, so the result is
+    bit-deterministic across partitionings and engines.  Pure column
+    expressions (``slice`` + ``aggregate`` cumulative sums over a
+    ``bins``-length array — O(bins²) adds per row, negligible for
+    sketch-sized arrays).
     """
     lo, hi = bounds
     width = (hi - lo) / bins

@@ -65,6 +65,15 @@ class TierSpec:
                             # column; unlike percentiles it COMPOSES
                             # upward (hll_union_agg), so only the first
                             # tier touches the raw series
+    hist_bounds: tuple | None = None  # (lo, hi): store a fixed-bin
+                            # histogram count array per bin.  Composes
+                            # upward LOSSLESSLY (element-wise sum), so
+                            # upper-tier percentile ESTIMATES (error <=
+                            # one bin width; read_percentile_estimates)
+                            # need NO raw re-scan — the 100 TB
+                            # alternative to exact `percentiles`, which
+                            # cost one raw scan per upper tier
+    hist_bins: int = 64
 
 
 DEFAULT_CASCADE = (
@@ -212,6 +221,23 @@ class TierStore:
             self.read(tier), mincounts_perc, min_floor_rule, self.key_cols
         )
 
+    def read_percentile_estimates(
+        self, tier: str, qs: Sequence[float], spec: TierSpec
+    ) -> DataFrame:
+        """Percentile estimates off a tier's stored ``hist`` sketch
+        (``TierSpec.hist_bounds``) — read-time column expressions, zero
+        raw re-scan at any tier; error <= one sketch bin width.
+        ``spec`` supplies the cascade's hist layout (bounds/bins are
+        uniform across the cascade — sketches are built once at the
+        first tier and composed upward)."""
+        if spec.hist_bounds is None:
+            raise ValueError("spec has no hist_bounds: tier carries no sketch")
+        from .resample import hist_percentile_estimate
+
+        return hist_percentile_estimate(
+            self.read(tier), qs, spec.hist_bounds, spec.hist_bins
+        )
+
     # ------------------------------------------------------- raw (gorilla)
     def _record_raw_write(self, parts: Sequence[str], n_rows: int) -> None:
         """Lineage rows for a raw-tier write: retention (expire_raw's
@@ -331,6 +357,7 @@ class TierStore:
             percentiles=list(first.percentiles) or None,
             fingerprint_over=self.key_cols + [axis_col],
             distinct_col=first.distinct_col,
+            hist_bounds=first.hist_bounds, hist_bins=first.hist_bins,
         ).persist()
         fp_rows = (
             agg1.groupBy(self.partition_col)
@@ -363,6 +390,8 @@ class TierStore:
                 out = compose_rollup(
                     src, every=spec.every, key_cols=self.key_cols,
                     mincounts_perc=0.0, min_floor_rule=False,
+                    hist_bins=cascade[0].hist_bins
+                    if "hist" in src.columns else None,
                 )
                 if spec.percentiles:
                     # percentiles don't compose from partials — recompute
@@ -383,8 +412,9 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            if "hll" in out.columns:
-                cols = cols + ["hll"]
+            for sketch in ("hll", "hist"):
+                if sketch in out.columns:
+                    cols = cols + [sketch]
             # n_rows from the write itself (CollectMetrics observation),
             # not a re-read count (VERDICT r1 item 7)
             obs = Observation()
@@ -545,11 +575,15 @@ class TierStore:
                     mincounts_perc=0.0, min_floor_rule=False,
                     percentiles=list(spec.percentiles) or None,
                     distinct_col=spec.distinct_col,
+                    hist_bounds=spec.hist_bounds, hist_bins=spec.hist_bins,
                 )
             else:
+                src = inc_tiers[spec.from_tier]
                 out = compose_rollup(
-                    inc_tiers[spec.from_tier], every=spec.every,
+                    src, every=spec.every,
                     key_cols=keys, mincounts_perc=0.0, min_floor_rule=False,
+                    hist_bins=cascade[0].hist_bins
+                    if "hist" in src.columns else None,
                 )
                 if spec.percentiles:
                     pct = bucket_rollup(
@@ -565,8 +599,9 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            if "hll" in out.columns:
-                cols = cols + ["hll"]
+            for sketch in ("hll", "hist"):
+                if sketch in out.columns:
+                    cols = cols + [sketch]
             out = out.select(*cols).localCheckpoint()
             inc_tiers[spec.name] = out
 

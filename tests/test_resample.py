@@ -277,8 +277,12 @@ def test_hist_sketch_composes_losslessly(spark):
     g = pdf.dropna(subset=["value"]).copy()
     g["bin"] = (g.pos // 1000) * 1000
     width = (bounds[1] - bounds[0]) / bins
+    import math
     for q, col in [(0.25, "p25_est"), (0.5, "p50_est"), (0.9, "p90_est")]:
-        exact = g.groupby("bin")["value"].quantile(q)
+        # provable bound is vs the rank-ceil(q*n) order statistic
+        exact = g.groupby("bin")["value"].apply(
+            lambda v, q=q: sorted(v)[math.ceil(q * len(v)) - 1]
+        )
         got = est.set_index("bin_start")[col].sort_index()
         assert (abs(got.to_numpy() - exact.sort_index().to_numpy())
                 <= width + 1e-9).all()

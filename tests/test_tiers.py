@@ -386,3 +386,62 @@ def test_lineage_and_metrics_tables(spark, tmp_path, tiny_tokens):
     assert {"tier", "ts"}.issubset(set(mdf.columns))
     assert mdf.where("op = 'expire'").count() == 1
     assert mdf.where("tier = 'tier_1m'").count() >= 1
+
+
+def test_cascade_carries_composable_hist_sketch(spark, store, tiny_series):
+    """A TierSpec hist_bounds adds a per-bin count-array histogram at
+    tier_1m that parquet-roundtrips and SUMS upward through the
+    cascade: tier_1d's array equals a direct raw->1d histogram
+    bit-for-bit, and read_percentile_estimates serves estimates within
+    one bin width of the exact percentile — no raw re-scan above the
+    first tier (spec has no exact `percentiles`)."""
+    from diive_spark.operators.resample import bucket_rollup
+    from diive_spark.operators.tiers import TierSpec
+
+    bounds, bins = (0.0, 55000.0), 550      # token-id value range
+    cascade = (
+        TierSpec("tier_1m", 60, 0.0, None, (),
+                 hist_bounds=bounds, hist_bins=bins),
+        TierSpec("tier_1h", 3600, 0.0, "tier_1m", ()),
+        TierSpec("tier_1d", 86400, 0.0, "tier_1h", ()),
+    )
+    store.materialize_cascade(tiny_series, cascade=cascade)
+    got = {
+        (r["source"], r["doc_id"], r["bin_start"]): list(r["hist"])
+        for r in store.read("tier_1d").select(
+            "source", "doc_id", "bin_start", "hist").collect()
+    }
+    direct = {
+        (r["source"], r["doc_id"], r["bin_start"]): list(r["hist"])
+        for r in bucket_rollup(
+            tiny_series, every=86400, mincounts_perc=0.0,
+            min_floor_rule=False, hist_bounds=bounds, hist_bins=bins,
+        ).select("source", "doc_id", "bin_start", "hist").collect()
+    }
+    assert got and got == direct                    # lossless, bit-for-bit
+
+    est = store.read_percentile_estimates(
+        "tier_1d", [0.5, 0.9], cascade[0]
+    ).select("source", "doc_id", "bin_start", "p50_est", "p90_est").toPandas()
+    # exact rank-ceil(q*n) order statistics (the estimator's provable
+    # <= one-bin-width target; interpolated quantiles can differ more
+    # across empty-value gaps)
+    import math
+    raw = tiny_series.toPandas().dropna(subset=["value"])
+    raw["bin_start"] = (raw.pos // 86400) * 86400
+
+    def order_stat(v, q):
+        v = sorted(v)
+        return v[math.ceil(q * len(v)) - 1]
+
+    exact = (
+        raw.groupby(["source", "doc_id", "bin_start"])["value"]
+        .agg(e50=lambda v: order_stat(v, 0.5),
+             e90=lambda v: order_stat(v, 0.9))
+        .reset_index()
+    )
+    m = est.merge(exact, on=["source", "doc_id", "bin_start"])
+    width = (bounds[1] - bounds[0]) / bins
+    assert len(m) == len(est) > 0
+    assert ((m.p50_est - m.e50).abs() <= width + 1e-9).all()
+    assert ((m.p90_est - m.e90).abs() <= width + 1e-9).all()
