@@ -619,3 +619,76 @@ def ltob_downsample(
         .where(F.col("_rn") == 1)
         .drop("_rn", "_area")
     )
+
+
+def time_weighted_avg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    method: str = "locf",
+    quantized: float | None = None,
+) -> DataFrame:
+    """Time-weighted average per ``every``-sized bin for IRREGULARLY
+    sampled series (the TimescaleDB ``time_weight``/``average`` analog —
+    public semantics; diive's resamplers assume a regular grid and
+    weight every reading equally, which biases bins toward bursts).
+
+    Each reading is weighted by how long it was "in effect":
+
+    - ``method='locf'``: a reading holds until the next one (step
+      function) — weight = time to next reading;
+    - ``method='linear'``: trapezoidal — each segment between
+      consecutive readings contributes ``(v_i + v_{i+1})/2 * dt``.
+
+    Segments are attributed to the bin of their LEFT endpoint and
+    clipped at nothing (segment-granular, like counter_agg's
+    convention: bins tile the series exactly — the per-bin sums add up
+    to the whole-series integral).  The last reading of a series has
+    no following segment and contributes no weight.  Null readings are
+    dropped first (a gap ends a segment).  One per-series window pass
+    + one bin groupBy; no Python.
+
+    Output per (key..., bin): ``twa`` (integral / duration), ``n``
+    readings starting a segment in the bin, ``integral`` and
+    ``duration`` partials — which COMPOSE upward losslessly (sum),
+    so tier N+1's time-weighted average needs no raw re-scan.
+
+    ``quantized`` (e.g. ``1e6``): per-segment area/duration are
+    floored to that scale and summed as INTEGERS — the result is then
+    bit-deterministic across partitionings and retries (identical
+    tier rebuilds; float sums are order-dependent at the last ulp),
+    at a quantization cost of < 1/scale per segment.
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be locf|linear, got {method}")
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    x = F.col(axis_col).cast("double")
+    v = F.col(value_col)
+    dt = F.lead(x).over(w) - x
+    seg_v = v if method == "locf" else (v + F.lead(v).over(w)) / 2.0
+    seg = pts.withColumn("_dt", dt).withColumn(
+        "_area", seg_v * F.col("_dt")
+    ).where(F.col("_dt").isNotNull())
+    from .resample import with_bin
+
+    binned = with_bin(seg, axis_col, every)
+    if quantized is not None:
+        s = F.lit(float(quantized))
+        area = F.sum(F.floor(F.col("_area") * s).cast("long")) / s
+        dur = F.sum(F.floor(F.col("_dt") * s).cast("long")) / s
+    else:
+        area = F.sum("_area")
+        dur = F.sum("_dt")
+    return (
+        binned.groupBy(*keys, "bin_start", "bin_end", "bin_label")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            area.alias("integral"),
+            dur.alias("duration"),
+        )
+        .withColumn("twa", F.col("integral") / F.col("duration"))
+    )

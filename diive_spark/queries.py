@@ -3258,6 +3258,48 @@ QUALIFY row_number() OVER (PARTITION BY source, doc_id, bin_start
 """
 
 
+def q_time_weighted_avg(spark, sf_dir):
+    """Trapezoidal time-weighted average per 1h bin over the
+    irregularly-spaced non-null readings (TimescaleDB time_weight
+    analog).  quantized=1e6 sums integer-scaled segment areas, so the
+    result is bit-deterministic across engines and partitionings."""
+    from .operators.analyses import time_weighted_avg
+
+    out = time_weighted_avg(series(spark, sf_dir), every=3600,
+                            method="linear", quantized=1e6,
+                            key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("integral")).alias("integral"),
+        _r(F.col("duration")).alias("duration"),
+        _r(F.col("twa")).alias("twa"),
+    )
+
+
+SQL_TIME_WEIGHTED_AVG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+seg AS (
+  SELECT source, doc_id, pos,
+         lead(pos) OVER w - pos AS dt,
+         (value + lead(value) OVER w) / 2.0 AS segv
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+b AS (
+  SELECT source, doc_id,
+         CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+         CAST(floor((segv * dt) * 1000000.0) AS BIGINT) AS a_q,
+         CAST(floor(dt * 1000000.0) AS BIGINT) AS d_q
+  FROM seg WHERE dt IS NOT NULL)
+SELECT source, doc_id, bin_start, CAST(count(*) AS BIGINT) AS n,
+       round(SUM(a_q) / 1000000.0, 6) AS integral,
+       round(SUM(d_q) / 1000000.0, 6) AS duration,
+       round((SUM(a_q) / 1000000.0) / (SUM(d_q) / 1000000.0), 6) AS twa
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -3266,6 +3308,7 @@ QUERIES = {
     "hist_sketch_percentiles": (q_hist_sketch_percentiles, SQL_HIST_SKETCH),
     "counter_agg_bins": (q_counter_agg, SQL_COUNTER_AGG),
     "ltob_downsample": (q_ltob_downsample, SQL_LTOB),
+    "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),

@@ -302,3 +302,53 @@ def test_ltob_keeps_extremes(spark):
             .groupby("b").first()["pos"])
     assert (out.set_index("bin_start")["pos"].sort_index()
             == pick.sort_index()).all()
+
+
+def test_time_weighted_avg_matches_pandas(spark):
+    """locf + linear TWA on an irregular series vs a pandas trapezoid/
+    step twin; bin integrals tile the whole-series integral; quantized
+    mode within 1/scale per segment of the float path."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import time_weighted_avg
+
+    rng = np.random.default_rng(9)
+    # irregular sampling: sorted unique positions
+    pos = np.sort(rng.choice(20000, 900, replace=False))
+    val = rng.normal(50, 10, 900)
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": pos, "value": val})
+    df = spark.createDataFrame(pdf)
+
+    for method in ("locf", "linear"):
+        out = time_weighted_avg(df, every=5000, method=method,
+                                key_cols=["source", "doc_id"]
+                                ).orderBy("bin_start").toPandas()
+        x = pos.astype(float)
+        dt = np.diff(x)
+        segv = val[:-1] if method == "locf" else (val[:-1] + val[1:]) / 2
+        area = segv * dt
+        b = (pos[:-1] // 5000) * 5000
+        exp = pd.DataFrame({"b": b, "area": area, "dt": dt}).groupby("b").sum()
+        got = out.set_index("bin_start")
+        assert np.allclose(got.integral, exp.area)
+        assert np.allclose(got.duration, exp.dt)
+        assert np.allclose(got.twa, exp.area / exp.dt)
+        # tiling: bin partials sum to the whole-series integral
+        assert np.isclose(got.integral.sum(), area.sum())
+        assert np.isclose(got.duration.sum(), x[-1] - x[0])
+
+    q = time_weighted_avg(df, every=5000, method="linear",
+                          quantized=1e6, key_cols=["source", "doc_id"]
+                          ).orderBy("bin_start").toPandas()
+    f = time_weighted_avg(df, every=5000, method="linear",
+                          key_cols=["source", "doc_id"]
+                          ).orderBy("bin_start").toPandas()
+    n_seg = pd.Series((pos[:-1] // 5000) * 5000).value_counts()
+    tol = (n_seg.sort_index() + 1) / 1e6
+    assert (abs(q.integral.to_numpy() - f.integral.to_numpy())
+            <= tol.to_numpy()).all()
+
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="method"):
+        time_weighted_avg(df, every=5000, method="cubic")
