@@ -692,3 +692,49 @@ def time_weighted_avg(
         )
         .withColumn("twa", F.col("integral") / F.col("duration"))
     )
+
+
+def state_agg(
+    df: DataFrame,
+    every: int,
+    state_col: str = "state",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Time-in-state per ``every``-sized bin (the TimescaleDB
+    ``state_agg``/``duration_in`` analog — public semantics): a state
+    reading holds (locf) until the next reading; per (key..., bin,
+    state) emit total held ``duration``, ``n_segments`` starting in
+    the bin, and ``n_enter`` transitions INTO the state.
+
+    Same segment convention as :func:`time_weighted_avg` /
+    :func:`counter_agg`: a segment belongs to the bin of its left
+    endpoint, so per-bin durations tile the series span exactly and
+    the partials compose upward (sum) with no raw re-scan.  The last
+    reading holds nothing (no following segment).  Null states are
+    dropped first.  One window pass + one groupBy; no Python.
+    """
+    keys = list(key_cols)
+    pts = df.where(F.col(state_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    x = F.col(axis_col).cast("double")
+    dt = F.lead(x).over(w) - x
+    prev_state = F.lag(F.col(state_col)).over(w)
+    entered = F.when(
+        prev_state.isNull() | (prev_state != F.col(state_col)), 1
+    ).otherwise(0)
+    seg = (
+        pts.withColumn("_dt", dt)
+        .withColumn("_enter", entered)
+        .where(F.col("_dt").isNotNull())
+    )
+    from .resample import with_bin
+
+    binned = with_bin(seg, axis_col, every)
+    return binned.groupBy(
+        *keys, "bin_start", "bin_end", "bin_label", state_col
+    ).agg(
+        F.count(F.lit(1)).alias("n_segments"),
+        F.sum("_dt").alias("duration"),
+        F.sum("_enter").alias("n_enter"),
+    )

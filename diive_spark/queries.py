@@ -3300,6 +3300,55 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def q_state_agg(spark, sf_dir):
+    """Time-in-state per 1h bin (TimescaleDB state_agg/duration_in
+    analog): value terciles as states, locf hold until next reading;
+    per (series, bin, state) held duration, segment count and
+    state-entry count.  Integer durations (pos axis) — exact."""
+    from .operators.analyses import state_agg
+
+    s = series(spark, sf_dir).withColumn(
+        "state",
+        F.when(F.col("value").isNull(), F.lit(None).cast("string"))
+        .when(F.col("value") < 33.0, "low")
+        .when(F.col("value") < 66.0, "mid")
+        .otherwise("high"),
+    )
+    out = state_agg(s, every=3600, key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start", "state",
+        F.col("n_segments").cast("long").alias("n_segments"),
+        F.col("duration").cast("long").alias("duration"),
+        F.col("n_enter").cast("long").alias("n_enter"),
+    )
+
+
+SQL_STATE_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+st AS (
+  SELECT source, doc_id, pos,
+         CASE WHEN value IS NULL THEN NULL
+              WHEN value < 33.0 THEN 'low'
+              WHEN value < 66.0 THEN 'mid'
+              ELSE 'high' END AS state
+  FROM series),
+pts AS (SELECT * FROM st WHERE state IS NOT NULL),
+seg AS (
+  SELECT source, doc_id, pos, state,
+         lead(pos) OVER w - pos AS dt,
+         CASE WHEN lag(state) OVER w IS NULL
+                OR lag(state) OVER w <> state THEN 1 ELSE 0 END AS entered
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos))
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start, state,
+       CAST(count(*) AS BIGINT) AS n_segments,
+       CAST(SUM(dt) AS BIGINT) AS duration,
+       CAST(SUM(entered) AS BIGINT) AS n_enter
+FROM seg WHERE dt IS NOT NULL
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -3309,6 +3358,7 @@ QUERIES = {
     "counter_agg_bins": (q_counter_agg, SQL_COUNTER_AGG),
     "ltob_downsample": (q_ltob_downsample, SQL_LTOB),
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
+    "state_agg_bins": (q_state_agg, SQL_STATE_AGG),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),

@@ -352,3 +352,33 @@ def test_time_weighted_avg_matches_pandas(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="method"):
         time_weighted_avg(df, every=5000, method="cubic")
+
+
+def test_state_agg_durations_tile(spark):
+    """state_agg vs a pandas twin: per-(bin, state) held durations,
+    entries; durations across states+bins tile the series span."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import state_agg
+
+    rng = np.random.default_rng(12)
+    pos = np.sort(rng.choice(8000, 500, replace=False))
+    states = rng.choice(["a", "b", "c"], 500)
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": pos, "state": states})
+    out = state_agg(spark.createDataFrame(pdf), every=2000,
+                    key_cols=["source", "doc_id"]).toPandas()
+    p = pdf.copy()
+    p["dt"] = p.pos.shift(-1) - p.pos
+    p["entered"] = (p.state != p.state.shift()).astype(int)
+    p = p.dropna(subset=["dt"])
+    p["bin"] = (p.pos // 2000) * 2000
+    exp = (p.groupby(["bin", "state"])
+           .agg(n=("dt", "size"), dur=("dt", "sum"), ent=("entered", "sum")))
+    got = out.set_index(["bin_start", "state"]).sort_index()
+    exp = exp.sort_index()
+    assert len(got) == len(exp)
+    assert (got.n_segments.to_numpy() == exp.n.to_numpy()).all()
+    assert (got.duration.to_numpy() == exp.dur.to_numpy()).all()
+    assert (got.n_enter.to_numpy() == exp.ent.to_numpy()).all()
+    assert got.duration.sum() == pos[-1] - pos[0]        # tiling
