@@ -738,3 +738,53 @@ def state_agg(
         F.sum("_dt").alias("duration"),
         F.sum("_enter").alias("n_enter"),
     )
+
+
+def heartbeat_agg(
+    df: DataFrame,
+    every: int,
+    alive_window: float,
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Uptime per ``every``-sized bin from heartbeat events (the
+    TimescaleDB ``heartbeat_agg`` analog — public semantics): each
+    heartbeat proves liveness for ``alive_window`` axis units, so a
+    segment between consecutive heartbeats contributes
+    ``min(gap, alive_window)`` covered time and the remainder is
+    downtime.
+
+    Same left-endpoint segment convention as the other continuous
+    aggregates here (:func:`time_weighted_avg`, :func:`state_agg`):
+    per-bin ``uptime``/``downtime`` partials tile the series span
+    exactly and compose upward by summing.  The final heartbeat's
+    trailing ``alive_window`` is NOT credited (no following segment
+    bounds it) — callers wanting it can append a sentinel event.
+    Output per (key..., bin): ``n_beats`` (segments starting in the
+    bin), ``uptime``, ``downtime``, ``n_gaps`` (segments with dead
+    time), ``live_frac``.
+    """
+    keys = list(key_cols)
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    x = F.col(axis_col).cast("double")
+    dt = F.lead(x).over(w) - x
+    seg = df.withColumn("_dt", dt).where(F.col("_dt").isNotNull())
+    up = F.least(F.col("_dt"), F.lit(float(alive_window)))
+    from .resample import with_bin
+
+    binned = with_bin(seg, axis_col, every)
+    return (
+        binned.groupBy(*keys, "bin_start", "bin_end", "bin_label")
+        .agg(
+            F.count(F.lit(1)).alias("n_beats"),
+            F.sum(up).alias("uptime"),
+            F.sum(F.col("_dt") - up).alias("downtime"),
+            F.sum(
+                F.when(F.col("_dt") > alive_window, 1).otherwise(0)
+            ).alias("n_gaps"),
+        )
+        .withColumn(
+            "live_frac",
+            F.col("uptime") / (F.col("uptime") + F.col("downtime")),
+        )
+    )

@@ -3349,6 +3349,49 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+def q_heartbeat_agg(spark, sf_dir):
+    """Uptime per 1h bin from heartbeat events (TimescaleDB
+    heartbeat_agg analog): non-null readings are the heartbeats, each
+    proving liveness for 120 axis units; per bin uptime/downtime/gap
+    count/live fraction.  Integer axis -> exact arithmetic."""
+    from .operators.analyses import heartbeat_agg
+
+    beats = series(spark, sf_dir).where(F.col("value").isNotNull())
+    out = heartbeat_agg(beats, every=3600, alive_window=120.0,
+                        key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n_beats").cast("long").alias("n_beats"),
+        F.col("uptime").cast("long").alias("uptime"),
+        F.col("downtime").cast("long").alias("downtime"),
+        F.col("n_gaps").cast("long").alias("n_gaps"),
+        _r(F.col("live_frac")).alias("live_frac"),
+    )
+
+
+SQL_HEARTBEAT_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+beats AS (SELECT source, doc_id, pos FROM series WHERE value IS NOT NULL),
+seg AS (
+  SELECT source, doc_id, pos,
+         CAST(lead(pos) OVER (PARTITION BY source, doc_id ORDER BY pos)
+              - pos AS DOUBLE) AS dt
+  FROM beats),
+b AS (
+  SELECT source, doc_id,
+         CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+         dt, LEAST(dt, 120.0) AS up
+  FROM seg WHERE dt IS NOT NULL)
+SELECT source, doc_id, bin_start,
+       CAST(count(*) AS BIGINT) AS n_beats,
+       CAST(SUM(up) AS BIGINT) AS uptime,
+       CAST(SUM(dt - up) AS BIGINT) AS downtime,
+       CAST(SUM(CASE WHEN dt > 120.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+       round(SUM(up) / (SUM(up) + SUM(dt - up)), 6) AS live_frac
+FROM b GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -3359,6 +3402,7 @@ QUERIES = {
     "ltob_downsample": (q_ltob_downsample, SQL_LTOB),
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "state_agg_bins": (q_state_agg, SQL_STATE_AGG),
+    "heartbeat_agg_bins": (q_heartbeat_agg, SQL_HEARTBEAT_AGG),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),

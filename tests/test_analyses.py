@@ -382,3 +382,29 @@ def test_state_agg_durations_tile(spark):
     assert (got.duration.to_numpy() == exp.dur.to_numpy()).all()
     assert (got.n_enter.to_numpy() == exp.ent.to_numpy()).all()
     assert got.duration.sum() == pos[-1] - pos[0]        # tiling
+
+
+def test_heartbeat_agg_uptime(spark):
+    """heartbeat_agg vs a pandas twin: per-bin uptime is
+    min(gap, alive_window) summed; uptime+downtime tile the span."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import heartbeat_agg
+
+    rng = np.random.default_rng(21)
+    pos = np.sort(rng.choice(10000, 300, replace=False))
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d", "pos": pos})
+    out = heartbeat_agg(spark.createDataFrame(pdf), every=2500,
+                        alive_window=40.0,
+                        key_cols=["source", "doc_id"]).toPandas()
+    dt = np.diff(pos).astype(float)
+    up = np.minimum(dt, 40.0)
+    b = (pos[:-1] // 2500) * 2500
+    exp = pd.DataFrame({"b": b, "up": up, "down": dt - up,
+                        "gap": (dt > 40.0).astype(int)}).groupby("b").sum()
+    got = out.set_index("bin_start").sort_index()
+    assert np.allclose(got.uptime, exp.up)
+    assert np.allclose(got.downtime, exp.down)
+    assert (got.n_gaps.to_numpy() == exp.gap.to_numpy()).all()
+    assert np.isclose((got.uptime + got.downtime).sum(), pos[-1] - pos[0])
+    assert ((got.live_frac > 0) & (got.live_frac <= 1)).all()
