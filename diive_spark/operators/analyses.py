@@ -788,3 +788,57 @@ def heartbeat_agg(
             F.col("uptime") / (F.col("uptime") + F.col("downtime")),
         )
     )
+
+
+def bin_entropy(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Shannon entropy of the value distribution per ``every``-sized
+    bin — for token streams this is the standard degeneration /
+    repetition-collapse signal (entropy drops when a model or source
+    starts looping; public metric, no reference-repo counterpart:
+    diive's stats battery has no distributional health measure).
+
+    Per (key..., bin): ``n`` values, ``n_distinct``, ``entropy``
+    (nats, ``ln n - Σ c·ln c / n``), ``top_share`` (modal value's
+    frequency share — the quick degeneration tell).
+
+    Two partial-aggregated groupBys — (key, bin, value) counts, then
+    (key, bin) — both JVM-side; the alphabet never leaves the
+    executors.  Nulls are excluded.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, *_bin_cols(df, axis_col, every), v.alias("_val"))
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    c = F.col("_c").cast("double")
+    return counts.groupBy(*keys, "bin_start", "bin_end", "bin_label").agg(
+        F.sum("_c").alias("n"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        (
+            F.log(F.sum("_c").cast("double"))
+            - F.sum(c * F.log(c)) / F.sum("_c").cast("double")
+        ).alias("entropy"),
+        (F.max("_c").cast("double") / F.sum("_c").cast("double")).alias(
+            "top_share"
+        ),
+    )
+
+
+def _bin_cols(df: DataFrame, axis_col: str, every: int):
+    """bin_start/end/label expressions (groupBy-able without a
+    withColumn round trip)."""
+    b = F.floor(F.col(axis_col) / F.lit(every))
+    start = (b * every).cast("long")
+    return [
+        start.alias("bin_start"),
+        (start + every).cast("long").alias("bin_end"),
+        (start + every).cast("long").alias("bin_label"),
+    ]

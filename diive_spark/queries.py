@@ -3392,6 +3392,50 @@ FROM b GROUP BY 1, 2, 3
 """
 
 
+def q_bin_entropy(spark, sf_dir):
+    """Per-1h-bin Shannon entropy / distinct count / modal share of the
+    discretized value stream — the token-stream degeneration signal
+    (entropy collapse = repetition).  Values are floored to integers so
+    both engines bin identically."""
+    from .operators.analyses import bin_entropy
+
+    s = series(spark, sf_dir).withColumn(
+        "tokv", F.floor(F.col("value")).cast("long")
+    )
+    out = bin_entropy(s, every=3600, value_col="tokv",
+                      key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("n_distinct").cast("long").alias("n_distinct"),
+        _r(F.col("entropy")).alias("entropy"),
+        _r(F.col("top_share")).alias("top_share"),
+    )
+
+
+SQL_BIN_ENTROPY = f"""
+WITH series AS ({SERIES_SQL}),
+tok AS (
+  SELECT source, doc_id, pos,
+         CAST(floor(value) AS BIGINT) AS tokv
+  FROM series WHERE value IS NOT NULL),
+c AS (
+  SELECT source, doc_id,
+         CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+         tokv, count(*) AS c
+  FROM tok GROUP BY 1, 2, 3, 4)
+SELECT source, doc_id, bin_start,
+       CAST(SUM(c) AS BIGINT) AS n,
+       CAST(count(*) AS BIGINT) AS n_distinct,
+       round(ln(CAST(SUM(c) AS DOUBLE))
+             - SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE)))
+               / CAST(SUM(c) AS DOUBLE), 6) AS entropy,
+       round(CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE), 6)
+         AS top_share
+FROM c GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -3403,6 +3447,7 @@ QUERIES = {
     "time_weighted_avg": (q_time_weighted_avg, SQL_TIME_WEIGHTED_AVG),
     "state_agg_bins": (q_state_agg, SQL_STATE_AGG),
     "heartbeat_agg_bins": (q_heartbeat_agg, SQL_HEARTBEAT_AGG),
+    "bin_entropy": (q_bin_entropy, SQL_BIN_ENTROPY),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),

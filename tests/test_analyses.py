@@ -408,3 +408,36 @@ def test_heartbeat_agg_uptime(spark):
     assert (got.n_gaps.to_numpy() == exp.gap.to_numpy()).all()
     assert np.isclose((got.uptime + got.downtime).sum(), pos[-1] - pos[0])
     assert ((got.live_frac > 0) & (got.live_frac <= 1)).all()
+
+
+def test_bin_entropy_detects_degeneration(spark):
+    """bin_entropy vs scipy-free numpy twin; a degenerate (looping)
+    bin scores near-zero entropy and high top_share while a diverse
+    bin scores high entropy."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import bin_entropy
+
+    rng = np.random.default_rng(17)
+    diverse = rng.integers(0, 500, 1000)         # bin 0: healthy stream
+    looping = np.tile([7, 7, 7, 9], 250)         # bin 1: degenerated
+    pdf = pd.DataFrame({
+        "source": "s", "doc_id": "d", "pos": np.arange(2000),
+        "value": np.concatenate([diverse, looping]).astype(float),
+    })
+    out = (
+        bin_entropy(spark.createDataFrame(pdf), every=1000,
+                    key_cols=["source", "doc_id"])
+        .orderBy("bin_start").toPandas()
+    )
+
+    def np_entropy(v):
+        c = np.unique(v, return_counts=True)[1].astype(float)
+        n = c.sum()
+        return np.log(n) - (c * np.log(c)).sum() / n
+
+    assert np.isclose(out.entropy[0], np_entropy(diverse))
+    assert np.isclose(out.entropy[1], np_entropy(looping))
+    assert out.entropy[0] > 5 * out.entropy[1]
+    assert out.top_share[1] == 0.75
+    assert out.n_distinct[1] == 2
