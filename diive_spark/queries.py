@@ -865,11 +865,12 @@ def q_cosine_topk(spark, sf_dir):
 
 
 SQL_COSINE_TOPK = """
-WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings
-           WHERE vec_id IN (0, 1, 2)),
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 1, 2)),
 scored AS (
   SELECT q.query_id, e.vec_id,
-         list_cosine_similarity(e.embedding, q.qe) AS cos_raw
+         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe)
+           AS cos_raw
   FROM embeddings e, q WHERE e.vec_id <> q.query_id),
 ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id
