@@ -832,6 +832,127 @@ def bin_entropy(
     )
 
 
+def candle_agg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """OHLC candlestick aggregate per ``every``-sized bin (the
+    TimescaleDB ``candlestick_agg`` analog — public semantics; no
+    reference-repo counterpart: diive's resamplers keep min/max but
+    lose which reading came first/last in the bin).
+
+    Per (key..., bin): ``open``/``close`` (value at the earliest /
+    latest ``axis_col`` in the bin), ``high``/``low``, ``n`` readings,
+    ``volume`` (sum), plus ``open_pos``/``close_pos`` anchors.  Nulls
+    are dropped first.  One partial-aggregated groupBy (``min_by`` /
+    ``max_by`` carry the anchor through map-side combine) — single
+    shuffle, no window, no Python.
+
+    The output is a COMPOSABLE partial: ``compose_candles`` builds
+    tier N+1 candles from tier N candles alone (open = open of the
+    earliest sub-candle, close = close of the latest, high/low/n/
+    volume fold), so coarser tiers never re-scan raw readings.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    ax = F.col(axis_col)
+    return (
+        df.where(v.isNotNull())
+        .groupBy(*keys, *_bin_cols(df, axis_col, every))
+        .agg(
+            F.count(v).alias("n"),
+            F.min_by(v, ax).alias("open"),
+            F.max(v).alias("high"),
+            F.min(v).alias("low"),
+            F.max_by(v, ax).alias("close"),
+            F.min(ax).cast("long").alias("open_pos"),
+            F.max(ax).cast("long").alias("close_pos"),
+            F.sum(v).alias("volume"),
+        )
+    )
+
+
+def compose_candles(
+    candles: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Tier N+1 candles from tier N candles only — no raw re-scan.
+
+    open/close follow the earliest/latest sub-candle's anchors (exact:
+    the raw arg-min/arg-max reading lives in exactly one sub-candle);
+    high/low/n/volume fold associatively.  ``every`` is in raw-axis
+    units and must be a multiple of the input tier's bin width.
+    """
+    keys = list(key_cols)
+    b = F.floor(F.col("bin_start") / F.lit(every))
+    start = (b * every).cast("long")
+    return candles.groupBy(
+        *keys,
+        start.alias("bin_start"),
+        (start + every).cast("long").alias("bin_end"),
+        (start + every).cast("long").alias("bin_label"),
+    ).agg(
+        F.sum("n").alias("n"),
+        F.min_by(F.col("open"), F.col("open_pos")).alias("open"),
+        F.max("high").alias("high"),
+        F.min("low").alias("low"),
+        F.max_by(F.col("close"), F.col("close_pos")).alias("close"),
+        F.min("open_pos").alias("open_pos"),
+        F.max("close_pos").alias("close_pos"),
+        F.sum("volume").alias("volume"),
+    )
+
+
+def gauge_agg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Gauge (free-moving metric) aggregate per ``every``-sized bin —
+    the TimescaleDB ``gauge_agg`` analog, counter_agg's sibling for
+    values that legitimately go DOWN (temperature, queue depth, memory
+    in use): no reset healing, deltas are signed.
+
+    Per (key..., bin): ``delta`` = last − first reading *crossing bin
+    edges* (the increment at a bin's first point uses the previous
+    bin's last reading, so per-bin deltas tile the series total
+    exactly, matching counter_agg's convention), ``idelta_left`` /
+    ``idelta_right`` = the first / last single-step increment landing
+    in the bin, ``rate`` = delta / axis span covered by the bin's
+    increments, ``first``/``last`` raw readings, ``n`` points.  Nulls
+    are dropped first.  One per-series window pass + one bin groupBy.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    ax = F.col(axis_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    prev_v = F.lag(v).over(w)
+    prev_x = F.lag(ax).over(w)
+    stepped = pts.withColumn(
+        "_inc", v - prev_v
+    ).withColumn("_dx", (ax - prev_x).cast("double"))
+    # ordering masked to non-null increments: min_by/max_by skip rows
+    # whose ordering is null, so the series-first point (no previous
+    # reading, hence no increment) never claims idelta_left
+    inc_ax = F.when(F.col("_inc").isNotNull(), ax)
+    return stepped.groupBy(*keys, *_bin_cols(stepped, axis_col, every)).agg(
+        F.count(v).alias("n"),
+        F.sum("_inc").alias("delta"),
+        F.min_by(F.col("_inc"), inc_ax).alias("idelta_left"),
+        F.max_by(F.col("_inc"), inc_ax).alias("idelta_right"),
+        (F.sum("_inc") / F.sum("_dx")).alias("rate"),
+        F.min_by(v, ax).alias("first"),
+        F.max_by(v, ax).alias("last"),
+    )
+
+
 def _bin_cols(df: DataFrame, axis_col: str, every: int):
     """bin_start/end/label expressions (groupBy-able without a
     withColumn round trip)."""

@@ -3437,11 +3437,187 @@ FROM c GROUP BY 1, 2, 3
 """
 
 
+def q_candle_agg(spark, sf_dir):
+    """OHLC candles composed across retention tiers (TimescaleDB
+    candlestick_agg analog): 1m candles fold into 1h candles with NO
+    raw re-scan (open/close follow the earliest/latest sub-candle's
+    anchors); the oracle computes 1h OHLC directly from raw — equality
+    proves both the aggregate and that the composition lost nothing.
+    Picked readings (arg-min/arg-max), not sums — order-independent,
+    hence hash-stable."""
+    from .operators.analyses import candle_agg, compose_candles
+
+    t1m = candle_agg(series(spark, sf_dir), every=60,
+                     key_cols=["source", "doc_id"])
+    t1h = compose_candles(t1m, every=3600, key_cols=["source", "doc_id"])
+    return t1h.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        _r(F.col("open")).alias("open"),
+        _r(F.col("high")).alias("high"),
+        _r(F.col("low")).alias("low"),
+        _r(F.col("close")).alias("close"),
+        "open_pos", "close_pos",
+    )
+
+
+SQL_CANDLE_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL)
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(arg_min(value, pos), 6) AS open,
+       round(max(value), 6) AS high,
+       round(min(value), 6) AS low,
+       round(arg_max(value, pos), 6) AS close,
+       CAST(min(pos) AS BIGINT) AS open_pos,
+       CAST(max(pos) AS BIGINT) AS close_pos
+FROM pts GROUP BY 1, 2, 3
+"""
+
+
+def q_gauge_agg(spark, sf_dir):
+    """Signed-delta gauge rollup per 1h bin (TimescaleDB gauge_agg
+    analog — counter_agg without reset healing): per-bin delta (lag
+    crosses bin edges so deltas tile the series), first/last
+    single-step increments, rate.  The gauge is integer-quantized
+    (floor(value*100)) so sums are exact integers — bit-deterministic
+    across engines and partitionings."""
+    from .operators.analyses import gauge_agg
+
+    s = series(spark, sf_dir).withColumn(
+        "g", F.floor(F.col("value") * 100).cast("long")
+    )
+    out = gauge_agg(s, every=3600, value_col="g",
+                    key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("delta").cast("long").alias("delta"),
+        F.col("idelta_left").cast("long").alias("idelta_left"),
+        F.col("idelta_right").cast("long").alias("idelta_right"),
+        _r(F.col("rate")).alias("rate"),
+        F.col("first").cast("long").alias("first"),
+        F.col("last").cast("long").alias("last"),
+    )
+
+
+SQL_GAUGE_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos,
+               CAST(floor(value * 100) AS BIGINT) AS g
+        FROM series WHERE value IS NOT NULL),
+st AS (
+  SELECT source, doc_id, pos, g,
+         g - lag(g) OVER w AS inc,
+         CAST(pos - lag(pos) OVER w AS DOUBLE) AS dx
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos))
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(SUM(inc) AS BIGINT) AS delta,
+       CAST(arg_min(inc, pos) FILTER (WHERE inc IS NOT NULL) AS BIGINT)
+         AS idelta_left,
+       CAST(arg_max(inc, pos) FILTER (WHERE inc IS NOT NULL) AS BIGINT)
+         AS idelta_right,
+       round(CAST(SUM(inc) AS DOUBLE) / SUM(dx), 6) AS rate,
+       CAST(arg_min(g, pos) AS BIGINT) AS first,
+       CAST(arg_max(g, pos) AS BIGINT) AS last
+FROM st GROUP BY 1, 2, 3
+"""
+
+
+def q_hll_distinct_tiers(spark, sf_dir):
+    """Mergeable distinct-count sketches across retention tiers
+    (self-verifying): 1m bins carry a Datasketches HLL sketch of the
+    discretized value (bucket_rollup distinct_col), composed into 1h
+    bins by LOSSLESS sketch union (compose_rollup) with no raw
+    re-scan.  The query itself verifies, per 1h bin, that (a) the
+    composed estimate sits within 3% (+1) of the exact distinct count
+    recomputed from raw, and (b) the composed sketch's estimate equals
+    a direct raw-built 1h sketch's estimate to within 1% — then emits
+    only the exact count and the two booleans, so the DuckDB twin is
+    plain exact-distinct SQL + literal TRUEs.  A broken sketch,
+    union, or composition path flips a boolean and fails the hash."""
+    from .operators.resample import (
+        bucket_rollup,
+        compose_rollup,
+        with_distinct_estimate,
+    )
+
+    s = series(spark, sf_dir).withColumn(
+        "tokv", F.floor(F.col("value")).cast("long")
+    )
+    t1m = bucket_rollup(
+        s, every=60, key_cols=["source", "doc_id"],
+        mincounts_perc=0.0, min_floor_rule=False, distinct_col="tokv",
+    )
+    t1h = with_distinct_estimate(
+        compose_rollup(t1m, every=3600, key_cols=["source", "doc_id"],
+                       mincounts_perc=0.0, min_floor_rule=False),
+        out_col="est_composed",
+    )
+    direct = with_distinct_estimate(
+        bucket_rollup(
+            s, every=3600, key_cols=["source", "doc_id"],
+            mincounts_perc=0.0, min_floor_rule=False, distinct_col="tokv",
+        ),
+        out_col="est_direct",
+    ).select("source", "doc_id", "bin_start", "est_direct")
+    exact = (
+        s.where(F.col("tokv").isNotNull())
+        .groupBy(
+            "source", "doc_id",
+            (F.floor(F.col("pos") / 3600) * 3600).cast("long")
+            .alias("bin_start"),
+        )
+        .agg(F.count_distinct(F.col("tokv")).alias("n_exact"))
+    )
+    j = t1h.join(direct, ["source", "doc_id", "bin_start"]).join(
+        exact, ["source", "doc_id", "bin_start"]
+    )
+    ex = F.col("n_exact").cast("double")
+    return j.select(
+        "source", "doc_id", "bin_start",
+        F.col("n_exact").cast("long").alias("n_exact"),
+        (
+            F.abs(F.col("est_composed").cast("double") - ex)
+            <= ex * 0.03 + 1.0
+        ).alias("est_ok"),
+        (
+            F.abs(
+                F.col("est_composed").cast("double")
+                - F.col("est_direct").cast("double")
+            )
+            <= F.col("est_direct").cast("double") * 0.01
+        ).alias("compose_ok"),
+    )
+
+
+SQL_HLL_DISTINCT = f"""
+WITH series AS ({SERIES_SQL}),
+tok AS (
+  SELECT source, doc_id, pos, CAST(floor(value) AS BIGINT) AS tokv
+  FROM series WHERE value IS NOT NULL)
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+       CAST(count(DISTINCT tokv) AS BIGINT) AS n_exact,
+       TRUE AS est_ok,
+       TRUE AS compose_ok
+FROM tok GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "candle_agg_tiers": (q_candle_agg, SQL_CANDLE_AGG),
+    "gauge_agg_bins": (q_gauge_agg, SQL_GAUGE_AGG),
+    "hll_distinct_tiers": (q_hll_distinct_tiers, SQL_HLL_DISTINCT),
     "hist_sketch_percentiles": (q_hist_sketch_percentiles, SQL_HIST_SKETCH),
     "counter_agg_bins": (q_counter_agg, SQL_COUNTER_AGG),
     "ltob_downsample": (q_ltob_downsample, SQL_LTOB),

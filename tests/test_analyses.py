@@ -441,3 +441,84 @@ def test_bin_entropy_detects_degeneration(spark):
     assert out.entropy[0] > 5 * out.entropy[1]
     assert out.top_share[1] == 0.75
     assert out.n_distinct[1] == 2
+
+
+def test_candle_agg_composes_losslessly(spark):
+    """candle_agg vs a pandas OHLC twin; compose_candles(1m -> 1h)
+    equals a direct 1h candle_agg bit-for-bit (picked readings, not
+    sums — composition is exact)."""
+    from diive_spark.operators.analyses import candle_agg, compose_candles
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    v = rng.normal(50, 10, n)
+    v[rng.choice(n, 300, replace=False)] = np.nan
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    df = spark.createDataFrame(pdf).withColumn(
+        "value", F.nanvl(F.col("value"), F.lit(None))
+    )
+    keys = ["source", "doc_id"]
+    direct = (
+        candle_agg(df, every=1200, key_cols=keys)
+        .orderBy("bin_start").toPandas()
+    )
+    composed = (
+        compose_candles(candle_agg(df, every=100, key_cols=keys),
+                        every=1200, key_cols=keys)
+        .orderBy("bin_start").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        direct[sorted(direct.columns)].reset_index(drop=True),
+        composed[sorted(composed.columns)].reset_index(drop=True),
+    )
+    p = pdf.dropna(subset=["value"]).copy()
+    p["bin"] = (p.pos // 1200) * 1200
+    g = p.sort_values("pos").groupby("bin")["value"]
+    exp = g.agg(["first", "max", "min", "last", "count"])
+    got = direct.set_index("bin_start")
+    assert np.allclose(got["open"], exp["first"])
+    assert np.allclose(got["high"], exp["max"])
+    assert np.allclose(got["low"], exp["min"])
+    assert np.allclose(got["close"], exp["last"])
+    assert (got["n"] == exp["count"]).all()
+
+
+def test_gauge_agg_deltas_tile(spark):
+    """gauge_agg vs a pandas twin: signed per-bin deltas (lag crossing
+    bin edges) tile the whole-series delta; idelta endpoints and rate
+    match."""
+    from diive_spark.operators.analyses import gauge_agg
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    g = np.cumsum(rng.integers(-5, 6, n))        # free-moving gauge
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "g": g})
+    out = (
+        gauge_agg(spark.createDataFrame(pdf), every=600, value_col="g",
+                  key_cols=["source", "doc_id"])
+        .orderBy("bin_start").toPandas().set_index("bin_start")
+    )
+    p = pdf.copy()
+    p["inc"] = p.g.diff()
+    p["bin"] = (p.pos // 600) * 600
+    exp = p.groupby("bin").agg(
+        delta=("inc", "sum"),
+        ileft=("inc", lambda s: s.dropna().iloc[0] if s.notna().any()
+               else np.nan),
+        iright=("inc", lambda s: s.dropna().iloc[-1] if s.notna().any()
+                else np.nan),
+        first=("g", "first"), last=("g", "last"), n=("g", "count"),
+    )
+    assert np.allclose(out.delta, exp.delta)
+    assert np.allclose(out.idelta_left, exp.ileft)
+    assert np.allclose(out.idelta_right, exp.iright)
+    assert (out["first"] == exp["first"]).all()
+    assert (out["last"] == exp["last"]).all()
+    # bins tile: sum of per-bin deltas == whole-series last - first
+    assert out.delta.sum() == g[-1] - g[0]
+    # rate = delta / axis span covered by the bin's increments
+    spans = p.dropna(subset=["inc"]).groupby("bin").size() * 1.0
+    assert np.allclose(out.rate.dropna(),
+                       (exp.delta / spans).dropna())

@@ -404,3 +404,25 @@ def test_counter_agg_and_ltob_single_exchange(spark, tiny_series):
     lt = ltob_downsample(tiny_series, every=500)
     p = _physical_plan(lt)
     assert p.count("Exchange") == 1 and "SinglePartition" not in p
+
+
+def test_candle_and_gauge_agg_plan_shape(spark, tiny_series):
+    """candle_agg is one partial-aggregated groupBy (single Exchange);
+    compose_candles adds at most one more (tier table is tiny); gauge
+    reuses its window partitioning for the bin agg — all without a
+    SinglePartition collapse."""
+    from diive_spark.operators.analyses import (
+        candle_agg,
+        compose_candles,
+        gauge_agg,
+    )
+
+    ca = candle_agg(tiny_series, every=3600)
+    p = _physical_plan(ca)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+    comp = compose_candles(ca, every=7200)
+    p = _physical_plan(comp)
+    assert p.count("Exchange") <= 2 and "SinglePartition" not in p
+    ga = gauge_agg(tiny_series, every=3600)
+    p = _physical_plan(ga)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
