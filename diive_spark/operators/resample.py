@@ -180,8 +180,16 @@ def bucket_rollup(
     distinct_col: str | None = None,
     hist_bounds: tuple[float, float] | None = None,
     hist_bins: int = 64,
+    ohlc: bool = False,
 ) -> DataFrame:
     """Downsample a long series table to ``every``-sized bins.
+
+    ``ohlc=True``: adds per-bin ``open``/``close`` (the value at the
+    earliest/latest axis position — min/max already serve as low/high)
+    plus ``open_pos``/``close_pos`` anchors, in the SAME groupBy.
+    Unlike percentiles these COMPOSE upward exactly (picked readings,
+    not sums): ``compose_rollup`` folds them via the anchors, so tier
+    N+1 candles (and locf seeds for gap-fill) need no raw re-scan.
 
     ``fingerprint_over``: optional list of columns; adds a per-bin
     ``_fp_h = bit_xor(xxhash64(cols))`` aggregate in the SAME groupBy,
@@ -252,6 +260,16 @@ def bucket_rollup(
         )
     if distinct_col:
         aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
+    if ohlc:
+        # ordering masked to non-null readings: min_by/max_by skip rows
+        # whose ordering is null, so gaps never claim open/close
+        vax = F.when(v.isNotNull(), F.col(axis_col))
+        aggs += [
+            F.min_by(v, vax).alias("open"),
+            F.max_by(v, vax).alias("close"),
+            F.min(vax).cast("long").alias("open_pos"),
+            F.max(vax).cast("long").alias("close_pos"),
+        ]
     if hist_bounds is not None:
         # one conditional-count aggregate per value bin, assembled into
         # an array — stays inside the same (single-shuffle) groupBy and
@@ -421,6 +439,16 @@ def compose_rollup(
         # HLL distinct sketches union losslessly — the one per-bin
         # statistic beyond the moment partials that composes upward
         aggs.append(F.hll_union_agg(F.col("hll")).alias("hll"))
+    if "open" in tier_df.columns:
+        # OHLC partials fold exactly: the raw arg-min/arg-max reading
+        # lives in exactly one sub-bin, so anchor-ordered picks agree
+        # with a direct rollup of the raw series bit-for-bit
+        aggs += [
+            F.min_by(F.col("open"), F.col("open_pos")).alias("open"),
+            F.max_by(F.col("close"), F.col("close_pos")).alias("close"),
+            F.min("open_pos").alias("open_pos"),
+            F.max("close_pos").alias("close_pos"),
+        ]
     if "hist" in tier_df.columns:
         # element-wise integer sum: lossless histogram composition
         aggs.append(

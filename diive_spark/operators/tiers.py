@@ -74,6 +74,11 @@ class TierSpec:
                             # alternative to exact `percentiles`, which
                             # cost one raw scan per upper tier
     hist_bins: int = 64
+    ohlc: bool = False      # per-bin open/close readings + axis anchors
+                            # (candlestick partials; min/max double as
+                            # low/high).  Compose upward EXACTLY, so
+                            # upper-tier candles and locf gap-fill seeds
+                            # need no raw re-scan
 
 
 DEFAULT_CASCADE = (
@@ -358,6 +363,7 @@ class TierStore:
             fingerprint_over=self.key_cols + [axis_col],
             distinct_col=first.distinct_col,
             hist_bounds=first.hist_bounds, hist_bins=first.hist_bins,
+            ohlc=first.ohlc,
         ).persist()
         fp_rows = (
             agg1.groupBy(self.partition_col)
@@ -412,7 +418,7 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            for sketch in ("hll", "hist"):
+            for sketch in ("hll", "hist", "open", "close", "open_pos", "close_pos"):
                 if sketch in out.columns:
                     cols = cols + [sketch]
             # n_rows from the write itself (CollectMetrics observation),
@@ -576,6 +582,7 @@ class TierStore:
                     percentiles=list(spec.percentiles) or None,
                     distinct_col=spec.distinct_col,
                     hist_bounds=spec.hist_bounds, hist_bins=spec.hist_bins,
+                    ohlc=spec.ohlc,
                 )
             else:
                 src = inc_tiers[spec.from_tier]
@@ -599,7 +606,7 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            for sketch in ("hll", "hist"):
+            for sketch in ("hll", "hist", "open", "close", "open_pos", "close_pos"):
                 if sketch in out.columns:
                     cols = cols + [sketch]
             out = out.select(*cols).localCheckpoint()

@@ -293,3 +293,47 @@ def test_hist_sketch_composes_losslessly(spark):
     with _pytest.raises(ValueError, match="hist_bins"):
         compose_rollup(t1m, every=1000, mincounts_perc=0.0,
                        min_floor_rule=False, key_cols=["source"])
+
+
+def test_ohlc_partials_compose_exactly(spark):
+    """bucket_rollup(ohlc=True): open/close + anchors composed 1m -> 1h
+    equal a direct raw -> 1h rollup bit-for-bit (picked readings fold
+    exactly), and gaps (null values) never claim open/close."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.resample import bucket_rollup, compose_rollup
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        F.col("event_type").alias("source"),
+        F.col("event_id").cast("long").alias("pos"),
+        F.when(F.col("value") < 5.0, F.lit(None).cast("double"))
+        .otherwise(F.col("value")).alias("value"),
+    )
+    kw = dict(mincounts_perc=0.0, min_floor_rule=False, key_cols=["source"])
+    cols = ["source", "bin_start", "open", "close", "open_pos", "close_pos"]
+    composed = (
+        compose_rollup(bucket_rollup(ev, every=60, ohlc=True, **kw),
+                       every=3600, mincounts_perc=0.0,
+                       min_floor_rule=False, key_cols=["source"])
+        .select(*cols).toPandas()
+        .sort_values(["source", "bin_start"]).reset_index(drop=True)
+    )
+    direct = (
+        bucket_rollup(ev, every=3600, ohlc=True, **kw)
+        .select(*cols).toPandas()
+        .sort_values(["source", "bin_start"]).reset_index(drop=True)
+    )
+    assert len(composed) > 0
+    pd.testing.assert_frame_equal(composed, direct)
+    # pandas twin: open/close are the first/last NON-NULL readings
+    p = ev.toPandas().dropna(subset=["value"])
+    p["b"] = (p.pos // 3600) * 3600
+    exp = (
+        p.sort_values("pos").groupby(["source", "b"])["value"]
+        .agg(["first", "last"]).reset_index()
+    )
+    m = direct.merge(exp, left_on=["source", "bin_start"],
+                     right_on=["source", "b"])
+    assert len(m) == len(direct)
+    assert (m["open"] == m["first"]).all()
+    assert (m["close"] == m["last"]).all()

@@ -445,3 +445,37 @@ def test_cascade_carries_composable_hist_sketch(spark, store, tiny_series):
     assert len(m) == len(est) > 0
     assert ((m.p50_est - m.e50).abs() <= width + 1e-9).all()
     assert ((m.p90_est - m.e90).abs() <= width + 1e-9).all()
+
+
+def test_cascade_carries_composable_ohlc(spark, store, tiny_series):
+    """TierSpec(ohlc=True) stores open/close + anchors at tier_1m and
+    folds them upward through the cascade: tier_1d candles equal a
+    direct raw->1d rollup bit-for-bit — no raw re-scan above the first
+    tier (min/max double as low/high)."""
+    import pandas as pd
+
+    from diive_spark.operators.resample import bucket_rollup
+    from diive_spark.operators.tiers import TierSpec
+
+    cascade = (
+        TierSpec("tier_1m", 60, 0.0, None, (), ohlc=True),
+        TierSpec("tier_1h", 3600, 0.0, "tier_1m", ()),
+        TierSpec("tier_1d", 86400, 0.0, "tier_1h", ()),
+    )
+    store.materialize_cascade(tiny_series, cascade=cascade)
+    cols = ["source", "doc_id", "bin_start",
+            "open", "close", "open_pos", "close_pos", "min", "max"]
+    got = (
+        store.read("tier_1d").select(*cols).toPandas()
+        .sort_values(["source", "doc_id", "bin_start"])
+        .reset_index(drop=True)
+    )
+    direct = (
+        bucket_rollup(tiny_series, every=86400, mincounts_perc=0.0,
+                      min_floor_rule=False, ohlc=True)
+        .select(*cols).toPandas()
+        .sort_values(["source", "doc_id", "bin_start"])
+        .reset_index(drop=True)
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, direct)
