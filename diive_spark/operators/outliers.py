@@ -26,6 +26,7 @@ Parity traps honored:
 
 from __future__ import annotations
 
+import math
 from typing import Sequence
 
 import pyspark.sql.functions as F
@@ -325,3 +326,66 @@ def repeat_until_clean(
         .otherwise(F.lit(FLAG_OK)),
     )
     return out.drop("_work", "_rejected_any"), n_iter
+
+
+def ewma_chart(
+    df: DataFrame,
+    alpha: float = 0.2,
+    window: int = 64,
+    n_sigma: float = 3.0,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_ewma",
+    out_col: str = "ewma",
+) -> DataFrame:
+    """EWMA control chart (Roberts 1959; NIST/SEMATECH e-handbook
+    §6.3.2.4 semantics — public method, no reference-repo counterpart:
+    diive's outlier battery has no drift-sensitive test; the EWMA chart
+    catches slow level shifts that per-point z-scores miss).
+
+    ``ewma_t`` is an EXACT left fold over the trailing ``window``
+    non-null readings: seeded with the oldest reading in the frame,
+    then ``acc*(1-alpha) + alpha*x`` — the classic recursion truncated
+    to a bounded frame, so the per-row state is O(window) and no
+    unbounded/whole-partition window exists in the plan.  Truncation
+    error vs the infinite recursion is <= (1-alpha)^window * range
+    (~1e-7 of range at the defaults).  The fold order is the frame
+    order on BOTH Spark (``aggregate`` over a frame-ordered
+    ``collect_list``) and any SQL engine (``list_reduce``), so the
+    result is bit-deterministic and oracle-checkable.
+
+    Control limits: per-series target = mean, asymptotic
+    ``sigma_ewma = sd_pop * sqrt(alpha / (2 - alpha))``; flag ``2``
+    (FLAG_HARD) where ``|ewma - mean| > n_sigma * sigma_ewma``.  Stats
+    come from a hash aggregate joined back (zscore_flag's plan shape) —
+    never a whole-partition window.  Null readings carry a NULL flag
+    and do not enter the fold (gaps are skipped, locf-style).
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    a = float(alpha)
+    pts = df.where(v.isNotNull())
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(axis_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(v.cast("double")).over(w)
+    ewma = F.aggregate(
+        F.slice(arr, 2, window - 1),
+        F.element_at(arr, 1),
+        lambda acc, x: acc * F.lit(1.0 - a) + F.lit(a) * x,
+    )
+    stats = pts.groupBy(*keys).agg(
+        F.avg(v).alias("_ew_mean"),
+        F.stddev_pop(v).alias("_ew_sd"),
+    )
+    scored = pts.withColumn(out_col, ewma).join(stats, on=keys, how="left")
+    sigma = F.col("_ew_sd") * F.lit(math.sqrt(a / (2.0 - a)))
+    rejected = F.abs(F.col(out_col) - F.col("_ew_mean")) > F.lit(
+        float(n_sigma)
+    ) * sigma
+    return _finalize_flag(scored, rejected, value_col, flag_col).drop(
+        "_ew_mean", "_ew_sd"
+    )

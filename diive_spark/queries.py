@@ -3610,11 +3610,57 @@ FROM tok GROUP BY 1, 2, 3
 """
 
 
+def q_ewma_chart(spark, sf_dir):
+    """EWMA control chart: exact 64-reading truncated fold (identical
+    sequential order in both engines — bit-deterministic), asymptotic
+    control limits off per-series mean/sd_pop, flag 2 outside
+    ±3·sigma_ewma.  Output keeps every 97th point plus all flagged
+    points so the hash covers both the fold values and the limits."""
+    from .operators.outliers import ewma_chart
+
+    out = ewma_chart(series(spark, sf_dir), alpha=0.2, window=64,
+                     n_sigma=3.0, key_cols=["source", "doc_id"])
+    return out.where(
+        (F.pmod(F.col("pos"), F.lit(97)) == 0) | (F.col("flag_ewma") == 2)
+    ).select(
+        "source", "doc_id", "pos",
+        _r(F.col("ewma")).alias("ewma"),
+        F.col("flag_ewma").cast("int").alias("flag_ewma"),
+    )
+
+
+SQL_EWMA_CHART = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, CAST(value AS DOUBLE) AS value
+        FROM series WHERE value IS NOT NULL),
+st AS (
+  SELECT source, doc_id, avg(value) AS m, stddev_pop(value) AS sd
+  FROM pts GROUP BY 1, 2),
+fr AS (
+  SELECT source, doc_id, pos,
+         list(value) OVER (PARTITION BY source, doc_id ORDER BY pos
+                           ROWS BETWEEN 63 PRECEDING AND CURRENT ROW)
+           AS arr
+  FROM pts),
+e AS (
+  SELECT source, doc_id, pos,
+         list_reduce(arr, (acc, x) -> acc * 0.8 + 0.2 * x) AS ewma
+  FROM fr)
+SELECT e.source, e.doc_id, e.pos, round(e.ewma, 6) AS ewma,
+       CASE WHEN abs(e.ewma - st.m) > 3.0 * st.sd * sqrt(0.2 / 1.8)
+            THEN 2 ELSE 0 END AS flag_ewma
+FROM e JOIN st USING (source, doc_id)
+WHERE e.pos % 97 = 0
+   OR abs(e.ewma - st.m) > 3.0 * st.sd * sqrt(0.2 / 1.8)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "ewma_chart": (q_ewma_chart, SQL_EWMA_CHART),
     "candle_agg_tiers": (q_candle_agg, SQL_CANDLE_AGG),
     "gauge_agg_bins": (q_gauge_agg, SQL_GAUGE_AGG),
     "hll_distinct_tiers": (q_hll_distinct_tiers, SQL_HLL_DISTINCT),

@@ -187,3 +187,40 @@ def test_zscore_flag_null_stratum_is_its_own_population(spark):
     assert got.loc[2, "flag_zscore"] == 2          # flagged, not skipped
     nulls = got[got["daytime"].isna()]
     assert (nulls["flag_zscore"] != 0).sum() == 1  # only the spike
+
+
+def test_ewma_chart_matches_numpy_and_catches_drift(spark):
+    """ewma_chart vs a numpy fold twin (same truncated recursion), and
+    the chart property: a planted level-shift segment — each point too
+    mild for a 4-sigma z-score — is caught by the EWMA drift signal."""
+    from diive_spark.operators.outliers import ewma_chart
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    v = rng.normal(0.0, 1.0, n)
+    v[1200:1300] += 4.0                       # slow-shift segment
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    out = (
+        ewma_chart(spark.createDataFrame(pdf), alpha=0.2, window=64,
+                   n_sigma=3.0, key_cols=["source", "doc_id"])
+        .orderBy("pos").toPandas()
+    )
+    # numpy twin: exact truncated fold per position
+    a, w = 0.2, 64
+    exp = np.empty(n)
+    for t in range(n):
+        seg = v[max(0, t - w + 1): t + 1]
+        acc = seg[0]
+        for x in seg[1:]:
+            acc = acc * (1 - a) + a * x
+        exp[t] = acc
+    assert np.allclose(out.ewma.to_numpy(), exp, atol=1e-12)
+    m, sd = v.mean(), v.std()
+    lim = 3.0 * sd * np.sqrt(a / (2 - a))
+    assert (out.flag_ewma.to_numpy() == np.where(
+        np.abs(exp - m) > lim, 2, 0)).all()
+    # drift caught inside the shifted segment...
+    assert out.flag_ewma.to_numpy()[1210:1300].max() == 2
+    # ...where a 4-sigma per-point z-score misses almost all of it
+    assert (np.abs((v[1200:1300] - m) / sd) < 4.0).mean() > 0.9
