@@ -389,3 +389,68 @@ def ewma_chart(
     return _finalize_flag(scored, rejected, value_col, flag_col).drop(
         "_ew_mean", "_ew_sd"
     )
+
+
+def cusum_chart(
+    df: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    window: int = 128,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_cusum",
+) -> DataFrame:
+    """Two-sided CUSUM changepoint chart (Page 1954; NIST/SEMATECH
+    §6.3.2.3 tabular form — public method, no reference-repo
+    counterpart; pairs with :func:`ewma_chart`: CUSUM accumulates
+    small persistent shifts that even the EWMA smooths away).
+
+    Readings are standardized per series (``z = (v - mean) / sd_pop``,
+    stats via agg + join-back — never a whole-partition window), then
+
+    - ``cusum_hi_t = max(0, cusum_hi_{t-1} + z_t - k)``
+    - ``cusum_lo_t = max(0, cusum_lo_{t-1} - z_t - k)``
+
+    computed as EXACT zero-seeded left folds over the trailing
+    ``window`` readings — bounded per-row state, identical fold order
+    on any engine (oracle-checkable), no unbounded window in the plan.
+    Truncation is exact whenever the untruncated statistic touched 0
+    inside the window (the in-control norm — the drift term ``-k``
+    pulls it there), otherwise a lower bound; detections are therefore
+    conservative, never spurious.  Flag ``2`` (FLAG_HARD) where
+    ``cusum_hi > h`` or ``cusum_lo > h``; null readings carry a NULL
+    flag and do not enter the folds.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    stats = pts.groupBy(*keys).agg(
+        F.avg(v).alias("_cu_mean"),
+        F.stddev_pop(v).alias("_cu_sd"),
+    )
+    z = F.try_divide(v - F.col("_cu_mean"), F.col("_cu_sd"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(axis_col)
+        .rowsBetween(-(window - 1), 0)
+    )
+    arr = F.collect_list(F.col("_z")).over(w)
+    kf, zero = F.lit(float(k)), F.lit(0.0)
+
+    def _fold(sign: float):
+        return F.aggregate(
+            arr, zero,
+            lambda acc, x: F.greatest(zero, acc + F.lit(sign) * x - kf),
+        )
+
+    scored = (
+        pts.join(stats, on=keys, how="left")
+        .withColumn("_z", z)
+        .withColumn("cusum_hi", _fold(1.0))
+        .withColumn("cusum_lo", _fold(-1.0))
+    )
+    rejected = (F.col("cusum_hi") > h) | (F.col("cusum_lo") > h)
+    return _finalize_flag(scored, rejected, value_col, flag_col).drop(
+        "_cu_mean", "_cu_sd", "_z"
+    )

@@ -3655,11 +3655,62 @@ WHERE e.pos % 97 = 0
 """
 
 
+def q_cusum_chart(spark, sf_dir):
+    """Two-sided CUSUM changepoint chart: zero-seeded clamped folds
+    over the trailing 128 standardized readings (identical sequential
+    order in both engines), flag 2 where either side exceeds h=5.
+    Output keeps every 89th point plus all flagged points."""
+    from .operators.outliers import cusum_chart
+
+    out = cusum_chart(series(spark, sf_dir), k=0.5, h=5.0, window=128,
+                      key_cols=["source", "doc_id"])
+    return out.where(
+        (F.pmod(F.col("pos"), F.lit(89)) == 0) | (F.col("flag_cusum") == 2)
+    ).select(
+        "source", "doc_id", "pos",
+        _r(F.col("cusum_hi")).alias("cusum_hi"),
+        _r(F.col("cusum_lo")).alias("cusum_lo"),
+        F.col("flag_cusum").cast("int").alias("flag_cusum"),
+    )
+
+
+SQL_CUSUM_CHART = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, CAST(value AS DOUBLE) AS value
+        FROM series WHERE value IS NOT NULL),
+st AS (
+  SELECT source, doc_id, avg(value) AS m, stddev_pop(value) AS sd
+  FROM pts GROUP BY 1, 2),
+zz AS (
+  SELECT p.source, p.doc_id, p.pos, (p.value - st.m) / st.sd AS z
+  FROM pts p JOIN st USING (source, doc_id)),
+fr AS (
+  SELECT source, doc_id, pos,
+         list(z) OVER (PARTITION BY source, doc_id ORDER BY pos
+                       ROWS BETWEEN 127 PRECEDING AND CURRENT ROW) AS arr
+  FROM zz),
+c AS (
+  SELECT source, doc_id, pos,
+         list_reduce(list_prepend(0.0::DOUBLE, arr),
+                     (acc, x) -> greatest(0.0, acc + x - 0.5)) AS cusum_hi,
+         list_reduce(list_prepend(0.0::DOUBLE, arr),
+                     (acc, x) -> greatest(0.0, acc - x - 0.5)) AS cusum_lo
+  FROM fr)
+SELECT source, doc_id, pos,
+       round(cusum_hi, 6) AS cusum_hi,
+       round(cusum_lo, 6) AS cusum_lo,
+       CASE WHEN cusum_hi > 5.0 OR cusum_lo > 5.0 THEN 2 ELSE 0 END
+         AS flag_cusum
+FROM c WHERE pos % 89 = 0 OR cusum_hi > 5.0 OR cusum_lo > 5.0
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "cusum_chart": (q_cusum_chart, SQL_CUSUM_CHART),
     "ewma_chart": (q_ewma_chart, SQL_EWMA_CHART),
     "candle_agg_tiers": (q_candle_agg, SQL_CANDLE_AGG),
     "gauge_agg_bins": (q_gauge_agg, SQL_GAUGE_AGG),

@@ -224,3 +224,48 @@ def test_ewma_chart_matches_numpy_and_catches_drift(spark):
     assert out.flag_ewma.to_numpy()[1210:1300].max() == 2
     # ...where a 4-sigma per-point z-score misses almost all of it
     assert (np.abs((v[1200:1300] - m) / sd) < 4.0).mean() > 0.9
+
+
+def test_cusum_chart_matches_numpy_and_finds_changepoint(spark):
+    """cusum_chart vs a numpy clamped-fold twin, and the changepoint
+    property: a persistent +1.2-sigma shift — far too small for any
+    per-point test — accumulates past h within the shifted region."""
+    from diive_spark.operators.outliers import cusum_chart
+
+    rng = np.random.default_rng(23)
+    n = 2000
+    v = rng.normal(0.0, 1.0, n)
+    v[1000:1300] += 1.2                      # small persistent shift
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    # h=8: above this seed's worst in-control excursion (7.1 — with
+    # k=0.5 the textbook h=5 has ARL0 ~ 930, so one false alarm per
+    # ~1000 in-control samples is EXPECTED; the property under test is
+    # the changepoint, not the false-alarm rate)
+    k, h, w = 0.5, 8.0, 128
+    out = (
+        cusum_chart(spark.createDataFrame(pdf), k=k, h=h, window=w,
+                    key_cols=["source", "doc_id"])
+        .orderBy("pos").toPandas()
+    )
+    m, sd = v.mean(), v.std()
+    z = (v - m) / sd
+    hi = np.empty(n)
+    lo = np.empty(n)
+    for t in range(n):
+        seg = z[max(0, t - w + 1): t + 1]
+        a = b = 0.0
+        for x in seg:
+            a = max(0.0, a + x - k)
+            b = max(0.0, b - x - k)
+        hi[t], lo[t] = a, b
+    assert np.allclose(out.cusum_hi.to_numpy(), hi, atol=1e-12)
+    assert np.allclose(out.cusum_lo.to_numpy(), lo, atol=1e-12)
+    exp_flag = np.where((hi > h) | (lo > h), 2, 0)
+    assert (out.flag_cusum.to_numpy() == exp_flag).all()
+    # the shift is caught shortly after onset...
+    assert out.flag_cusum.to_numpy()[1000:1100].max() == 2
+    # ...and before onset the chart is quiet
+    assert out.flag_cusum.to_numpy()[:990].max() == 0
+    # while per-point 4-sigma z-scores miss essentially all of it
+    assert (np.abs(z[1000:1300]) < 4.0).mean() > 0.99
