@@ -454,3 +454,54 @@ def cusum_chart(
     return _finalize_flag(scored, rejected, value_col, flag_col).drop(
         "_cu_mean", "_cu_sd", "_z"
     )
+
+
+def seasonal_zscore_flag(
+    df: DataFrame,
+    period: int,
+    thres: float = 4.0,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_seasonal_z",
+) -> DataFrame:
+    """Seasonal-residual z-score flag — the working analog of the
+    reference's removed OutlierSTLRZ (diive retired the STL-based
+    z-score in v0.68; see STATUS.md §2.5): deseasonalize by the
+    per-phase MEDIAN cycle, then z-score the residual.
+
+    A plain z-score flags every point of a strong diel cycle's crest;
+    removing the phase median first (phase = ``axis_col % period``,
+    diel_cycle's convention) leaves residuals that expose genuinely
+    anomalous points at ANY phase.  The median cycle is robust to the
+    outliers being hunted (an STL trend/seasonal fit is not, which is
+    why a median cycle is the standard simplification).
+
+    Two agg + join-back passes, both map-side combined — per-(series,
+    phase) exact median, then per-series residual mean/sd_pop — never
+    a whole-partition window; flag 2 (FLAG_HARD) where
+    ``|residual - mean_res| / sd_res > thres``, NULL where the value
+    is NULL.  Exact ``percentile(0.5)`` matches pandas/DuckDB median
+    interpolation bit-for-bit, so the flag is oracle-checkable.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    phase = F.pmod(F.col(axis_col), F.lit(period))
+    staged = df.withColumn("_ph", phase)
+    cyc = staged.groupBy(*keys, "_ph").agg(
+        F.percentile(v, F.lit(0.5)).alias("_ph_med")
+    )
+    resid = staged.join(cyc, on=keys + ["_ph"], how="left").withColumn(
+        "_res", v - F.col("_ph_med")
+    )
+    stats = resid.groupBy(*keys).agg(
+        F.avg("_res").alias("_rs_mean"),
+        F.stddev_pop("_res").alias("_rs_sd"),
+    )
+    scored = resid.join(stats, on=keys, how="left")
+    z = F.abs(
+        F.try_divide(F.col("_res") - F.col("_rs_mean"), F.col("_rs_sd"))
+    )
+    return _finalize_flag(scored, z > thres, value_col, flag_col).drop(
+        "_ph", "_rs_mean", "_rs_sd"
+    )

@@ -3705,11 +3705,55 @@ FROM c WHERE pos % 89 = 0 OR cusum_hi > 5.0 OR cusum_lo > 5.0
 """
 
 
+def q_seasonal_zscore(spark, sf_dir):
+    """Seasonal-residual z-score (the OutlierSTLRZ analog): per-phase
+    exact-median cycle removed, residual z-scored per series.  Output
+    keeps every 83rd point plus all flagged points; residuals rounded
+    to 6dp."""
+    from .operators.outliers import seasonal_zscore_flag
+
+    out = seasonal_zscore_flag(series(spark, sf_dir), period=288,
+                               thres=4.0, key_cols=["source", "doc_id"])
+    return out.where(
+        (F.pmod(F.col("pos"), F.lit(83)) == 0)
+        | (F.col("flag_seasonal_z") == 2)
+    ).select(
+        "source", "doc_id", "pos",
+        _r(F.col("_res")).alias("resid"),
+        F.col("flag_seasonal_z").cast("int").alias("flag_seasonal_z"),
+    )
+
+
+SQL_SEASONAL_ZSCORE = f"""
+WITH series AS ({SERIES_SQL}),
+st0 AS (
+  SELECT source, doc_id, pos, value, pos % 288 AS ph FROM series),
+cyc AS (
+  SELECT source, doc_id, ph, median(value) AS phmed
+  FROM st0 WHERE value IS NOT NULL GROUP BY 1, 2, 3),
+res AS (
+  SELECT s.source, s.doc_id, s.pos, s.value, s.value - c.phmed AS r
+  FROM st0 s LEFT JOIN cyc c
+    ON s.source = c.source AND s.doc_id = c.doc_id AND s.ph = c.ph),
+rs AS (
+  SELECT source, doc_id, avg(r) AS m, stddev_pop(r) AS sd
+  FROM res GROUP BY 1, 2)
+SELECT r.source, r.doc_id, r.pos, round(r.r, 6) AS resid,
+       CASE WHEN r.value IS NULL THEN NULL
+            WHEN abs((r.r - rs.m) / rs.sd) > 4.0 THEN 2 ELSE 0 END
+         AS flag_seasonal_z
+FROM res r JOIN rs USING (source, doc_id)
+WHERE r.pos % 83 = 0
+   OR (r.value IS NOT NULL AND abs((r.r - rs.m) / rs.sd) > 4.0)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "seasonal_zscore": (q_seasonal_zscore, SQL_SEASONAL_ZSCORE),
     "cusum_chart": (q_cusum_chart, SQL_CUSUM_CHART),
     "ewma_chart": (q_ewma_chart, SQL_EWMA_CHART),
     "candle_agg_tiers": (q_candle_agg, SQL_CANDLE_AGG),

@@ -269,3 +269,35 @@ def test_cusum_chart_matches_numpy_and_finds_changepoint(spark):
     assert out.flag_cusum.to_numpy()[:990].max() == 0
     # while per-point 4-sigma z-scores miss essentially all of it
     assert (np.abs(z[1000:1300]) < 4.0).mean() > 0.99
+
+
+def test_seasonal_zscore_catches_in_phase_anomaly(spark):
+    """seasonal_zscore_flag vs a pandas twin (phase-median detrend +
+    residual z), and the property that motivates it: an anomaly parked
+    at the cycle trough — invisible to a plain z-score because the
+    cycle dominates the variance — is flagged on the residual."""
+    from diive_spark.operators.outliers import seasonal_zscore_flag
+
+    rng = np.random.default_rng(29)
+    n, period = 2880, 288
+    pos = np.arange(n)
+    v = 50 + 30 * np.sin(2 * np.pi * pos / period) + rng.normal(0, 1, n)
+    trough = 3 * period + period * 3 // 4          # sin == -1 here
+    v[trough] += 15.0                              # within global range
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": pos, "value": v})
+    out = (
+        seasonal_zscore_flag(spark.createDataFrame(pdf), period=period,
+                             thres=4.0, key_cols=["source", "doc_id"])
+        .orderBy("pos").toPandas()
+    )
+    p = pdf.copy()
+    p["ph"] = p.pos % period
+    p["r"] = p.value - p.groupby("ph").value.transform("median")
+    z = np.abs((p.r - p.r.mean()) / p.r.std(ddof=0))
+    exp = np.where(z > 4.0, 2, 0)
+    assert np.allclose(out["_res"].to_numpy(), p.r.to_numpy(), atol=1e-9)
+    assert (out.flag_seasonal_z.to_numpy() == exp).all()
+    assert out.flag_seasonal_z.to_numpy()[trough] == 2   # caught
+    # the plain z-score is blind to it (cycle variance swamps it)
+    assert abs(v[trough] - v.mean()) / v.std() < 4.0
