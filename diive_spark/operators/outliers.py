@@ -362,6 +362,10 @@ def ewma_chart(
     never a whole-partition window.  Null readings carry a NULL flag
     and do not enter the fold (gaps are skipped, locf-style).
     """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if window < 2:
+        raise ValueError(f"window must be >= 2, got {window}")
     keys = list(key_cols)
     v = F.col(value_col)
     a = float(alpha)
@@ -422,6 +426,8 @@ def cusum_chart(
     ``cusum_hi > h`` or ``cusum_lo > h``; null readings carry a NULL
     flag and do not enter the folds.
     """
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
     keys = list(key_cols)
     v = F.col(value_col)
     pts = df.where(v.isNotNull())
@@ -484,6 +490,8 @@ def seasonal_zscore_flag(
     is NULL.  Exact ``percentile(0.5)`` matches pandas/DuckDB median
     interpolation bit-for-bit, so the flag is oracle-checkable.
     """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
     keys = list(key_cols)
     v = F.col(value_col)
     phase = F.pmod(F.col(axis_col), F.lit(period))
