@@ -1,0 +1,102 @@
+"""Custom stateful streaming operator: online EWMA control chart.
+
+The batch chart (operators/outliers.py:ewma_chart) bounds per-row state
+with a W-truncated fold because batch Spark punishes whole-partition
+sequential state.  On a STREAM the trade-off inverts: the EXACT
+textbook recursion ``ewma_t = ewma_{t-1}*(1-alpha) + alpha*x_t`` is
+O(1) state per series — one float carried across micro-batches via
+``applyInPandasWithState``, surviving restarts through the checkpoint
+(north rule: resumable from checkpoint).
+
+Control limits are CALIBRATED, not learned online: the target mean and
+process sd come from a reference period (in production, read off the
+batch tier tables — e.g. TierStore tier_1h mean/sd partials), exactly
+the standard control-chart practice of fixing limits from an
+in-control baseline.  Learning them on the stream would bias the chart
+toward whatever drift it is supposed to catch.
+
+State per key: (ewma, last_pos).  Out-of-order records inside a
+micro-batch are sorted by position; a record at or before ``last_pos``
+(an at-least-once replay) is dropped so redelivery cannot double-fold
+— the same idempotence contract as streaming/rollup.py.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+import pyspark.sql.types as T
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+EWMA_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("flag_ewma", T.IntegerType()),
+    ]
+)
+
+EWMA_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("ewma", T.DoubleType()),
+        T.StructField("last_pos", T.LongType()),
+    ]
+)
+
+
+def stream_ewma_chart(
+    stream_df: DataFrame,
+    alpha: float = 0.2,
+    mean: float = 0.0,
+    sd: float = 1.0,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Stateful EWMA chart over a stream of (source, doc_id, pos, value)
+    records: exact recursion, one row out per non-null reading with its
+    running ewma and flag (2 outside ``mean ± n_sigma * sigma_ewma``,
+    using the asymptotic ``sigma_ewma = sd * sqrt(alpha / (2-alpha))``).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    a = float(alpha)
+    limit = float(n_sigma) * float(sd) * math.sqrt(a / (2.0 - a))
+    mu = float(mean)
+
+    def _chart(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ewma, last_pos = state.get if state.exists else (None, None)
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values("pos")
+            for pos, val in zip(pdf["pos"], pdf["value"]):
+                pos, val = int(pos), float(val)
+                if last_pos is not None and pos <= last_pos:
+                    continue  # at-least-once replay: already folded
+                ewma = val if ewma is None else ewma * (1.0 - a) + a * val
+                flag = 2 if abs(ewma - mu) > limit else 0
+                rows.append((key[0], key[1], pos, val, ewma, flag))
+                last_pos = pos
+        state.update((ewma, last_pos))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "doc_id", "pos", "value", "ewma",
+                         "flag_ewma"],
+            )
+
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _chart,
+        outputStructType=EWMA_SCHEMA,
+        stateStructType=EWMA_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -371,3 +371,61 @@ def test_stream_ingest_tokens_matches_batch_store(spark, tmp_path):
     q = stream_ingest_tokens(spark, src, store, checkpoint=ckpt)
     q.awaitTermination(120)
     assert len(store.lineage()) == n_lineage
+
+
+def test_stream_ewma_chart_exact_recursion_across_restarts(spark, tmp_path):
+    """Streaming EWMA: the exact infinite recursion carried as O(1)
+    per-series state — streamed result over two micro-batches (with a
+    query restart between them) equals the numpy recursion over the
+    concatenated series; redelivered positions are not double-folded."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.streaming.anomaly import stream_ewma_chart
+
+    src = str(tmp_path / "ew_in")
+    out = str(tmp_path / "ew_out")
+    ckpt = str(tmp_path / "ew_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+    a, mu, sd = 0.25, 10.0, 2.0
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_ewma_chart(stream, alpha=a, mean=mu, sd=sd, n_sigma=3.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = np.random.default_rng(31)
+    v = rng.normal(10.0, 2.0, 60)
+    v[40:50] += 9.0                                    # drift segment
+    rows1 = [("web", "d0", int(p), float(v[p])) for p in range(30)]
+    rows2 = [("web", "d0", int(p), float(v[p])) for p in range(30, 60)]
+    rows2 += rows1[-3:]                                # replayed delivery
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    drain()                                            # fresh query, same ckpt
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values("pos").reset_index(drop=True)
+    )
+    assert len(got) == 60                              # replays suppressed
+    exp = np.empty(60)
+    acc = None
+    for t in range(60):
+        acc = v[t] if acc is None else acc * (1 - a) + a * v[t]
+        exp[t] = acc
+    assert np.allclose(got.ewma.to_numpy(), exp, atol=1e-12)
+    lim = 3.0 * sd * np.sqrt(a / (2 - a))
+    assert (got.flag_ewma.to_numpy() == np.where(
+        np.abs(exp - mu) > lim, 2, 0)).all()
+    assert got.flag_ewma.to_numpy()[42:50].max() == 2  # drift caught
