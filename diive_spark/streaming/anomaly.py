@@ -100,3 +100,77 @@ def stream_ewma_chart(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("cusum_hi", T.DoubleType()),
+        T.StructField("cusum_lo", T.DoubleType()),
+        T.StructField("flag_cusum", T.IntegerType()),
+    ]
+)
+
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("cusum_hi", T.DoubleType()),
+        T.StructField("cusum_lo", T.DoubleType()),
+        T.StructField("last_pos", T.LongType()),
+    ]
+)
+
+
+def stream_cusum_chart(
+    stream_df: DataFrame,
+    k: float = 0.5,
+    h: float = 5.0,
+    mean: float = 0.0,
+    sd: float = 1.0,
+) -> DataFrame:
+    """Stateful two-sided CUSUM over a stream: the exact Page recursion
+    (``hi = max(0, hi + z - k)``, ``lo = max(0, lo - z - k)`` on
+    calibrated ``z = (x - mean) / sd``) carried as two floats of keyed
+    state — the untruncated statistic the batch chart bounds with a
+    window.  Same replay guard and checkpoint-resume contract as
+    :func:`stream_ewma_chart`."""
+    if sd <= 0:
+        raise ValueError(f"sd must be > 0, got {sd}")
+    kf, hf, mu, sdv = float(k), float(h), float(mean), float(sd)
+
+    def _chart(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        hi, lo, last_pos = state.get if state.exists else (0.0, 0.0, None)
+        rows: list[tuple] = []
+        for pdf in pdfs:
+            pdf = pdf.dropna(subset=["value"]).sort_values("pos")
+            for pos, val in zip(pdf["pos"], pdf["value"]):
+                pos, val = int(pos), float(val)
+                if last_pos is not None and pos <= last_pos:
+                    continue  # at-least-once replay: already folded
+                z = (val - mu) / sdv
+                hi = max(0.0, hi + z - kf)
+                lo = max(0.0, lo - z - kf)
+                flag = 2 if (hi > hf or lo > hf) else 0
+                rows.append((key[0], key[1], pos, val, hi, lo, flag))
+                last_pos = pos
+        state.update((hi, lo, last_pos))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "doc_id", "pos", "value",
+                         "cusum_hi", "cusum_lo", "flag_cusum"],
+            )
+
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _chart,
+        outputStructType=CUSUM_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -429,3 +429,61 @@ def test_stream_ewma_chart_exact_recursion_across_restarts(spark, tmp_path):
     assert (got.flag_ewma.to_numpy() == np.where(
         np.abs(exp - mu) > lim, 2, 0)).all()
     assert got.flag_ewma.to_numpy()[42:50].max() == 2  # drift caught
+
+
+def test_stream_cusum_chart_state_spans_restart(spark, tmp_path):
+    """Streaming CUSUM: the untruncated Page recursion as keyed state —
+    a small persistent shift whose accumulation STRADDLES a query
+    restart still crosses h (state survived the checkpoint); matches
+    the numpy recursion exactly."""
+    import numpy as np
+
+    from diive_spark.streaming.anomaly import stream_cusum_chart
+
+    src = str(tmp_path / "cu_in")
+    out = str(tmp_path / "cu_out")
+    ckpt = str(tmp_path / "cu_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+    k, h, mu, sd = 0.5, 5.0, 0.0, 1.0
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_cusum_chart(stream, k=k, h=h, mean=mu, sd=sd)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = np.random.default_rng(37)
+    v = rng.normal(0.0, 1.0, 60)
+    v[25:] += 1.0          # shift starts in batch 1, accumulates into 2
+    spark.createDataFrame(
+        [("web", "d0", p, float(v[p])) for p in range(30)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(
+        [("web", "d0", p, float(v[p])) for p in range(30, 60)], schema
+    ).write.mode("append").parquet(src)
+    drain()
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values("pos").reset_index(drop=True)
+    )
+    assert len(got) == 60
+    hi = lo = 0.0
+    exp_hi, exp_flag = np.empty(60), np.empty(60, dtype=int)
+    for t in range(60):
+        z = (v[t] - mu) / sd
+        hi = max(0.0, hi + z - k)
+        lo = max(0.0, lo - z - k)
+        exp_hi[t] = hi
+        exp_flag[t] = 2 if (hi > h or lo > h) else 0
+    assert np.allclose(got.cusum_hi.to_numpy(), exp_hi, atol=1e-12)
+    assert (got.flag_cusum.to_numpy() == exp_flag).all()
+    assert got.flag_cusum.to_numpy()[30:].max() == 2   # crossed post-restart
