@@ -856,6 +856,8 @@ def candle_agg(
     earliest sub-candle, close = close of the latest, high/low/n/
     volume fold), so coarser tiers never re-scan raw readings.
     """
+    from .resample import ohlc_partial_aggs
+
     keys = list(key_cols)
     v = F.col(value_col)
     ax = F.col(axis_col)
@@ -864,13 +866,10 @@ def candle_agg(
         .groupBy(*keys, *_bin_cols(df, axis_col, every))
         .agg(
             F.count(v).alias("n"),
-            F.min_by(v, ax).alias("open"),
             F.max(v).alias("high"),
             F.min(v).alias("low"),
-            F.max_by(v, ax).alias("close"),
-            F.min(ax).cast("long").alias("open_pos"),
-            F.max(ax).cast("long").alias("close_pos"),
             F.sum(v).alias("volume"),
+            *ohlc_partial_aggs(v, ax),
         )
     )
 
@@ -887,6 +886,8 @@ def compose_candles(
     high/low/n/volume fold associatively.  ``every`` is in raw-axis
     units and must be a multiple of the input tier's bin width.
     """
+    from .resample import ohlc_compose_aggs
+
     keys = list(key_cols)
     b = F.floor(F.col("bin_start") / F.lit(every))
     start = (b * every).cast("long")
@@ -897,13 +898,10 @@ def compose_candles(
         (start + every).cast("long").alias("bin_label"),
     ).agg(
         F.sum("n").alias("n"),
-        F.min_by(F.col("open"), F.col("open_pos")).alias("open"),
         F.max("high").alias("high"),
         F.min("low").alias("low"),
-        F.max_by(F.col("close"), F.col("close_pos")).alias("close"),
-        F.min("open_pos").alias("open_pos"),
-        F.max("close_pos").alias("close_pos"),
         F.sum("volume").alias("volume"),
+        *ohlc_compose_aggs(),
     )
 
 

@@ -423,11 +423,14 @@ def cusum_chart(
     inside the window (the in-control norm — the drift term ``-k``
     pulls it there), otherwise a lower bound; detections are therefore
     conservative, never spurious.  Flag ``2`` (FLAG_HARD) where
-    ``cusum_hi > h`` or ``cusum_lo > h``; null readings carry a NULL
-    flag and do not enter the folds.
+    ``cusum_hi > h`` or ``cusum_lo > h``.  Like :func:`ewma_chart` the
+    chart is defined on OBSERVED readings — null rows are dropped from
+    the output, so folds always span ``window`` readings.
     """
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
     keys = list(key_cols)
     v = F.col(value_col)
     pts = df.where(v.isNotNull())
@@ -500,16 +503,16 @@ def seasonal_zscore_flag(
         F.percentile(v, F.lit(0.5)).alias("_ph_med")
     )
     resid = staged.join(cyc, on=keys + ["_ph"], how="left").withColumn(
-        "_res", v - F.col("_ph_med")
+        "resid", v - F.col("_ph_med")
     )
     stats = resid.groupBy(*keys).agg(
-        F.avg("_res").alias("_rs_mean"),
-        F.stddev_pop("_res").alias("_rs_sd"),
+        F.avg("resid").alias("_rs_mean"),
+        F.stddev_pop("resid").alias("_rs_sd"),
     )
     scored = resid.join(stats, on=keys, how="left")
     z = F.abs(
-        F.try_divide(F.col("_res") - F.col("_rs_mean"), F.col("_rs_sd"))
+        F.try_divide(F.col("resid") - F.col("_rs_mean"), F.col("_rs_sd"))
     )
     return _finalize_flag(scored, z > thres, value_col, flag_col).drop(
-        "_ph", "_rs_mean", "_rs_sd"
+        "_ph", "_ph_med", "_rs_mean", "_rs_sd"
     )

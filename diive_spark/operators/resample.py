@@ -104,6 +104,34 @@ def _hist_index(v: Column, bounds: tuple[float, float], bins: int) -> Column:
     )
 
 
+def ohlc_partial_aggs(v: Column, ax: Column) -> list:
+    """The four OHLC partial aggregates over raw readings — ordering
+    masked to non-null values so gaps never claim open/close.  Single
+    source of truth shared by ``bucket_rollup(ohlc=True)`` and
+    ``analyses.candle_agg`` (their compose paths must stay
+    bit-identical)."""
+    vax = F.when(v.isNotNull(), ax)
+    return [
+        F.min_by(v, vax).alias("open"),
+        F.max_by(v, vax).alias("close"),
+        F.min(vax).cast("long").alias("open_pos"),
+        F.max(vax).cast("long").alias("close_pos"),
+    ]
+
+
+def ohlc_compose_aggs() -> list:
+    """Fold tier-N OHLC partials into tier N+1: the raw arg-min/arg-max
+    reading lives in exactly one sub-bin, so anchor-ordered picks equal
+    a direct raw rollup bit-for-bit.  Shared by ``compose_rollup`` and
+    ``analyses.compose_candles``."""
+    return [
+        F.min_by(F.col("open"), F.col("open_pos")).alias("open"),
+        F.max_by(F.col("close"), F.col("close_pos")).alias("close"),
+        F.min("open_pos").alias("open_pos"),
+        F.max("close_pos").alias("close_pos"),
+    ]
+
+
 def hist_percentile_estimate(
     df: DataFrame,
     qs: Sequence[float],
@@ -261,15 +289,7 @@ def bucket_rollup(
     if distinct_col:
         aggs.append(F.hll_sketch_agg(F.col(distinct_col)).alias("hll"))
     if ohlc:
-        # ordering masked to non-null readings: min_by/max_by skip rows
-        # whose ordering is null, so gaps never claim open/close
-        vax = F.when(v.isNotNull(), F.col(axis_col))
-        aggs += [
-            F.min_by(v, vax).alias("open"),
-            F.max_by(v, vax).alias("close"),
-            F.min(vax).cast("long").alias("open_pos"),
-            F.max(vax).cast("long").alias("close_pos"),
-        ]
+        aggs += ohlc_partial_aggs(v, F.col(axis_col))
     if hist_bounds is not None:
         # one conditional-count aggregate per value bin, assembled into
         # an array — stays inside the same (single-shuffle) groupBy and
@@ -440,15 +460,7 @@ def compose_rollup(
         # statistic beyond the moment partials that composes upward
         aggs.append(F.hll_union_agg(F.col("hll")).alias("hll"))
     if "open" in tier_df.columns:
-        # OHLC partials fold exactly: the raw arg-min/arg-max reading
-        # lives in exactly one sub-bin, so anchor-ordered picks agree
-        # with a direct rollup of the raw series bit-for-bit
-        aggs += [
-            F.min_by(F.col("open"), F.col("open_pos")).alias("open"),
-            F.max_by(F.col("close"), F.col("close_pos")).alias("close"),
-            F.min("open_pos").alias("open_pos"),
-            F.max("close_pos").alias("close_pos"),
-        ]
+        aggs += ohlc_compose_aggs()
     if "hist" in tier_df.columns:
         # element-wise integer sum: lossless histogram composition
         aggs.append(

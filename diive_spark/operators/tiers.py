@@ -51,6 +51,11 @@ TIER_COLS = [
     "n", "n_grid", "sum", "sumsq", "min", "max", "mean", "sd", "source",
 ]  # percentile columns (p25, p50, ...) are appended per TierSpec
 
+# optional composable per-bin statistic columns (selected into tier
+# tables whenever the rollup produced them) — extend HERE when a new
+# mergeable family is added, both write paths consume this one tuple
+COMPOSABLE_COLS = ("hll", "hist", "open", "close", "open_pos", "close_pos")
+
 
 @dataclass(frozen=True)
 class TierSpec:
@@ -418,7 +423,7 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            for sketch in ("hll", "hist", "open", "close", "open_pos", "close_pos"):
+            for sketch in COMPOSABLE_COLS:
                 if sketch in out.columns:
                     cols = cols + [sketch]
             # n_rows from the write itself (CollectMetrics observation),
@@ -606,7 +611,7 @@ class TierStore:
             cols = TIER_COLS + [
                 f"p{int(round(q * 100)):02d}" for q in spec.percentiles
             ]
-            for sketch in ("hll", "hist", "open", "close", "open_pos", "close_pos"):
+            for sketch in COMPOSABLE_COLS:
                 if sketch in out.columns:
                     cols = cols + [sketch]
             out = out.select(*cols).localCheckpoint()

@@ -3719,7 +3719,7 @@ def q_seasonal_zscore(spark, sf_dir):
         | (F.col("flag_seasonal_z") == 2)
     ).select(
         "source", "doc_id", "pos",
-        _r(F.col("_res")).alias("resid"),
+        _r(F.col("resid")).alias("resid"),
         F.col("flag_seasonal_z").cast("int").alias("flag_seasonal_z"),
     )
 

@@ -16,7 +16,8 @@ in-control baseline.  Learning them on the stream would bias the chart
 toward whatever drift it is supposed to catch.
 
 State per key: (ewma, last_pos).  Out-of-order records inside a
-micro-batch are sorted by position; a record at or before ``last_pos``
+micro-batch are sorted by position after concatenating every Arrow
+chunk of the group; a record at or before ``last_pos``
 (an at-least-once replay) is dropped so redelivery cannot double-fold
 — the same idempotence contract as streaming/rollup.py.
 """
@@ -64,6 +65,10 @@ def stream_ewma_chart(
     """
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if sd <= 0:
+        raise ValueError(f"sd must be > 0, got {sd}")
+    if n_sigma <= 0:
+        raise ValueError(f"n_sigma must be > 0, got {n_sigma}")
     a = float(alpha)
     limit = float(n_sigma) * float(sd) * math.sqrt(a / (2.0 - a))
     mu = float(mean)
@@ -75,16 +80,20 @@ def stream_ewma_chart(
     ) -> Iterator[pd.DataFrame]:
         ewma, last_pos = state.get if state.exists else (None, None)
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=["value"]).sort_values("pos")
-            for pos, val in zip(pdf["pos"], pdf["value"]):
-                pos, val = int(pos), float(val)
-                if last_pos is not None and pos <= last_pos:
-                    continue  # at-least-once replay: already folded
-                ewma = val if ewma is None else ewma * (1.0 - a) + a * val
-                flag = 2 if abs(ewma - mu) > limit else 0
-                rows.append((key[0], key[1], pos, val, ewma, flag))
-                last_pos = pos
+        # applyInPandasWithState hands the group over as MULTIPLE Arrow
+        # chunks (split at arrow.maxRecordsPerBatch): sort only after
+        # concatenating them all, or a later chunk with smaller
+        # positions would be mis-dropped as a replay
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=["value"]).sort_values("pos")
+        for pos, val in zip(pdf["pos"], pdf["value"]):
+            pos, val = int(pos), float(val)
+            if last_pos is not None and pos <= last_pos:
+                continue  # at-least-once replay: already folded
+            ewma = val if ewma is None else ewma * (1.0 - a) + a * val
+            flag = 2 if abs(ewma - mu) > limit else 0
+            rows.append((key[0], key[1], pos, val, ewma, flag))
+            last_pos = pos
         state.update((ewma, last_pos))
         if rows:
             yield pd.DataFrame(
@@ -138,6 +147,8 @@ def stream_cusum_chart(
     :func:`stream_ewma_chart`."""
     if sd <= 0:
         raise ValueError(f"sd must be > 0, got {sd}")
+    if k < 0 or h <= 0:
+        raise ValueError(f"need k >= 0 and h > 0, got k={k}, h={h}")
     kf, hf, mu, sdv = float(k), float(h), float(mean), float(sd)
 
     def _chart(
@@ -147,18 +158,19 @@ def stream_cusum_chart(
     ) -> Iterator[pd.DataFrame]:
         hi, lo, last_pos = state.get if state.exists else (0.0, 0.0, None)
         rows: list[tuple] = []
-        for pdf in pdfs:
-            pdf = pdf.dropna(subset=["value"]).sort_values("pos")
-            for pos, val in zip(pdf["pos"], pdf["value"]):
-                pos, val = int(pos), float(val)
-                if last_pos is not None and pos <= last_pos:
-                    continue  # at-least-once replay: already folded
-                z = (val - mu) / sdv
-                hi = max(0.0, hi + z - kf)
-                lo = max(0.0, lo - z - kf)
-                flag = 2 if (hi > hf or lo > hf) else 0
-                rows.append((key[0], key[1], pos, val, hi, lo, flag))
-                last_pos = pos
+        # concat ALL Arrow chunks before sorting (see stream_ewma_chart)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=["value"]).sort_values("pos")
+        for pos, val in zip(pdf["pos"], pdf["value"]):
+            pos, val = int(pos), float(val)
+            if last_pos is not None and pos <= last_pos:
+                continue  # at-least-once replay: already folded
+            z = (val - mu) / sdv
+            hi = max(0.0, hi + z - kf)
+            lo = max(0.0, lo - z - kf)
+            flag = 2 if (hi > hf or lo > hf) else 0
+            rows.append((key[0], key[1], pos, val, hi, lo, flag))
+            last_pos = pos
         state.update((hi, lo, last_pos))
         if rows:
             yield pd.DataFrame(

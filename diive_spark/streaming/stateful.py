@@ -40,15 +40,20 @@ def _detect(
 ) -> Iterator[pd.DataFrame]:
     last_pos = state.get[0] if state.exists else None
     gaps: list[tuple] = []
+    # concat ALL Arrow chunks before sorting: the group arrives as
+    # multiple chunks (arrow.maxRecordsPerBatch) and per-chunk sorting
+    # would report spurious gaps when a later chunk holds smaller
+    # positions
+    all_pos: list[int] = []
     for pdf in pdfs:
-        for pos in sorted(pdf["pos"].tolist()):
-            pos = int(pos)
-            if last_pos is not None and pos > last_pos + 1:
-                gaps.append(
-                    (key[0], key[1], last_pos + 1, pos - 1, pos - 1 - last_pos)
-                )
-            if last_pos is None or pos > last_pos:
-                last_pos = pos
+        all_pos.extend(int(p) for p in pdf["pos"].tolist())
+    for pos in sorted(all_pos):
+        if last_pos is not None and pos > last_pos + 1:
+            gaps.append(
+                (key[0], key[1], last_pos + 1, pos - 1, pos - 1 - last_pos)
+            )
+        if last_pos is None or pos > last_pos:
+            last_pos = pos
     state.update((last_pos,))
     if gaps:
         yield pd.DataFrame(

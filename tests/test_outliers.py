@@ -296,7 +296,7 @@ def test_seasonal_zscore_catches_in_phase_anomaly(spark):
     p["r"] = p.value - p.groupby("ph").value.transform("median")
     z = np.abs((p.r - p.r.mean()) / p.r.std(ddof=0))
     exp = np.where(z > 4.0, 2, 0)
-    assert np.allclose(out["_res"].to_numpy(), p.r.to_numpy(), atol=1e-9)
+    assert np.allclose(out["resid"].to_numpy(), p.r.to_numpy(), atol=1e-9)
     assert (out.flag_seasonal_z.to_numpy() == exp).all()
     assert out.flag_seasonal_z.to_numpy()[trough] == 2   # caught
     # the plain z-score is blind to it (cycle variance swamps it)

@@ -487,3 +487,56 @@ def test_stream_cusum_chart_state_spans_restart(spark, tmp_path):
     assert np.allclose(got.cusum_hi.to_numpy(), exp_hi, atol=1e-12)
     assert (got.flag_cusum.to_numpy() == exp_flag).all()
     assert got.flag_cusum.to_numpy()[30:].max() == 2   # crossed post-restart
+
+
+def test_stream_ewma_chart_survives_arrow_chunk_splits(spark, tmp_path):
+    """applyInPandasWithState hands a group over as MULTIPLE Arrow
+    chunks (arrow.maxRecordsPerBatch): with tiny chunks and
+    reverse-ordered input, a per-chunk sort would mis-drop later
+    chunks as replays — the fold must concatenate all chunks before
+    sorting (regression for the chunk-split review finding)."""
+    import numpy as np
+
+    from diive_spark.streaming.anomaly import stream_ewma_chart
+
+    src = str(tmp_path / "ch_in")
+    out = str(tmp_path / "ch_out")
+    ckpt = str(tmp_path / "ch_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+    a = 0.3
+    rng = np.random.default_rng(41)
+    v = rng.normal(5.0, 1.0, 60)
+    # one file, REVERSE pos order, single partition -> Arrow chunks of 8
+    # arrive descending: pos 59..52 first, then 51..44, ...
+    rows = [("web", "d0", int(p), float(v[p])) for p in range(59, -1, -1)]
+    spark.createDataFrame(rows, schema).coalesce(1).write.parquet(src)
+
+    old = spark.conf.get("spark.sql.execution.arrow.maxRecordsPerBatch")
+    spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", "8")
+    try:
+        q = (
+            stream_ewma_chart(
+                spark.readStream.schema(schema).parquet(src),
+                alpha=a, mean=5.0, sd=1.0, n_sigma=3.0,
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+    finally:
+        spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", old)
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values("pos").reset_index(drop=True)
+    )
+    assert len(got) == 60                      # nothing mis-dropped
+    exp, acc = np.empty(60), None
+    for t in range(60):
+        acc = v[t] if acc is None else acc * (1 - a) + a * v[t]
+        exp[t] = acc
+    assert np.allclose(got.ewma.to_numpy(), exp, atol=1e-12)
