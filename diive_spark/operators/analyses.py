@@ -961,3 +961,90 @@ def _bin_cols(df: DataFrame, axis_col: str, every: int):
         (start + every).cast("long").alias("bin_end"),
         (start + every).cast("long").alias("bin_label"),
     ]
+
+
+def stats2d_agg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Per-bin bivariate stats partials + OLS trend (the TimescaleDB
+    ``stats_agg`` 2D analog — public semantics; extends the
+    reference's whole-series regression, core/dfun/regression.py:6-57,
+    to a per-bin composable form).
+
+    Per (key..., bin) over non-null readings of ``(x=axis, y=value)``:
+    the six raw partials ``n, sx, sy, sxy, sxx, syy`` plus derived
+    ``slope``/``intercept``/``r2`` (closed form; NULL where the bin is
+    degenerate: fewer than 2 points or zero x/y variance for r2).
+
+    The partials are PURE SUMS, so they compose upward losslessly —
+    ``compose_stats2d`` re-derives tier N+1's trend from tier N
+    partials with no raw re-scan (integer axis + integer-quantized
+    values make the composition bit-exact; with double values it is
+    exact up to float summation order).  One partial-aggregated
+    groupBy, single shuffle, no window.
+    """
+    keys = list(key_cols)
+    y = F.col(value_col)
+    x = F.when(y.isNotNull(), F.col(axis_col))
+    aggs = [
+        F.count(y).alias("n"),
+        F.sum(x).alias("sx"),
+        F.sum(y).alias("sy"),
+        F.sum(x * y).alias("sxy"),
+        F.sum(x * x).alias("sxx"),
+        F.sum(y * y).alias("syy"),
+    ]
+    part = (
+        df.where(y.isNotNull())
+        .groupBy(*keys, *_bin_cols(df, axis_col, every))
+        .agg(*aggs)
+    )
+    return _stats2d_derive(part)
+
+
+def compose_stats2d(
+    part: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Tier N+1 bivariate stats from tier N partials only — the six
+    sums fold associatively; slope/intercept/r2 re-derive from the
+    composed sums, identical to a direct rollup of the raw readings."""
+    keys = list(key_cols)
+    b = F.floor(F.col("bin_start") / F.lit(every))
+    start = (b * every).cast("long")
+    agg = part.groupBy(
+        *keys,
+        start.alias("bin_start"),
+        (start + every).cast("long").alias("bin_end"),
+        (start + every).cast("long").alias("bin_label"),
+    ).agg(*[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxy", "sxx",
+                                        "syy")])
+    return _stats2d_derive(agg.drop("slope", "intercept", "r2"))
+
+
+def _stats2d_derive(part: DataFrame) -> DataFrame:
+    """slope/intercept/r2 from (n, sx, sy, sxy, sxx, syy) partials —
+    the single closed form shared by direct and composed tiers."""
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    cov_n = n * sxy - sx * sy          # n^2 * covariance
+    varx_n = n * sxx - sx * sx         # n^2 * variance(x)
+    vary_n = n * syy - sy * sy
+    slope = F.when((F.col("n") >= 2) & (varx_n > 0), cov_n / varx_n)
+    intercept = F.when(slope.isNotNull(), (sy - slope * sx) / n)
+    r2 = F.when(
+        slope.isNotNull() & (vary_n > 0),
+        (cov_n * cov_n) / (varx_n * vary_n),
+    )
+    return (
+        part.withColumn("slope", slope)
+        .withColumn("intercept", intercept)
+        .withColumn("r2", r2)
+    )

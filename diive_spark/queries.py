@@ -3748,11 +3748,75 @@ WHERE r.pos % 83 = 0
 """
 
 
+def q_stats2d_tiers(spark, sf_dir):
+    """Composable bivariate stats across retention tiers: 1m OLS
+    partials (n, sx, sy, sxy, sxx, syy) fold into 1h bins with NO raw
+    re-scan; slope/intercept/r2 re-derive from the composed sums.  The
+    oracle recomputes the same closed form directly from raw — values
+    are integer-quantized (floor(value*100)) so every partial sum is
+    exact and the derivation is bit-deterministic in both engines."""
+    from .operators.analyses import compose_stats2d, stats2d_agg
+
+    s = series(spark, sf_dir).withColumn(
+        "yq", F.floor(F.col("value") * 100).cast("long")
+    )
+    t1m = stats2d_agg(s, every=60, value_col="yq",
+                      key_cols=["source", "doc_id"])
+    t1h = compose_stats2d(t1m, every=3600, key_cols=["source", "doc_id"])
+    return t1h.select(
+        "source", "doc_id", "bin_start",
+        F.col("n").cast("long").alias("n"),
+        F.col("sx").cast("long").alias("sx"),
+        F.col("sy").cast("long").alias("sy"),
+        _r(F.col("slope")).alias("slope"),
+        _r(F.col("intercept")).alias("intercept"),
+        _r(F.col("r2")).alias("r2"),
+    )
+
+
+SQL_STATS2D = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (
+  SELECT source, doc_id, pos AS x,
+         CAST(floor(value * 100) AS BIGINT) AS y
+  FROM series WHERE value IS NOT NULL),
+p AS (
+  SELECT source, doc_id,
+         CAST(floor(x / 3600) AS BIGINT) * 3600 AS bin_start,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM pts GROUP BY 1, 2, 3),
+d AS (
+  SELECT *,
+         CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS cov_n,
+         CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx_n,
+         CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary_n
+  FROM p)
+SELECT source, doc_id, bin_start, n, sx, sy,
+       round(CASE WHEN n >= 2 AND varx_n > 0 THEN cov_n / varx_n END, 6)
+         AS slope,
+       round(CASE WHEN n >= 2 AND varx_n > 0 THEN
+               (CAST(sy AS DOUBLE) - (cov_n / varx_n) * CAST(sx AS DOUBLE))
+                 / CAST(n AS DOUBLE) END, 6) AS intercept,
+       round(CASE WHEN n >= 2 AND varx_n > 0 AND vary_n > 0 THEN
+               (cov_n * cov_n) / (varx_n * vary_n) END, 6) AS r2
+FROM d
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "stats2d_tiers": (q_stats2d_tiers, SQL_STATS2D),
     "seasonal_zscore": (q_seasonal_zscore, SQL_SEASONAL_ZSCORE),
     "cusum_chart": (q_cusum_chart, SQL_CUSUM_CHART),
     "ewma_chart": (q_ewma_chart, SQL_EWMA_CHART),

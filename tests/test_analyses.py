@@ -522,3 +522,42 @@ def test_gauge_agg_deltas_tile(spark):
     spans = p.dropna(subset=["inc"]).groupby("bin").size() * 1.0
     assert np.allclose(out.rate.dropna(),
                        (exp.delta / spans).dropna())
+
+
+def test_stats2d_partials_compose_exactly(spark):
+    """stats2d_agg vs a numpy OLS twin per bin, and compose_stats2d
+    (1m -> 1h partial sums) equals a direct 1h stats2d_agg bit-for-bit
+    on integer-quantized values."""
+    from diive_spark.operators.analyses import compose_stats2d, stats2d_agg
+
+    rng = np.random.default_rng(43)
+    n = 4000
+    y = np.cumsum(rng.integers(-3, 5, n))        # trending integer series
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "y": y})
+    keys = ["source", "doc_id"]
+    df = spark.createDataFrame(pdf)
+    direct = (
+        stats2d_agg(df, every=1200, value_col="y", key_cols=keys)
+        .orderBy("bin_start").toPandas()
+    )
+    composed = (
+        compose_stats2d(
+            stats2d_agg(df, every=100, value_col="y", key_cols=keys),
+            every=1200, key_cols=keys)
+        .orderBy("bin_start").toPandas()
+    )
+    pd.testing.assert_frame_equal(
+        direct[sorted(direct.columns)].reset_index(drop=True),
+        composed[sorted(composed.columns)].reset_index(drop=True),
+    )
+    # numpy OLS twin per bin
+    p = pdf.copy()
+    p["bin"] = (p.pos // 1200) * 1200
+    for b, g in p.groupby("bin"):
+        row = direct.set_index("bin_start").loc[b]
+        sl, ic = np.polyfit(g.pos, g.y, 1)
+        r = np.corrcoef(g.pos, g.y)[0, 1]
+        assert np.isclose(row["slope"], sl, atol=1e-9)
+        assert np.isclose(row["intercept"], ic, atol=1e-6)
+        assert np.isclose(row["r2"], r * r, atol=1e-9)
