@@ -1048,3 +1048,45 @@ def _stats2d_derive(part: DataFrame) -> DataFrame:
         .withColumn("intercept", intercept)
         .withColumn("r2", r2)
     )
+
+
+def topk_agg(
+    df: DataFrame,
+    every: int,
+    k: int = 3,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Top-k most frequent values per ``every``-sized bin (the modal
+    tokens of the stream — pairs with :func:`bin_entropy`: entropy says
+    HOW degenerate a bin is, topk_agg says WHAT it is degenerating
+    into).
+
+    Exact: one (key, bin, value) count groupBy (map-side combined; the
+    alphabet never leaves the executors) + a per-(key, bin) window over
+    the already-tiny count table.  Ties break on the smaller value.
+    Returns one row per (key..., bin, rank<=k): ``value, cnt, share``.
+    At corpus scale the count table is bounded by the per-bin alphabet,
+    not the reading count, so the window input stays small; for
+    unbounded alphabets cap with a Misra-Gries pre-filter upstream.
+    Nulls are excluded.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    counts = (
+        df.where(v.isNotNull())
+        .groupBy(*keys, *_bin_cols(df, axis_col, every), v.alias("value_k"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy(*keys, "bin_start").orderBy(
+        F.col("cnt").desc(), F.col("value_k").asc()
+    )
+    tot = Window.partitionBy(*keys, "bin_start")
+    return (
+        counts.withColumn("rank", F.row_number().over(w))
+        .withColumn(
+            "share", F.col("cnt").cast("double") / F.sum("cnt").over(tot)
+        )
+        .where(F.col("rank") <= k)
+    )

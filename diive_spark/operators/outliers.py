@@ -516,3 +516,42 @@ def seasonal_zscore_flag(
     return _finalize_flag(scored, z > thres, value_col, flag_col).drop(
         "_ph", "_ph_med", "_rs_mean", "_rs_sd"
     )
+
+
+def robust_zscore_flag(
+    df: DataFrame,
+    thres: float = 3.5,
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+    flag_col: str = "flag_robust_z",
+) -> DataFrame:
+    """Robust (median/MAD) z-score — Iglewicz & Hoaglin's modified
+    z-score (NIST/SEMATECH §1.3.5.17; public method, no reference-repo
+    counterpart: diive's zScore uses mean/sd, which a single gross
+    outlier inflates enough to mask its siblings).
+
+    ``M_i = 0.6745 * (v - median) / MAD`` where ``MAD = median(|v -
+    median|)``; reject ``|M| > thres`` (3.5 is the published default).
+    Two aggregate+join-back passes (median, then MAD on the residual) —
+    exact ``percentile(0.5)``, never a whole-partition window.  A zero
+    MAD (>= half the readings identical) yields NULL scores — flagged 0
+    (tested-ok), matching the reference convention that a degenerate
+    population rejects nothing.  NULL values carry a NULL flag.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    med = df.groupBy(*keys).agg(
+        F.percentile(v, F.lit(0.5)).alias("_rb_med")
+    )
+    resid = df.join(med, on=keys, how="left")
+    mad = resid.groupBy(*keys).agg(
+        F.percentile(F.abs(v - F.col("_rb_med")), F.lit(0.5)).alias("_rb_mad")
+    )
+    scored = resid.join(mad, on=keys, how="left")
+    m = F.lit(0.6745) * F.try_divide(
+        v - F.col("_rb_med"),
+        F.when(F.col("_rb_mad") > 0, F.col("_rb_mad")),
+    )
+    return _finalize_flag(scored, F.abs(m) > thres, value_col, flag_col).drop(
+        "_rb_med", "_rb_mad"
+    )

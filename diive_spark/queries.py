@@ -3811,11 +3811,97 @@ FROM d
 """
 
 
+def q_topk_agg(spark, sf_dir):
+    """Top-3 modal tokens per 1h bin (what the stream degenerates
+    into): exact (key, bin, token) counts + per-bin rank, ties to the
+    smaller token.  Integer counts -> hash-stable."""
+    from .operators.analyses import topk_agg
+
+    s = series(spark, sf_dir).withColumn(
+        "tokv", F.floor(F.col("value")).cast("long")
+    )
+    out = topk_agg(s, every=3600, k=3, value_col="tokv",
+                   key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("rank").cast("int").alias("rank"),
+        F.col("value_k").cast("long").alias("value_k"),
+        F.col("cnt").cast("long").alias("cnt"),
+        _r(F.col("share")).alias("share"),
+    )
+
+
+SQL_TOPK_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+tok AS (
+  SELECT source, doc_id, pos, CAST(floor(value) AS BIGINT) AS tokv
+  FROM series WHERE value IS NOT NULL),
+c AS (
+  SELECT source, doc_id,
+         CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+         tokv AS value_k, CAST(count(*) AS BIGINT) AS cnt
+  FROM tok GROUP BY 1, 2, 3, 4),
+r AS (
+  SELECT *,
+         CAST(row_number() OVER (PARTITION BY source, doc_id, bin_start
+                                 ORDER BY cnt DESC, value_k ASC) AS INTEGER)
+           AS rank,
+         CAST(cnt AS DOUBLE)
+           / SUM(cnt) OVER (PARTITION BY source, doc_id, bin_start)
+           AS share
+  FROM c)
+SELECT source, doc_id, bin_start, rank, value_k, cnt,
+       round(share, 6) AS share
+FROM r WHERE rank <= 3
+"""
+
+
+def q_robust_zscore(spark, sf_dir):
+    """Median/MAD modified z-score flag (Iglewicz-Hoaglin): exact
+    percentile(0.5) twice, flag |M| > 3.5.  Output keeps every 79th
+    point plus all flagged points."""
+    from .operators.outliers import robust_zscore_flag
+
+    out = robust_zscore_flag(series(spark, sf_dir), thres=3.5,
+                             key_cols=["source", "doc_id"])
+    return out.where(
+        (F.pmod(F.col("pos"), F.lit(79)) == 0)
+        | (F.col("flag_robust_z") == 2)
+    ).select(
+        "source", "doc_id", "pos",
+        F.col("flag_robust_z").cast("int").alias("flag_robust_z"),
+    )
+
+
+SQL_ROBUST_ZSCORE = f"""
+WITH series AS ({SERIES_SQL}),
+med AS (
+  SELECT source, doc_id, median(value) AS md
+  FROM series GROUP BY 1, 2),
+mad AS (
+  SELECT s.source, s.doc_id, median(abs(s.value - med.md)) AS mad
+  FROM series s JOIN med USING (source, doc_id) GROUP BY 1, 2),
+sc AS (
+  SELECT s.source, s.doc_id, s.pos, s.value,
+         CASE WHEN mad.mad > 0
+              THEN 0.6745 * (s.value - med.md) / mad.mad END AS m
+  FROM series s
+  JOIN med USING (source, doc_id) JOIN mad USING (source, doc_id))
+SELECT source, doc_id, pos,
+       CASE WHEN value IS NULL THEN NULL
+            WHEN abs(m) > 3.5 THEN 2 ELSE 0 END AS flag_robust_z
+FROM sc
+WHERE pos % 79 = 0 OR (value IS NOT NULL AND abs(m) > 3.5)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "topk_agg_bins": (q_topk_agg, SQL_TOPK_AGG),
+    "robust_zscore": (q_robust_zscore, SQL_ROBUST_ZSCORE),
     "stats2d_tiers": (q_stats2d_tiers, SQL_STATS2D),
     "seasonal_zscore": (q_seasonal_zscore, SQL_SEASONAL_ZSCORE),
     "cusum_chart": (q_cusum_chart, SQL_CUSUM_CHART),

@@ -561,3 +561,33 @@ def test_stats2d_partials_compose_exactly(spark):
         assert np.isclose(row["slope"], sl, atol=1e-9)
         assert np.isclose(row["intercept"], ic, atol=1e-6)
         assert np.isclose(row["r2"], r * r, atol=1e-9)
+
+
+def test_topk_agg_modal_tokens(spark):
+    """topk_agg vs a pandas twin: per-bin modal values, deterministic
+    ties, shares sum to the top-k mass."""
+    from diive_spark.operators.analyses import topk_agg
+
+    rng = np.random.default_rng(47)
+    n = 2000
+    v = rng.integers(0, 50, n).astype(float)
+    v[1000:2000] = np.where(rng.random(1000) < 0.6, 7.0, v[1000:2000])
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    out = (
+        topk_agg(spark.createDataFrame(pdf), every=1000, k=3,
+                 key_cols=["source", "doc_id"])
+        .orderBy("bin_start", "rank").toPandas()
+    )
+    p = pdf.copy()
+    p["bin"] = (p.pos // 1000) * 1000
+    for b, g in p.groupby("bin"):
+        cnts = g.value.value_counts().sort_index()
+        exp = cnts.sort_values(ascending=False, kind="stable").head(3)
+        got = out[out.bin_start == b]
+        assert list(got.cnt) == list(exp.values)
+        assert list(got.value_k) == [int(x) for x in exp.index]
+        assert np.allclose(got.share, exp.values / len(g))
+    # the degenerate bin's modal token is the planted 7
+    assert out[(out.bin_start == 1000) & (out["rank"] == 1)
+               ].value_k.iloc[0] == 7

@@ -301,3 +301,32 @@ def test_seasonal_zscore_catches_in_phase_anomaly(spark):
     assert out.flag_seasonal_z.to_numpy()[trough] == 2   # caught
     # the plain z-score is blind to it (cycle variance swamps it)
     assert abs(v[trough] - v.mean()) / v.std() < 4.0
+
+
+def test_robust_zscore_resists_masking(spark):
+    """robust_zscore_flag vs a pandas median/MAD twin, and the masking
+    property: a gross outlier inflates mean/sd enough that plain
+    zScore misses a second, modest outlier — the MAD score flags
+    both."""
+    from diive_spark.operators.outliers import robust_zscore_flag
+
+    rng = np.random.default_rng(53)
+    v = rng.normal(0.0, 1.0, 500)
+    v[100] = 500.0                                # gross outlier
+    v[200] = 9.0                                  # modest outlier
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(500), "value": v})
+    out = (
+        robust_zscore_flag(spark.createDataFrame(pdf), thres=3.5,
+                           key_cols=["source", "doc_id"])
+        .orderBy("pos").toPandas()
+    )
+    md = np.median(v)
+    mad = np.median(np.abs(v - md))
+    m = 0.6745 * (v - md) / mad
+    exp = np.where(np.abs(m) > 3.5, 2, 0)
+    assert (out.flag_robust_z.to_numpy() == exp).all()
+    assert out.flag_robust_z[100] == 2 and out.flag_robust_z[200] == 2
+    # plain z-score: the 500 masks the 9 (sd blown up)
+    z200 = abs(v[200] - v.mean()) / v.std()
+    assert z200 < 4.0
