@@ -1090,3 +1090,71 @@ def topk_agg(
         )
         .where(F.col("rank") <= k)
     )
+
+
+def arrival_stats(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Per-bin sampling-health stats from inter-arrival deltas — the
+    per-bin companion of :func:`timegrid.detect_freq` (which votes one
+    frequency per series; this surfaces WHERE the cadence drifts or
+    stutters).
+
+    ``dt`` = axis gap from the previous non-null reading (crossing bin
+    edges, counter_agg's convention).  Per (key..., bin): ``n_dt``,
+    ``dt_median`` / ``dt_p95`` (exact percentiles), ``dt_max`` and
+    ``jitter`` (population sd of dt — 0 on a perfect grid).  One
+    window pass + one groupBy.
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    dt = (F.col(axis_col) - F.lag(axis_col).over(w)).cast("double")
+    stepped = pts.withColumn("_dt", dt).where(F.col("_dt").isNotNull())
+    d = F.col("_dt")
+    return stepped.groupBy(*keys, *_bin_cols(stepped, axis_col, every)).agg(
+        F.count(d).alias("n_dt"),
+        F.percentile(d, F.lit(0.5)).alias("dt_median"),
+        F.percentile(d, F.lit(0.95)).alias("dt_p95"),
+        F.max(d).alias("dt_max"),
+        F.stddev_pop(d).alias("jitter"),
+    )
+
+
+def acf_agg(
+    df: DataFrame,
+    every: int,
+    lag: int = 1,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Per-bin lag-``lag`` autocorrelation of the value stream — the
+    periodicity tell that completes the degeneration battery
+    (:func:`bin_entropy` = how compressed, :func:`topk_agg` = into
+    what, acf = is it LOOPING): a token stream stuck in an n-cycle
+    shows acf(lag=n) near 1.
+
+    Pairs each reading with the reading ``lag`` rows earlier in the
+    same series (window lag over non-null readings), attributes the
+    pair to the LATER reading's bin, and computes the per-bin sample
+    Pearson correlation (Spark ``corr``; pairs with any null are
+    excluded — pandas pairwise semantics).  One window pass + one
+    groupBy.
+    """
+    if lag < 1:
+        raise ValueError(f"lag must be >= 1, got {lag}")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    stepped = pts.withColumn("_prev", F.lag(v, lag).over(w))
+    return stepped.groupBy(*keys, *_bin_cols(stepped, axis_col, every)).agg(
+        F.count(F.when(F.col("_prev").isNotNull(), 1)).alias("n_pairs"),
+        F.corr(v, F.col("_prev")).alias("acf"),
+    )

@@ -3895,11 +3895,84 @@ WHERE pos % 79 = 0 OR (value IS NOT NULL AND abs(m) > 3.5)
 """
 
 
+def q_arrival_stats(spark, sf_dir):
+    """Per-1h-bin sampling-health: inter-arrival delta median/p95/max
+    and jitter over the non-null readings (integer deltas -> exact
+    sums; exact percentiles match pandas/DuckDB interpolation)."""
+    from .operators.analyses import arrival_stats
+
+    out = arrival_stats(series(spark, sf_dir), every=3600,
+                        key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n_dt").cast("long").alias("n_dt"),
+        _r(F.col("dt_median")).alias("dt_median"),
+        _r(F.col("dt_p95")).alias("dt_p95"),
+        F.col("dt_max").cast("long").alias("dt_max"),
+        _r(F.col("jitter")).alias("jitter"),
+    )
+
+
+SQL_ARRIVAL_STATS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos FROM series WHERE value IS NOT NULL),
+seg AS (
+  SELECT source, doc_id, pos,
+         CAST(pos - lag(pos) OVER (PARTITION BY source, doc_id
+                                   ORDER BY pos) AS DOUBLE) AS dt
+  FROM pts)
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+       CAST(count(*) AS BIGINT) AS n_dt,
+       round(median(dt), 6) AS dt_median,
+       round(quantile_cont(dt, 0.95), 6) AS dt_p95,
+       CAST(max(dt) AS BIGINT) AS dt_max,
+       round(stddev_pop(dt), 6) AS jitter
+FROM seg WHERE dt IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
+def q_acf_agg(spark, sf_dir):
+    """Per-1h-bin lag-3 autocorrelation of the value stream (the
+    looping/periodicity signal): window lag pairs, per-bin sample
+    Pearson corr — both engines' corr is the same closed form."""
+    from .operators.analyses import acf_agg
+
+    out = acf_agg(series(spark, sf_dir), every=3600, lag=3,
+                  key_cols=["source", "doc_id"])
+    return out.select(
+        "source", "doc_id", "bin_start",
+        F.col("n_pairs").cast("long").alias("n_pairs"),
+        _r(F.col("acf")).alias("acf"),
+    )
+
+
+SQL_ACF_AGG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+lagged AS (
+  SELECT source, doc_id, pos, value,
+         lag(value, 3) OVER (PARTITION BY source, doc_id ORDER BY pos)
+           AS prev
+  FROM pts)
+SELECT source, doc_id,
+       CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+       CAST(count(CASE WHEN prev IS NOT NULL THEN 1 END) AS BIGINT)
+         AS n_pairs,
+       round(corr(value, prev), 6) AS acf
+FROM lagged GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    "arrival_stats_bins": (q_arrival_stats, SQL_ARRIVAL_STATS),
+    "acf_agg_bins": (q_acf_agg, SQL_ACF_AGG),
     "topk_agg_bins": (q_topk_agg, SQL_TOPK_AGG),
     "robust_zscore": (q_robust_zscore, SQL_ROBUST_ZSCORE),
     "stats2d_tiers": (q_stats2d_tiers, SQL_STATS2D),

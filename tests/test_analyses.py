@@ -591,3 +591,66 @@ def test_topk_agg_modal_tokens(spark):
     # the degenerate bin's modal token is the planted 7
     assert out[(out.bin_start == 1000) & (out["rank"] == 1)
                ].value_k.iloc[0] == 7
+
+
+def test_arrival_stats_flags_cadence_drift(spark):
+    """arrival_stats vs a pandas twin: a bin with a perfect grid shows
+    jitter 0 / median 1; a bin with dropped readings shows elevated
+    p95/max."""
+    from diive_spark.operators.analyses import arrival_stats
+
+    rng = np.random.default_rng(59)
+    pos = np.arange(2000)
+    keep = np.ones(2000, bool)
+    drop = rng.choice(np.arange(1000, 2000), 300, replace=False)
+    keep[drop] = False                       # second bin: holey cadence
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": pos[keep],
+                        "value": rng.normal(0, 1, keep.sum())})
+    out = (
+        arrival_stats(spark.createDataFrame(pdf), every=1000,
+                      key_cols=["source", "doc_id"])
+        .orderBy("bin_start").toPandas().set_index("bin_start")
+    )
+    p = pdf.copy()
+    p["dt"] = p.pos.diff()
+    p = p.dropna(subset=["dt"])
+    p["bin"] = (p.pos // 1000) * 1000
+    exp = p.groupby("bin").dt.agg(["count", "median", "max"])
+    exp["p95"] = p.groupby("bin").dt.quantile(0.95)
+    exp["jitter"] = p.groupby("bin").dt.std(ddof=0)
+    assert (out.n_dt == exp["count"]).all()
+    assert np.allclose(out.dt_median, exp["median"])
+    assert np.allclose(out.dt_p95, exp["p95"])
+    assert (out.dt_max == exp["max"]).all()
+    assert np.allclose(out.jitter, exp["jitter"])
+    assert out.loc[0, "jitter"] == 0.0 and out.loc[0, "dt_median"] == 1.0
+    assert out.loc[1000, "dt_p95"] > 1.0
+
+
+def test_acf_agg_detects_looping(spark):
+    """acf_agg vs a pandas twin: a bin looping with period == lag shows
+    acf near 1 while a white-noise bin sits near 0."""
+    from diive_spark.operators.analyses import acf_agg
+
+    rng = np.random.default_rng(61)
+    noise = rng.normal(0, 1, 1000)
+    loop = np.tile([5.0, -1.0, 2.0, 0.5], 250) + rng.normal(0, 0.05, 1000)
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(2000),
+                        "value": np.concatenate([noise, loop])})
+    out = (
+        acf_agg(spark.createDataFrame(pdf), every=1000, lag=4,
+                key_cols=["source", "doc_id"])
+        .orderBy("bin_start").toPandas().set_index("bin_start")
+    )
+    p = pdf.copy()
+    p["prev"] = p.value.shift(4)
+    p["bin"] = (p.pos // 1000) * 1000
+    for b, g in p.groupby("bin"):
+        gg = g.dropna(subset=["prev"])
+        assert np.isclose(out.loc[b, "acf"],
+                          np.corrcoef(gg.value, gg.prev)[0, 1], atol=1e-9)
+        assert out.loc[b, "n_pairs"] == len(gg)
+    assert out.loc[1000, "acf"] > 0.95       # looping bin
+    assert abs(out.loc[0, "acf"]) < 0.2      # noise bin
