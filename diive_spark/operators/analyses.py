@@ -1158,3 +1158,64 @@ def acf_agg(
         F.count(F.when(F.col("_prev").isNotNull(), 1)).alias("n_pairs"),
         F.corr(v, F.col("_prev")).alias("acf"),
     )
+
+
+def lttb_downsample(
+    df: DataFrame,
+    n_out: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013
+    §4.2 — THE canonical visual downsampler): reduce each series to
+    ``n_out`` points, always keeping the endpoints; per interior
+    bucket keep the point forming the largest triangle with the
+    PREVIOUSLY SELECTED point and the NEXT bucket's average.
+
+    The previous-selection dependency makes LTTB inherently sequential
+    along a series, so unlike :func:`ltob_downsample` (the parallel,
+    oracle-checkable sibling — prefer it when buckets are independent)
+    this runs as a numpy kernel per series via ``applyInPandas``:
+    series are independent, so the job still parallelizes across the
+    (source, doc_id) keys — the standard Spark shape for per-series
+    sequential algorithms (same contract as the LOF kernel,
+    lof.py:37).  Requires one series to fit a worker's memory: a doc's
+    token stream is bounded by n_tok, which holds by construction for
+    the tokens payload.  Null values are dropped first.
+    """
+    if n_out < 2:
+        raise ValueError(f"n_out must be >= 2, got {n_out}")
+    keys = list(key_cols)
+    import numpy as np
+    import pandas as pd
+
+    out_schema = df.select(*keys, axis_col, value_col).schema
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[value_col]).sort_values(axis_col)
+        n = len(pdf)
+        if n <= n_out:
+            return pdf[[*keys, axis_col, value_col]]
+        x = pdf[axis_col].to_numpy(dtype=np.float64)
+        y = pdf[value_col].to_numpy(dtype=np.float64)
+        # bucket edges over the interior points (endpoints pinned)
+        edges = np.linspace(1, n - 1, n_out - 1).astype(np.int64)
+        sel = [0]
+        for b in range(n_out - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo, nhi = edges[b + 1], (n if b == n_out - 3 else edges[b + 2])
+            ax_, ay_ = x[sel[-1]], y[sel[-1]]        # previous selected
+            bx, by = x[nlo:nhi].mean(), y[nlo:nhi].mean()  # next bucket avg
+            area = np.abs(
+                (ax_ - bx) * (y[lo:hi] - ay_) - (ax_ - x[lo:hi]) * (by - ay_)
+            )
+            sel.append(lo + int(area.argmax()))
+        sel.append(n - 1)
+        return pdf.iloc[sel][[*keys, axis_col, value_col]]
+
+    return (
+        df.select(*keys, axis_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(_kernel, schema=out_schema)
+    )

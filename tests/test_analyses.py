@@ -654,3 +654,53 @@ def test_acf_agg_detects_looping(spark):
         assert out.loc[b, "n_pairs"] == len(gg)
     assert out.loc[1000, "acf"] > 0.95       # looping bin
     assert abs(out.loc[0, "acf"]) < 0.2      # noise bin
+
+
+def test_lttb_matches_reference_implementation(spark):
+    """lttb_downsample vs an independent pure-python LTTB (Steinarsson
+    §4.2): exact selection parity, endpoints pinned, n_out points, and
+    a planted spike survives."""
+    from diive_spark.operators.analyses import lttb_downsample
+
+    rng = np.random.default_rng(67)
+    n, n_out = 3000, 40
+    v = np.sin(np.arange(n) / 50.0) + rng.normal(0, 0.05, n)
+    v[1777] = 8.0                                 # the spike
+    pdf = pd.DataFrame({"source": "s", "doc_id": "d",
+                        "pos": np.arange(n), "value": v})
+    got = (
+        lttb_downsample(spark.createDataFrame(pdf), n_out=n_out,
+                        key_cols=["source", "doc_id"])
+        .orderBy("pos").toPandas()
+    )
+
+    # independent reference: straightforward loop transliteration of
+    # the published algorithm (no shared code with the operator)
+    def ref_lttb(x, y, no):
+        edges = np.linspace(1, len(x) - 1, no - 1).astype(int)
+        sel = [0]
+        for b in range(no - 2):
+            lo, hi = edges[b], edges[b + 1]
+            nlo = edges[b + 1]
+            nhi = len(x) if b == no - 3 else edges[b + 2]
+            ax, ay = x[sel[-1]], y[sel[-1]]
+            bx, by = x[nlo:nhi].mean(), y[nlo:nhi].mean()
+            best, best_a = lo, -1.0
+            for i in range(lo, hi):
+                a = abs((ax - bx) * (y[i] - ay) - (ax - x[i]) * (by - ay))
+                if a > best_a:
+                    best, best_a = i, a
+            sel.append(best)
+        sel.append(len(x) - 1)
+        return sel
+
+    exp = ref_lttb(np.arange(n, dtype=float), v, n_out)
+    assert list(got.pos) == exp
+    assert len(got) == n_out
+    assert got.pos.iloc[0] == 0 and got.pos.iloc[-1] == n - 1
+    assert 1777 in set(got.pos)                    # spike kept
+    # short series pass through untouched
+    tiny = pdf.head(10)
+    out2 = lttb_downsample(spark.createDataFrame(tiny), n_out=40,
+                           key_cols=["source", "doc_id"]).toPandas()
+    assert len(out2) == 10
