@@ -426,3 +426,22 @@ def test_candle_and_gauge_agg_plan_shape(spark, tiny_series):
     ga = gauge_agg(tiny_series, every=3600)
     p = _physical_plan(ga)
     assert p.count("Exchange") == 1 and "SinglePartition" not in p
+
+
+def test_toolkit_aggs_plan_shape(spark, tiny_series):
+    """stats2d/gauge/acf/arrival reuse their window partitioning for
+    the bin agg (single Exchange); topk pays one more for the per-bin
+    rank over the already-tiny count table; none collapse to
+    SinglePartition."""
+    from diive_spark.operators.analyses import (
+        acf_agg,
+        arrival_stats,
+        stats2d_agg,
+        topk_agg,
+    )
+
+    for op, bound in ((stats2d_agg, 1), (acf_agg, 1), (arrival_stats, 1),
+                      (topk_agg, 2)):
+        p = _physical_plan(op(tiny_series, 3600))
+        assert p.count("Exchange") <= bound, op.__name__
+        assert "SinglePartition" not in p, op.__name__
