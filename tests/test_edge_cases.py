@@ -68,3 +68,58 @@ def test_single_row_inputs(spark):
     no_iv = spark.createDataFrame([], "k string, start double, end double")
     assert interval_join(pts, no_iv, key_cols=["k"]).count() == 0
     assert interval_join(pts, no_iv, key_cols=["k"], how="left").count() == 1
+
+
+def test_toolkit_operators_degenerate_inputs(spark):
+    """The round-3 toolkit on empty / all-null / single-reading input:
+    empty or sane frames out, never a raise."""
+    from diive_spark.operators.analyses import (
+        acf_agg,
+        arrival_stats,
+        candle_agg,
+        compose_candles,
+        compose_stats2d,
+        counter_agg,
+        gauge_agg,
+        lttb_downsample,
+        stats2d_agg,
+        topk_agg,
+    )
+    from diive_spark.operators.outliers import (
+        cusum_chart,
+        ewma_chart,
+        robust_zscore_flag,
+        seasonal_zscore_flag,
+    )
+
+    schema = "source string, doc_id string, pos long, value double"
+    empty = spark.createDataFrame([], schema)
+    allnull = spark.createDataFrame(
+        [("s", "d", i, None) for i in range(5)], schema
+    )
+    single = spark.createDataFrame([("s", "d", 0, 3.0)], schema)
+
+    for df, n_in in ((empty, 0), (allnull, 5), (single, 1)):
+        assert candle_agg(df, 60).count() in (0, 1)
+        assert compose_candles(candle_agg(df, 60), 3600).count() in (0, 1)
+        assert gauge_agg(df, 60).count() in (0, 1)
+        assert stats2d_agg(df, 60).count() in (0, 1)
+        assert compose_stats2d(stats2d_agg(df, 60), 3600).count() in (0, 1)
+        assert topk_agg(df, 60).count() in (0, 1)
+        assert acf_agg(df, 60).count() in (0, 1)
+        assert arrival_stats(df, 60).count() == 0     # needs 2+ readings
+        assert counter_agg(df, 60).count() in (0, 1)
+        assert lttb_downsample(df, 2).count() in (0, 1)
+        assert ewma_chart(df, window=2).count() in (0, 1)
+        assert cusum_chart(df).count() in (0, 1)
+        # flag operators keep the full row set (null flags on nulls)
+        assert robust_zscore_flag(df).count() == n_in
+        assert seasonal_zscore_flag(df, period=4).count() == n_in
+
+    # single reading: slope/acf/r2 are NULL, candle open==close
+    row = stats2d_agg(single, 60).collect()[0]
+    assert row["n"] == 1 and row["slope"] is None
+    c = candle_agg(single, 60).collect()[0]
+    assert c["open"] == c["close"] == 3.0
+    g = gauge_agg(single, 60).collect()[0]
+    assert g["delta"] is None and g["idelta_left"] is None
