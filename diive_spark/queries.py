@@ -328,8 +328,12 @@ FROM z WHERE value IS NOT NULL AND incr IS NOT NULL AND zs > 2.5
 
 
 def q_localsd(spark, sf_dir):
-    """LocalSD / Hampel flag (localsd.py:73-101): rejected rows."""
-    out = outliers.local_sd_flag(series(spark, sf_dir), winsize=30, n_sd=3.0)
+    """LocalSD / Hampel flag (localsd.py:73-101): rejected rows.
+    kernel=True — the Arrow pandas-rolling path, bit-identical to the
+    JVM percentile window (parity-tested) and measured 2.5x faster;
+    doc-bounded series make per-series kernels safe here."""
+    out = outliers.local_sd_flag(series(spark, sf_dir), winsize=30, n_sd=3.0,
+                                 kernel=True)
     return out.where(F.col("flag_localsd") == 2).select("source", "doc_id", "pos")
 
 

@@ -330,3 +330,25 @@ def test_robust_zscore_resists_masking(spark):
     # plain z-score: the 500 masks the 9 (sd blown up)
     z200 = abs(v[200] - v.mean()) / v.std()
     assert z200 < 4.0
+
+
+def test_local_sd_kernel_path_is_bit_identical(spark):
+    """local_sd_flag(kernel=True) — the pandas-rolling Arrow kernel —
+    must agree row-for-row with the JVM percentile-window path on the
+    same input (including the min_periods NULL band and null values)."""
+    from diive_spark.operators.outliers import local_sd_flag
+
+    pdf = spiked_series(n=600, seed=19)
+    sdf = spark.createDataFrame(pdf)
+    a = (
+        local_sd_flag(sdf, winsize=30, n_sd=5.0)
+        .orderBy("pos").toPandas()[["pos", "flag_localsd"]]
+    )
+    b = (
+        local_sd_flag(sdf, winsize=30, n_sd=5.0, kernel=True)
+        .orderBy("pos").toPandas()[["pos", "flag_localsd"]]
+    )
+    pd.testing.assert_frame_equal(
+        a.reset_index(drop=True).astype({"flag_localsd": "Float64"}),
+        b.reset_index(drop=True).astype({"flag_localsd": "Float64"}),
+    )
