@@ -474,3 +474,117 @@ def compose_rollup(
         .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
         .withColumn("sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq")))
     )
+
+
+def tokens_array_rollup(
+    tokens_df: DataFrame,
+    every: int = 60,
+    thres: float | None = None,
+    na_sentinel: float | int | None = None,
+    tokens_col: str = "tokens",
+    key_cols: Sequence[str] = ("source", "doc_id"),
+) -> DataFrame:
+    """Explode-free first-tier ingest for the tokens payload: because a
+    doc IS a series and bins are ``pos // every``, each bin's readings
+    are a CONTIGUOUS SLICE of the token array — so the 1m partials
+    (n, n_grid, sum, sumsq, min, max) are computed row-locally with
+    array expressions and only ~n_tok/every partial rows ever reach
+    the rollup exchange, instead of n_tok exploded readings (60x less
+    shuffle input at every=60; at 10^12 sequences the explode is the
+    dominant ingest cost).
+
+    ``thres``: optional fused z-score gate — same row-local population
+    stats as ``outliers.zscore_flag_tokens`` (the doc is the
+    population); readings with ``|z| > thres`` are excluded exactly as
+    flag==2 readings are nulled in the explode pipeline.
+    ``na_sentinel`` readings count toward ``n_grid`` but never ``n``
+    (they are the null gaps).
+
+    Output schema matches ``bucket_rollup(mincounts_perc=0,
+    min_floor_rule=False)`` on the exploded series — same partials,
+    same bin columns, composable by ``compose_rollup``.  Sums fold
+    sequentially per chunk, so results are bit-stable across
+    partitionings (the hash aggregate's combine order is not);
+    vs the explode path they agree to float-sum reordering (~1 ulp).
+    """
+    keys = list(key_cols)
+    toks = F.col(tokens_col)
+    sent = None if na_sentinel is None else F.lit(na_sentinel)
+
+    def _obs(arr):
+        """readings that exist (sentinel dropped), as double"""
+        base = (
+            F.filter(arr, lambda x: x != sent) if sent is not None else arr
+        )
+        return F.transform(base, lambda x: x.cast("double"))
+
+    vals = _obs(toks)
+    if thres is not None:
+        n = F.size(vals)
+        dsum = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+        dss = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x)
+        mean = F.try_divide(dsum, n)
+        var = F.try_divide(dss, n) - mean * mean
+        sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+        staged = (
+            tokens_df.withColumn("_m", mean).withColumn("_s", sd)
+        )
+        lo = F.col("_m") - F.lit(float(thres)) * F.col("_s")
+        hi = F.col("_m") + F.lit(float(thres)) * F.col("_s")
+
+        def _keep(arr):
+            # |z| <= thres kept; sd==0 keeps everything (z undefined ->
+            # flag 0 in the explode pipeline's try_divide semantics)
+            return F.when(
+                F.col("_s") > 0,
+                F.filter(arr, lambda x: (x >= lo) & (x <= hi)),
+            ).otherwise(arr)
+    else:
+        staged = tokens_df
+
+        def _keep(arr):
+            return arr
+
+    n_chunks = F.ceil(F.size(toks) / F.lit(every)).cast("int")
+    # sequence(0, -1) would infer a DESCENDING step for an empty doc —
+    # guard to an empty chunk list instead
+    idxs = F.when(
+        n_chunks > 0, F.sequence(F.lit(0), n_chunks - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    chunk = F.transform(
+        idxs,
+        lambda i: F.struct(
+            (i * every).cast("long").alias("bin_start"),
+            F.size(F.slice(toks, i * every + 1, every)).cast("long")
+            .alias("n_grid"),
+            _keep(_obs(F.slice(toks, i * every + 1, every))).alias("_f"),
+        ),
+    )
+    ex = staged.select(
+        *keys, F.explode(chunk).alias("_c")
+    ).select(
+        *keys,
+        F.col("_c.bin_start").alias("bin_start"),
+        (F.col("_c.bin_start") + every).alias("bin_end"),
+        (F.col("_c.bin_start") + every).alias("bin_label"),
+        F.col("_c.n_grid").alias("n_grid"),
+        F.col("_c._f").alias("_f"),
+    )
+    f = F.col("_f")
+    out = ex.select(
+        *keys, "bin_start", "bin_end", "bin_label",
+        F.size(f).cast("long").alias("n"),
+        F.col("n_grid"),
+        F.aggregate(f, F.lit(0.0), lambda a, x: a + x).alias("sum"),
+        F.aggregate(f, F.lit(0.0), lambda a, x: a + x * x).alias("sumsq"),
+        F.array_min(f).alias("min"),
+        F.array_max(f).alias("max"),
+    )
+    return (
+        out.withColumn("sum", F.when(F.col("n") > 0, F.col("sum")))
+        .withColumn("sumsq", F.when(F.col("n") > 0, F.col("sumsq")))
+        .withColumn("mean", F.when(F.col("n") > 0, F.col("sum") / F.col("n")))
+        .withColumn(
+            "sd", _sd_from_partials(F.col("n"), F.col("sum"), F.col("sumsq"))
+        )
+    )

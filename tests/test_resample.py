@@ -337,3 +337,48 @@ def test_ohlc_partials_compose_exactly(spark):
     assert len(m) == len(direct)
     assert (m["open"] == m["first"]).all()
     assert (m["close"] == m["last"]).all()
+
+
+def test_tokens_array_rollup_matches_explode_pipeline(spark):
+    """The explode-free tier-1m ingest (z-gate + partials computed
+    row-locally on the token array) agrees with the explode pipeline
+    (series_view-style zscore_flag_tokens -> bucket_rollup) on every
+    partial, and its plan needs ZERO exchanges."""
+    import numpy as np
+    import pyspark.sql.functions as F
+
+    from diive_spark.datagen import NA_SENTINEL, tokens_table
+    from diive_spark.operators.outliers import zscore_flag_tokens
+    from diive_spark.operators.resample import (
+        bucket_rollup,
+        tokens_array_rollup,
+    )
+
+    toks = tokens_table(spark, n_docs=150, seed=9).localCheckpoint()
+    flagged = zscore_flag_tokens(toks, thres=4.0, na_sentinel=NA_SENTINEL)
+    clean = flagged.withColumn(
+        "v", F.when(F.col("flag_zscore") == 2, None)
+        .otherwise(F.col("value"))
+    )
+    a = (
+        bucket_rollup(clean, every=60, value_col="v",
+                      mincounts_perc=0.0, min_floor_rule=False)
+        .orderBy("source", "doc_id", "bin_start").toPandas()
+    )
+    arr = tokens_array_rollup(toks, every=60, thres=4.0,
+                              na_sentinel=NA_SENTINEL)
+    b = arr.orderBy("source", "doc_id", "bin_start").toPandas()
+    assert len(a) == len(b) > 0
+    cols = sorted(a.columns)
+    assert cols == sorted(b.columns)
+    for c in cols:
+        if c in ("source", "doc_id"):
+            assert (a[c].to_numpy() == b[c].to_numpy()).all(), c
+        else:
+            assert np.allclose(
+                a[c].astype(float), b[c].astype(float),
+                atol=1e-9, equal_nan=True,
+            ), c
+    # the 1m tier is produced without a single shuffle
+    plan = arr._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "SinglePartition" not in plan
