@@ -292,7 +292,7 @@ def _append_bench_md(result: dict) -> None:
         "",
         f"## Scaling run ({time.strftime('%Y-%m-%d %H:%M:%S')}) — N={n} vs 4N={n4}",
         "",
-        "- flagship job: scan -> explode -> z-score flag -> filtered 1m/1h/1d cascade",
+        "- flagship job: scan -> row-local z-gate + explode-free 1m array rollup -> 1h/1d cascade",
         f"- input: {s[lo]['n_tokens']:,} tokens ({SCALING_DOCS:,} docs), "
         f"identical for both runs; outputs identical: {s['outputs_identical']}",
         f"- {lo}:  walls {', '.join(f'{w:.1f}s' for w in s[lo]['walls'])} "

@@ -989,7 +989,7 @@ def stats2d_agg(
     """
     keys = list(key_cols)
     y = F.col(value_col)
-    x = F.when(y.isNotNull(), F.col(axis_col))
+    x = F.col(axis_col)  # rows are pre-filtered to non-null y below
     aggs = [
         F.count(y).alias("n"),
         F.sum(x).alias("sx"),
@@ -1024,7 +1024,7 @@ def compose_stats2d(
         (start + every).cast("long").alias("bin_label"),
     ).agg(*[F.sum(c).alias(c) for c in ("n", "sx", "sy", "sxy", "sxx",
                                         "syy")])
-    return _stats2d_derive(agg.drop("slope", "intercept", "r2"))
+    return _stats2d_derive(agg)
 
 
 def _stats2d_derive(part: DataFrame) -> DataFrame:
@@ -1154,9 +1154,31 @@ def acf_agg(
     pts = df.where(v.isNotNull())
     w = Window.partitionBy(*keys).orderBy(axis_col)
     stepped = pts.withColumn("_prev", F.lag(v, lag).over(w))
-    return stepped.groupBy(*keys, *_bin_cols(stepped, axis_col, every)).agg(
-        F.count(F.when(F.col("_prev").isNotNull(), 1)).alias("n_pairs"),
-        F.corr(v, F.col("_prev")).alias("acf"),
+    # corr assembled from guarded component sums, NOT F.corr: under ANSI
+    # mode (the session default) F.corr throws DIVIDE_BY_ZERO on a
+    # zero-variance bin — exactly the constant-token degenerate stream
+    # this operator hunts (same trap rolling_correlation and
+    # fits.py:261-267 avoid); the guard yields NULL there, matching
+    # DuckDB's corr
+    a = F.when(F.col("_prev").isNotNull(), v)
+    b = F.when(v.isNotNull(), F.col("_prev"))
+    agg = stepped.groupBy(*keys, *_bin_cols(stepped, axis_col, every)).agg(
+        F.count(a).alias("n_pairs"),
+        F.sum(a).alias("_sa"), F.sum(b).alias("_sb"),
+        F.sum(a * b).alias("_sab"),
+        F.sum(a * a).alias("_saa"), F.sum(b * b).alias("_sbb"),
+    )
+    n = F.col("n_pairs").cast("double")
+    sa, sb = F.col("_sa"), F.col("_sb")
+    cov_n = n * F.col("_sab") - sa * sb
+    vara_n = n * F.col("_saa") - sa * sa
+    varb_n = n * F.col("_sbb") - sb * sb
+    acf = F.when(
+        (F.col("n_pairs") >= 2) & (vara_n > 0) & (varb_n > 0),
+        cov_n / F.sqrt(vara_n * varb_n),
+    )
+    return agg.withColumn("acf", acf).drop(
+        "_sa", "_sb", "_sab", "_saa", "_sbb"
     )
 
 

@@ -228,17 +228,19 @@ def local_sd_flag(
         )
 
         def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
             pdf = pdf.sort_values(axis_col)
             r = pdf[value_col].rolling(w, center=True, min_periods=min_n)
             med, sd, cnt = r.median(), r.std(), r.count()
             vv = pdf[value_col]
             rej = (vv > med + thres * sd) | (vv < med - thres * sd)
             out = pdf[[*keys, axis_col]].copy()
-            out[flag_col] = pd.array(
-                [pd.NA if c < min_n else (2 if rj else 0)
-                 for c, rj in zip(cnt, rej)],
-                dtype="Int32",
+            flags = pd.array(
+                np.where(rej.to_numpy(), 2, 0), dtype="Int32"
             )
+            flags[cnt.to_numpy() < min_n] = pd.NA
+            out[flag_col] = flags
             return out
 
         flagged = nn.select(*keys, axis_col, value_col).groupBy(

@@ -529,15 +529,23 @@ def tokens_array_rollup(
         staged = (
             tokens_df.withColumn("_m", mean).withColumn("_s", sd)
         )
-        lo = F.col("_m") - F.lit(float(thres)) * F.col("_s")
-        hi = F.col("_m") + F.lit(float(thres)) * F.col("_s")
+        t = F.lit(float(thres))
 
         def _keep(arr):
-            # |z| <= thres kept; sd==0 keeps everything (z undefined ->
-            # flag 0 in the explode pipeline's try_divide semantics)
+            # EXACT same comparison form as zscore_flag_tokens (reject
+            # |(v - mean) / sd| > thres): the algebraically equivalent
+            # mean ± thres*sd bounds round differently in float64 at
+            # the boundary, which would gate a boundary reading
+            # differently than the explode pipeline.  sd==0 keeps
+            # everything (z undefined -> flag 0 via try_divide there).
             return F.when(
                 F.col("_s") > 0,
-                F.filter(arr, lambda x: (x >= lo) & (x <= hi)),
+                F.filter(
+                    arr,
+                    lambda x: ~(
+                        F.abs((x - F.col("_m")) / F.col("_s")) > t
+                    ),
+                ),
             ).otherwise(arr)
     else:
         staged = tokens_df

@@ -654,6 +654,13 @@ def test_acf_agg_detects_looping(spark):
         assert out.loc[b, "n_pairs"] == len(gg)
     assert out.loc[1000, "acf"] > 0.95       # looping bin
     assert abs(out.loc[0, "acf"]) < 0.2      # noise bin
+    # zero-variance (fully degenerate) bin: NULL acf, no ANSI
+    # DIVIDE_BY_ZERO crash (F.corr would abort the job here)
+    const = pd.DataFrame({"source": "s", "doc_id": "c",
+                          "pos": np.arange(100), "value": 7.0})
+    out2 = acf_agg(spark.createDataFrame(const), every=100, lag=4,
+                   key_cols=["source", "doc_id"]).toPandas()
+    assert out2.acf.isna().all() and (out2.n_pairs > 0).all()
 
 
 def test_lttb_matches_reference_implementation(spark):
