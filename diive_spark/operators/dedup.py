@@ -141,10 +141,30 @@ def minhash_lsh_pairs(
     bands: int = 16,
     id_col: str = "doc_id",
     est_threshold: float = 0.7,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """Candidate near-dup pairs via LSH banding + signature jaccard
     estimate.  ``k = bands * rows_per_band`` minhash columns required.
-    Returns (id_a, id_b, est_jaccard) with id_a < id_b."""
+    Returns (id_a, id_b, est_jaccard) with id_a < id_b.
+
+    ``max_bucket`` guards against hot-bucket quadratic blowup (the
+    minhash analog of simhash_pairs' guard): a boilerplate cluster of
+    100k near-identical docs lands whole in the same (band_idx,
+    band_hash) buckets and the all-pairs self-join would emit ~5e9
+    candidate pairs from that one cluster.  Buckets larger than
+    ``max_bucket`` are instead STAR-LINKED — each member is paired
+    with the bucket's minimum id only, O(n) pairs per bucket instead
+    of O(n^2).  Star pairs flow through the same signature-estimate
+    filter as everything else.  Connected components (and therefore
+    canonical ids under both single- and multi-hop dedup) are
+    preserved whenever the hot bucket is a similarity clique — the
+    realistic cause of hotness, since every member shares the band's
+    r minhash values exactly, which is what boilerplate duplication
+    produces.  For a pathological mixed hot bucket, a true pair whose
+    star edges both fail the estimate filter can still be found via
+    any of its other ``bands - 1`` buckets that are not hot — the
+    standard per-band LSH probability, minus one band.
+    ``max_bucket=None`` disables the guard (exact all-pairs)."""
     mh_cols = [c for c in sig_df.columns if c.startswith("mh")]
     k = len(mh_cols)
     r = k // bands
@@ -163,8 +183,30 @@ def minhash_lsh_pairs(
             "band_idx", "band_hash"
         ),
     )
+    star = None
+    if max_bucket is not None:
+        # hot-bucket table is tiny by construction (few buckets can
+        # exceed max_bucket) — broadcast, never shuffled onto stacked
+        hot = (
+            stacked.groupBy("band_idx", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_bn"), F.min(id_col).alias("_bmin"))
+            .where(F.col("_bn") > max_bucket)
+            .select("band_idx", "band_hash", "_bmin")
+        )
+        flagged = stacked.join(
+            F.broadcast(hot), on=["band_idx", "band_hash"], how="left"
+        )
+        stacked = flagged.where(F.col("_bmin").isNull()).drop("_bmin")
+        # bucket-min is strictly smaller than every other member, so
+        # (id_a, id_b) ordering holds without a comparison
+        star = (
+            flagged.where(
+                F.col("_bmin").isNotNull() & (F.col(id_col) != F.col("_bmin"))
+            )
+            .select(F.col("_bmin").alias("id_a"), F.col(id_col).alias("id_b"))
+        )
     a, b = stacked.alias("a"), stacked.alias("b")
-    pairs = (
+    raw = (
         a.join(
             b,
             on=[
@@ -177,7 +219,11 @@ def minhash_lsh_pairs(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+    )
+    if star is not None:
+        raw = raw.unionByName(star)
+    pairs = (
+        raw.dropDuplicates(["id_a", "id_b"])
         .join(sigs.select(F.col(id_col).alias("id_a"),
                           F.col("sig").alias("sig_a")), on="id_a")
         .join(sigs.select(F.col(id_col).alias("id_b"),
@@ -207,19 +253,23 @@ def minhash_dedup(
     text_col: str = "text",
     id_col: str = "doc_id",
     multi_hop: bool = False,
+    max_bucket: int | None = 100_000,
 ) -> DataFrame:
     """End-to-end MinHash near-dedup: docs joined to their canonical id.
     ``multi_hop=False``: min id among direct LSH-confirmed neighbors
     (one groupBy, no iteration).  ``multi_hop=True``: true cluster
     canonical via connected_components fixpoint, so chains a~b~c all
-    collapse to min(a,b,c) even when a and c are not LSH neighbors."""
+    collapse to min(a,b,c) even when a and c are not LSH neighbors.
+    ``max_bucket`` passes through to minhash_lsh_pairs' hot-bucket
+    star-link guard (see its docstring)."""
     sigs = minhash_signatures(df, k=k, n_shingle=n_shingle,
                               text_col=text_col, id_col=id_col)
     # materialize once: the LSH self-join + signature re-attachment
     # would otherwise recompute the signature subtree 4x
     sigs = sigs.localCheckpoint(eager=True)
     pairs = minhash_lsh_pairs(sigs, bands=bands, id_col=id_col,
-                              est_threshold=est_threshold)
+                              est_threshold=est_threshold,
+                              max_bucket=max_bucket)
     if multi_hop:
         canon = connected_components(pairs).select(
             F.col("node"), F.col("component").alias("canonical")

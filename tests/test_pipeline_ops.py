@@ -466,6 +466,47 @@ def test_simhash_hot_bucket_guard(spark):
     assert raw_max == len(fps)
 
 
+def test_minhash_hot_bucket_guard(spark):
+    """Boilerplate cluster: 300 identical docs land whole in every one
+    of their 16 (band_idx, band_hash) buckets.  Unguarded, the LSH
+    self-join emits 300*299/2 = 44850 pairs from the cluster; with
+    max_bucket the cluster is star-linked to its min id, so exactly
+    299 cluster pairs survive.  Canonical ids must be identical to the
+    unguarded path (single- AND multi-hop), and the planted non-cluster
+    near-dup pair must still be found."""
+    rng = np.random.default_rng(21)
+    boiler = " ".join(rng.choice(WORDS, size=40))
+    rows = [(i, boiler) for i in range(300)]           # hot cluster
+    base = " ".join(rng.choice(WORDS, size=40))
+    w = base.split(); w[7] = "zulu"
+    rows += [(1000, base), (1001, " ".join(w))]        # cold near-dup pair
+    for i in range(10):                                # cold singletons
+        rows.append((2000 + i, " ".join(rng.choice(WORDS, size=40))))
+    docs = spark.createDataFrame(rows, "doc_id long, text string").cache()
+
+    sigs = minhash_signatures(docs, k=64).localCheckpoint(eager=True)
+    guarded = minhash_lsh_pairs(
+        sigs, bands=16, est_threshold=0.5, max_bucket=50
+    ).toPandas()
+    cluster = guarded[(guarded["id_a"] < 300) & (guarded["id_b"] < 300)]
+    assert len(cluster) == 299                          # star, not all-pairs
+    assert set(cluster["id_a"]) == {0}                  # hub is bucket-min
+    assert (cluster["est_jaccard"] == 1.0).all()
+    found = set(map(tuple, guarded[["id_a", "id_b"]].values))
+    assert (1000, 1001) in found                        # cold path untouched
+
+    # canonical ids identical to the unguarded path
+    for multi_hop in (False, True):
+        g = minhash_dedup(docs, est_threshold=0.5, max_bucket=50,
+                          multi_hop=multi_hop)
+        u = minhash_dedup(docs, est_threshold=0.5, max_bucket=None,
+                          multi_hop=multi_hop)
+        gm = {r["doc_id"]: r["canonical_id"] for r in g.collect()}
+        um = {r["doc_id"]: r["canonical_id"] for r in u.collect()}
+        assert gm == um
+        assert gm[299] == 0 and gm[1001] == 1000 and gm[2003] == 2003
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Multi-probe LSH: probing the flipped lowest-margin bits must
     find at least as many true neighbors as single-bucket probing, and
