@@ -51,9 +51,11 @@ def _moments(w, x, y):
     ]
 
 
-def _solve_quadratic(df: DataFrame) -> DataFrame:
+def _solve_quadratic(df: DataFrame, keep_sse: bool = False) -> DataFrame:
     """Cramer's rule on the 3x3 normal equations, as column arithmetic
-    over the per-group moment row (exactly mirrorable in SQL)."""
+    over the per-group moment row (exactly mirrorable in SQL).
+    ``keep_sse=True`` additionally retains the residual sum of squares
+    as ``sse`` (fit bands need it for the residual variance)."""
     s0, s1, s2, s3, s4 = (F.col(c) for c in ("s0", "s1", "s2", "s3", "s4"))
     t0, t1, t2, u0 = (F.col(c) for c in ("t0", "t1", "t2", "u0"))
     det = (
@@ -94,14 +96,25 @@ def _solve_quadratic(df: DataFrame) -> DataFrame:
         )
     )
     sst = u0 - t0 * t0 / s0
-    return (
+    d = (
         d.withColumn("r2", F.when(sst > 0, 1.0 - sse / sst))
         .withColumnRenamed("_c0", "c0")
         .withColumnRenamed("_c1", "c1")
         .withColumnRenamed("_c2", "c2")
         .withColumn("n", F.col("s0"))
-        .drop("s1", "s2", "s3", "s4", "t0", "t1", "t2", "u0", "_det", "s0")
     )
+    if keep_sse:
+        c0k, c1k, c2k = F.col("c0"), F.col("c1"), F.col("c2")
+        d = d.withColumn(
+            "sse",
+            u0
+            - 2 * (c0k * t0 + c1k * t1 + c2k * t2)
+            + (
+                c0k * c0k * s0 + c1k * c1k * s2 + c2k * c2k * s4
+                + 2 * (c0k * c1k * s1 + c0k * c2k * s2 + c1k * c2k * s3)
+            ),
+        )
+    return d.drop("s1", "s2", "s3", "s4", "t0", "t1", "t2", "u0", "_det", "s0")
 
 
 def quadratic_fit(
@@ -279,6 +292,226 @@ def linear_fit(
             - F.try_divide((F.lit(1.0) - r2) * (F.col("n") - 1),
                            (F.col("n") - 2).cast("double"))
         ).alias("r2_adj"),
+    )
+
+
+def _t_quantile_col(fit: DataFrame, conf: float, n_params: int) -> DataFrame:
+    """Attach the exact Student-t quantile ``_tq`` = t_ppf(1 - alpha/2,
+    n - n_params) to a per-key fit table.  Arrow pandas UDF over the
+    TINY aggregated table (O(keys) rows — never the data path); the
+    quantile itself is exact pure-numpy (functions/studentt.py)."""
+    from pyspark.sql.functions import pandas_udf
+
+    p = 1.0 - (1.0 - float(conf)) / 2.0
+
+    def _tq(n):
+        import numpy as np
+        import pandas as pd
+
+        from ..functions.studentt import t_ppf
+
+        nu = n.to_numpy(dtype="float64") - float(n_params)
+        out = np.where(nu > 0, t_ppf(p, np.maximum(nu, 1e-9)), np.nan)
+        return pd.Series(out)
+
+    tq_udf = pandas_udf(_tq, "double")
+    return fit.withColumn("_tq", tq_udf(F.col("n").cast("double")))
+
+
+def linear_fit_bands(
+    df: DataFrame,
+    y: str,
+    x: str,
+    key_cols: Sequence[str] = (),
+    conf: float = 0.95,
+    n_points: int = 50,
+    at: DataFrame | None = None,
+) -> DataFrame:
+    """OLS fit line with 95% confidence and prediction bands — the
+    Spark closed form of the reference Fitter's linear mode
+    (diive/core/dfun/fits.py:117-131, 179-247):
+
+    - ``fit_y``  = intercept + slope * fit_x
+    - ``std``    = se * sqrt(1/n + (fit_x - mx)^2 / Sxx)  (exact
+      sqrt(v' (X'X)^-1 v) * se — what the reference gets from
+      propagating curve_fit's parameter covariance)
+    - ``nom_lower_ci95`` / ``nom_upper_ci95`` = fit_y -/+ 1.96 * std
+      (the reference hardcodes 1.96 for the CI, fits.py:245-246)
+    - ``lower_predband`` / ``upper_predband`` = fit_y -/+
+      tq * se * sqrt(1 + 1/n + (fit_x - mx)^2 / Sxx) with tq the EXACT
+      Student-t quantile t_ppf(1 - alpha/2, n - 2) (fits.py:123-129)
+
+    Evaluation points: per-key linspace over [min(x), max(x)] with
+    ``n_points`` steps (the reference's fit_x), or the rows of ``at``
+    (must carry ``x`` and the keys).  One aggregate over the data +
+    a broadcast join onto the tiny grid — no data shuffle."""
+    keys = list(key_cols)
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    good = df.where(xc.isNotNull() & yc.isNotNull())
+    agg = good.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.avg(xc).alias("_mx"),
+        F.sum(xc * xc).alias("_sxx_raw"),
+        F.sum(xc).alias("_sx"),
+        F.sum(yc).alias("_sy"),
+        F.sum(xc * yc).alias("_sxy_raw"),
+        F.sum(yc * yc).alias("_syy_raw"),
+        F.min(xc).alias("_xmin"),
+        F.max(xc).alias("_xmax"),
+    )
+    sxx = F.col("_sxx_raw") - F.col("_sx") * F.col("_sx") / F.col("n")
+    sxy = F.col("_sxy_raw") - F.col("_sx") * F.col("_sy") / F.col("n")
+    syy = F.col("_syy_raw") - F.col("_sy") * F.col("_sy") / F.col("n")
+    slope = F.try_divide(sxy, sxx)
+    fit = (
+        agg.withColumn("slope", slope)
+        .withColumn(
+            "intercept",
+            (F.col("_sy") - F.col("slope") * F.col("_sx")) / F.col("n"),
+        )
+        .withColumn("_sse", syy - F.col("slope") * sxy)
+        .withColumn(
+            "se",
+            F.sqrt(F.try_divide(F.greatest(F.col("_sse"), F.lit(0.0)),
+                                F.col("n") - 2)),
+        )
+        .withColumn("_sxx", sxx)
+    )
+    fit = _t_quantile_col(fit, conf, n_params=2)
+    if at is None:
+        i = F.explode(F.sequence(F.lit(0), F.lit(int(n_points) - 1))).alias("_i")
+        grid = fit.select(*keys, "_xmin", "_xmax", i).withColumn(
+            "fit_x",
+            F.col("_xmin")
+            + F.col("_i")
+            * (F.col("_xmax") - F.col("_xmin"))
+            / F.lit(float(n_points - 1)),
+        ).select(*keys, "fit_x")
+    else:
+        grid = at.select(*keys, F.col(x).cast("double").alias("fit_x"))
+    j = (
+        grid.join(F.broadcast(fit), on=keys) if keys
+        else grid.crossJoin(F.broadcast(fit))
+    )
+    lev = 1.0 / F.col("n") + F.try_divide(
+        (F.col("fit_x") - F.col("_mx")) ** 2, F.col("_sxx")
+    )
+    stdc = F.col("se") * F.sqrt(lev)
+    dy = F.col("_tq") * F.col("se") * F.sqrt(1.0 + lev)
+    fit_y = F.col("intercept") + F.col("slope") * F.col("fit_x")
+    return j.select(
+        *keys,
+        "fit_x",
+        fit_y.alias("fit_y"),
+        stdc.alias("std"),
+        (fit_y - 1.96 * stdc).alias("nom_lower_ci95"),
+        (fit_y + 1.96 * stdc).alias("nom_upper_ci95"),
+        (fit_y - dy).alias("lower_predband"),
+        (fit_y + dy).alias("upper_predband"),
+        "slope", "intercept", "se", F.col("n").cast("long").alias("n"),
+    )
+
+
+def quadratic_fit_bands(
+    df: DataFrame,
+    y: str,
+    x: str,
+    key_cols: Sequence[str] = (),
+    conf: float = 0.95,
+    n_points: int = 50,
+    at: DataFrame | None = None,
+) -> DataFrame:
+    """Quadratic fit curve with confidence and prediction bands — the
+    reference Fitter's 'quadratic_offset' mode (diive/core/dfun/
+    fits.py:117-131, 179-247), exact closed form:
+
+    - coefficients from the same moment/Cramer solve as quadratic_fit;
+    - CI std = se * sqrt(v' (X'X)^-1 v), v = [1, x, x^2], with the 3x3
+      inverse expressed through the adjugate of the moment matrix
+      (column arithmetic — no linear-algebra library).  This equals
+      the reference's uncertainties-package propagation of curve_fit's
+      covariance exactly (curve_fit cov = se^2 (X'X)^-1);
+      bands at fit_y -/+ 1.96 * std (reference hardcodes 1.96);
+    - prediction band uses the reference's own simple-leverage formula
+      (fits.py:128: sqrt(1 + 1/N + (px-mx)^2/Sxx)) with the EXACT
+      t_ppf(1 - alpha/2, n - 3) quantile — mirrored verbatim, including
+      the fact that it ignores the quadratic leverage term."""
+    keys = list(key_cols)
+    xc, yc = F.col(x).cast("double"), F.col(y).cast("double")
+    good = df.where(xc.isNotNull() & yc.isNotNull())
+    moments = good.groupBy(*keys).agg(
+        *_moments(F.lit(1.0), xc, yc),
+        F.min(xc).alias("_xmin"),
+        F.max(xc).alias("_xmax"),
+    )
+    s0, s1, s2 = F.col("s0"), F.col("s1"), F.col("s2")
+    s3, s4 = F.col("s3"), F.col("s4")
+    det = (
+        s0 * (s2 * s4 - s3 * s3)
+        - s1 * (s1 * s4 - s3 * s2)
+        + s2 * (s1 * s3 - s2 * s2)
+    )
+    m = (
+        moments.withColumn("_adet", det)
+        .withColumn("_a00", s2 * s4 - s3 * s3)
+        .withColumn("_a01", -(s1 * s4 - s2 * s3))
+        .withColumn("_a02", s1 * s3 - s2 * s2)
+        .withColumn("_a11", s0 * s4 - s2 * s2)
+        .withColumn("_a12", -(s0 * s3 - s1 * s2))
+        .withColumn("_a22", s0 * s2 - s1 * s1)
+        .withColumn("_mx", s1 / s0)
+        .withColumn("_sxx", s2 - s1 * s1 / s0)
+    )
+    fit = _solve_quadratic(m, keep_sse=True)
+    fit = fit.withColumn(
+        "se",
+        F.sqrt(
+            F.try_divide(
+                F.greatest(F.col("sse"), F.lit(0.0)), F.col("n") - 3
+            )
+        ),
+    )
+    fit = _t_quantile_col(fit, conf, n_params=3)
+    if at is None:
+        i = F.explode(F.sequence(F.lit(0), F.lit(int(n_points) - 1))).alias("_i")
+        grid = fit.select(*keys, "_xmin", "_xmax", i).withColumn(
+            "fit_x",
+            F.col("_xmin")
+            + F.col("_i")
+            * (F.col("_xmax") - F.col("_xmin"))
+            / F.lit(float(n_points - 1)),
+        ).select(*keys, "fit_x")
+    else:
+        grid = at.select(*keys, F.col(x).cast("double").alias("fit_x"))
+    j = (
+        grid.join(F.broadcast(fit), on=keys) if keys
+        else grid.crossJoin(F.broadcast(fit))
+    )
+    fx = F.col("fit_x")
+    fx2 = fx * fx
+    quad_form = (
+        F.col("_a00")
+        + fx2 * F.col("_a11")
+        + fx2 * fx2 * F.col("_a22")
+        + 2.0 * (fx * F.col("_a01") + fx2 * F.col("_a02")
+                 + fx * fx2 * F.col("_a12"))
+    )
+    stdc = F.col("se") * F.sqrt(F.try_divide(quad_form, F.col("_adet")))
+    lev = 1.0 / F.col("n") + F.try_divide(
+        (fx - F.col("_mx")) ** 2, F.col("_sxx")
+    )
+    dy = F.col("_tq") * F.col("se") * F.sqrt(1.0 + lev)
+    fit_y = F.col("c0") + F.col("c1") * fx + F.col("c2") * fx2
+    return j.select(
+        *keys,
+        "fit_x",
+        fit_y.alias("fit_y"),
+        stdc.alias("std"),
+        (fit_y - 1.96 * stdc).alias("nom_lower_ci95"),
+        (fit_y + 1.96 * stdc).alias("nom_upper_ci95"),
+        (fit_y - dy).alias("lower_predband"),
+        (fit_y + dy).alias("upper_predband"),
+        "c0", "c1", "c2", "se", F.col("n").cast("long").alias("n"),
     )
 
 

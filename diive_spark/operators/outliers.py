@@ -380,6 +380,7 @@ def ewma_chart(
     key_cols: Sequence[str] = KEY_COLS,
     flag_col: str = "flag_ewma",
     out_col: str = "ewma",
+    kernel: bool = False,
 ) -> DataFrame:
     """EWMA control chart (Roberts 1959; NIST/SEMATECH e-handbook
     §6.3.2.4 semantics — public method, no reference-repo counterpart:
@@ -403,7 +404,18 @@ def ewma_chart(
     come from a hash aggregate joined back (zscore_flag's plan shape) —
     never a whole-partition window.  Null readings carry a NULL flag
     and do not enter the fold (gaps are skipped, locf-style).
-    """
+
+    ``kernel=True`` computes the identical truncated fold as an
+    Arrow-batched numpy kernel per series (``applyInPandas``) instead
+    of the ``collect_list``-over-frame fold: the per-row trailing
+    array is a ``window``-fold width amplification in the window
+    stage, while the kernel sweeps one vectorized pass per window
+    offset (O(window) passes over the series, no per-row arrays).
+    The accumulator update sequence per row is EXACTLY the fold's, so
+    ``ewma`` values are bit-identical (parity-tested); the fold path
+    remains the default and the oracle twin.  Requires one series per
+    worker (token streams are n_tok-bounded), like local_sd_flag's
+    kernel."""
     if not 0.0 < alpha <= 1.0:
         raise ValueError(f"alpha must be in (0, 1], got {alpha}")
     if window < 2:
@@ -412,6 +424,43 @@ def ewma_chart(
     v = F.col(value_col)
     a = float(alpha)
     pts = df.where(v.isNotNull())
+    if kernel:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        w_, ns = int(window), float(n_sigma)
+        schema = T.StructType(
+            [df.schema[k] for k in keys]
+            + [df.schema[axis_col],
+               T.StructField(out_col, T.DoubleType()),
+               T.StructField(flag_col, T.IntegerType())]
+        )
+
+        def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values(axis_col)
+            vv = pdf[value_col].to_numpy(dtype="float64")
+            n = len(vv)
+            t = np.arange(n)
+            start = np.maximum(0, t - w_ + 1)
+            acc = vv[start].copy()      # fold seed: oldest in frame
+            for j in range(1, w_):
+                idx = start + j
+                m = idx <= t
+                acc[m] = acc[m] * (1.0 - a) + a * vv[idx[m]]
+            mean, sd = vv.mean(), vv.std()
+            sigma = sd * math.sqrt(a / (2.0 - a))
+            rej = np.abs(acc - mean) > ns * sigma
+            out = pdf[[*keys, axis_col]].copy()
+            out[out_col] = acc
+            out[flag_col] = np.where(rej, FLAG_HARD, FLAG_OK).astype("int32")
+            return out
+
+        flagged = pts.select(*keys, axis_col, value_col).groupBy(
+            *keys
+        ).applyInPandas(_kern, schema=schema)
+        return pts.join(flagged, on=keys + [axis_col], how="left")
     w = (
         Window.partitionBy(*keys)
         .orderBy(axis_col)
@@ -446,6 +495,7 @@ def cusum_chart(
     axis_col: str = "pos",
     key_cols: Sequence[str] = KEY_COLS,
     flag_col: str = "flag_cusum",
+    kernel: bool = False,
 ) -> DataFrame:
     """Two-sided CUSUM changepoint chart (Page 1954; NIST/SEMATECH
     §6.3.2.3 tabular form — public method, no reference-repo
@@ -468,7 +518,15 @@ def cusum_chart(
     ``cusum_hi > h`` or ``cusum_lo > h``.  Like :func:`ewma_chart` the
     chart is defined on OBSERVED readings — null rows are dropped from
     the output, so folds always span ``window`` readings.
-    """
+
+    ``kernel=True``: same opt-in Arrow numpy kernel treatment as
+    ewma_chart — one vectorized clamped-fold pass per window offset
+    instead of a per-row 128-element ``collect_list``.  The clamped
+    fold itself replays the JVM fold's operation order exactly, but
+    its input ``z`` depends on mean/sd_pop whose summation order
+    differs between numpy and the JVM hash aggregate, so cusum values
+    agree to ~1e-12 (not bitwise; parity-tested at 1e-9 with exact
+    flag agreement).  The fold path stays the default + oracle twin."""
     if window < 1:
         raise ValueError(f"window must be >= 1, got {window}")
     if k < 0 or h <= 0:
@@ -476,6 +534,47 @@ def cusum_chart(
     keys = list(key_cols)
     v = F.col(value_col)
     pts = df.where(v.isNotNull())
+    if kernel:
+        import pandas as pd
+        import pyspark.sql.types as T
+
+        w_, kf_, h_ = int(window), float(k), float(h)
+        schema = T.StructType(
+            [df.schema[kk] for kk in keys]
+            + [df.schema[axis_col],
+               T.StructField("cusum_hi", T.DoubleType()),
+               T.StructField("cusum_lo", T.DoubleType()),
+               T.StructField(flag_col, T.IntegerType())]
+        )
+
+        def _kern(pdf: pd.DataFrame) -> pd.DataFrame:
+            import numpy as np
+
+            pdf = pdf.sort_values(axis_col)
+            vv = pdf[value_col].to_numpy(dtype="float64")
+            n = len(vv)
+            mean, sd = vv.mean(), vv.std()
+            z = (vv - mean) / sd if sd > 0 else np.full(n, np.nan)
+            t = np.arange(n)
+            start = np.maximum(0, t - w_ + 1)
+            hi = np.zeros(n)
+            lo = np.zeros(n)
+            for j in range(w_):              # zero seed: fold ALL frame rows
+                idx = start + j
+                m = idx <= t
+                hi[m] = np.maximum(0.0, hi[m] + z[idx[m]] - kf_)
+                lo[m] = np.maximum(0.0, lo[m] - z[idx[m]] - kf_)
+            rej = (hi > h_) | (lo > h_)
+            out = pdf[[*keys, axis_col]].copy()
+            out["cusum_hi"] = hi
+            out["cusum_lo"] = lo
+            out[flag_col] = np.where(rej, FLAG_HARD, FLAG_OK).astype("int32")
+            return out
+
+        flagged = pts.select(*keys, axis_col, value_col).groupBy(
+            *keys
+        ).applyInPandas(_kern, schema=schema)
+        return pts.join(flagged, on=keys + [axis_col], how="left")
     stats = pts.groupBy(*keys).agg(
         F.avg(v).alias("_cu_mean"),
         F.stddev_pop(v).alias("_cu_sd"),

@@ -1861,6 +1861,81 @@ FROM r
 """
 
 
+def q_fit_ci_bands(spark, sf_dir):
+    """Fit confidence + prediction bands (reference Fitter,
+    core/dfun/fits.py:117-131,179-247 — the r3 verdict's last named
+    fits gap): closed-form OLS line per returnflag evaluated on a
+    5-point grid with CI std = se*sqrt(1/n + (x-mx)^2/Sxx), CI at
+    +/-1.96*std, PI at the EXACT Student-t quantile (pure-numpy t_ppf;
+    the twin inlines the per-group t_ppf(0.975, n-2) literals computed
+    from the same public distribution — n is corpus-deterministic and
+    any drift breaks the n column first)."""
+    from .operators.fits import linear_fit_bands
+
+    li = _load(spark, sf_dir, "lineitem")
+    d = li.select(
+        F.col("l_returnflag").alias("flag"),
+        (F.col("l_extendedprice") / 100000.0).alias("x"),
+        F.col("l_quantity").cast("double").alias("y"),
+    )
+    out = linear_fit_bands(d, "y", "x", key_cols=["flag"], n_points=5)
+    return out.select(
+        "flag", _r(F.col("fit_x"), 6).alias("fit_x"),
+        _r(F.col("fit_y"), 4).alias("fit_y"),
+        _r(F.col("std"), 6).alias("std"),
+        _r(F.col("nom_lower_ci95"), 4).alias("ci_lo"),
+        _r(F.col("nom_upper_ci95"), 4).alias("ci_hi"),
+        _r(F.col("lower_predband"), 4).alias("pi_lo"),
+        _r(F.col("upper_predband"), 4).alias("pi_hi"),
+        "n",
+    )
+
+
+SQL_FIT_CI_BANDS = """
+WITH d AS (
+  SELECT l_returnflag AS flag,
+         CAST(l_extendedprice / 100000.0 AS DOUBLE) AS x,
+         CAST(l_quantity AS DOUBLE) AS y
+  FROM lineitem
+  WHERE l_extendedprice IS NOT NULL AND l_quantity IS NOT NULL),
+m AS (
+  SELECT flag, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x*x) AS sxx_raw, sum(x*y) AS sxy_raw, sum(y*y) AS syy_raw,
+         min(x) AS xmin, max(x) AS xmax
+  FROM d GROUP BY 1),
+f AS (
+  SELECT *, sx / n AS mx,
+         sxx_raw - sx*sx/n AS sxx,
+         sxy_raw - sx*sy/n AS sxy,
+         syy_raw - sy*sy/n AS syy
+  FROM m),
+g AS (
+  SELECT *, sxy/sxx AS slope, (sy - (sxy/sxx)*sx)/n AS intercept,
+         sqrt(greatest(syy - (sxy/sxx)*sxy, 0.0)/(n - 2)) AS se,
+         -- t_ppf(0.975, n-2) literals for the sf0.01 group sizes
+         CASE flag WHEN 'A' THEN 1.9600824511347539
+                   WHEN 'N' THEN 1.9600830576632267
+                   WHEN 'R' THEN 1.9600823447487636 END AS tq
+  FROM f),
+grid AS (
+  SELECT g.*, xmin + i * (xmax - xmin) / 4.0 AS fit_x
+  FROM g CROSS JOIN (SELECT unnest(range(0, 5)) AS i)),
+b AS (
+  SELECT flag, fit_x, n, se, tq,
+         intercept + slope * fit_x AS fit_y,
+         1.0/n + (fit_x - mx)*(fit_x - mx)/sxx AS lev
+  FROM grid)
+SELECT flag, round(fit_x, 6) AS fit_x, round(fit_y, 4) AS fit_y,
+       round(se * sqrt(lev), 6) AS std,
+       round(fit_y - 1.96 * (se * sqrt(lev)), 4) AS ci_lo,
+       round(fit_y + 1.96 * (se * sqrt(lev)), 4) AS ci_hi,
+       round(fit_y - tq * se * sqrt(1.0 + lev), 4) AS pi_lo,
+       round(fit_y + tq * se * sqrt(1.0 + lev), 4) AS pi_hi,
+       CAST(n AS BIGINT) AS n
+FROM b
+"""
+
+
 def q_critical_heat_days(spark, sf_dir):
     """FluxCriticalHeatDaysP95 (criticalheatdays.py:19-473): per-source
     percentile-bin daily driver maxima; CHD/nCHD thresholds."""
@@ -4187,6 +4262,8 @@ QUERIES = {
     "similarity_topk_lsh": (q_cosine_lsh_topk, SQL_SIMILARITY_LSH),
     "ml_gapfill_rf": (q_rf_gapfill, SQL_RF_GAPFILL),
     "similarity_topk_ivf": (q_ivf_topk, SQL_SIMILARITY_IVF),
+    # --- new in r4 ---------------------------------------------------
+    "fit_ci_bands": (q_fit_ci_bands, SQL_FIT_CI_BANDS),
     "arrival_stats_bins": (q_arrival_stats, SQL_ARRIVAL_STATS),
     "acf_agg_bins": (q_acf_agg, SQL_ACF_AGG),
     "topk_agg_bins": (q_topk_agg, SQL_TOPK_AGG),

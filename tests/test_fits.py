@@ -190,3 +190,117 @@ def test_linear_fit_degenerate_groups_yield_null_not_crash(spark):
     assert abs(out["two_pts"]["slope"] - 2.0) < 1e-12
     assert abs(out["good"]["slope"] - 2.0) < 1e-12
     assert abs(out["good"]["r2"] - 1.0) < 1e-12
+
+
+def test_studentt_ppf_matches_scipy_reference_values(spark):
+    """Pure-numpy t_ppf vs hardcoded scipy.stats.t.ppf values (scipy is
+    not in this container; values generated offline from the public
+    table) — the quantile the reference uses for prediction bands."""
+    from diive_spark.functions.studentt import t_cdf, t_ppf
+
+    cases = [
+        (0.975, 10, 2.2281388519649385),
+        (0.975, 2, 4.302652729911275),
+        (0.975, 100, 1.9839715184496334),
+        (0.995, 5, 4.0321429836559324),
+        (0.975, 1, 12.706204736432095),
+        (0.025, 10, -2.2281388519649385),
+        (0.975, 47, 2.011740513729764),
+    ]
+    for p, nu, exp in cases:
+        assert abs(float(t_ppf(p, nu)[0]) - exp) < 1e-7, (p, nu)
+    # cdf/ppf roundtrip
+    ps = np.array([0.01, 0.2, 0.5, 0.9, 0.999])
+    nus = np.array([3.0, 9.0, 30.0, 120.0, 7.0])
+    assert np.allclose(t_cdf(t_ppf(ps, nus), nus), ps, atol=1e-10)
+
+
+def _bands_oracle(x, y, px, p_params, conf=0.95):
+    """Numpy closed-form twin of the reference Fitter band math:
+    OLS via normal equations, CI std from se^2 * v'(X'X)^-1 v,
+    PI from the simple-leverage formula with the exact t quantile."""
+    from diive_spark.functions.studentt import t_ppf
+
+    n = len(x)
+    X = np.vander(x, p_params, increasing=True)   # [1, x, (x^2)]
+    beta, *_ = np.linalg.lstsq(X, y, rcond=None)
+    resid = y - X @ beta
+    se = np.sqrt((resid ** 2).sum() / (n - p_params))
+    cov_scaled = np.linalg.inv(X.T @ X)
+    PX = np.vander(px, p_params, increasing=True)
+    std = se * np.sqrt(np.einsum("ij,jk,ik->i", PX, cov_scaled, PX))
+    yp = PX @ beta
+    q = float(t_ppf(1 - (1 - conf) / 2, n - p_params)[0])
+    lev = 1.0 / n + (px - x.mean()) ** 2 / ((x - x.mean()) ** 2).sum()
+    dy = q * se * np.sqrt(1.0 + lev)
+    return beta, yp, std, yp - 1.96 * std, yp + 1.96 * std, yp - dy, yp + dy
+
+
+def test_linear_fit_bands_matches_numpy_oracle(spark):
+    from diive_spark.operators.fits import linear_fit_bands
+
+    rng = np.random.default_rng(5)
+    x = rng.uniform(0, 10, 200)
+    y = 3.0 * x + 2.0 + rng.normal(0, 1.5, 200)
+    pdf = pd.DataFrame({"g": "a", "x": x, "y": y})
+    out = (
+        linear_fit_bands(spark.createDataFrame(pdf), "y", "x", ["g"],
+                         n_points=25)
+        .orderBy("fit_x").toPandas()
+    )
+    px = out["fit_x"].to_numpy()
+    assert len(px) == 25
+    assert abs(px[0] - x.min()) < 1e-9 and abs(px[-1] - x.max()) < 1e-9
+    beta, yp, std, clo, chi, plo, phi = _bands_oracle(x, y, px, 2)
+    assert np.allclose(out["fit_y"], yp, atol=1e-8)
+    assert np.allclose(out["std"], std, atol=1e-8)
+    assert np.allclose(out["nom_lower_ci95"], clo, atol=1e-8)
+    assert np.allclose(out["nom_upper_ci95"], chi, atol=1e-8)
+    assert np.allclose(out["lower_predband"], plo, atol=1e-8)
+    assert np.allclose(out["upper_predband"], phi, atol=1e-8)
+    # bands nest: PI strictly outside CI
+    assert (out["lower_predband"] < out["nom_lower_ci95"]).all()
+    assert (out["upper_predband"] > out["nom_upper_ci95"]).all()
+
+
+def test_quadratic_fit_bands_matches_numpy_oracle(spark):
+    from diive_spark.operators.fits import quadratic_fit_bands
+
+    rng = np.random.default_rng(11)
+    x = rng.uniform(-4, 6, 300)
+    y = -1.2 * x * x + 4.0 * x + 7.0 + rng.normal(0, 2.0, 300)
+    pdf = pd.DataFrame({"g": "a", "x": x, "y": y})
+    out = (
+        quadratic_fit_bands(spark.createDataFrame(pdf), "y", "x", ["g"],
+                            n_points=30)
+        .orderBy("fit_x").toPandas()
+    )
+    px = out["fit_x"].to_numpy()
+    beta, yp, std, clo, chi, plo, phi = _bands_oracle(x, y, px, 3)
+    assert np.allclose([out["c0"][0], out["c1"][0], out["c2"][0]], beta,
+                       atol=1e-6)
+    assert np.allclose(out["fit_y"], yp, atol=1e-6)
+    assert np.allclose(out["std"], std, atol=1e-6)
+    assert np.allclose(out["nom_lower_ci95"], clo, atol=1e-6)
+    assert np.allclose(out["upper_predband"], phi, atol=1e-6)
+    assert (out["lower_predband"] < out["nom_lower_ci95"]).all()
+
+
+def test_fit_bands_at_points_and_degenerate(spark):
+    """`at=` evaluation points pass through; degenerate groups (n<=p)
+    yield NULL bands instead of aborting under ANSI mode."""
+    from diive_spark.operators.fits import linear_fit_bands
+
+    rows = [("good", float(i), 2.0 * i + 1.0) for i in range(10)]
+    rows += [("tiny", 0.0, 1.0), ("tiny", 1.0, 3.0)]
+    df = spark.createDataFrame(rows, "g string, x double, y double")
+    at = spark.createDataFrame(
+        [("good", 2.5), ("good", 7.5), ("tiny", 0.5)], "g string, x double"
+    )
+    out = {(r["g"], r["fit_x"]): r
+           for r in linear_fit_bands(df, "y", "x", ["g"], at=at).collect()}
+    g = out[("good", 2.5)]
+    assert abs(g["fit_y"] - 6.0) < 1e-9
+    assert g["lower_predband"] is not None
+    t = out[("tiny", 0.5)]
+    assert t["lower_predband"] is None        # n-2 == 0 -> NULL tq/se

@@ -271,6 +271,50 @@ def test_cusum_chart_matches_numpy_and_finds_changepoint(spark):
     assert (np.abs(z[1000:1300]) < 4.0).mean() > 0.99
 
 
+def test_ewma_cusum_kernel_parity(spark):
+    """kernel=True (Arrow numpy sweep) vs the collect_list fold path:
+    ewma values BIT-identical (fold over raw values, identical op
+    order); cusum values to 1e-9 (fold input z depends on numpy-vs-JVM
+    mean/sd summation order); flags exactly equal on both.  Multiple
+    series + a null reading to exercise grouping and the non-null
+    contract."""
+    from diive_spark.operators.outliers import cusum_chart, ewma_chart
+
+    rng = np.random.default_rng(31)
+    frames = []
+    for d in ("d1", "d2", "d3"):
+        v = rng.normal(0.0, 1.0, 700)
+        v[400:480] += 2.5
+        pdf = pd.DataFrame({"source": "s", "doc_id": d,
+                            "pos": np.arange(700), "value": v})
+        frames.append(pdf)
+    pdf = pd.concat(frames, ignore_index=True)
+    pdf.loc[5, "value"] = np.nan
+    df = spark.createDataFrame(pdf).repartition(8).cache()
+
+    key = ["source", "doc_id", "pos"]
+    e_fold = (ewma_chart(df, alpha=0.2, window=64,
+                         key_cols=["source", "doc_id"])
+              .orderBy(*key).toPandas())
+    e_kern = (ewma_chart(df, alpha=0.2, window=64,
+                         key_cols=["source", "doc_id"], kernel=True)
+              .orderBy(*key).toPandas())
+    assert (e_fold.ewma.to_numpy() == e_kern.ewma.to_numpy()).all()
+    assert (e_fold.flag_ewma.to_numpy() == e_kern.flag_ewma.to_numpy()).all()
+    assert len(e_fold) == 3 * 700 - 1          # null reading dropped
+
+    c_fold = (cusum_chart(df, k=0.5, h=6.0, window=128,
+                          key_cols=["source", "doc_id"])
+              .orderBy(*key).toPandas())
+    c_kern = (cusum_chart(df, k=0.5, h=6.0, window=128,
+                          key_cols=["source", "doc_id"], kernel=True)
+              .orderBy(*key).toPandas())
+    assert np.allclose(c_fold.cusum_hi, c_kern.cusum_hi, atol=1e-9)
+    assert np.allclose(c_fold.cusum_lo, c_kern.cusum_lo, atol=1e-9)
+    assert (c_fold.flag_cusum.to_numpy() == c_kern.flag_cusum.to_numpy()).all()
+    assert c_kern.flag_cusum.max() == 2        # shift still caught
+
+
 def test_seasonal_zscore_catches_in_phase_anomaly(spark):
     """seasonal_zscore_flag vs a pandas twin (phase-median detrend +
     residual z), and the property that motivates it: an anomaly parked
