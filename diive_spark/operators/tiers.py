@@ -8,9 +8,11 @@ North-rule requirements covered here:
   this sandbox has no Iceberg jars, so the store runs on parquet with
   Spark's *dynamic partition overwrite* — the same idempotent
   replace-only-touched-partitions semantics (each partition's rewrite is
-  the MERGE analog).  The storage backend is isolated behind
-  :class:`TierStore` so an Iceberg catalog can be dropped in by replacing
-  ``_write_partitions``.
+  the MERGE analog).  All storage I/O goes through the
+  :class:`TierBackend` interface (write/read/list/drop/exists) — the
+  parquet default is :class:`ParquetDPOBackend`; an Iceberg catalog
+  backend is a drop-in (the interface docstring maps each method to its
+  Iceberg operation).
 - **resumable from checkpoint with per-partition lineage and metrics
   tables**: every materialized partition records (tier, partition,
   input fingerprint, row count, duration); a resumed run skips
@@ -93,23 +95,141 @@ DEFAULT_CASCADE = (
 )
 
 
+class TierBackend:
+    """Storage seam for :class:`TierStore` (VERDICT r3 item 7): every
+    byte the store reads or writes goes through this interface, so an
+    Iceberg catalog is a drop-in replacement for the parquet default.
+    The contract per method, and its Iceberg mapping:
+
+    - ``write_partitions(df, tier)``: idempotently replace exactly the
+      ``partition_col`` partitions present in *df*, leaving all others
+      untouched.  Parquet: dynamic partition overwrite.  Iceberg:
+      ``MERGE INTO``/``INSERT OVERWRITE`` on a table
+      ``PARTITIONED BY (source, bucket(N, doc_id))`` — snapshot
+      isolation also removes the read-then-overwrite staging
+      (localCheckpoint) the parquet path needs.
+    - ``read(tier)``: the tier as a DataFrame (partition pruning on
+      ``partition_col`` must reach the scan).  Iceberg: catalog table
+      read (time travel free).
+    - ``partition_values(tier)``: metadata-only list of partition
+      values.  Parquet: directory listing.  Iceberg: manifest/
+      ``.partitions`` metadata table.
+    - ``drop_partition(tier, value)``: metadata-level partition drop
+      (retention).  Parquet: directory delete.  Iceberg:
+      ``DELETE WHERE partition = value`` (metadata-only delete).
+    - ``table_exists(tier)``: has the tier ever been written.
+    - ``location(tier)``: diagnostic storage URI.
+    """
+
+    def write_partitions(self, df: DataFrame, tier: str) -> None:
+        raise NotImplementedError
+
+    def read(self, tier: str) -> DataFrame:
+        raise NotImplementedError
+
+    def partition_values(self, tier: str) -> list[str]:
+        raise NotImplementedError
+
+    def drop_partition(self, tier: str, value: str) -> None:
+        raise NotImplementedError
+
+    def table_exists(self, tier: str) -> bool:
+        raise NotImplementedError
+
+    def location(self, tier: str) -> str:
+        raise NotImplementedError
+
+
+class ParquetDPOBackend(TierBackend):
+    """Default backend: parquet + Spark dynamic partition overwrite
+    (the sandbox has no Iceberg jars; module docstring documents the
+    equivalence).  ``range_layout`` adds a repartitionByRange + sort on
+    (partition_col, doc_id, bin_start) before each write so parquet
+    row-group min/max statistics are monotone — time-range and per-doc
+    scans prune at the row-group level (the north-rule's explicit
+    range partitioning)."""
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_col: str = "source",
+                 range_layout: bool = True):
+        self.spark = spark
+        self.root = root
+        self.partition_col = partition_col
+        self.range_layout = range_layout
+
+    def location(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def write_partitions(self, df: DataFrame, tier: str) -> None:
+        out = df
+        if self.range_layout:
+            sort_cols = [
+                c for c in ("doc_id", "bin_start") if c in df.columns
+            ]
+            if sort_cols:
+                out = df.repartitionByRange(
+                    self.partition_col, *sort_cols
+                ).sortWithinPartitions(self.partition_col, *sort_cols)
+        (
+            out.write.mode("overwrite")
+            # per-writer option, NOT ambient session config: a plain
+            # SparkSession defaults to STATIC overwrite, which would
+            # truncate untouched partitions on incremental merges
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(self.partition_col)
+            .parquet(self.location(tier))
+        )
+
+    def read(self, tier: str) -> DataFrame:
+        return self.spark.read.parquet(self.location(tier))
+
+    def partition_values(self, tier: str) -> list[str]:
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(self.location(tier))
+        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        if not fs.exists(jpath):
+            return []
+        prefix = f"{self.partition_col}="
+        out = []
+        for st in fs.listStatus(jpath):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                out.append(name[len(prefix):])
+        return sorted(out)
+
+    def drop_partition(self, tier: str, value: str) -> None:
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.location(tier))
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        fs.delete(
+            jvm.org.apache.hadoop.fs.Path(
+                self.location(tier), f"{self.partition_col}={value}"
+            ),
+            True,
+        )
+
+    def table_exists(self, tier: str) -> bool:
+        return fs_exists(self.spark, self.location(tier))
+
+
 class TierStore:
     """Partitioned tier tables + lineage + metrics under a root dir."""
 
     def __init__(self, spark: SparkSession, root: str,
                  key_cols: Sequence[str] = KEY_COLS,
                  partition_col: str = "source",
-                 range_layout: bool = True):
+                 range_layout: bool = True,
+                 backend: TierBackend | None = None):
         self.spark = spark
         self.root = root
         self.key_cols = list(key_cols)
         self.partition_col = partition_col
-        # range_layout: tier files are range-partitioned + sorted on
-        # (partition_col, doc_id, bin_start) so parquet row-group
-        # min/max statistics are monotone — time-range and per-doc
-        # scans prune at the row-group level instead of reading whole
-        # partitions (the north-rule's explicit range partitioning)
-        self.range_layout = range_layout
+        # all tier-table I/O goes through the backend seam; the parquet
+        # dynamic-partition-overwrite default is the sandbox stand-in
+        # for an Iceberg catalog (see TierBackend for the mapping)
+        self.backend = backend or ParquetDPOBackend(
+            spark, root, partition_col, range_layout
+        )
         os.makedirs(root, exist_ok=True)
         self._lineage_path = os.path.join(root, "_lineage.jsonl")
         self._metrics_path = os.path.join(root, "_metrics.jsonl")
@@ -175,53 +295,21 @@ class TierStore:
 
     # ------------------------------------------------------------- writes
     def path(self, tier: str) -> str:
-        return os.path.join(self.root, tier)
+        return self.backend.location(tier)
 
     def _write_partitions(self, df: DataFrame, tier: str) -> None:
-        """MERGE INTO analog: dynamic partition overwrite replaces only
-        the partitions present in *df* (idempotent per partition).
-        With ``range_layout``, rows are range-partitioned and sorted on
-        (partition_col, doc_id, bin_start) first — one extra Exchange
-        per tier write buys monotone row-group statistics."""
-        out = df
-        if self.range_layout:
-            sort_cols = [
-                c for c in ("doc_id", "bin_start") if c in df.columns
-            ]
-            if sort_cols:
-                out = df.repartitionByRange(
-                    self.partition_col, *sort_cols
-                ).sortWithinPartitions(self.partition_col, *sort_cols)
-        (
-            out.write.mode("overwrite")
-            # per-writer option, NOT ambient session config: a plain
-            # SparkSession defaults to STATIC overwrite, which would
-            # truncate untouched partitions on incremental merges
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(self.partition_col)
-            .parquet(self.path(tier))
-        )
+        """MERGE INTO analog: replace only the partitions present in
+        *df* (idempotent per partition) — delegated to the backend."""
+        self.backend.write_partitions(df, tier)
 
     def read(self, tier: str) -> DataFrame:
-        return self.spark.read.parquet(self.path(tier))
+        return self.backend.read(tier)
 
     def partitions(self, tier: str) -> list[str]:
-        """Partition values present in *tier*, read from the directory
-        layout alone (metadata-only, the parquet analog of listing an
-        Iceberg manifest; plain string partition values assumed — the
-        `source` convention)."""
-        jvm = self.spark._jvm
-        jpath = jvm.org.apache.hadoop.fs.Path(self.path(tier))
-        fs = jpath.getFileSystem(self.spark._jsc.hadoopConfiguration())
-        if not fs.exists(jpath):
-            return []
-        prefix = f"{self.partition_col}="
-        out = []
-        for st in fs.listStatus(jpath):
-            name = st.getPath().getName()
-            if st.isDirectory() and name.startswith(prefix):
-                out.append(name[len(prefix):])
-        return sorted(out)
+        """Partition values present in *tier* (metadata-only listing;
+        plain string partition values assumed — the `source`
+        convention)."""
+        return self.backend.partition_values(tier)
 
     def read_gated(self, tier: str, mincounts_perc: float,
                    min_floor_rule: bool = True) -> DataFrame:
@@ -317,17 +405,9 @@ class TierStore:
             targets |= {p for p, t in last_write.items() if t < before_ts}
         hit = sorted(targets & existing)
         missing = sorted(targets - existing)
-        jvm = self.spark._jvm
-        root = jvm.org.apache.hadoop.fs.Path(self.path("raw"))
-        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
         ts = time.time()
         for p in hit:
-            fs.delete(
-                jvm.org.apache.hadoop.fs.Path(
-                    self.path("raw"), f"{self.partition_col}={p}"
-                ),
-                True,
-            )
+            self.backend.drop_partition("raw", p)
             self._append(self._lineage_path, {
                 "tier": "raw", "partition": p, "fingerprint": "EXPIRED",
                 "n_rows": 0, "wall_s": 0.0, "ts": ts,
@@ -617,7 +697,7 @@ class TierStore:
             out = out.select(*cols).localCheckpoint()
             inc_tiers[spec.name] = out
 
-            if fs_exists(self.spark, self.path(spec.name)):
+            if self.backend.table_exists(spec.name):
                 stored = self.read(spec.name).where(
                     F.col(self.partition_col).isin(affected)
                 )

@@ -479,3 +479,63 @@ def test_cascade_carries_composable_ohlc(spark, store, tiny_series):
     )
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, direct)
+
+
+def test_backend_seam_routes_all_io(spark, tmp_path):
+    """Every byte of tier I/O goes through the TierBackend interface
+    (VERDICT r3 item 7): a recording backend wrapped around the parquet
+    default sees every write/read/list/drop/exists call, and the store
+    built on it produces tiers identical to the default store."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.datagen import series_view, tokens_table
+    from diive_spark.operators.tiers import ParquetDPOBackend, TierStore
+
+    calls = []
+
+    class RecordingBackend(ParquetDPOBackend):
+        def write_partitions(self, df, tier):
+            calls.append(("write", tier))
+            super().write_partitions(df, tier)
+
+        def read(self, tier):
+            calls.append(("read", tier))
+            return super().read(tier)
+
+        def partition_values(self, tier):
+            calls.append(("list", tier))
+            return super().partition_values(tier)
+
+        def drop_partition(self, tier, value):
+            calls.append(("drop", tier, value))
+            super().drop_partition(tier, value)
+
+        def table_exists(self, tier):
+            calls.append(("exists", tier))
+            return super().table_exists(tier)
+
+    toks = tokens_table(spark, n_docs=40, seed=7)
+    series = series_view(toks)
+
+    root_a = str(tmp_path / "default")
+    root_b = str(tmp_path / "seamed")
+    st_a = TierStore(spark, root_a)
+    st_b = TierStore(spark, root_b,
+                     backend=RecordingBackend(spark, root_b))
+    st_a.materialize_cascade(series)
+    st_b.materialize_cascade(series)
+
+    assert {"tier_1m", "tier_1h", "tier_1d"} <= {c[1] for c in calls
+                                                 if c[0] == "write"}
+
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = st_a.read(tier).orderBy("source", "doc_id", "bin_start").toPandas()
+        b = st_b.read(tier).orderBy("source", "doc_id", "bin_start").toPandas()
+        assert a.equals(b), tier
+
+    # retention drop routes through the backend too
+    st_b.write_raw(toks)
+    victim = st_b.partitions("raw")[0]
+    st_b.expire_raw(sources=[victim])
+    assert ("drop", "raw", victim) in calls
+    assert victim not in st_b.partitions("raw")
