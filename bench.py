@@ -119,6 +119,150 @@ def cascade_job(spark, tokens_path: str) -> dict:
     }
 
 
+def run_skew(spark=None) -> dict:
+    """Skew-stress evidence (SURVEY §4.2.6; VERDICT r3 item 6): one
+    source holds 50% of all rows.  Four per-source aggregation plans
+    over the same skewed series, min-of-3 each:
+
+    - ``agg_naive``    groupBy(source) algebraic stats — hash-agg with
+      map-side combine; EXPECTED skew-immune (partials are O(sources)
+      per task regardless of key distribution).  Recorded to document
+      when salting is NOT needed.
+    - ``agg_salted``   ``salted_source_agg`` two-stage — expected
+      parity with naive (both shuffle O(sources·salts) tiny rows).
+    - ``pctl_exact``   groupBy(source) exact ``percentile(v, ps)`` on
+      near-unique doubles — TypedImperativeAggregate whose buffer is
+      O(group size); the hot source's 50% of ALL values funnel into
+      ONE reducer's sort/merge.  This is the plan that dies at 100 TB.
+    - ``pctl_sketch``  the engine's mitigation: fixed-bin hist counts
+      keyed (source, salt, vbin) → compose over salts → bounded-error
+      percentile estimate.  Per-task state is O(bins); the shuffle
+      carries O(sources·salts·bins) count rows, never raw values.
+      (AQE skew handling only splits JOIN sides, not aggregation
+      groups — salting/sketching is the only agg-side mitigation.)
+
+    Values are tokens + a deterministic fractional jitter so they are
+    near-unique: integer token values (vocab 50k) would let the exact
+    percentile's value→count map stay small and mask the skew cost.
+    """
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.resample import _hist_index, hist_percentile_estimate
+    from diive_spark.operators.tiers import salted_source_agg
+
+    owns = spark is None
+    if owns:
+        from diive_spark.session import get_spark
+
+        spark = get_spark(parallelism=8, shuffle_partitions=8,
+                          app_name="diive_spark_skew")
+        spark.sparkContext.setLogLevel("ERROR")
+
+    n_docs = int(os.environ.get("SPARK_GRAFT_SKEW_DOCS", "50000"))
+    path = f"/tmp/diive_bench_tokens_skew_{n_docs}.parquet"
+    if not os.path.exists(path):
+        from diive_spark.datagen import tokens_table
+
+        base = tokens_table(spark, n_docs=n_docs, seed=42, partitions=64)
+        # force a 50% hot source deterministically by doc hash
+        skewed = base.withColumn(
+            "source",
+            F.when(F.pmod(F.xxhash64("doc_id"), F.lit(100)) < 50, F.lit("web"))
+            .otherwise(F.col("source")),
+        )
+        skewed.write.mode("overwrite").parquet(path)
+
+    toks = spark.read.parquet(path)
+    series = toks.select(
+        "source", "doc_id", F.posexplode("tokens").alias("pos", "tok")
+    ).select(
+        "source",
+        "doc_id",
+        "pos",
+        # near-unique continuous value (see docstring)
+        (F.col("tok").cast("double")
+         + F.sin(F.col("pos").cast("double")) * 0.5).alias("value"),
+    )
+
+    ps = [0.25, 0.5, 0.75, 0.9, 0.99]
+    bounds, bins, n_salts = (0.0, 92000.0), 2048, 16
+
+    def agg_naive():
+        return series.groupBy("source").agg(
+            F.count("value").alias("n"),
+            F.sum("value").alias("sum"),
+            F.min("value").alias("min"),
+            F.max("value").alias("max"),
+        )
+
+    def agg_salted():
+        return salted_source_agg(series, n_salts=n_salts)
+
+    def pctl_exact():
+        return series.groupBy("source").agg(
+            F.expr(
+                "percentile(value, array(%s))" % ",".join(map(str, ps))
+            ).alias("pctls")
+        )
+
+    def pctl_sketch():
+        salt = F.pmod(F.xxhash64("doc_id"), F.lit(n_salts)).alias("_salt")
+        vbin = _hist_index(F.col("value"), bounds, bins).alias("_vbin")
+        stage1 = (
+            series.select("source", salt, vbin)
+            .groupBy("source", "_salt", "_vbin")
+            .count()
+        )
+        per_bin = stage1.groupBy("source", "_vbin").agg(
+            F.sum("count").alias("cnt")
+        )
+        hist = per_bin.groupBy("source").agg(
+            F.expr(
+                "transform(sequence(0, %d), i -> coalesce("
+                "map_from_entries(collect_list(struct(_vbin, cnt)))[i], "
+                "CAST(0 AS BIGINT)))" % (bins - 1)
+            ).alias("hist")
+        )
+        return hist_percentile_estimate(hist, ps, bounds, bins).drop("hist")
+
+    jobs = {
+        "agg_naive": agg_naive,
+        "agg_salted": agg_salted,
+        "pctl_exact": pctl_exact,
+        "pctl_sketch": pctl_sketch,
+    }
+    out: dict = {"n_docs": n_docs,
+                 "n_values": int(toks.agg(F.sum("n_tok")).first()[0])}
+    hot = toks.groupBy("source").count().orderBy(F.desc("count")).first()
+    out["hot_source_row_frac"] = round(
+        hot["count"] / toks.count(), 3
+    )
+    for name, fn in jobs.items():
+        fn().write.format("noop").mode("overwrite").save()  # warm-up
+        walls = []
+        for _ in range(3):
+            t0 = time.monotonic()
+            fn().write.format("noop").mode("overwrite").save()
+            walls.append(time.monotonic() - t0)
+        out[name] = {"wall_s": round(min(walls), 3),
+                     "spread_s": round(max(walls) - min(walls), 3)}
+    # accuracy cross-check: sketch estimate within one bin width of exact
+    exact = {r["source"]: r["pctls"] for r in pctl_exact().collect()}
+    est_rows = pctl_sketch().collect()
+    width = (bounds[1] - bounds[0]) / bins
+    max_err = 0.0
+    for r in est_rows:
+        for i, q in enumerate(ps):
+            col = f"p{int(round(q * 100)):02d}_est"
+            max_err = max(max_err, abs(r[col] - exact[r["source"]][i]))
+    out["sketch_max_abs_err"] = round(max_err, 3)
+    out["bin_width"] = width
+    out["sketch_err_within_bin"] = max_err <= width + 1e-9
+    if owns:
+        spark.stop()
+    return out
+
+
 def run_scaling(n: int | None = None) -> dict:
     """Run cascade_job in fresh subprocesses at local[N] and local[4N]
     on the same input; verify identical outputs; report efficiency."""
@@ -199,6 +343,11 @@ def run_scaling(n: int | None = None) -> dict:
 
 def main() -> None:
     scaling = "--scaling" in sys.argv
+    if "--skew" in sys.argv:
+        s = run_skew()
+        _append_skew_md(s)
+        print(json.dumps({"skew": s}))
+        return
     from diive_spark.queries import QUERIES
     from diive_spark.session import get_spark
 
@@ -282,6 +431,44 @@ def main() -> None:
     else:
         spark.stop()
     print(json.dumps(result))
+
+
+def _append_skew_md(s: dict) -> None:
+    lines = [
+        "",
+        f"## Skew-stress run ({time.strftime('%Y-%m-%d %H:%M:%S')}) — "
+        f"hot source holds {s['hot_source_row_frac']:.0%} of docs "
+        "(50% forced by doc-hash + the base Zipf mix)",
+        "",
+        f"- input: {s['n_values']:,} near-unique double values "
+        f"({s['n_docs']:,} docs), local[8], min-of-3 per plan",
+        "",
+        "| per-source plan | wall (min-of-3) | spread | per-task state |",
+        "|---|---|---|---|",
+        f"| algebraic stats, naive groupBy | {s['agg_naive']['wall_s']}s | "
+        f"{s['agg_naive']['spread_s']}s | O(sources) — map-side combine "
+        "already skew-immune |",
+        f"| algebraic stats, salted 2-stage | {s['agg_salted']['wall_s']}s | "
+        f"{s['agg_salted']['spread_s']}s | O(sources·salts) |",
+        f"| exact percentile, naive groupBy | {s['pctl_exact']['wall_s']}s | "
+        f"{s['pctl_exact']['spread_s']}s | **O(hot-group values) on ONE "
+        "reducer** — the plan that dies at 100 TB |",
+        f"| hist-sketch percentile, salted 2-stage | "
+        f"{s['pctl_sketch']['wall_s']}s | {s['pctl_sketch']['spread_s']}s | "
+        "O(bins); shuffle carries count rows, never raw values |",
+        "",
+        f"- sketch accuracy: max |est − exact| = {s['sketch_max_abs_err']} "
+        f"(bin width {s['bin_width']:.1f}; within one bin: "
+        f"{s['sketch_err_within_bin']})",
+        "- takeaway: salting matters where per-group state scales with "
+        "group size (exact percentile / collect / per-key kernels), not "
+        "for algebraic aggs (Spark's partial aggregation already bounds "
+        "them); AQE skew handling only splits join sides, so the "
+        "agg-side mitigation must be in the plan.",
+        "",
+    ]
+    with open(os.path.join(REPO, "BENCH.md"), "a") as f:
+        f.write("\n".join(lines))
 
 
 def _append_bench_md(result: dict) -> None:
