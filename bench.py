@@ -387,8 +387,24 @@ def main() -> None:
             max(r["wall_s"] for r in runs) - min(r["wall_s"] for r in runs), 3
         )
     }
+    # Production-path overrides: the registry's dedup_minhash_lsh was
+    # promoted to a SELF-VERIFYING oracle (it now computes the exact
+    # all-pairs Jaccard truth set in-query to measure its own recall).
+    # That truth scan is verification harness, not engine — it grows
+    # O(sum posting-list^2) and would dominate the bench at sf>=1.  The
+    # bench keeps measuring the production pipeline (signatures -> LSH
+    # -> canonical join-back), the same work recorded in r1-r3.
+    def _dedup_minhash_prod(spark, sf_dir):
+        from diive_spark.operators.dedup import minhash_dedup
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return minhash_dedup(docs, k=64, bands=16, est_threshold=0.6)
+
+    prod_overrides = {"dedup_minhash_lsh": _dedup_minhash_prod}
+
     for name in BENCH_QUERIES:
-        fn = QUERIES[name][0]
+        fn = prod_overrides.get(name) or QUERIES[name][0]
         walls = []
         for _ in range(3):  # min-of-3 (see noisy-neighbor note above;
                             # bursts lasting a full 2-run slot were
