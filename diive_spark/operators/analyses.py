@@ -1241,3 +1241,295 @@ def lttb_downsample(
         .groupBy(*keys)
         .applyInPandas(_kernel, schema=out_schema)
     )
+
+
+def cusum_changepoint(
+    df: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    quantized: float | None = None,
+) -> DataFrame:
+    """Single changepoint estimate per series via the classic CUSUM
+    argmax (Page 1954 / Pettitt-style location estimate — public
+    semantics; diive has no changepoint operator, the closest analog is
+    its stepwise screening which flags points, not level shifts).
+
+    Per series (``key_cols``), over the non-null readings ordered by
+    ``axis_col``: ``S_t = sum_{i<=t}(x_i - xbar)``; the changepoint
+    estimate is ``t* = argmax_t |S_t|`` (tie -> smallest t), the split
+    that maximizes the evidence of a mean shift.  Emits the pre/post
+    means and the normalized statistic ``s_max / n`` alongside.
+
+    ``quantized=q`` accumulates ``floor(x*q)`` as exact longs so every
+    cumulative sum — and therefore the argmax — is bit-deterministic
+    across partition counts and engines (driver-oracle safe); without
+    it double summation order can flip ties at round-6 boundaries.
+
+    One window pass (single sort per series) + one groupBy; no Python.
+    At 100 TB the window partitions by series key — the same shuffle
+    the tier rollups already use; state per row is O(1).
+    """
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    if quantized:
+        q = float(quantized)
+        vq = F.floor(v * F.lit(q)).cast("long")
+    else:
+        q = 1.0
+        vq = v
+    wfull = Window.partitionBy(*keys)
+    wcum = (
+        Window.partitionBy(*keys)
+        .orderBy(axis_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wrn = Window.partitionBy(*keys).orderBy(axis_col)
+    enriched = (
+        pts.withColumn("_vq", vq)
+        .withColumn("_n", F.count("_vq").over(wfull))
+        .withColumn("_tot", F.sum("_vq").over(wfull))
+        .withColumn("_k", F.row_number().over(wrn))
+        .withColumn("_cum", F.sum("_vq").over(wcum))
+        .withColumn(
+            "_s",
+            F.col("_cum").cast("double")
+            - F.col("_k") * F.col("_tot").cast("double") / F.col("_n"),
+        )
+    )
+    # argmax |S_t|, tie -> smallest axis position
+    pick = F.struct(
+        F.abs(F.col("_s")).alias("a"), (-F.col("_k")).alias("nk")
+    )
+    payload = F.struct(
+        F.col(axis_col).cast("long").alias("t_star"),
+        F.col("_k").alias("k"),
+        F.col("_cum").alias("cum"),
+        F.abs(F.col("_s")).alias("s_abs"),
+    )
+    out = enriched.groupBy(*keys).agg(
+        F.max("_n").alias("n"),
+        F.max("_tot").alias("_tot"),
+        F.max_by(payload, pick).alias("_p"),
+    )
+    k = F.col("_p.k").cast("double")
+    n = F.col("n").cast("double")
+    cum = F.col("_p.cum").cast("double")
+    tot = F.col("_tot").cast("double")
+    return out.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        F.col("_p.t_star").alias("t_star"),
+        (F.col("_p.s_abs") / F.lit(q) / n).alias("s_max_norm"),
+        (cum / k / F.lit(q)).alias("mean_before"),
+        F.when(
+            F.col("_p.k") < F.col("n"), (tot - cum) / (n - k) / F.lit(q)
+        ).alias("mean_after"),
+    )
+
+
+def m4_downsample(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """M4 width-bounded downsampling (Jugel et al., VLDB 2014 — public
+    semantics): per ``every``-sized bin keep the first, last, min and
+    max readings — the exact set that makes a line plot at that
+    resolution pixel-identical to the full series.  The per-bin
+    companion of :func:`lttb_downsample`/``ltob``: M4 is a pure
+    groupBy aggregate (composable, shuffle = one bin agg, no Python),
+    LTTB is sequential per series.
+
+    Emits ONE row per (key..., bin) with the four (t, v) pairs —
+    deterministic tie-breaks: min/max value ties resolve to the
+    SMALLEST position; first/last use the position order itself.
+    """
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    x = F.col(axis_col).cast("long")
+    v = F.col(value_col).cast("double")
+    b = (F.floor(x / F.lit(int(every))) * int(every)).cast("long")
+    return (
+        pts.select(*keys, b.alias("bin_start"), x.alias("_x"), v.alias("_v"))
+        .groupBy(*keys, "bin_start")
+        .agg(
+            F.count("_v").cast("long").alias("n"),
+            F.min("_x").alias("t_first"),
+            F.min_by("_v", "_x").alias("v_first"),
+            F.max("_x").alias("t_last"),
+            F.max_by("_v", "_x").alias("v_last"),
+            F.min("_v").alias("v_min"),
+            F.min_by("_x", F.struct(F.col("_v"), F.col("_x"))).alias("t_min"),
+            F.max("_v").alias("v_max"),
+            F.min_by("_x", F.struct(-F.col("_v"), F.col("_x"))).alias("t_max"),
+        )
+    )
+
+
+def savgol_coeffs(window: int, polyorder: int, deriv: int = 0) -> list[float]:
+    """Savitzky-Golay convolution coefficients (Savitzky & Golay 1964,
+    public closed form): least-squares fit of a degree-``polyorder``
+    polynomial over ``window`` points, evaluated (or differentiated
+    ``deriv`` times) at the center.  Pure numpy pinv of the Vandermonde
+    system — deterministic, computed once on the driver.
+    """
+    import numpy as np
+
+    if window % 2 != 1 or window < 3:
+        raise ValueError("window must be odd >= 3")
+    if polyorder >= window:
+        raise ValueError("polyorder must be < window")
+    h = window // 2
+    offsets = np.arange(-h, h + 1, dtype=np.float64)
+    a = np.vander(offsets, polyorder + 1, increasing=True)
+    c = np.linalg.pinv(a)[deriv] * math.factorial(deriv)
+    return [float(x) for x in c]
+
+
+def savgol_smooth(
+    df: DataFrame,
+    window: int = 7,
+    polyorder: int = 2,
+    deriv: int = 0,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    out_col: str = "smoothed",
+) -> DataFrame:
+    """Savitzky-Golay smoothing / smoothed derivative per series: the
+    windowed convolution with :func:`savgol_coeffs` (public 1964
+    semantics; diive smooths with rolling means —
+    core/dfun/frames.py:728-747 — SG preserves peak shape and gives
+    noise-robust derivatives at the same cost).
+
+    Emitted only where the FULL window is present (edges and any
+    window touching a null reading yield null — nulls propagate
+    through the fixed-order sum naturally).  The sum is written as a
+    fixed left-to-right chain of lag/lead terms, so the double
+    arithmetic is order-stable across engines and partitionings
+    (driver-oracle safe).  One window pass per series, O(window) state
+    per row, no Python at execution time.
+    """
+    keys = list(key_cols)
+    coeffs = savgol_coeffs(window, polyorder, deriv)
+    h = window // 2
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    v = F.col(value_col).cast("double")
+    expr = None
+    for j, c in enumerate(coeffs):
+        off = j - h
+        if off < 0:
+            term = F.lag(v, -off).over(w)
+        elif off > 0:
+            term = F.lead(v, off).over(w)
+        else:
+            term = v
+        piece = F.lit(c) * term
+        expr = piece if expr is None else expr + piece
+    return df.withColumn(out_col, expr)
+
+
+def interpolated_tw_avg(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    method: str = "locf",
+    quantized: float | None = None,
+) -> DataFrame:
+    """Time-weighted average per ``every``-sized bin with INTERPOLATED
+    bin edges (the TimescaleDB ``interpolated_average`` analog — public
+    semantics): unlike :func:`time_weighted_avg`, which attributes each
+    inter-reading segment wholly to the bin of its left endpoint, here
+    every segment is SPLIT across the bins it spans — the value in
+    effect at a bin boundary carries over from the previous reading
+    even when that reading lives in an earlier bin.  Sparse series
+    therefore get credit in every bin they cover, and per-bin integrals
+    tile the series span exactly under both conventions.
+
+    - ``method='locf'``: the left reading holds across the whole
+      segment; a bin's share is ``v_i * overlap``.
+    - ``method='linear'``: the segment interpolates ``v_i -> v_{i+1}``;
+      a bin's share is the trapezoid over the clipped sub-segment.
+
+    ``axis_col`` must be integral (sequence positions / epoch seconds);
+    bin membership is computed in exact integer arithmetic.  The bins a
+    segment covers are exactly the output rows it produces, so the
+    explode is bounded by the result size (never an amplification
+    beyond the materialized grid).  ``quantized=q`` sums
+    ``floor(share*q)`` as exact longs for bit-deterministic results
+    across engines/partitionings.
+
+    Output per (key..., bin_start): ``n`` sub-segments, ``integral``,
+    ``covered`` duration, ``itwa`` = integral/covered, and ``fb_avg`` =
+    integral/every (the full-bin-width mean TimescaleDB reports).
+    One window pass + explode + one groupBy; no Python.
+    """
+    if method not in ("locf", "linear"):
+        raise ValueError(f"method must be locf|linear, got {method}")
+    keys = list(key_cols)
+    e = int(every)
+    pts = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy("_x")
+    x = F.col(axis_col).cast("long")
+    v = F.col(value_col).cast("double")
+    seg = (
+        pts.select(*keys, x.alias("_x"), v.alias("_v"))
+        .withColumn("_x2", F.lead("_x").over(w))
+        .withColumn("_v2", F.lead("_v").over(w))
+        .where(F.col("_x2").isNotNull())
+    )
+    b_lo = F.floor(F.col("_x") / e).cast("long")
+    b_hi = F.floor((F.col("_x2") - 1) / e).cast("long")
+    covered = seg.select(
+        *keys, "_x", "_v", "_x2", "_v2",
+        F.explode(F.sequence(b_lo, b_hi)).alias("_b"),
+    )
+    a = F.greatest(F.col("_x"), F.col("_b") * e)
+    bnd = F.least(F.col("_x2"), (F.col("_b") + 1) * e)
+    dtc = (bnd - a).cast("double")
+    if method == "locf":
+        share = F.col("_v") * dtc
+    else:
+        dt = (F.col("_x2") - F.col("_x")).cast("double")
+        slope = (F.col("_v2") - F.col("_v")) / dt
+        va = F.col("_v") + slope * (a - F.col("_x")).cast("double")
+        vb = F.col("_v") + slope * (bnd - F.col("_x")).cast("double")
+        share = (va + vb) / 2.0 * dtc
+    if quantized:
+        q = float(quantized)
+        share_acc = F.floor(share * F.lit(q)).cast("long")
+        dt_acc = (bnd - a).cast("long")
+        descale = lambda c: c.cast("double") / F.lit(q)  # noqa: E731
+        dt_descale = lambda c: c.cast("double")  # noqa: E731
+    else:
+        share_acc, dt_acc = share, dtc
+        descale = dt_descale = lambda c: c  # noqa: E731
+    agg = (
+        covered.select(
+            *keys,
+            (F.col("_b") * e).alias("bin_start"),
+            share_acc.alias("_sh"),
+            dt_acc.alias("_dt"),
+        )
+        .groupBy(*keys, "bin_start")
+        .agg(
+            F.count("_sh").cast("long").alias("n"),
+            F.sum("_sh").alias("_integral"),
+            F.sum("_dt").alias("_covered"),
+        )
+    )
+    integral = descale(F.col("_integral"))
+    cov = dt_descale(F.col("_covered"))
+    return agg.select(
+        *keys, "bin_start", "n",
+        integral.alias("integral"),
+        cov.alias("covered"),
+        (integral / cov).alias("itwa"),
+        (integral / F.lit(float(e))).alias("fb_avg"),
+    )

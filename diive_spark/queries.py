@@ -4249,11 +4249,226 @@ FROM lagged GROUP BY 1, 2, 3
 """
 
 
+def q_cusum_changepoint(spark, sf_dir):
+    """Single changepoint per series via the CUSUM argmax (Page 1954):
+    t* = argmax |cumsum(x - mean)|, tie -> smallest pos; pre/post means
+    and the normalized max statistic.  quantized=1e6 makes every
+    cumulative sum an exact long, so the argmax (and the round-6
+    floats) are bit-deterministic across engines and partitionings."""
+    out = analyses.cusum_changepoint(
+        series(spark, sf_dir), key_cols=["source", "doc_id"], quantized=1e6
+    )
+    return out.select(
+        "source", "doc_id", "n", "t_star",
+        _r(F.col("s_max_norm")).alias("s_max_norm"),
+        _r(F.col("mean_before")).alias("mean_before"),
+        _r(F.col("mean_after")).alias("mean_after"),
+    )
+
+
+SQL_CUSUM_CHANGEPOINT = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+enr AS (
+  SELECT source, doc_id, pos,
+         row_number() OVER w AS k,
+         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER
+           (PARTITION BY source, doc_id ORDER BY pos
+            ROWS UNBOUNDED PRECEDING) AS cum,
+         COUNT(*) OVER (PARTITION BY source, doc_id) AS n,
+         SUM(CAST(floor(value * 1000000.0) AS BIGINT)) OVER
+           (PARTITION BY source, doc_id) AS tot
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+st AS (
+  SELECT *,
+         abs(CAST(cum AS DOUBLE) - k * (CAST(tot AS DOUBLE) / n)) AS s_abs,
+         row_number() OVER (
+           PARTITION BY source, doc_id
+           ORDER BY abs(CAST(cum AS DOUBLE) - k * (CAST(tot AS DOUBLE) / n))
+             DESC, pos ASC) AS rn
+  FROM enr)
+SELECT source, doc_id, CAST(n AS BIGINT) AS n, CAST(pos AS BIGINT) AS t_star,
+       round(s_abs / 1000000.0 / n, 6) AS s_max_norm,
+       round(CAST(cum AS DOUBLE) / k / 1000000.0, 6) AS mean_before,
+       CASE WHEN k < n THEN
+         round((CAST(tot AS DOUBLE) - cum) / (n - k) / 1000000.0, 6)
+       END AS mean_after
+FROM st WHERE rn = 1
+"""
+
+
+def q_m4_downsample(spark, sf_dir):
+    """M4 downsampling (Jugel et al., VLDB 2014): per 1h bin the
+    first/last/min/max readings — the lossless-for-plots reduction.
+    Raw readings pass through untouched (no float arithmetic), so the
+    only determinism concern is the tie-breaks, which are pinned to
+    the smallest position on both sides."""
+    out = analyses.m4_downsample(
+        series(spark, sf_dir), every=3600, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "bin_start", "n",
+        "t_first", _r(F.col("v_first")).alias("v_first"),
+        "t_last", _r(F.col("v_last")).alias("v_last"),
+        "t_min", _r(F.col("v_min")).alias("v_min"),
+        "t_max", _r(F.col("v_max")).alias("v_max"),
+    )
+
+
+SQL_M4_DOWNSAMPLE = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+b AS (SELECT source, doc_id,
+             CAST(floor(pos / 3600) AS BIGINT) * 3600 AS bin_start,
+             pos, value
+      FROM pts),
+r AS (SELECT *,
+        row_number() OVER (PARTITION BY source, doc_id, bin_start
+                           ORDER BY pos) AS rf,
+        row_number() OVER (PARTITION BY source, doc_id, bin_start
+                           ORDER BY pos DESC) AS rl,
+        row_number() OVER (PARTITION BY source, doc_id, bin_start
+                           ORDER BY value ASC, pos ASC) AS rmin,
+        row_number() OVER (PARTITION BY source, doc_id, bin_start
+                           ORDER BY value DESC, pos ASC) AS rmax
+      FROM b)
+SELECT source, doc_id, bin_start, CAST(count(*) AS BIGINT) AS n,
+       CAST(max(CASE WHEN rf = 1 THEN pos END) AS BIGINT) AS t_first,
+       round(max(CASE WHEN rf = 1 THEN value END), 6) AS v_first,
+       CAST(max(CASE WHEN rl = 1 THEN pos END) AS BIGINT) AS t_last,
+       round(max(CASE WHEN rl = 1 THEN value END), 6) AS v_last,
+       CAST(max(CASE WHEN rmin = 1 THEN pos END) AS BIGINT) AS t_min,
+       round(min(value), 6) AS v_min,
+       CAST(max(CASE WHEN rmax = 1 THEN pos END) AS BIGINT) AS t_max,
+       round(max(value), 6) AS v_max
+FROM r GROUP BY 1, 2, 3
+"""
+
+
+_SAVGOL_W, _SAVGOL_P = 7, 2
+
+
+def q_savgol_smooth(spark, sf_dir):
+    """Savitzky-Golay smoothing (1964 closed form): degree-2 fit over a
+    7-point window as a fixed-order lag/lead convolution.  Both engines
+    evaluate the IDENTICAL left-to-right double chain with the same
+    binary64 coefficient literals, so the result is bit-deterministic;
+    edges and windows touching a null reading yield null (dropped
+    here to keep the result compact)."""
+    out = analyses.savgol_smooth(
+        series(spark, sf_dir), window=_SAVGOL_W, polyorder=_SAVGOL_P,
+        key_cols=["source", "doc_id"],
+    )
+    return out.where(F.col("smoothed").isNotNull()).select(
+        "source", "doc_id", "pos",
+        _r(F.col("smoothed")).alias("smoothed"),
+    )
+
+
+def _savgol_sql() -> str:
+    from .operators.analyses import savgol_coeffs
+
+    coeffs = savgol_coeffs(_SAVGOL_W, _SAVGOL_P)
+    h = _SAVGOL_W // 2
+    terms = []
+    for j, c in enumerate(coeffs):
+        off = j - h
+        if off < 0:
+            t = f"lag(value, {-off}) OVER w"
+        elif off > 0:
+            t = f"lead(value, {off}) OVER w"
+        else:
+            t = "value"
+        terms.append(f"({c!r} * {t})")
+    chain = terms[0]
+    for t in terms[1:]:
+        chain = f"({chain} + {t})"
+    return f"""
+WITH series AS ({SERIES_SQL}),
+sm AS (
+  SELECT source, doc_id, pos, {chain} AS smoothed
+  FROM series
+  WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos))
+SELECT source, doc_id, pos, round(smoothed, 6) AS smoothed
+FROM sm WHERE smoothed IS NOT NULL
+"""
+
+
+SQL_SAVGOL_SMOOTH = _savgol_sql()
+
+
+def q_interpolated_twa(spark, sf_dir):
+    """Interpolated-edge time-weighted average per 1h bin (TimescaleDB
+    interpolated_average analog): segments are SPLIT across the bins
+    they span — the boundary value carries over from the previous
+    reading.  quantized=1e6 sums exact scaled longs (driver-safe)."""
+    out = analyses.interpolated_tw_avg(
+        series(spark, sf_dir), every=3600, method="linear",
+        quantized=1e6, key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "bin_start", "n",
+        _r(F.col("integral")).alias("integral"),
+        _r(F.col("covered")).alias("covered"),
+        _r(F.col("itwa")).alias("itwa"),
+        _r(F.col("fb_avg")).alias("fb_avg"),
+    )
+
+
+SQL_INTERPOLATED_TWA = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+seg AS (
+  SELECT source, doc_id, pos AS x, value AS v,
+         lead(pos) OVER w AS x2, lead(value) OVER w AS v2
+  FROM pts WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+sp AS (
+  SELECT source, doc_id, x, v, x2, v2,
+         unnest(generate_series(CAST(floor(x / 3600) AS BIGINT),
+                                CAST(floor((x2 - 1) / 3600) AS BIGINT))) AS b
+  FROM seg WHERE x2 IS NOT NULL),
+c AS (
+  SELECT source, doc_id, b * 3600 AS bin_start,
+         greatest(x, b * 3600) AS a,
+         least(x2, (b + 1) * 3600) AS bnd,
+         x, v, x2, v2
+  FROM sp),
+sh AS (
+  SELECT source, doc_id, bin_start,
+         CAST(floor((((v + ((v2 - v) / CAST(x2 - x AS DOUBLE))
+                           * CAST(a - x AS DOUBLE))
+                      + (v + ((v2 - v) / CAST(x2 - x AS DOUBLE))
+                           * CAST(bnd - x AS DOUBLE))) / 2.0)
+                     * CAST(bnd - a AS DOUBLE) * 1000000.0) AS BIGINT)
+           AS sh_q,
+         CAST(bnd - a AS BIGINT) AS dt_i
+  FROM c)
+SELECT source, doc_id, CAST(bin_start AS BIGINT) AS bin_start,
+       CAST(count(*) AS BIGINT) AS n,
+       round(CAST(CAST(SUM(sh_q) AS BIGINT) AS DOUBLE) / 1000000.0, 6)
+         AS integral,
+       round(CAST(CAST(SUM(dt_i) AS BIGINT) AS DOUBLE), 6) AS covered,
+       round((CAST(CAST(SUM(sh_q) AS BIGINT) AS DOUBLE) / 1000000.0)
+             / CAST(CAST(SUM(dt_i) AS BIGINT) AS DOUBLE), 6) AS itwa,
+       round((CAST(CAST(SUM(sh_q) AS BIGINT) AS DOUBLE) / 1000000.0)
+             / 3600.0, 6) AS fb_avg
+FROM sh GROUP BY 1, 2, 3
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    # --- round-4 additions (never driver-verified, newest first) -----
+    "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
+    "m4_downsample": (q_m4_downsample, SQL_M4_DOWNSAMPLE),
+    "savgol_smooth": (q_savgol_smooth, SQL_SAVGOL_SMOOTH),
+    "interpolated_twa": (q_interpolated_twa, SQL_INTERPOLATED_TWA),
     # --- promoted from rows-only to self-verifying oracles (r4):
     # in-query invariants vs seed-free twins the driver can hash.
     # Never hash-verified before, so they lead the capped snapshot ----

@@ -711,3 +711,184 @@ def test_lttb_matches_reference_implementation(spark):
     out2 = lttb_downsample(spark.createDataFrame(tiny), n_out=40,
                            key_cols=["source", "doc_id"]).toPandas()
     assert len(out2) == 10
+
+
+def test_cusum_changepoint_finds_planted_shift(spark):
+    # step from level 10 to level 30 at pos 250 — CUSUM argmax must land
+    # exactly on the last pre-shift point (the |S| peak of a clean step)
+    rng = np.random.default_rng(11)
+    v = np.concatenate([rng.normal(10, 0.5, 250), rng.normal(30, 0.5, 250)])
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(500), "value": v}
+    )
+    from diive_spark.operators.analyses import cusum_changepoint
+
+    got = cusum_changepoint(
+        spark.createDataFrame(pdf), quantized=1e6
+    ).toPandas().iloc[0]
+    # independent numpy twin with the same quantization
+    vq = np.floor(v * 1e6).astype(np.int64)
+    s = np.cumsum(vq).astype(np.float64) - (
+        np.arange(1, 501) * (vq.sum() / 500.0)
+    )
+    t_np = int(np.abs(s).argmax())
+    assert got["t_star"] == t_np == 249
+    assert abs(got["mean_before"] - vq[:250].sum() / 250 / 1e6) < 1e-12
+    assert abs(got["mean_after"] - vq[250:].sum() / 250 / 1e6) < 1e-12
+    assert got["n"] == 500
+
+
+def test_m4_downsample_matches_pandas(spark):
+    pdf = seeded_series(n=700, gap_frac=0.15)
+    from diive_spark.operators.analyses import m4_downsample
+
+    got = (
+        m4_downsample(spark.createDataFrame(pdf), every=100)
+        .toPandas()
+        .sort_values("bin_start")
+        .reset_index(drop=True)
+    )
+    pts = pdf.dropna(subset=["value"]).copy()
+    pts["bin_start"] = (pts["pos"] // 100) * 100
+    for _, row in got.iterrows():
+        g = pts[pts["bin_start"] == row["bin_start"]]
+        assert row["n"] == len(g)
+        assert row["t_first"] == g["pos"].min()
+        assert row["v_first"] == g.loc[g["pos"].idxmin(), "value"]
+        assert row["t_last"] == g["pos"].max()
+        assert row["v_last"] == g.loc[g["pos"].idxmax(), "value"]
+        assert row["v_min"] == g["value"].min()
+        assert row["t_min"] == g.loc[g["value"].idxmin(), "pos"]
+        assert row["v_max"] == g["value"].max()
+        assert row["t_max"] == g.loc[g["value"].idxmax(), "pos"]
+
+
+def test_m4_tie_breaks_smallest_pos(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": [0, 1, 2, 3],
+            "value": [5.0, 5.0, 1.0, 1.0],  # ties for both min and max
+        }
+    )
+    from diive_spark.operators.analyses import m4_downsample
+
+    got = m4_downsample(spark.createDataFrame(pdf), every=10).toPandas().iloc[0]
+    assert got["t_max"] == 0 and got["t_min"] == 2
+
+
+def test_savgol_reproduces_polynomial_and_derivative(spark):
+    # SG with polyorder=2 is EXACT on any quadratic: smoothing returns
+    # the signal, deriv=1 returns its derivative (public 1964 property)
+    pos = np.arange(60)
+    v = 0.3 * pos**2 - 4.0 * pos + 7.0
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.analyses import savgol_smooth
+
+    sm = (
+        savgol_smooth(spark.createDataFrame(pdf), window=7, polyorder=2)
+        .toPandas()
+        .sort_values("pos")
+    )
+    interior = sm["smoothed"].notna()
+    assert interior.sum() == 60 - 6  # full-window rows only
+    np.testing.assert_allclose(
+        sm.loc[interior, "smoothed"], v[3:-3], rtol=0, atol=1e-8
+    )
+    d1 = (
+        savgol_smooth(
+            spark.createDataFrame(pdf), window=7, polyorder=2, deriv=1
+        )
+        .toPandas()
+        .sort_values("pos")
+    )
+    np.testing.assert_allclose(
+        d1.loc[d1["smoothed"].notna(), "smoothed"],
+        (0.6 * pos - 4.0)[3:-3],
+        rtol=0,
+        atol=1e-8,
+    )
+
+
+def test_savgol_window_least_squares_twin(spark):
+    # independent oracle: per window, np.polyfit the 7 points and
+    # evaluate the fit at the center — must equal the convolution
+    pdf = seeded_series(n=80, gap_frac=0.0, seed=23)
+    from diive_spark.operators.analyses import savgol_smooth
+
+    got = (
+        savgol_smooth(spark.createDataFrame(pdf), window=7, polyorder=2)
+        .toPandas()
+        .sort_values("pos")
+        .set_index("pos")["smoothed"]
+    )
+    v = pdf["value"].to_numpy()
+    for t in range(3, 77):
+        win = v[t - 3 : t + 4]
+        coef = np.polyfit(np.arange(-3, 4), win, 2)
+        assert abs(got.loc[t] - np.polyval(coef, 0.0)) < 1e-8
+
+
+def test_savgol_nulls_propagate(spark):
+    pdf = seeded_series(n=40, gap_frac=0.0, seed=5)
+    pdf.loc[20, "value"] = np.nan
+    from diive_spark.operators.analyses import savgol_smooth
+
+    got = (
+        savgol_smooth(spark.createDataFrame(pdf), window=7, polyorder=2)
+        .toPandas()
+        .set_index("pos")["smoothed"]
+    )
+    for t in range(40):
+        touches_nan = abs(t - 20) <= 3
+        edge = t < 3 or t > 36
+        assert pd.isna(got.loc[t]) == (touches_nan or edge), t
+
+
+def test_interpolated_twa_tiles_and_matches_numpy(spark):
+    # sparse irregular series whose segments span multiple bins
+    pos = np.array([0, 50, 220, 390, 800, 1150])
+    val = np.array([10.0, 20.0, 5.0, 7.0, 30.0, 2.0])
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": val}
+    )
+    from diive_spark.operators.analyses import interpolated_tw_avg
+
+    for method in ("locf", "linear"):
+        got = (
+            interpolated_tw_avg(
+                spark.createDataFrame(pdf), every=100, method=method
+            )
+            .toPandas()
+            .sort_values("bin_start")
+        )
+        # numpy twin: dense unit-step integration of the step/linear fn
+        t = np.arange(0, 1150)
+        if method == "locf":
+            dense = val[np.searchsorted(pos, t, side="right") - 1]
+        else:
+            dense = np.interp(t, pos, val)
+        for _, row in got.iterrows():
+            b = int(row["bin_start"])
+            seg = dense[b : min(b + 100, 1150)]
+            # trapezoid vs unit steps: integrate exactly with interp
+            if method == "locf":
+                expected = seg.sum()
+            else:
+                lo, hi = b, min(b + 100, 1150)
+                xs = np.arange(lo, hi + 1)
+                ys = np.interp(xs, pos, val)
+                expected = np.trapz(ys)
+            assert abs(row["integral"] - expected) < 1e-6, (method, b)
+        # coverage tiles the series span exactly
+        assert got["covered"].sum() == 1150
+        # interpolated-edge integrals sum to the plain TWA total
+        from diive_spark.operators.analyses import time_weighted_avg
+
+        plain = time_weighted_avg(
+            spark.createDataFrame(pdf), every=100, method=method
+        ).toPandas()
+        assert abs(got["integral"].sum() - plain["integral"].sum()) < 1e-9

@@ -445,3 +445,32 @@ def test_toolkit_aggs_plan_shape(spark, tiny_series):
         p = _physical_plan(op(tiny_series, 3600))
         assert p.count("Exchange") <= bound, op.__name__
         assert "SinglePartition" not in p, op.__name__
+
+
+def test_r4_series_ops_exchange_bounds(spark, tiny_series):
+    """Round-4 series operators stay narrow: one series-key exchange
+    for the window pass (+ one bin exchange where there's a groupBy);
+    savgol adds NO exchange beyond the window sort; none of them emit
+    a SinglePartition global sort."""
+    from diive_spark.operators.analyses import (
+        cusum_changepoint,
+        interpolated_tw_avg,
+        m4_downsample,
+        savgol_smooth,
+    )
+
+    def n_exchanges(df):
+        return _physical_plan(df).count("Exchange")
+
+    # m4: pure groupBy aggregate — exactly one shuffle
+    assert n_exchanges(m4_downsample(tiny_series, every=60)) == 1
+    # savgol: one window sort exchange, nothing else
+    assert n_exchanges(savgol_smooth(tiny_series, window=7)) == 1
+    # cusum: window pass + final per-key groupBy
+    p = _physical_plan(cusum_changepoint(tiny_series, quantized=1e6))
+    assert p.count("Exchange") <= 2 and "SinglePartition" not in p
+    # interpolated twa: window pass + bin groupBy; explode is row-local
+    p = _physical_plan(
+        interpolated_tw_avg(tiny_series, every=60, quantized=1e6)
+    )
+    assert p.count("Exchange") <= 2 and "SinglePartition" not in p
