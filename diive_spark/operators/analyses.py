@@ -1533,3 +1533,134 @@ def interpolated_tw_avg(
         (integral / cov).alias("itwa"),
         (integral / F.lit(float(e))).alias("fb_avg"),
     )
+
+
+def freq_sketch(
+    df: DataFrame,
+    every: int,
+    k: int = 5,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Mergeable Misra-Gries top-k frequency sketch per ``every``-sized
+    bin (Misra & Gries 1982; mergeability per Agarwal et al. 2012,
+    "Mergeable Summaries" — the TimescaleDB ``freq_agg`` analog; diive
+    has no frequency operator, its histogram is value-range based).
+
+    Tier-1 construction from EXACT per-bin counts (the groupBy is
+    map-side combined and bounded by the per-bin alphabet, so raw
+    readings never shuffle): rank values by (count desc, value asc),
+    let ``c* = count of the (k+1)-th value`` (0 if fewer), keep the
+    top k with ``counter = count - c*`` (drop zeros), ``err = c*``.
+
+    Guarantee carried at EVERY tier: for any value ``v``,
+    ``counter(v) <= true_count(v) <= counter(v) + err`` (absent values
+    have counter 0), and ``err <= (n - sum(counters)) / (k+1)``.
+    :func:`compose_freq` merges child sketches into parent bins
+    without rescanning raw data and preserves both bounds.
+
+    All quantities are integers with pinned tie-breaks, so the sketch
+    is bit-deterministic across engines and partitionings (a DuckDB
+    twin can replay it — a full-value oracle, not just invariants).
+
+    Returns LONG form: one row per kept counter —
+    (key..., bin_start, n, err, value, counter).  The rank-1 row is
+    kept even when its counter prunes to 0 (all top k+1 counts equal),
+    so every non-empty bin keeps its (n, err) through composition.
+    """
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    b = (F.floor(F.col(axis_col).cast("long") / int(every)) * int(every)).cast(
+        "long"
+    )
+    cnt = (
+        pts.select(*keys, b.alias("bin_start"), F.col(value_col).alias("_v"))
+        .groupBy(*keys, "bin_start", "_v")
+        .agg(F.count(F.lit(1)).alias("_c"))
+    )
+    wbin = Window.partitionBy(*keys, "bin_start")
+    wrank = wbin.orderBy(F.desc("_c"), F.asc("_v"))
+    ranked = (
+        cnt.withColumn("_rk", F.row_number().over(wrank))
+        .withColumn("_n", F.sum("_c").over(wbin))
+        .withColumn(
+            "_cstar",
+            F.max(F.when(F.col("_rk") == k + 1, F.col("_c"))).over(wbin),
+        )
+    )
+    cstar = F.coalesce(F.col("_cstar"), F.lit(0))
+    return (
+        ranked.where(
+            (F.col("_rk") <= k)
+            & ((F.col("_c") - cstar > 0) | (F.col("_rk") == 1))
+        )
+        .select(
+            *keys,
+            "bin_start",
+            F.col("_n").cast("long").alias("n"),
+            cstar.cast("long").alias("err"),
+            F.col("_v").alias("value"),
+            (F.col("_c") - cstar).cast("long").alias("counter"),
+        )
+    )
+
+
+def compose_freq(
+    sketch: DataFrame,
+    every: int,
+    k: int = 5,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`freq_sketch` bins into ``every``-sized parent
+    bins WITHOUT rescanning raw data (Agarwal et al. 2012 MG merge):
+    sum counters pointwise, sum child error bounds, then prune back to
+    k by subtracting the (k+1)-th largest merged counter ``c*`` and
+    adding it to the error.  Both sketch guarantees are preserved
+    (containment, and err <= (n - sum counters)/(k+1) — each of the
+    top k+1 merged counters gives up exactly c*, so the slack grows by
+    at least (k+1)c* while err grows by c*).
+
+    Same long form in and out, so tiers chain raw -> t1 -> t2 -> ...
+    with one tiny shuffle per level (rows are bounded by k per child
+    bin, never by readings).
+    """
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    child = sketch.withColumn("_pb", pb)
+    # one (n, err) row per child bin, then totals per parent bin
+    per_child = (
+        child.groupBy(*keys, "_pb", "bin_start")
+        .agg(F.max("n").alias("_n"), F.max("err").alias("_e"))
+        .groupBy(*keys, "_pb")
+        .agg(F.sum("_n").cast("long").alias("n"),
+             F.sum("_e").cast("long").alias("E"))
+    )
+    merged = (
+        child.groupBy(*keys, "_pb", "value")
+        .agg(F.sum("counter").alias("_c"))
+    )
+    wbin = Window.partitionBy(*keys, "_pb")
+    wrank = wbin.orderBy(F.desc("_c"), F.asc("value"))
+    ranked = merged.withColumn("_rk", F.row_number().over(wrank)).withColumn(
+        "_cstar", F.max(F.when(F.col("_rk") == k + 1, F.col("_c"))).over(wbin)
+    )
+    cstar = F.coalesce(F.col("_cstar"), F.lit(0))
+    kept = ranked.where(
+        (F.col("_rk") <= k) & ((F.col("_c") - cstar > 0) | (F.col("_rk") == 1))
+    ).select(
+        *keys,
+        F.col("_pb"),
+        "value",
+        (F.col("_c") - cstar).cast("long").alias("counter"),
+        cstar.cast("long").alias("_cs"),
+    )
+    return kept.join(per_child, [*keys, "_pb"]).select(
+        *keys,
+        F.col("_pb").alias("bin_start"),
+        "n",
+        (F.col("E") + F.col("_cs")).cast("long").alias("err"),
+        "value",
+        "counter",
+    )

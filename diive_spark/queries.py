@@ -4459,12 +4459,85 @@ FROM sh GROUP BY 1, 2, 3
 """
 
 
+def q_freq_topk_tiers(spark, sf_dir):
+    """Mergeable Misra-Gries top-k frequency sketch across tiers
+    (TimescaleDB freq_agg analog; Agarwal et al. 2012 merge): exact
+    per-50-bin counts -> k=4 MG sketch -> composed into 250-bins with
+    NO raw re-scan.  Every quantity is an integer with pinned
+    tie-breaks, so the DuckDB twin replays the full algorithm — a
+    complete value oracle for the compose path, not just invariants."""
+    s = series(spark, sf_dir).withColumn(
+        "tok", F.floor(F.col("value")).cast("int")
+    )
+    t1 = analyses.freq_sketch(
+        s, every=50, k=4, value_col="tok", key_cols=["source", "doc_id"]
+    )
+    t2 = analyses.compose_freq(
+        t1, every=250, k=4, key_cols=["source", "doc_id"]
+    )
+    return t2.select(
+        "source", "doc_id", "bin_start", "n", "err",
+        F.col("value").cast("int").alias("value"), "counter",
+    )
+
+
+SQL_FREQ_TOPK_TIERS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, CAST(floor(value) AS INT) AS v
+        FROM series WHERE value IS NOT NULL),
+cnt AS (SELECT source, doc_id,
+               CAST(floor(pos / 50) AS BIGINT) * 50 AS b1, v,
+               count(*) AS c
+        FROM pts GROUP BY 1, 2, 3, 4),
+r1 AS (SELECT *,
+         row_number() OVER (PARTITION BY source, doc_id, b1
+                            ORDER BY c DESC, v ASC) AS rk,
+         SUM(c) OVER (PARTITION BY source, doc_id, b1) AS n1
+       FROM cnt),
+cs AS (SELECT source, doc_id, b1,
+              coalesce(max(CASE WHEN rk = 5 THEN c END), 0) AS cstar,
+              max(n1) AS n1
+       FROM r1 GROUP BY 1, 2, 3),
+k1 AS (SELECT r1.source, r1.doc_id, r1.b1, r1.v,
+              r1.c - cs.cstar AS counter, cs.cstar AS err, cs.n1
+       FROM r1 JOIN cs USING (source, doc_id, b1)
+       WHERE rk <= 4 AND (r1.c - cs.cstar > 0 OR rk = 1)),
+pc AS (SELECT source, doc_id,
+              CAST(floor(b1 / 250) AS BIGINT) * 250 AS pb, b1,
+              max(n1) AS n1, max(err) AS e1
+       FROM k1 GROUP BY 1, 2, 3, 4),
+pt AS (SELECT source, doc_id, pb, CAST(SUM(n1) AS BIGINT) AS n,
+              CAST(SUM(e1) AS BIGINT) AS e
+       FROM pc GROUP BY 1, 2, 3),
+m AS (SELECT source, doc_id,
+             CAST(floor(b1 / 250) AS BIGINT) * 250 AS pb, v,
+             SUM(counter) AS c
+      FROM k1 GROUP BY 1, 2, 3, 4),
+r2 AS (SELECT *,
+         row_number() OVER (PARTITION BY source, doc_id, pb
+                            ORDER BY c DESC, v ASC) AS rk
+       FROM m),
+cs2 AS (SELECT source, doc_id, pb,
+               coalesce(max(CASE WHEN rk = 5 THEN c END), 0) AS cstar
+        FROM r2 GROUP BY 1, 2, 3),
+k2 AS (SELECT r2.source, r2.doc_id, r2.pb, r2.v,
+              r2.c - cs2.cstar AS counter, cs2.cstar AS cstar
+       FROM r2 JOIN cs2 USING (source, doc_id, pb)
+       WHERE rk <= 4 AND (r2.c - cs2.cstar > 0 OR rk = 1))
+SELECT k2.source, k2.doc_id, CAST(k2.pb AS BIGINT) AS bin_start,
+       pt.n, CAST(pt.e + k2.cstar AS BIGINT) AS err,
+       CAST(k2.v AS INT) AS value, CAST(k2.counter AS BIGINT) AS counter
+FROM k2 JOIN pt USING (source, doc_id, pb)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
     # --- round-4 additions (never driver-verified, newest first) -----
+    "freq_topk_tiers": (q_freq_topk_tiers, SQL_FREQ_TOPK_TIERS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "m4_downsample": (q_m4_downsample, SQL_M4_DOWNSAMPLE),
     "savgol_smooth": (q_savgol_smooth, SQL_SAVGOL_SMOOTH),

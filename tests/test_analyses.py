@@ -892,3 +892,57 @@ def test_interpolated_twa_tiles_and_matches_numpy(spark):
             spark.createDataFrame(pdf), every=100, method=method
         ).toPandas()
         assert abs(got["integral"].sum() - plain["integral"].sum()) < 1e-9
+
+
+def test_freq_sketch_mg_guarantees(spark):
+    # skewed alphabet: value 7 is hot, a long tail of others
+    rng = np.random.default_rng(3)
+    v = np.where(rng.random(600) < 0.4, 7, rng.integers(0, 40, 600))
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(600),
+         "value": v.astype(float)}
+    )
+    from diive_spark.operators.analyses import compose_freq, freq_sketch
+
+    sdf = spark.createDataFrame(pdf)
+    t1 = freq_sketch(sdf, every=50, k=4)
+    t2 = compose_freq(t1, every=300, k=4).toPandas()
+    pts = pdf.copy()
+    pts["pb"] = (pts["pos"] // 300) * 300
+    for pb, g in pts.groupby("pb"):
+        true_counts = g["value"].value_counts()
+        rows = t2[t2["bin_start"] == pb]
+        n, err = rows["n"].iloc[0], rows["err"].iloc[0]
+        assert n == len(g)
+        # containment: counter <= true <= counter + err for kept values,
+        # and absent values have true count <= err
+        kept = dict(zip(rows["value"], rows["counter"]))
+        for val, true_c in true_counts.items():
+            c = kept.get(val, 0)
+            assert c <= true_c <= c + err, (pb, val)
+        # paper bound: err <= (n - sum counters) / (k+1)
+        assert err <= (n - rows["counter"].sum()) / 5
+        # hot value 7 must be the top counter everywhere (its true
+        # count dwarfs err at this skew)
+        top = rows.sort_values(["counter", "value"],
+                               ascending=[False, True]).iloc[0]
+        assert top["value"] == 7
+
+
+def test_freq_sketch_empty_prune_keeps_bin(spark):
+    # 5 values with equal counts and k=4: every counter prunes to 0 —
+    # the rank-1 row must survive so (n, err) flow into composition
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(10),
+         "value": [0.0, 1.0, 2.0, 3.0, 4.0] * 2}
+    )
+    from diive_spark.operators.analyses import compose_freq, freq_sketch
+
+    t1 = freq_sketch(spark.createDataFrame(pdf), every=100, k=4).toPandas()
+    assert len(t1) == 1 and t1["counter"].iloc[0] == 0
+    assert t1["n"].iloc[0] == 10 and t1["err"].iloc[0] == 2
+    t2 = compose_freq(
+        freq_sketch(spark.createDataFrame(pdf), every=100, k=4),
+        every=1000, k=4,
+    ).toPandas()
+    assert t2["n"].iloc[0] == 10 and t2["err"].iloc[0] == 2
