@@ -1664,3 +1664,262 @@ def compose_freq(
         "value",
         "counter",
     )
+
+
+def holt_smooth(
+    df: DataFrame,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    horizon: int = 1,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Holt double-exponential (linear-trend) smoothing per series
+    (Holt 1957 / Hyndman & Athanasopoulos FPP §7.2 — public method;
+    diive has no forecaster, its trend tooling is fit-based).
+
+    State ``(level, trend)`` with the standard explicit init
+    ``l_2 = x_2, b_2 = x_2 - x_1`` and for t >= 3::
+
+        l_t = alpha*x_t + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+
+    The one-step-ahead squared errors accumulate alongside, so the fit
+    quality (RMSE) comes out of the same pass.  Computed as an EXACT
+    left fold with a struct accumulator over the per-series value
+    array (``aggregate`` over an ``array_sort``-ordered collect; same
+    fold on a SQL engine via ``list_reduce`` over a ``list_prepend``
+    seeded struct list), so results are bit-deterministic across
+    engines and partitionings — oracle-checkable.
+
+    One groupBy shuffle; per-series state is the value array (bounded
+    by series length — token streams are n_tok-capped; for unbounded
+    series use an applyInPandas kernel, the ewma_chart precedent).
+    Emits per series: ``n, level, trend, forecast`` (= level +
+    horizon*trend) and ``rmse`` over the n-2 one-step forecasts
+    (null when n < 3; all outputs null when n < 2).
+    """
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    keys = list(key_cols)
+    a, be = float(alpha), float(beta)
+    pts = df.where(F.col(value_col).isNotNull())
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("long").alias("p"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    g = pts.groupBy(*keys).agg(arr.alias("_arr"))
+    vals = F.transform(F.col("_arr"), lambda s: s["x"])
+    g = g.withColumn("_v", vals).withColumn("_n", F.size("_v")).drop("_arr")
+    x1 = F.element_at(F.col("_v"), 1)
+    x2 = F.element_at(F.col("_v"), 2)
+    init = F.struct(
+        x2.alias("l"), (x2 - x1).alias("b"), F.lit(0.0).alias("sse")
+    )
+    rest = F.expr("slice(_v, 3, greatest(size(_v) - 2, 0))")
+
+    def step(acc, x):
+        new_l = F.lit(a) * x + F.lit(1.0 - a) * (acc["l"] + acc["b"])
+        new_b = F.lit(be) * (new_l - acc["l"]) + F.lit(1.0 - be) * acc["b"]
+        err = x - (acc["l"] + acc["b"])
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+        )
+
+    state = F.aggregate(rest, init, step)
+    n = F.col("_n")
+    out = g.withColumn("_st", F.when(n >= 2, state))
+    lvl = F.col("_st")["l"]
+    trd = F.col("_st")["b"]
+    return out.select(
+        *keys,
+        n.cast("long").alias("n"),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        (lvl + F.lit(float(horizon)) * trd).alias("forecast"),
+        F.when(
+            n >= 3, F.sqrt(F.col("_st")["sse"] / (n - 2).cast("double"))
+        ).alias("rmse"),
+    )
+
+
+def theil_sen_bins(
+    df: DataFrame,
+    every: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Theil-Sen robust trend per ``every``-sized bin (Theil 1950 /
+    Sen 1968 — public estimator; diive fits trends by least squares,
+    e.g. pkgs/fits — the median-of-pairwise-slopes estimator tolerates
+    up to ~29% outliers and needs no residual screening).
+
+    Per (key..., bin): ``slope`` = exact median of the (n choose 2)
+    pairwise slopes ``(v_j - v_i) / (x_j - x_i)`` and ``intercept`` =
+    exact median of ``v_i - slope * x_i`` (second pass with the bin's
+    slope joined back).  Bins with < 2 readings are omitted.
+
+    The pair join is an equi-join on (key, bin) — within-bin pairs
+    only, O(m²) per bin where m is bounded by ``every`` (never by the
+    table), so partitions stay balanced at any scale; the classic
+    global-regression alternative would put the whole series in one
+    task.  Exact ``percentile(0.5)`` (sorted interpolation) matches
+    SQL engines' ``quantile_cont`` bit-for-bit on identical doubles.
+    """
+    keys = list(key_cols)
+    e = int(every)
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        *keys,
+        (F.floor(F.col(axis_col).cast("long") / e) * e)
+        .cast("long")
+        .alias("bin_start"),
+        F.col(axis_col).cast("long").alias("_x"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    a = pts.alias("a")
+    b = pts.alias("b")
+    on = [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys] + [
+        F.col("a.bin_start") == F.col("b.bin_start"),
+        F.col("a._x") < F.col("b._x"),
+    ]
+    pairs = a.join(b, on).select(
+        *[F.col(f"a.{k}").alias(k) for k in keys],
+        F.col("a.bin_start").alias("bin_start"),
+        (
+            (F.col("b._v") - F.col("a._v"))
+            / (F.col("b._x") - F.col("a._x")).cast("double")
+        ).alias("_slope"),
+    )
+    slopes = pairs.groupBy(*keys, "bin_start").agg(
+        F.count("_slope").cast("long").alias("n_pairs"),
+        F.percentile("_slope", F.lit(0.5)).alias("slope"),
+    )
+    joined = pts.join(slopes, [*keys, "bin_start"])
+    return joined.groupBy(*keys, "bin_start").agg(
+        F.count("_v").cast("long").alias("n"),
+        F.max("n_pairs").alias("n_pairs"),
+        F.max("slope").alias("slope"),
+        F.percentile(
+            F.col("_v") - F.col("slope") * F.col("_x").cast("double"),
+            F.lit(0.5),
+        ).alias("intercept"),
+    )
+
+
+def asap_smooth(
+    df: DataFrame,
+    max_window_frac: float = 0.1,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """ASAP automatic smoothing (Rong & Bailis, VLDB 2017 — public
+    algorithm): pick the moving-average window that MINIMIZES
+    roughness (std of the smoothed series' first differences) subject
+    to PRESERVING kurtosis (smoothed kurtosis >= raw kurtosis, so real
+    spikes survive while noise is ironed out).  Candidate windows come
+    from autocorrelation peaks (periodicity-aligned windows smooth
+    best), plus a small geometric grid as fallback — a faithful
+    simplification of the paper's search (no incremental-update
+    pruning; candidate count is tiny so the exhaustive scan is cheap).
+
+    Sequential per series (window choice depends on the whole series),
+    so it runs as a numpy kernel via ``applyInPandas`` — parallel
+    ACROSS series, the LTTB/LOF contract: one series per worker,
+    bounded by n_tok for token streams.  Emits the smoothed points
+    (trailing window-mean at each position >= window-1) plus the
+    chosen ``window`` per row; nulls are dropped first.
+    """
+    keys = list(key_cols)
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [df.schema[k] for k in keys]
+        + [
+            T.StructField("pos", T.LongType()),
+            T.StructField("smoothed", T.DoubleType()),
+            T.StructField("window", T.IntegerType()),
+        ]
+    )
+
+    frac = float(max_window_frac)
+
+    def _kurt(x: np.ndarray) -> float:
+        m = x.mean()
+        d = x - m
+        v = (d * d).mean()
+        if v <= 0:
+            return 0.0
+        return float((d**4).mean() / (v * v))
+
+    def _roughness(x: np.ndarray) -> float:
+        return float(np.diff(x).std()) if x.size > 1 else 0.0
+
+    def _sma(x: np.ndarray, w: int) -> np.ndarray:
+        c = np.cumsum(np.concatenate(([0.0], x)))
+        return (c[w:] - c[:-w]) / w
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.dropna(subset=[value_col]).sort_values(axis_col)
+        x = pdf[value_col].to_numpy(dtype=np.float64)
+        pos = pdf[axis_col].to_numpy(dtype=np.int64)
+        n = x.size
+        key_vals = {k: pdf[k].iloc[0] for k in keys} if n else {}
+        max_w = max(int(n * frac), 2)
+        if n < 4 or max_w < 2:
+            return pd.DataFrame(
+                {**key_vals, "pos": pos, "smoothed": x,
+                 "window": np.ones(n, dtype=np.int32)}
+            ) if n else pd.DataFrame(
+                columns=[*keys, "pos", "smoothed", "window"]
+            )
+        # ACF peaks up to max_w lags
+        d = x - x.mean()
+        denom = float((d * d).sum())
+        cands = set()
+        if denom > 0:
+            acf = np.array(
+                [(d[k:] * d[:-k]).sum() / denom
+                 for k in range(1, max_w + 1)]
+            )
+            for k in range(1, len(acf) - 1):
+                if acf[k] > acf[k - 1] and acf[k] > acf[k + 1] and acf[k] > 0.2:
+                    cands.add(k + 1)  # lag k -> window k+1
+        w = 2
+        while w <= max_w:  # geometric fallback grid
+            cands.add(w)
+            w = int(math.ceil(w * 1.5))
+        kurt0 = _kurt(x)
+        best_w, best_r = 1, _roughness(x)
+        for w in sorted(cands):
+            if w < 2 or w > max_w:
+                continue
+            sm = _sma(x, w)
+            if _kurt(sm) >= kurt0 and _roughness(sm) < best_r:
+                best_w, best_r = w, _roughness(sm)
+        if best_w == 1:
+            sm, p = x, pos
+        else:
+            sm, p = _sma(x, best_w), pos[best_w - 1:]
+        return pd.DataFrame(
+            {**key_vals, "pos": p, "smoothed": sm,
+             "window": np.full(p.size, best_w, dtype=np.int32)}
+        )
+
+    return (
+        df.select(*keys, axis_col, value_col)
+        .groupBy(*keys)
+        .applyInPandas(_kernel, schema=out_schema)
+    )

@@ -4531,12 +4531,116 @@ FROM k2 JOIN pt USING (source, doc_id, pb)
 """
 
 
+_HOLT_A, _HOLT_B, _HOLT_H = 0.3, 0.1, 5.0
+
+
+def q_holt_smooth(spark, sf_dir):
+    """Holt double-exponential smoothing per series (Holt 1957): final
+    (level, trend), h-step forecast and one-step RMSE from one exact
+    struct-accumulator fold.  The DuckDB twin replays the identical
+    fold with a recursive CTE (one row per series per step) —
+    bit-identical doubles, so round-6 hashes match.  (list_reduce with
+    a struct accumulator is NOT usable here: DuckDB evaluates the new
+    struct's fields sequentially against an in-place-updated
+    accumulator, so `b := f(acc.l, ...)` sees the already-overwritten
+    `l` — verified numerically, diverges from the 3rd combine on.)"""
+    out = analyses.holt_smooth(
+        series(spark, sf_dir), alpha=_HOLT_A, beta=_HOLT_B,
+        horizon=int(_HOLT_H), key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("level")).alias("level"),
+        _r(F.col("trend")).alias("trend"),
+        _r(F.col("forecast")).alias("forecast"),
+        _r(F.col("rmse")).alias("rmse"),
+    )
+
+
+# literals computed in Python and injected via repr so BOTH engines use
+# the identical binary64 constants (1.0 - 0.3 != literal "0.7" in the
+# last ulp — see the round-3 determinism notes)
+SQL_HOLT_SMOOTH = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+v AS (SELECT source, doc_id, array_agg(value ORDER BY pos) AS vals,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+fold AS (
+  SELECT source, doc_id, n, vals, 2 AS i,
+         vals[2] AS l, vals[2] - vals[1] AS b, 0.0::DOUBLE AS sse
+  FROM v WHERE n >= 2
+  UNION ALL
+  SELECT source, doc_id, n, vals, i + 1,
+         {_HOLT_A!r} * vals[i + 1] + {1.0 - _HOLT_A!r} * (l + b),
+         {_HOLT_B!r} * (({_HOLT_A!r} * vals[i + 1]
+             + {1.0 - _HOLT_A!r} * (l + b)) - l)
+           + {1.0 - _HOLT_B!r} * b,
+         sse + (vals[i + 1] - (l + b)) * (vals[i + 1] - (l + b))
+  FROM fold WHERE i < n
+),
+st AS (SELECT source, doc_id, l, b, sse FROM fold WHERE i = n)
+SELECT v.source, v.doc_id, v.n,
+       round(st.l, 6) AS level,
+       round(st.b, 6) AS trend,
+       round(st.l + {_HOLT_H!r} * st.b, 6) AS forecast,
+       CASE WHEN v.n >= 3 THEN round(sqrt(st.sse / (v.n - 2)), 6) END
+         AS rmse
+FROM v LEFT JOIN st USING (source, doc_id)
+"""
+
+
+def q_theil_sen(spark, sf_dir):
+    """Theil-Sen robust trend per 600-wide bin: exact median of
+    within-bin pairwise slopes + median intercept.  Pair generation is
+    a within-bin equi-join (O(m²) per bin, m bounded by the bin), and
+    exact percentile(0.5) matches quantile_cont on identical doubles."""
+    out = analyses.theil_sen_bins(
+        series(spark, sf_dir), every=600, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "bin_start", "n", "n_pairs",
+        _r(F.col("slope")).alias("slope"),
+        _r(F.col("intercept")).alias("intercept"),
+    )
+
+
+SQL_THEIL_SEN = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id,
+               CAST(floor(pos / 600) AS BIGINT) * 600 AS bin_start,
+               CAST(pos AS BIGINT) AS x, value AS v
+        FROM series WHERE value IS NOT NULL),
+pairs AS (
+  SELECT a.source, a.doc_id, a.bin_start,
+         (b.v - a.v) / CAST(b.x - a.x AS DOUBLE) AS slope
+  FROM pts a JOIN pts b
+    ON a.source = b.source AND a.doc_id = b.doc_id
+   AND a.bin_start = b.bin_start AND a.x < b.x),
+sl AS (
+  SELECT source, doc_id, bin_start,
+         CAST(count(*) AS BIGINT) AS n_pairs,
+         quantile_cont(slope, 0.5) AS slope
+  FROM pairs GROUP BY 1, 2, 3)
+SELECT p.source, p.doc_id, p.bin_start,
+       CAST(count(*) AS BIGINT) AS n, sl.n_pairs,
+       round(sl.slope, 6) AS slope,
+       round(quantile_cont(p.v - sl.slope * CAST(p.x AS DOUBLE), 0.5), 6)
+         AS intercept
+FROM pts p JOIN sl USING (source, doc_id, bin_start)
+GROUP BY 1, 2, 3, sl.n_pairs, sl.slope
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
     # --- round-4 additions (never driver-verified, newest first) -----
+    "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
+    "theil_sen_trend": (q_theil_sen, SQL_THEIL_SEN),
     "freq_topk_tiers": (q_freq_topk_tiers, SQL_FREQ_TOPK_TIERS),
     "cusum_changepoint": (q_cusum_changepoint, SQL_CUSUM_CHANGEPOINT),
     "m4_downsample": (q_m4_downsample, SQL_M4_DOWNSAMPLE),

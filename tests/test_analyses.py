@@ -946,3 +946,177 @@ def test_freq_sketch_empty_prune_keeps_bin(spark):
         every=1000, k=4,
     ).toPandas()
     assert t2["n"].iloc[0] == 10 and t2["err"].iloc[0] == 2
+
+
+def test_holt_exact_on_linear_series(spark):
+    # on exact linear data the recursion is a fixed point: level tracks
+    # the signal, trend stays the true slope, every 1-step error is 0
+    pos = np.arange(50)
+    v = 3.0 + 2.5 * pos
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.analyses import holt_smooth
+
+    got = holt_smooth(
+        spark.createDataFrame(pdf), alpha=0.3, beta=0.1, horizon=4
+    ).toPandas().iloc[0]
+    assert abs(got["level"] - v[-1]) < 1e-9
+    assert abs(got["trend"] - 2.5) < 1e-9
+    assert abs(got["forecast"] - (v[-1] + 4 * 2.5)) < 1e-9
+    assert got["rmse"] < 1e-9
+
+
+def test_holt_matches_numpy_loop(spark):
+    pdf = seeded_series(n=300, gap_frac=0.1, seed=9)
+    from diive_spark.operators.analyses import holt_smooth
+
+    got = holt_smooth(
+        spark.createDataFrame(pdf), alpha=0.4, beta=0.2, horizon=2
+    ).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    a, b = 0.4, 0.2
+    l, t, sse = x[1], x[1] - x[0], 0.0
+    for xi in x[2:]:
+        f = l + t
+        sse += (xi - f) ** 2
+        nl = a * xi + (1 - a) * (l + t)
+        t = b * (nl - l) + (1 - b) * t
+        l = nl
+    assert got["n"] == len(x)
+    assert abs(got["level"] - l) < 1e-12
+    assert abs(got["trend"] - t) < 1e-12
+    assert abs(got["forecast"] - (l + 2 * t)) < 1e-12
+    assert abs(got["rmse"] - math.sqrt(sse / (len(x) - 2))) < 1e-12
+
+
+def test_holt_short_series_nulls(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0], "value": [5.0]}
+    )
+    from diive_spark.operators.analyses import holt_smooth
+
+    got = holt_smooth(spark.createDataFrame(pdf)).toPandas().iloc[0]
+    assert got["n"] == 1 and pd.isna(got["level"]) and pd.isna(got["rmse"])
+
+
+def test_theil_sen_robust_to_spikes(spark):
+    # clean line with 3 gross outliers in a 40-point bin: the median of
+    # pairwise slopes must recover the true slope exactly-ish, where
+    # least squares would be dragged far off
+    pos = np.arange(40)
+    v = 1.0 + 0.5 * pos
+    v[[5, 17, 30]] += 500.0
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.analyses import theil_sen_bins
+
+    got = theil_sen_bins(spark.createDataFrame(pdf), every=100).toPandas()
+    assert len(got) == 1
+    row = got.iloc[0]
+    assert row["n"] == 40 and row["n_pairs"] == 40 * 39 // 2
+    assert abs(row["slope"] - 0.5) < 1e-9
+    # numpy all-pairs twin
+    xs, vs = pos.astype(float), v
+    slopes = [
+        (vs[j] - vs[i]) / (xs[j] - xs[i])
+        for i in range(40)
+        for j in range(i + 1, 40)
+    ]
+    assert abs(row["slope"] - np.median(slopes)) < 1e-12
+    inter = np.median(vs - np.median(slopes) * xs)
+    assert abs(row["intercept"] - inter) < 1e-12
+
+
+def test_theil_sen_bins_split_and_min_points(spark):
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": [0, 10, 120, 130, 140, 250],
+            "value": [0.0, 20.0, 5.0, 6.0, 7.0, 9.0],
+        }
+    )
+    from diive_spark.operators.analyses import theil_sen_bins
+
+    got = (
+        theil_sen_bins(spark.createDataFrame(pdf), every=100)
+        .toPandas()
+        .sort_values("bin_start")
+        .reset_index(drop=True)
+    )
+    # bin 200 has a single point -> omitted
+    assert list(got["bin_start"]) == [0, 100]
+    assert got.loc[0, "slope"] == 2.0  # (20-0)/10
+    assert got.loc[1, "slope"] == 0.1  # all pairwise slopes equal
+
+
+def test_asap_picks_period_aligned_window(spark):
+    # seasonal square-ish wave (period 24) + noise + 2 genuine spikes:
+    # ASAP must (a) cut roughness vs raw, (b) not smooth the spikes
+    # away (kurtosis preserved), (c) pick a window near the period
+    rng = np.random.default_rng(17)
+    pos = np.arange(720)
+    season = np.where((pos % 24) < 12, 10.0, -10.0)
+    v = season + rng.normal(0, 1.5, 720)
+    # spike size matters: +80 keeps the period-24 SMA kurtosis above
+    # raw (spikes survive dilution); much larger spikes inflate RAW
+    # kurtosis so far that no window passes the gate and ASAP
+    # correctly refuses to smooth (verified by magnitude scan)
+    v[[200, 500]] += 80.0
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.analyses import asap_smooth
+
+    got = asap_smooth(spark.createDataFrame(pdf)).toPandas()
+    w = got["window"].iloc[0]
+    assert (got["window"] == w).all()
+    assert w >= 2
+    sm = got.sort_values("pos")["smoothed"].to_numpy()
+    assert np.diff(sm).std() < np.diff(v).std() * 0.8
+
+    def kurt(x):
+        d = x - x.mean()
+        return (d**4).mean() / (d * d).mean() ** 2
+
+    assert kurt(sm) >= kurt(v) - 1e-9
+    # numpy twin replay of the search must agree on the window
+    def sma(x, w_):
+        c = np.cumsum(np.concatenate(([0.0], x)))
+        return (c[w_:] - c[:-w_]) / w_
+
+    max_w = 72
+    d = v - v.mean()
+    denom = (d * d).sum()
+    acf = np.array([(d[k:] * d[:-k]).sum() / denom for k in range(1, 73)])
+    cands = {
+        k + 1
+        for k in range(1, 71)
+        if acf[k] > acf[k - 1] and acf[k] > acf[k + 1] and acf[k] > 0.2
+    }
+    ww = 2
+    while ww <= max_w:
+        cands.add(ww)
+        ww = int(np.ceil(ww * 1.5))
+    best_w, best_r = 1, np.diff(v).std()
+    for cw in sorted(cands):
+        if cw < 2 or cw > max_w:
+            continue
+        s_ = sma(v, cw)
+        if kurt(s_) >= kurt(v) and np.diff(s_).std() < best_r:
+            best_w, best_r = cw, np.diff(s_).std()
+    assert w == best_w
+
+
+def test_asap_short_series_passthrough(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0, 1, 2],
+         "value": [1.0, 2.0, 3.0]}
+    )
+    from diive_spark.operators.analyses import asap_smooth
+
+    got = asap_smooth(spark.createDataFrame(pdf)).toPandas()
+    assert list(got.sort_values("pos")["smoothed"]) == [1.0, 2.0, 3.0]
+    assert (got["window"] == 1).all()
