@@ -212,6 +212,256 @@ class ParquetDPOBackend(TierBackend):
         return fs_exists(self.spark, self.location(tier))
 
 
+class SnapshotBackend(TierBackend):
+    """Iceberg-metadata-analog backend: data files are IMMUTABLE and
+    every :meth:`write_partitions` commit creates a new snapshot, so
+    the store gets the Iceberg features the plain dynamic-partition-
+    overwrite backend can't give — snapshot isolation (readers of
+    snapshot N never see a concurrent write), time travel
+    (:meth:`read_at`), O(1) rollback (:meth:`rollback`), METADATA-ONLY
+    partition deletes (:meth:`drop_partition` writes a manifest without
+    the partition; the files stay, so the delete is reversible by time
+    travel until :meth:`expire_snapshots` reclaims them).
+
+    Layout (mirrors Iceberg's data/metadata split):
+
+    - ``<root>/<tier>/data/<part_col>=<v>/snapv=<snap>/part-*.parquet``
+      — immutable; a partition rewritten in snapshot *n* lands in a
+      NEW ``snapv=n`` directory, never touching the files older snapshots
+      reference (Iceberg: new data files + manifest entry).
+    - ``<root>/<tier>/_manifests/snap-<n>.json`` — ``{"id", "parent",
+      "ts", "parts": {partition_value: version}}`` (Iceberg: the
+      snapshot's manifest list).
+    - ``<root>/<tier>/_current`` — pointer to the current snapshot id
+      (Iceberg: the catalog's table pointer; single-writer here, like
+      the sibling lineage files).
+
+    Reads hand Spark exactly the manifest's directories, so partition
+    pruning is decided from METADATA before any file listing — the
+    Iceberg behavior — and scans never see uncommitted files.
+    """
+
+    def __init__(self, spark: SparkSession, root: str,
+                 partition_col: str = "source",
+                 range_layout: bool = True):
+        self.spark = spark
+        self.root = root
+        self.partition_col = partition_col
+        self.range_layout = range_layout
+
+    # ----------------------------------------------------- fs helpers
+    def _fs(self, path: str):
+        jvm = self.spark._jvm
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), jvm
+
+    def location(self, tier: str) -> str:
+        return os.path.join(self.root, tier)
+
+    def _data_root(self, tier: str) -> str:
+        return os.path.join(self.location(tier), "data")
+
+    def _manifest_dir(self, tier: str) -> str:
+        return os.path.join(self.location(tier), "_manifests")
+
+    def _current_path(self, tier: str) -> str:
+        return os.path.join(self.location(tier), "_current")
+
+    # ------------------------------------------------------- metadata
+    def snapshots(self, tier: str) -> list[dict]:
+        """All committed snapshots, oldest first (Iceberg:
+        ``table.snapshots`` metadata table)."""
+        mdir = self._manifest_dir(tier)
+        if not os.path.isdir(mdir):
+            return []
+        out = []
+        for name in os.listdir(mdir):
+            if name.startswith("snap-") and name.endswith(".json"):
+                with open(os.path.join(mdir, name)) as f:
+                    out.append(json.load(f))
+        return sorted(out, key=lambda s: s["id"])
+
+    def _snapshot(self, tier: str, snapshot_id: int) -> dict:
+        path = os.path.join(self._manifest_dir(tier),
+                            f"snap-{snapshot_id}.json")
+        if not os.path.exists(path):
+            raise ValueError(
+                f"{tier}: no snapshot {snapshot_id} (expired or never "
+                f"committed)")
+        with open(path) as f:
+            return json.load(f)
+
+    def current_snapshot_id(self, tier: str) -> int | None:
+        path = self._current_path(tier)
+        if not os.path.exists(path):
+            return None
+        with open(path) as f:
+            return int(f.read().strip())
+
+    def _commit(self, tier: str, parts: dict[str, int],
+                parent: int | None) -> int:
+        snaps = self.snapshots(tier)
+        new_id = (max(s["id"] for s in snaps) + 1) if snaps else 1
+        os.makedirs(self._manifest_dir(tier), exist_ok=True)
+        manifest = {"id": new_id, "parent": parent, "ts": time.time(),
+                    "parts": parts}
+        with open(os.path.join(self._manifest_dir(tier),
+                               f"snap-{new_id}.json"), "w") as f:
+            json.dump(manifest, f)
+        # the pointer flip IS the commit (Iceberg: atomic catalog swap)
+        tmp = self._current_path(tier) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(new_id))
+        os.replace(tmp, self._current_path(tier))
+        return new_id
+
+    # ------------------------------------------------------ TierBackend
+    def write_partitions(self, df: DataFrame, tier: str) -> None:
+        if "snapv" in df.columns:
+            raise ValueError("column name 'snapv' is reserved for the "
+                             "snapshot version directory")
+        parent = self.current_snapshot_id(tier)
+        base = self._snapshot(tier, parent)["parts"] if parent else {}
+        snaps = self.snapshots(tier)
+        new_id = (max(s["id"] for s in snaps) + 1) if snaps else 1
+        out = df
+        if self.range_layout:
+            sort_cols = [
+                c for c in ("doc_id", "bin_start") if c in df.columns
+            ]
+            if sort_cols:
+                out = df.repartitionByRange(
+                    self.partition_col, *sort_cols
+                ).sortWithinPartitions(self.partition_col, *sort_cols)
+        # stage with partitionBy, then move each partition dir into its
+        # immutable v=<snap> home — touched partitions come from the
+        # staging listing, no extra Spark job
+        stage = os.path.join(self.location(tier), f"_stage-{new_id}")
+        (
+            out.write.mode("overwrite")
+            .partitionBy(self.partition_col)
+            .parquet(stage)
+        )
+        fs, jvm = self._fs(stage)
+        prefix = f"{self.partition_col}="
+        touched = []
+        for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(stage)):
+            name = st.getPath().getName()
+            if st.isDirectory() and name.startswith(prefix):
+                touched.append(name[len(prefix):])
+        parts = dict(base)
+        for value in touched:
+            dest_parent = os.path.join(self._data_root(tier),
+                                       f"{prefix}{value}")
+            fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
+            fs.rename(
+                jvm.org.apache.hadoop.fs.Path(stage, f"{prefix}{value}"),
+                jvm.org.apache.hadoop.fs.Path(dest_parent, f"snapv={new_id}"),
+            )
+            parts[value] = new_id
+        fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
+        committed = self._commit(tier, parts, parent)
+        assert committed == new_id
+
+    def _read_manifest(self, tier: str, manifest: dict) -> DataFrame:
+        parts = manifest["parts"]
+        if not parts:
+            raise ValueError(f"{tier}: snapshot {manifest['id']} is empty")
+        prefix = f"{self.partition_col}="
+        paths = [
+            os.path.join(self._data_root(tier), f"{prefix}{value}",
+                         f"snapv={version}")
+            for value, version in sorted(parts.items())
+        ]
+        return (
+            self.spark.read.option("basePath", self._data_root(tier))
+            .parquet(*paths)
+            .drop("snapv")
+        )
+
+    def read(self, tier: str) -> DataFrame:
+        cur = self.current_snapshot_id(tier)
+        if cur is None:
+            raise ValueError(f"{tier}: never written")
+        return self._read_manifest(tier, self._snapshot(tier, cur))
+
+    def read_at(self, tier: str, snapshot_id: int) -> DataFrame:
+        """Time travel: the tier exactly as of *snapshot_id* (Iceberg:
+        ``VERSION AS OF``)."""
+        return self._read_manifest(tier, self._snapshot(tier, snapshot_id))
+
+    def rollback(self, tier: str, snapshot_id: int) -> None:
+        """Point the table back at an earlier snapshot (Iceberg:
+        ``rollback_to_snapshot``) — O(1), no data job; later snapshots
+        stay readable via :meth:`read_at` until expired."""
+        self._snapshot(tier, snapshot_id)  # must exist
+        tmp = self._current_path(tier) + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(str(snapshot_id))
+        os.replace(tmp, self._current_path(tier))
+
+    def partition_values(self, tier: str) -> list[str]:
+        cur = self.current_snapshot_id(tier)
+        if cur is None:
+            return []
+        return sorted(self._snapshot(tier, cur)["parts"])
+
+    def drop_partition(self, tier: str, value: str) -> None:
+        """METADATA-ONLY delete: commit a snapshot without the
+        partition.  Data files stay until :meth:`expire_snapshots`, so
+        the drop is time-travel-reversible (Iceberg ``DELETE WHERE`` on
+        a partition predicate)."""
+        parent = self.current_snapshot_id(tier)
+        if parent is None:
+            return
+        parts = dict(self._snapshot(tier, parent)["parts"])
+        parts.pop(value, None)
+        self._commit(tier, parts, parent)
+
+    def table_exists(self, tier: str) -> bool:
+        return self.current_snapshot_id(tier) is not None
+
+    # ------------------------------------------------------- maintenance
+    def expire_snapshots(self, tier: str, keep_last: int = 1) -> dict:
+        """Drop all but the newest *keep_last* snapshots (the current
+        one is always kept) and delete data-file versions no retained
+        snapshot references (Iceberg: ``expire_snapshots`` +
+        ``remove_orphan_files``).  Bounds storage: after expiry the
+        tier holds one live file set per retained snapshot."""
+        snaps = self.snapshots(tier)
+        cur = self.current_snapshot_id(tier)
+        if not snaps:
+            return {"expired": 0, "files_deleted": 0}
+        keep_ids = {s["id"] for s in snaps[-max(keep_last, 1):]} | {cur}
+        live: set[tuple[str, int]] = set()
+        for s in snaps:
+            if s["id"] in keep_ids:
+                live |= set(s["parts"].items())
+        expired = [s for s in snaps if s["id"] not in keep_ids]
+        fs, jvm = self._fs(self.location(tier))
+        files_deleted = 0
+        prefix = f"{self.partition_col}="
+        droot = jvm.org.apache.hadoop.fs.Path(self._data_root(tier))
+        if fs.exists(droot):
+            for pst in fs.listStatus(droot):
+                pname = pst.getPath().getName()
+                if not pname.startswith(prefix):
+                    continue
+                value = pname[len(prefix):]
+                for vst in fs.listStatus(pst.getPath()):
+                    vname = vst.getPath().getName()
+                    if not vname.startswith("snapv="):
+                        continue
+                    version = int(vname[len("snapv="):])
+                    if (value, version) not in live:
+                        fs.delete(vst.getPath(), True)
+                        files_deleted += 1
+        for s in expired:
+            os.remove(os.path.join(self._manifest_dir(tier),
+                                   f"snap-{s['id']}.json"))
+        return {"expired": len(expired), "files_deleted": files_deleted}
+
+
 class TierStore:
     """Partitioned tier tables + lineage + metrics under a root dir."""
 

@@ -539,3 +539,93 @@ def test_backend_seam_routes_all_io(spark, tmp_path):
     st_b.expire_raw(sources=[victim])
     assert ("drop", "raw", victim) in calls
     assert victim not in st_b.partitions("raw")
+
+
+def test_snapshot_backend_cascade_matches_default(spark, tmp_path, tiny_series):
+    """A TierStore on the Iceberg-analog SnapshotBackend produces tiers
+    identical to the parquet-DPO default, and incremental ingest on it
+    equals a full materialize (the backend seam contract)."""
+    from diive_spark.operators.tiers import SnapshotBackend, TierStore
+
+    root_a = str(tmp_path / "default")
+    root_b = str(tmp_path / "snap")
+    st_a = TierStore(spark, root_a)
+    st_b = TierStore(spark, root_b,
+                     backend=SnapshotBackend(spark, root_b))
+    st_a.materialize_cascade(tiny_series)
+    st_b.materialize_cascade(tiny_series)
+    for tier in ("tier_1m", "tier_1h", "tier_1d"):
+        a = st_a.read(tier).orderBy("source", "doc_id", "bin_start").toPandas()
+        b = st_b.read(tier).orderBy("source", "doc_id", "bin_start").toPandas()
+        assert a.equals(b), tier
+    assert set(st_b.partitions("tier_1m")) == set(st_a.partitions("tier_1m"))
+
+
+def test_snapshot_backend_time_travel_and_rollback(spark, tmp_path):
+    """write_partitions commits immutable snapshots: overwriting one
+    partition leaves the other untouched, read_at() reproduces history
+    bit-for-bit, and rollback() is a metadata-only pointer flip."""
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    be = SnapshotBackend(spark, str(tmp_path / "t"))
+    df1 = spark.createDataFrame(
+        [("a", "d1", 1.0), ("a", "d2", 2.0), ("b", "d3", 3.0)],
+        "source string, doc_id string, v double")
+    be.write_partitions(df1, "tier_1m")
+    snap1 = be.current_snapshot_id("tier_1m")
+
+    # reader opened against snap1 BEFORE the next commit: snapshot
+    # isolation means it never sees the concurrent write
+    old_reader = be.read("tier_1m")
+
+    df2 = spark.createDataFrame(
+        [("b", "d3", 30.0), ("b", "d4", 40.0)],
+        "source string, doc_id string, v double")
+    be.write_partitions(df2, "tier_1m")
+    snap2 = be.current_snapshot_id("tier_1m")
+    assert snap2 != snap1
+
+    cur = {(r.source, r.doc_id, r.v) for r in be.read("tier_1m").collect()}
+    assert cur == {("a", "d1", 1.0), ("a", "d2", 2.0),
+                   ("b", "d3", 30.0), ("b", "d4", 40.0)}
+    old = {(r.source, r.doc_id, r.v)
+           for r in be.read_at("tier_1m", snap1).collect()}
+    assert old == {("a", "d1", 1.0), ("a", "d2", 2.0), ("b", "d3", 3.0)}
+    isolated = {(r.source, r.doc_id, r.v) for r in old_reader.collect()}
+    assert isolated == old
+
+    be.rollback("tier_1m", snap1)
+    back = {(r.source, r.doc_id, r.v) for r in be.read("tier_1m").collect()}
+    assert back == old
+    # snap2 stays readable after rollback until expiry
+    again = {(r.source, r.doc_id, r.v)
+             for r in be.read_at("tier_1m", snap2).collect()}
+    assert again == cur
+
+
+def test_snapshot_backend_drop_is_reversible_then_expire(spark, tmp_path):
+    """drop_partition is METADATA-ONLY (time-travel reversible);
+    expire_snapshots then reclaims unreferenced files and closes the
+    time-travel window."""
+    import pytest as _pytest
+
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    be = SnapshotBackend(spark, str(tmp_path / "t"))
+    df = spark.createDataFrame(
+        [("a", "d1", 1.0), ("b", "d2", 2.0)],
+        "source string, doc_id string, v double")
+    be.write_partitions(df, "raw")
+    snap1 = be.current_snapshot_id("raw")
+    be.drop_partition("raw", "a")
+    assert be.partition_values("raw") == ["b"]
+    # the dropped partition is still in history
+    hist = {r.source for r in be.read_at("raw", snap1).collect()}
+    assert hist == {"a", "b"}
+
+    stats = be.expire_snapshots("raw", keep_last=1)
+    assert stats["expired"] >= 1 and stats["files_deleted"] >= 1
+    # current read unharmed; history gone
+    assert {r.source for r in be.read("raw").collect()} == {"b"}
+    with _pytest.raises(ValueError):
+        be.read_at("raw", snap1)
