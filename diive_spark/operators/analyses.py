@@ -1923,3 +1923,134 @@ def asap_smooth(
         .groupBy(*keys)
         .applyInPandas(_kernel, schema=out_schema)
     )
+
+
+def ddsketch_agg(
+    df: DataFrame,
+    every: int,
+    gamma: float = 1.02,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Relative-error quantile sketch per ``every``-sized bin — the
+    DDSketch log-binned store (Masson, Rim & Lee, VLDB 2019), the
+    heavy-tail complement to the fixed-width histogram sketch
+    (``bucket_rollup(hist_*)`` guarantees ABSOLUTE error = one bin
+    width; this guarantees RELATIVE error <= (gamma-1)/(gamma+1) at
+    every quantile, independent of the value range).
+
+    Store = exact counts over logarithmic value buckets
+    ``bucket = ceil(ln|v| / ln gamma)`` with a mirrored negative store
+    and a zero store (``sign`` in {-1, 0, 1}), i.e. the full-fidelity
+    variant: no bucket collapsing, so composition is EXACT, not just
+    guarantee-preserving.  Long form out: one row per
+    (key..., bin_start, sign, bucket) with its count — the same
+    tier-table shape as :func:`freq_sketch`, mergeable by plain
+    ``groupBy().sum()`` (:func:`compose_ddsketch`), so tiers chain
+    raw -> 1m -> 1h -> 1d with one tiny shuffle per level and zero
+    raw re-scans above tier 1.
+
+    100 TB shape: the tier-1 groupBy is map-side combined and bounded
+    per bin by the distinct-bucket count (<= ~1,160 buckets span
+    1e-5..1e5 at gamma=1.02), so raw readings never shuffle; parent
+    tiers shuffle only (key, bin, sign, bucket, cnt) rows.  Nulls are
+    dropped (gap convention — their count lives in the rollup's n).
+    """
+    keys = list(key_cols)
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    b = (F.floor(F.col(axis_col).cast("long") / int(every)) * int(every)).cast(
+        "long"
+    )
+    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    bucket = F.when(
+        v == 0, F.lit(0)
+    ).otherwise(F.ceil(F.log(F.abs(v)) / math.log(float(gamma)))).cast("int")
+    return (
+        pts.select(
+            *keys,
+            b.alias("bin_start"),
+            sign.cast("int").alias("sign"),
+            bucket.alias("bucket"),
+        )
+        .groupBy(*keys, "bin_start", "sign", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def compose_ddsketch(
+    sketch: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`ddsketch_agg` bins into ``every``-sized parent
+    bins WITHOUT rescanning raw data.  Log buckets are value-determined
+    (independent of binning), so the merge is a plain count sum and the
+    composed sketch is BIT-IDENTICAL to one built directly at the
+    parent resolution — exact composition, same long form in and out."""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    return (
+        sketch.withColumn("bin_start", pb)
+        .groupBy(*keys, "bin_start", "sign", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def ddsketch_quantiles(
+    sketch: DataFrame,
+    qs: Sequence[float],
+    gamma: float = 1.02,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Quantile estimates from a :func:`ddsketch_agg` store: per
+    (key..., bin_start) and each q in *qs*, the estimate for the exact
+    order statistic ``x_(ceil(q*n))`` (``x_(1)`` at q=0).
+
+    Buckets sort in true value order via (sign, sign*bucket); the
+    estimate for a non-zero bucket is the bucket's log-midpoint
+    ``sign * 2*gamma^bucket / (gamma+1)``, which carries the DDSketch
+    guarantee ``|est - x| / |x| <= (gamma-1)/(gamma+1)`` for every
+    point x the bucket holds; the zero store estimates 0 exactly.
+    One ordered window per (key, bin) over bucket rows (never
+    readings) — O(buckets) state, no SinglePartition."""
+    keys = list(key_cols)
+    wbin = Window.partitionBy(*keys, "bin_start")
+    word = wbin.orderBy(F.asc("sign"), F.asc(F.col("sign") * F.col("bucket")))
+    g = float(gamma)
+    est = F.when(F.col("sign") == 0, F.lit(0.0)).otherwise(
+        F.col("sign")
+        * F.lit(2.0)
+        * F.pow(F.lit(g), F.col("bucket"))
+        / F.lit(g + 1.0)
+    )
+    cum = (
+        sketch.withColumn("_cum", F.sum("cnt").over(
+            word.rowsBetween(Window.unboundedPreceding, 0)))
+        .withColumn("_n", F.sum("cnt").over(wbin))
+        .withColumn("_est", est)
+    )
+    picks = []
+    for q in qs:
+        qq = float(q)
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(qq) * F.col("_n")).cast("long")
+        )
+        hit = cum.where(
+            (F.col("_cum") >= rank) & (F.col("_cum") - F.col("cnt") < rank)
+        )
+        picks.append(
+            hit.select(
+                *keys,
+                "bin_start",
+                F.lit(qq).alias("q"),
+                F.col("_n").cast("long").alias("n"),
+                F.col("_est").alias("est"),
+            )
+        )
+    out = picks[0]
+    for p in picks[1:]:
+        out = out.unionByName(p)
+    return out

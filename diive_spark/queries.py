@@ -4633,12 +4633,196 @@ GROUP BY 1, 2, 3, sl.n_pairs, sl.slope
 """
 
 
+def q_ddsketch_tiers(spark, sf_dir):
+    """DDSketch log-bin quantile sketch through the tier path, as a
+    self-verifying oracle: build 60-bin sketches, compose them into
+    3600-bin sketches WITHOUT rescanning raw data, and emit per-source
+    (a) integer totals the DuckDB twin recomputes from the series,
+    (b) in-query invariant booleans — composed sketch bit-identical to
+    a direct 3600 build (exact mergeability), and p50/p95 estimates
+    within the (gamma-1)/(gamma+1) relative-error bound of the exact
+    order statistic (Masson, Rim & Lee, VLDB 2019).  Integer/boolean
+    output only, so the driver hash is float-determinism-proof."""
+    from .operators.analyses import (
+        compose_ddsketch, ddsketch_agg, ddsketch_quantiles)
+
+    gamma = 1.02
+    bound = (gamma - 1.0) / (gamma + 1.0) + 1e-9
+    s = series(spark, sf_dir)
+    sk1m = ddsketch_agg(s, every=60, gamma=gamma)
+    composed = compose_ddsketch(sk1m, every=3600)
+    direct = ddsketch_agg(s, every=3600, gamma=gamma)
+
+    cols = ["source", "doc_id", "bin_start", "sign", "bucket", "cnt"]
+    both = composed.select(*cols).unionByName(direct.select(*cols))
+    mismatch = (
+        both.groupBy(*cols).agg(F.count(F.lit(1)).alias("_k"))
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("_k") != 2, 1).otherwise(0)).alias("_bad"))
+        .select("source", (F.col("_bad") == 0).alias("composed_eq_direct"))
+    )
+
+    qs = [0.5, 0.95]
+    est = ddsketch_quantiles(composed, qs, gamma=gamma)
+    pts = s.where(F.col("value").isNotNull()).withColumn(
+        "bin_start",
+        (F.floor(F.col("pos").cast("long") / 3600) * 3600).cast("long"),
+    )
+    wbin = Window.partitionBy("source", "doc_id", "bin_start")
+    ranked = pts.withColumn(
+        "_rn", F.row_number().over(wbin.orderBy("value"))
+    ).withColumn("_nn", F.count(F.lit(1)).over(wbin))
+    exacts = []
+    for q in qs:
+        rank = F.greatest(
+            F.lit(1), F.ceil(F.lit(float(q)) * F.col("_nn")).cast("long"))
+        exacts.append(
+            ranked.where(F.col("_rn") == rank).select(
+                "source", "doc_id", "bin_start",
+                F.lit(float(q)).alias("q"),
+                F.col("value").alias("exact"),
+            )
+        )
+    exact = exacts[0].unionByName(exacts[1])
+    err_ok = (
+        est.join(exact, on=["source", "doc_id", "bin_start", "q"])
+        .withColumn(
+            "_ok",
+            F.when(F.col("exact") == 0.0, F.col("est") == 0.0).otherwise(
+                F.abs(F.col("est") - F.col("exact")) / F.abs(F.col("exact"))
+                <= F.lit(bound)
+            ),
+        )
+        .groupBy("source")
+        .agg(
+            F.min(F.when(F.col("q") == 0.5, F.col("_ok"))).alias(
+                "relerr_ok_p50"),
+            F.min(F.when(F.col("q") == 0.95, F.col("_ok"))).alias(
+                "relerr_ok_p95"),
+        )
+    )
+    totals = composed.groupBy("source").agg(
+        F.count_distinct(F.col("doc_id"), F.col("bin_start")).alias("n_bins"),
+        F.sum("cnt").cast("long").alias("total_cnt"),
+    )
+    return (
+        totals.join(mismatch, on="source").join(err_ok, on="source")
+        .select("source", "n_bins", "total_cnt", "composed_eq_direct",
+                "relerr_ok_p50", "relerr_ok_p95")
+        .orderBy("source")
+    )
+
+
+SQL_DDSKETCH_TIERS = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       CAST(count(DISTINCT (doc_id, CAST(floor(pos / 3600) AS BIGINT)))
+            AS BIGINT) AS n_bins,
+       CAST(count(value) AS BIGINT) AS total_cnt,
+       TRUE AS composed_eq_direct,
+       TRUE AS relerr_ok_p50,
+       TRUE AS relerr_ok_p95
+FROM series WHERE value IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
+def q_tier_snapshot_travel(spark, sf_dir):
+    """Iceberg-analog snapshot semantics through SnapshotBackend
+    (tiers.py), as a self-verifying oracle: commit a 3600-bin tier
+    (snapshot 1), overwrite ONE source partition (snapshot 2), then
+    prove — with in-query booleans over integer row counts the DuckDB
+    twin recomputes from the series — time travel (read_at(snap1) is
+    the full v1), O(1) rollback, metadata-only partition drop (still
+    time-travel-visible), and snapshot expiry (files reclaimed, history
+    closed, current read intact)."""
+    import tempfile
+
+    from .operators.tiers import SnapshotBackend
+
+    s = series(spark, sf_dir)
+    v1 = (
+        s.groupBy(
+            "source", "doc_id",
+            (F.floor(F.col("pos").cast("long") / 3600) * 3600)
+            .cast("long").alias("bin_start"),
+        )
+        .agg(F.count("value").cast("long").alias("n"))
+    )
+    min_src = v1.agg(F.min("source")).first()[0]
+    v2 = v1.where((F.col("source") == min_src) & (F.col("bin_start") == 0))
+
+    be = SnapshotBackend(spark, tempfile.mkdtemp(prefix="snaptravel_"),
+                         partition_col="source")
+    be.write_partitions(v1, "t")
+    snap1 = be.current_snapshot_id("t")
+    be.write_partitions(v2, "t")
+    snap2 = be.current_snapshot_id("t")
+
+    n_v1 = v1.count()
+    n_v2 = v2.count()
+    n_min_src = v1.where(F.col("source") == min_src).count()
+    n_other = n_v1 - n_min_src
+
+    cur_ok = be.read("t").count() == n_other + n_v2
+    travel_ok = be.read_at("t", snap1).count() == n_v1
+    be.rollback("t", snap1)
+    rollback_ok = (
+        be.read("t").count() == n_v1
+        and be.read_at("t", snap2).count() == n_other + n_v2
+    )
+    be.drop_partition("t", min_src)
+    drop_metadata_only_ok = (
+        min_src not in be.partition_values("t")
+        and be.read("t").count() == n_other
+        and be.read_at("t", snap1).count() == n_v1
+    )
+    stats = be.expire_snapshots("t", keep_last=1)
+    try:
+        be.read_at("t", snap1)
+        history_closed = False
+    except ValueError:
+        history_closed = True
+    expire_ok = (
+        stats["files_deleted"] >= 1
+        and be.read("t").count() == n_other
+        and history_closed
+    )
+    return spark.createDataFrame(
+        [(n_v1, n_v2, n_other, bool(cur_ok and travel_ok),
+          bool(rollback_ok), bool(drop_metadata_only_ok), bool(expire_ok))],
+        "n_v1 long, n_v2 long, n_other long, travel_ok boolean, "
+        "rollback_ok boolean, drop_metadata_only_ok boolean, "
+        "expire_ok boolean",
+    )
+
+
+SQL_SNAPSHOT_TRAVEL = f"""
+WITH series AS ({SERIES_SQL}),
+bins AS (
+  SELECT DISTINCT source, doc_id,
+         CAST(floor(pos / 3600) * 3600 AS BIGINT) AS bin_start
+  FROM series),
+m AS (SELECT min(source) AS s FROM bins)
+SELECT CAST(count(*) AS BIGINT) AS n_v1,
+       CAST(sum(CASE WHEN source = (SELECT s FROM m) AND bin_start = 0
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+       CAST(sum(CASE WHEN source <> (SELECT s FROM m)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_other,
+       TRUE AS travel_ok, TRUE AS rollback_ok,
+       TRUE AS drop_metadata_only_ok, TRUE AS expire_ok
+FROM bins
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
     # --- round-4 additions (never driver-verified, newest first) -----
+    "ddsketch_quantile_tiers": (q_ddsketch_tiers, SQL_DDSKETCH_TIERS),
+    "tier_snapshot_travel": (q_tier_snapshot_travel, SQL_SNAPSHOT_TRAVEL),
     "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
     "theil_sen_trend": (q_theil_sen, SQL_THEIL_SEN),
     "freq_topk_tiers": (q_freq_topk_tiers, SQL_FREQ_TOPK_TIERS),

@@ -1120,3 +1120,65 @@ def test_asap_short_series_passthrough(spark):
     got = asap_smooth(spark.createDataFrame(pdf)).toPandas()
     assert list(got.sort_values("pos")["smoothed"]) == [1.0, 2.0, 3.0]
     assert (got["window"] == 1).all()
+
+
+def test_ddsketch_compose_exact_and_relative_error(spark):
+    """DDSketch log-bin store: (a) composing 60-bins into 3600-bins is
+    BIT-IDENTICAL to building directly at 3600 (exact mergeability);
+    (b) every quantile estimate is within the (gamma-1)/(gamma+1)
+    relative-error bound of the exact order statistic, across positive,
+    negative and zero values (mirrored + zero stores)."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import (
+        compose_ddsketch, ddsketch_agg, ddsketch_quantiles)
+
+    rng = np.random.default_rng(7)
+    n = 7200
+    rows = []
+    for src, doc in (("a", "d1"), ("a", "d2"), ("b", "d3")):
+        v = rng.lognormal(mean=3.0, sigma=2.0, size=n)   # heavy tail
+        neg = rng.random(n) < 0.3
+        v = np.where(neg, -v, v)
+        v[rng.random(n) < 0.02] = 0.0                     # zero store
+        v[rng.random(n) < 0.05] = np.nan                  # gaps dropped
+        for pos, val in enumerate(v):
+            rows.append((src, doc, pos,
+                         None if np.isnan(val) else float(val)))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    gamma = 1.02
+    sk1m = ddsketch_agg(df, every=60, gamma=gamma)
+    composed = compose_ddsketch(sk1m, every=3600)
+    direct = ddsketch_agg(df, every=3600, gamma=gamma)
+    key = ["source", "doc_id", "bin_start", "sign", "bucket"]
+    a = composed.orderBy(*key).toPandas()
+    b = direct.orderBy(*key).toPandas()
+    pd.testing.assert_frame_equal(a.reset_index(drop=True),
+                                  b.reset_index(drop=True))
+
+    qs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.95, 0.99]
+    est = ddsketch_quantiles(composed, qs, gamma=gamma).toPandas()
+    bound = (gamma - 1.0) / (gamma + 1.0) + 1e-9
+    pdf_ok = pdf.dropna(subset=["value"])
+    checked = 0
+    for (src, doc, bs), g in pdf_ok.assign(
+        bin_start=(pdf_ok["pos"] // 3600) * 3600
+    ).groupby(["source", "doc_id", "bin_start"]):
+        xs = np.sort(g["value"].to_numpy())
+        sub = est[(est.source == src) & (est.doc_id == doc)
+                  & (est.bin_start == bs)]
+        assert len(sub) == len(qs)
+        for _, r in sub.iterrows():
+            rank = max(1, math.ceil(r["q"] * len(xs)))
+            exact = xs[rank - 1]
+            assert int(r["n"]) == len(xs)
+            if exact == 0.0:
+                assert r["est"] == 0.0
+            else:
+                assert abs(r["est"] - exact) / abs(exact) <= bound, (
+                    src, doc, bs, r["q"], r["est"], exact)
+            checked += 1
+    assert checked >= 6 * len(qs)
