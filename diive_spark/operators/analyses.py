@@ -2054,3 +2054,75 @@ def ddsketch_quantiles(
     for p in picks[1:]:
         out = out.unionByName(p)
     return out
+
+
+def collapse_ddsketch(
+    sketch: DataFrame,
+    level: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Bound a :func:`ddsketch_agg` store's per-bin state by collapsing
+    bucket pairs *level* times (UDDSketch uniform collapse — Epicoco,
+    Melle, Pulimeno & Aloisio 2020): bucket ``b -> ceil(b / 2^level)``,
+    which squares gamma per step, so the collapsed store is a valid
+    DDSketch at ``gamma' = gamma^(2^level)`` with the matching
+    relative-error bound ``(gamma'-1)/(gamma'+1)`` — degraded but still
+    GUARANTEED, never silently wrong.  Iterated pair-collapse equals
+    the one-shot ceiling (integer ceil composes), so collapsing is
+    associative with :func:`compose_ddsketch`: collapse-then-merge ==
+    merge-then-collapse, and stores collapsed to the same level merge
+    exactly.  Query the result with
+    ``ddsketch_quantiles(..., gamma=gamma**(2**level))``.
+
+    100 TB shape: a pure column expression + the same count-sum groupBy
+    as compose — no kernel, no extra shuffle beyond the re-group; use
+    :func:`ddsketch_collapse_level` to pick the smallest level that
+    caps every bin's bucket count."""
+    if level <= 0:
+        return sketch
+    keys = list(key_cols)
+    step = 2 ** int(level)
+    nb = F.when(F.col("sign") == 0, F.lit(0)).otherwise(
+        F.ceil(F.col("bucket") / F.lit(step))
+    ).cast("int")
+    return (
+        sketch.withColumn("bucket", nb)
+        .groupBy(*keys, "bin_start", "sign", "bucket")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def ddsketch_collapse_level(
+    sketch: DataFrame,
+    max_buckets: int,
+    key_cols: Sequence[str] = KEY_COLS,
+    max_level: int = 32,
+) -> int:
+    """Smallest collapse level at which EVERY (key..., bin_start) group
+    of *sketch* holds at most *max_buckets* rows.  A single global
+    level (rather than per-group levels) keeps all stores at one gamma,
+    so cross-bin and cross-tier merges stay exact.
+
+    One aggregation pass over the (tiny) bucket table: per group,
+    count distinct collapsed buckets at every candidate level, take the
+    global max per level, pick the first under the cap — an
+    O(levels * buckets) control read returning ``max_level + 1``
+    numbers, never touching raw readings."""
+    keys = list(key_cols)
+    aggs = []
+    for lv in range(max_level + 1):
+        step = 2 ** lv
+        cb = F.when(F.col("sign") == 0, F.lit(0)).otherwise(
+            F.ceil(F.col("bucket") / F.lit(step))
+        )
+        aggs.append(
+            F.count_distinct(F.col("sign"), cb).alias(f"l{lv}")
+        )
+    per_group = sketch.groupBy(*keys, "bin_start").agg(*aggs)
+    worst = per_group.agg(
+        *[F.max(f"l{lv}").alias(f"l{lv}") for lv in range(max_level + 1)]
+    ).first()
+    for lv in range(max_level + 1):
+        if worst[f"l{lv}"] <= max_buckets:
+            return lv
+    return max_level

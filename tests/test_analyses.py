@@ -1182,3 +1182,65 @@ def test_ddsketch_compose_exact_and_relative_error(spark):
                     src, doc, bs, r["q"], r["est"], exact)
             checked += 1
     assert checked >= 6 * len(qs)
+
+
+def test_ddsketch_collapse_bounds_state_and_keeps_guarantee(spark):
+    """UddSketch uniform collapse: (a) ddsketch_collapse_level picks a
+    level that actually caps every bin's bucket count; (b) the
+    collapsed store is a valid DDSketch at gamma^(2^level) — quantile
+    estimates stay within the widened relative-error bound; (c)
+    collapse commutes with compose (merge-then-collapse ==
+    collapse-then-merge, bit-identical)."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import (
+        collapse_ddsketch, compose_ddsketch, ddsketch_agg,
+        ddsketch_collapse_level, ddsketch_quantiles)
+
+    rng = np.random.default_rng(11)
+    n = 4000
+    rows = []
+    for src, doc in (("a", "d1"), ("b", "d2")):
+        # 12 decades of dynamic range -> many log buckets per bin
+        v = 10.0 ** rng.uniform(-6, 6, size=n)
+        for pos, val in enumerate(v):
+            rows.append((src, doc, pos, float(val)))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    gamma = 1.02
+    sk = ddsketch_agg(df, every=2000, gamma=gamma)
+    cap = 64
+    lv = ddsketch_collapse_level(sk, max_buckets=cap)
+    assert lv > 0  # 12 decades at gamma=1.02 is ~1,400 buckets
+    small = collapse_ddsketch(sk, lv)
+    worst = (
+        small.groupBy("source", "doc_id", "bin_start")
+        .count().agg({"count": "max"}).first()[0]
+    )
+    assert worst <= cap
+
+    g2 = gamma ** (2 ** lv)
+    bound = (g2 - 1.0) / (g2 + 1.0) + 1e-9
+    qs = [0.01, 0.5, 0.99]
+    est = ddsketch_quantiles(small, qs, gamma=g2).toPandas()
+    for (src, doc, bs), g in pdf.assign(
+        bin_start=(pdf["pos"] // 2000) * 2000
+    ).groupby(["source", "doc_id", "bin_start"]):
+        xs = np.sort(g["value"].to_numpy())
+        sub = est[(est.source == src) & (est.doc_id == doc)
+                  & (est.bin_start == bs)]
+        for _, r in sub.iterrows():
+            rank = max(1, math.ceil(r["q"] * len(xs)))
+            exact = xs[rank - 1]
+            assert abs(r["est"] - exact) / exact <= bound
+
+    # collapse/compose commute exactly
+    a = collapse_ddsketch(compose_ddsketch(sk, 4000), lv)
+    b = compose_ddsketch(collapse_ddsketch(sk, lv), 4000)
+    key = ["source", "doc_id", "bin_start", "sign", "bucket"]
+    pd.testing.assert_frame_equal(
+        a.orderBy(*key).toPandas().reset_index(drop=True),
+        b.orderBy(*key).toPandas().reset_index(drop=True),
+    )
