@@ -4727,6 +4727,94 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_ddsketch_collapse(spark, sf_dir):
+    """UddSketch uniform collapse as a self-verifying oracle (Epicoco
+    et al. 2020): pick the smallest global collapse level that caps
+    every bin at <= 24 buckets, then emit per-source integer totals the
+    DuckDB twin recomputes plus in-query booleans — cap actually holds,
+    p50 estimate within the widened (gamma'-1)/(gamma'+1) bound of the
+    exact order statistic, and collapse commutes with compose
+    bit-for-bit (merge-then-collapse == collapse-then-merge)."""
+    from .operators.analyses import (
+        collapse_ddsketch, compose_ddsketch, ddsketch_agg,
+        ddsketch_collapse_level, ddsketch_quantiles)
+
+    gamma, cap = 1.02, 24
+    s = series(spark, sf_dir)
+    sk = ddsketch_agg(s, every=600, gamma=gamma)
+    lv = ddsketch_collapse_level(sk, max_buckets=cap)
+    small = collapse_ddsketch(sk, lv)
+    g2 = gamma ** (2 ** lv)
+    bound = (g2 - 1.0) / (g2 + 1.0) + 1e-9
+
+    cap_ok = (
+        small.groupBy("source", "doc_id", "bin_start")
+        .agg(F.count(F.lit(1)).alias("_nb"))
+        .groupBy("source")
+        .agg(F.max("_nb").alias("_w"))
+        .select("source", (F.col("_w") <= cap).alias("cap_ok"))
+    )
+
+    est = ddsketch_quantiles(small, [0.5], gamma=g2)
+    pts = s.where(F.col("value").isNotNull()).withColumn(
+        "bin_start",
+        (F.floor(F.col("pos").cast("long") / 600) * 600).cast("long"),
+    )
+    wbin = Window.partitionBy("source", "doc_id", "bin_start")
+    ranked = pts.withColumn(
+        "_rn", F.row_number().over(wbin.orderBy("value"))
+    ).withColumn("_nn", F.count(F.lit(1)).over(wbin))
+    exact = ranked.where(
+        F.col("_rn")
+        == F.greatest(F.lit(1),
+                      F.ceil(F.lit(0.5) * F.col("_nn")).cast("long"))
+    ).select("source", "doc_id", "bin_start", F.col("value").alias("exact"))
+    err_ok = (
+        est.join(exact, on=["source", "doc_id", "bin_start"])
+        .withColumn(
+            "_ok",
+            F.when(F.col("exact") == 0.0, F.col("est") == 0.0).otherwise(
+                F.abs(F.col("est") - F.col("exact")) / F.abs(F.col("exact"))
+                <= F.lit(bound)
+            ),
+        )
+        .groupBy("source")
+        .agg(F.min("_ok").alias("relerr_ok_p50"))
+    )
+
+    cols = ["source", "doc_id", "bin_start", "sign", "bucket", "cnt"]
+    a = collapse_ddsketch(compose_ddsketch(sk, 3600), lv).select(*cols)
+    b = compose_ddsketch(collapse_ddsketch(sk, lv), 3600).select(*cols)
+    commute = (
+        a.unionByName(b)
+        .groupBy(*cols).agg(F.count(F.lit(1)).alias("_k"))
+        .groupBy("source")
+        .agg(F.sum(F.when(F.col("_k") != 2, 1).otherwise(0)).alias("_bad"))
+        .select("source", (F.col("_bad") == 0).alias("commute_ok"))
+    )
+
+    totals = small.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("total_cnt"),
+    )
+    return (
+        totals.join(cap_ok, on="source").join(err_ok, on="source")
+        .join(commute, on="source")
+        .select("source", "total_cnt", "cap_ok",
+                "relerr_ok_p50", "commute_ok")
+        .orderBy("source")
+    )
+
+
+SQL_DDSKETCH_COLLAPSE = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       CAST(count(value) AS BIGINT) AS total_cnt,
+       TRUE AS cap_ok, TRUE AS relerr_ok_p50, TRUE AS commute_ok
+FROM series WHERE value IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
 def q_tier_snapshot_travel(spark, sf_dir):
     """Iceberg-analog snapshot semantics through SnapshotBackend
     (tiers.py), as a self-verifying oracle: commit a 3600-bin tier
@@ -4822,6 +4910,7 @@ FROM bins
 QUERIES = {
     # --- round-4 additions (never driver-verified, newest first) -----
     "ddsketch_quantile_tiers": (q_ddsketch_tiers, SQL_DDSKETCH_TIERS),
+    "ddsketch_collapse": (q_ddsketch_collapse, SQL_DDSKETCH_COLLAPSE),
     "tier_snapshot_travel": (q_tier_snapshot_travel, SQL_SNAPSHOT_TRAVEL),
     "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
     "theil_sen_trend": (q_theil_sen, SQL_THEIL_SEN),
