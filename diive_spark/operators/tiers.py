@@ -669,6 +669,123 @@ class TierStore:
         })
         return {"expired": hit, "missing": missing}
 
+    # -------------------------------------------------- ddsketch cascade
+    def materialize_ddsketch(
+        self,
+        series_df: DataFrame,
+        cascade: Sequence[TierSpec] = DEFAULT_CASCADE,
+        gamma: float = 1.02,
+        max_buckets: int | None = None,
+        axis_col: str = "pos",
+        value_col: str = "value",
+        resume: bool = True,
+    ) -> dict[str, dict]:
+        """Materialize sibling ``<tier>_dd`` long-form DDSketch tables
+        for every tier in *cascade* — relative-error-bounded quantiles
+        at any tier with zero raw re-scans above tier 1 (the 100 TB
+        alternative to TierSpec.percentiles' one-raw-scan-per-tier;
+        complements the absolute-error ``hist`` column).  Tier 1 builds
+        from the raw series (one map-side-combined groupBy bounded by
+        buckets per bin); upper tiers compose by exact count-sum.
+
+        ``max_buckets`` (optional) applies a single GLOBAL UddSketch
+        collapse level chosen so every tier-1 bin holds at most that
+        many buckets — one level for the whole cascade keeps all
+        stores at one gamma, so upward composition stays exact.  The
+        chosen level and effective gamma are recorded per run in the
+        metrics table; read back with :meth:`read_dd_quantiles`.
+
+        Same fingerprint-resume contract as :meth:`materialize_cascade`:
+        per-source xor fingerprints of the tier-1 sketch rows decide
+        which partitions recompute; unchanged partitions are skipped at
+        every tier."""
+        from .analyses import (collapse_ddsketch, compose_ddsketch,
+                               ddsketch_agg, ddsketch_collapse_level)
+
+        report: dict[str, dict] = {}
+        first = cascade[0]
+        if first.from_tier is not None:
+            raise ValueError("cascade[0] must build from the raw series")
+        dd1 = ddsketch_agg(series_df, every=first.every, gamma=gamma,
+                           value_col=value_col, axis_col=axis_col,
+                           key_cols=self.key_cols)
+        level = 0
+        if max_buckets is not None:
+            level = ddsketch_collapse_level(dd1, max_buckets,
+                                            key_cols=self.key_cols)
+            dd1 = collapse_ddsketch(dd1, level, key_cols=self.key_cols)
+        dd1 = dd1.persist()
+        eff_gamma = float(gamma) ** (2 ** level)
+        fp_rows = (
+            dd1.groupBy(self.partition_col)
+            .agg(
+                F.sum("cnt").alias("n"),
+                F.bit_xor(F.xxhash64(*self.key_cols, "bin_start",
+                                     "sign", "bucket", "cnt")).alias("h"),
+            )
+            .collect()
+        )
+        fps = {r[self.partition_col]: f"{r['n']}:{r['h']}" for r in fp_rows}
+        for spec in cascade:
+            name = f"{spec.name}_dd"
+            t0 = time.monotonic()
+            done = self._completed(name) if resume else {}
+            todo = [p for p, fp in fps.items() if done.get(p) != fp]
+            skipped = [p for p in fps if p not in todo]
+            if not todo:
+                report[name] = {
+                    "partitions_computed": 0,
+                    "partitions_skipped": len(skipped),
+                    "n_rows": 0, "wall_s": 0.0, "points_per_sec": 0.0,
+                }
+                continue
+            if spec.from_tier is None:
+                out = dd1.where(F.col(self.partition_col).isin(todo))
+            else:
+                src = self.read(f"{spec.from_tier}_dd").where(
+                    F.col(self.partition_col).isin(todo)
+                )
+                out = compose_ddsketch(src, every=spec.every,
+                                       key_cols=self.key_cols)
+            obs = Observation()
+            self._write_partitions(
+                out.select(*self.key_cols, "bin_start", "sign", "bucket",
+                           "cnt")
+                .observe(obs, F.count(F.lit(1)).alias("n_rows")),
+                name,
+            )
+            n_rows = int(obs.get["n_rows"])
+            wall = time.monotonic() - t0
+            ts = time.time()
+            for p in todo:
+                self._append(self._lineage_path, {
+                    "tier": name, "partition": p, "fingerprint": fps[p],
+                    "n_rows": n_rows, "wall_s": wall, "ts": ts,
+                })
+            metrics = {
+                "partitions_computed": len(todo),
+                "partitions_skipped": len(skipped),
+                "n_rows": n_rows, "wall_s": wall,
+                "points_per_sec": n_rows / wall if wall > 0 else 0.0,
+                "gamma": eff_gamma, "collapse_level": level,
+            }
+            self._append(self._metrics_path,
+                         {"tier": name, "op": "materialize_dd", "ts": ts,
+                          **metrics})
+            report[name] = metrics
+        dd1.unpersist()
+        return report
+
+    def read_dd_quantiles(self, tier: str, qs: Sequence[float],
+                          gamma: float = 1.02) -> DataFrame:
+        """Quantile estimates from a ``<tier>_dd`` sketch table.  Pass
+        the EFFECTIVE gamma (gamma ** 2**collapse_level — recorded in
+        the metrics table) when the cascade was collapsed."""
+        from .analyses import ddsketch_quantiles
+
+        return ddsketch_quantiles(self.read(f"{tier}_dd"), qs,
+                                  gamma=gamma, key_cols=self.key_cols)
+
     # ------------------------------------------------------------ cascade
     def materialize_cascade(
         self,

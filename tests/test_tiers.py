@@ -629,3 +629,72 @@ def test_snapshot_backend_drop_is_reversible_then_expire(spark, tmp_path):
     assert {r.source for r in be.read("raw").collect()} == {"b"}
     with _pytest.raises(ValueError):
         be.read_at("raw", snap1)
+
+
+def test_ddsketch_cascade_compose_resume_and_quantiles(spark, store,
+                                                       tiny_series):
+    """Sibling <tier>_dd DDSketch tables: 1d tier composed through
+    1m -> 1h is bit-identical to a direct raw build at 86400; resume
+    skips unchanged partitions at every tier; the quantile read path
+    brackets the exact per-bin median within the gamma bound."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import ddsketch_agg
+
+    rep1 = store.materialize_ddsketch(tiny_series)
+    assert all(m["partitions_computed"] > 0 for m in rep1.values())
+    key = ["source", "doc_id", "bin_start", "sign", "bucket"]
+    cols = key + ["cnt"]
+    got = store.read("tier_1d_dd").select(*cols).orderBy(*key).toPandas()
+    want = (
+        ddsketch_agg(tiny_series, every=86400)
+        .select(*cols).orderBy(*key).toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    rep2 = store.materialize_ddsketch(tiny_series)
+    assert all(m["partitions_computed"] == 0 for m in rep2.values())
+
+    gamma = 1.02
+    bound = (gamma - 1.0) / (gamma + 1.0) + 1e-9
+    est = store.read_dd_quantiles("tier_1h", [0.5]).toPandas()
+    pdf = tiny_series.toPandas().dropna(subset=["value"])
+    pdf["bin_start"] = (pdf["pos"] // 3600) * 3600
+    import math as _m
+    for (src, doc, bs), g in pdf.groupby(["source", "doc_id", "bin_start"]):
+        xs = np.sort(g["value"].to_numpy())
+        r = est[(est.source == src) & (est.doc_id == doc)
+                & (est.bin_start == bs)]
+        assert len(r) == 1
+        exact = xs[max(1, _m.ceil(0.5 * len(xs))) - 1]
+        if exact == 0.0:
+            assert float(r["est"].iloc[0]) == 0.0
+        else:
+            assert abs(float(r["est"].iloc[0]) - exact) / abs(exact) <= bound
+
+
+def test_ddsketch_cascade_collapsed_stays_exact(spark, tmp_path,
+                                                tiny_series):
+    """max_buckets collapse inside the cascade: composed 1d tier ==
+    direct collapsed build (collapse commutes with compose), and the
+    recorded effective gamma reproduces valid quantiles."""
+    from diive_spark.operators.analyses import (
+        collapse_ddsketch, ddsketch_agg)
+    from diive_spark.operators.tiers import TierStore
+
+    st = TierStore(spark, str(tmp_path / "dd"))
+    rep = st.materialize_ddsketch(tiny_series, max_buckets=16)
+    lv = rep["tier_1m_dd"]["collapse_level"]
+    key = ["source", "doc_id", "bin_start", "sign", "bucket"]
+    cols = key + ["cnt"]
+    got = st.read("tier_1d_dd").select(*cols).orderBy(*key).toPandas()
+    want = (
+        collapse_ddsketch(ddsketch_agg(tiny_series, every=86400), lv)
+        .select(*cols).orderBy(*key).toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+    worst = (
+        st.read("tier_1m_dd").groupBy("source", "doc_id", "bin_start")
+        .count().agg({"count": "max"}).first()[0]
+    )
+    assert worst <= 16
