@@ -540,3 +540,50 @@ def test_stream_ewma_chart_survives_arrow_chunk_splits(spark, tmp_path):
         acc = v[t] if acc is None else acc * (1 - a) + a * v[t]
         exp[t] = acc
     assert np.allclose(got.ewma.to_numpy(), exp, atol=1e-12)
+
+
+def test_stream_ddsketch_equals_batch_sketch(spark, tmp_path):
+    """Streamed DDSketch partials == the batch ddsketch_agg built on
+    the same rows (same long form, exact counts), proven by composing
+    the streamed 1m store and comparing bit-for-bit."""
+    import math
+
+    from diive_spark.operators.analyses import ddsketch_agg
+    from diive_spark.streaming.rollup import (
+        stream_ddsketch_partials, write_tier_stream)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    # two appends so the watermark closes the first batch's windows
+    _batch(spark, 0, 60).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_ddsketch_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+    _batch(spark, 30, 60).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_ddsketch_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    # batch twin on the SAME rows, positions = epoch seconds
+    batch = spark.read.parquet(src).select(
+        "source",
+        F.unix_timestamp("ts").cast("long").alias("pos"),
+        "value",
+    )
+    want = ddsketch_agg(batch, every=60, key_cols=["source"])
+    # streamed windows still open (after the last watermark) are absent
+    # from `got`; compare only emitted bins
+    emitted = [r.bin_start for r in got.select("bin_start").distinct().collect()]
+    want = want.withColumn(
+        "bin_ts", F.timestamp_seconds(F.col("bin_start"))
+    ).where(F.col("bin_ts").isin(emitted))
+    cols = ["source", "sign", "bucket", "cnt"]
+    g = (got.withColumn("bs", F.unix_timestamp("bin_start").cast("long"))
+         .select("bs", *cols).orderBy("bs", *cols).toPandas())
+    w = (want.select(F.col("bin_start").alias("bs"), *cols)
+         .orderBy("bs", *cols).toPandas())
+    assert len(g) > 0 and g.reset_index(drop=True).equals(
+        w.reset_index(drop=True))
