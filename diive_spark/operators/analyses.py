@@ -946,6 +946,9 @@ def gauge_agg(
         F.min_by(F.col("_inc"), inc_ax).alias("idelta_left"),
         F.max_by(F.col("_inc"), inc_ax).alias("idelta_right"),
         (F.sum("_inc") / F.sum("_dx")).alias("rate"),
+        # axis span covered by the bin's increments — the partial that
+        # makes rate compose exactly (compose_gauge: sum(delta)/sum(dx))
+        F.sum(F.when(F.col("_inc").isNotNull(), F.col("_dx"))).alias("dx"),
         F.min_by(v, ax).alias("first"),
         F.max_by(v, ax).alias("last"),
     )
@@ -2126,3 +2129,182 @@ def ddsketch_collapse_level(
         if worst[f"l{lv}"] <= max_buckets:
             return lv
     return max_level
+
+
+def compose_counter(
+    agg: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`counter_agg` bins into ``every``-sized parent
+    bins WITHOUT rescanning raw readings (the TimescaleDB
+    ``rollup(counter_agg)`` analog) — EXACT, because counter_agg
+    attributes every increment to the bin holding the LATER reading:
+    re-binning readings into coarser bins never moves an increment
+    across a parent boundary, so parent ``counter_delta`` / ``n`` /
+    ``n_resets`` are plain sums and ``first``/``last`` come from the
+    earliest/latest child bin.  Same schema in and out, so counter
+    tiers chain raw -> 1m -> 1h -> 1d like the stats/sketch tiers."""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    bs = F.col("bin_start")
+    return (
+        agg.withColumn("_pb", pb)
+        .groupBy(*keys, "_pb")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("counter_delta").alias("counter_delta"),
+            F.sum("n_resets").cast("long").alias("n_resets"),
+            F.min_by("first", bs).alias("first"),
+            F.max_by("last", bs).alias("last"),
+        )
+        .select(
+            *keys,
+            F.col("_pb").alias("bin_start"),
+            (F.col("_pb") + e).cast("long").alias("bin_end"),
+            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            "n", "counter_delta", "n_resets", "first", "last",
+        )
+    )
+
+
+def compose_gauge(
+    agg: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`gauge_agg` bins into ``every``-sized parent
+    bins WITHOUT rescanning raw readings (the TimescaleDB
+    ``rollup(gauge_agg)`` analog) — EXACT for the same reason
+    :func:`compose_counter` is (increments attribute to the later
+    reading's bin): ``n``/``delta``/``dx`` are plain sums, ``rate`` is
+    re-derived as sum(delta)/sum(dx), ``idelta_left``/``idelta_right``
+    come from the earliest/latest child holding an increment, and
+    ``first``/``last`` from the earliest/latest child.  Same schema in
+    and out."""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    bs = F.col("bin_start")
+    has_inc = F.when(F.col("idelta_left").isNotNull(), bs)
+    return (
+        agg.withColumn("_pb", pb)
+        .groupBy(*keys, "_pb")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("delta").alias("delta"),
+            F.min_by(F.col("idelta_left"), has_inc).alias("idelta_left"),
+            F.max_by(F.col("idelta_right"), has_inc).alias("idelta_right"),
+            (F.sum("delta") / F.sum("dx")).alias("rate"),
+            F.sum("dx").alias("dx"),
+            F.min_by("first", bs).alias("first"),
+            F.max_by("last", bs).alias("last"),
+        )
+        .select(
+            *keys,
+            F.col("_pb").alias("bin_start"),
+            (F.col("_pb") + e).cast("long").alias("bin_end"),
+            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            "n", "delta", "idelta_left", "idelta_right", "rate", "dx",
+            "first", "last",
+        )
+    )
+
+
+def compose_state(
+    agg: DataFrame,
+    every: int,
+    state_col: str = "state",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`state_agg` bins into ``every``-sized parent
+    bins (TimescaleDB ``rollup(state_agg)`` analog) — EXACT plain
+    sums: segments belong wholly to their left endpoint's bin, so
+    re-binning never splits or moves one.  Same schema in and out."""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    return (
+        agg.withColumn("_pb", pb)
+        .groupBy(*keys, "_pb", state_col)
+        .agg(
+            F.sum("n_segments").cast("long").alias("n_segments"),
+            F.sum("duration").alias("duration"),
+            F.sum("n_enter").cast("long").alias("n_enter"),
+        )
+        .select(
+            *keys,
+            F.col("_pb").alias("bin_start"),
+            (F.col("_pb") + e).cast("long").alias("bin_end"),
+            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            state_col, "n_segments", "duration", "n_enter",
+        )
+    )
+
+
+def compose_heartbeat(
+    agg: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`heartbeat_agg` bins into ``every``-sized
+    parent bins (TimescaleDB ``rollup(heartbeat_agg)`` analog) — EXACT
+    plain sums under the left-endpoint segment convention; ``live_frac``
+    re-derives from the summed partials.  Same schema in and out."""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    return (
+        agg.withColumn("_pb", pb)
+        .groupBy(*keys, "_pb")
+        .agg(
+            F.sum("n_beats").cast("long").alias("n_beats"),
+            F.sum("uptime").alias("uptime"),
+            F.sum("downtime").alias("downtime"),
+            F.sum("n_gaps").cast("long").alias("n_gaps"),
+        )
+        .select(
+            *keys,
+            F.col("_pb").alias("bin_start"),
+            (F.col("_pb") + e).cast("long").alias("bin_end"),
+            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            "n_beats", "uptime", "downtime", "n_gaps",
+            (F.col("uptime") / (F.col("uptime") + F.col("downtime"))
+             ).alias("live_frac"),
+        )
+    )
+
+
+def compose_twa(
+    agg: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`time_weighted_avg` bins into ``every``-sized
+    parent bins (TimescaleDB ``rollup(time_weight)`` analog) — EXACT:
+    ``integral``/``duration`` partials sum under the left-endpoint
+    segment convention and ``twa`` re-derives.  Same schema in and
+    out.  (Use ``quantized`` at build time if bit-identity across
+    partitionings matters — float partial sums are order-dependent at
+    the last ulp.)"""
+    keys = list(key_cols)
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    return (
+        agg.withColumn("_pb", pb)
+        .groupBy(*keys, "_pb")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("integral").alias("integral"),
+            F.sum("duration").alias("duration"),
+        )
+        .select(
+            *keys,
+            F.col("_pb").alias("bin_start"),
+            (F.col("_pb") + e).cast("long").alias("bin_end"),
+            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            "n", "integral", "duration",
+            (F.col("integral") / F.col("duration")).alias("twa"),
+        )
+    )

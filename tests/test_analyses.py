@@ -1244,3 +1244,145 @@ def test_ddsketch_collapse_bounds_state_and_keeps_guarantee(spark):
         a.orderBy(*key).toPandas().reset_index(drop=True),
         b.orderBy(*key).toPandas().reset_index(drop=True),
     )
+
+
+def test_compose_counter_equals_direct(spark):
+    """rollup(counter_agg) analog: composing 60-bins into 3600-bins is
+    bit-identical to counter_agg built directly at 3600 — including
+    around resets that land at child-bin and parent-bin boundaries."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import compose_counter, counter_agg
+
+    rng = np.random.default_rng(3)
+    rows = []
+    for src, doc in (("a", "d1"), ("b", "d2")):
+        c = 0.0
+        for pos in range(7205):  # spans two 3600-bins + a stub
+            c += float(rng.integers(0, 5))
+            if rng.random() < 0.002 or pos in (3600, 3661, 7200):
+                c = float(rng.integers(0, 3))  # reset (incl. boundaries)
+            rows.append((src, doc, pos, c))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    child = counter_agg(df, every=60)
+    got = compose_counter(child, every=3600)
+    want = counter_agg(df, every=3600)
+    cols = ["source", "doc_id", "bin_start", "bin_end", "bin_label",
+            "n", "counter_delta", "n_resets", "first", "last"]
+    key = ["source", "doc_id", "bin_start"]
+    g = got.select(*cols).orderBy(*key).toPandas().reset_index(drop=True)
+    w = want.select(*cols).orderBy(*key).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w)
+    assert (w["n_resets"].sum()) > 0
+
+
+def test_compose_gauge_equals_direct(spark):
+    """rollup(gauge_agg) analog: 60-bins composed into 3600-bins ==
+    gauge_agg built directly at 3600, including the re-derived rate
+    (exact via the stored dx span partial) and edge ideltas."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import compose_gauge, gauge_agg
+
+    rng = np.random.default_rng(9)
+    rows = []
+    for src, doc in (("a", "d1"), ("b", "d2")):
+        g = 50.0
+        for pos in range(7205):
+            g += float(rng.normal(0, 2))
+            val = None if rng.random() < 0.05 else g  # gaps -> uneven dx
+            rows.append((src, doc, pos, val))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    child = gauge_agg(df, every=60)
+    got = compose_gauge(child, every=3600)
+    want = gauge_agg(df, every=3600)
+    cols = ["source", "doc_id", "bin_start", "bin_end", "bin_label",
+            "n", "delta", "idelta_left", "idelta_right", "rate", "dx",
+            "first", "last"]
+    key = ["source", "doc_id", "bin_start"]
+    g = got.select(*cols).orderBy(*key).toPandas().reset_index(drop=True)
+    w = want.select(*cols).orderBy(*key).toPandas().reset_index(drop=True)
+    pd.testing.assert_frame_equal(g, w, rtol=0, atol=1e-9)
+
+
+def test_compose_state_and_heartbeat_equal_direct(spark):
+    """rollup(state_agg) / rollup(heartbeat_agg) analogs: 60-bins
+    composed into 3600-bins == the direct 3600 build (left-endpoint
+    segments never split, so sums are exact)."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import (
+        compose_heartbeat, compose_state, heartbeat_agg, state_agg)
+
+    rng = np.random.default_rng(5)
+    rows, hb = [], []
+    for src, doc in (("a", "d1"), ("b", "d2")):
+        pos = 0
+        while pos < 7300:
+            rows.append((src, doc, pos,
+                         str(rng.choice(["ok", "warn", "down"]))))
+            pos += int(rng.integers(1, 40))
+        p = 0
+        while p < 7300:
+            hb.append((src, doc, p))
+            p += int(rng.integers(1, 25))
+    sdf = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["source", "doc_id", "pos", "state"])
+    ).repartition(8)
+    hdf = spark.createDataFrame(
+        pd.DataFrame(hb, columns=["source", "doc_id", "pos"])
+    ).repartition(8)
+
+    key = ["source", "doc_id", "bin_start"]
+    g = (compose_state(state_agg(sdf, every=60), every=3600)
+         .orderBy(*key, "state").toPandas().reset_index(drop=True))
+    w = (state_agg(sdf, every=3600)
+         .select(*g.columns).orderBy(*key, "state").toPandas()
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(g, w, rtol=0, atol=1e-9)
+
+    gh = (compose_heartbeat(heartbeat_agg(hdf, every=60, alive_window=10),
+                            every=3600)
+          .orderBy(*key).toPandas().reset_index(drop=True))
+    wh = (heartbeat_agg(hdf, every=3600, alive_window=10)
+          .select(*gh.columns).orderBy(*key).toPandas()
+          .reset_index(drop=True))
+    pd.testing.assert_frame_equal(gh, wh, rtol=0, atol=1e-9)
+
+
+def test_compose_twa_equals_direct(spark):
+    """rollup(time_weight) analog: quantized twa 60-bins composed to
+    3600 == direct 3600 build, bit-for-bit (integer partial sums)."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.analyses import compose_twa, time_weighted_avg
+
+    rng = np.random.default_rng(13)
+    rows = []
+    for src, doc in (("a", "d1"), ("b", "d2")):
+        pos = 0
+        while pos < 7300:
+            rows.append((src, doc, pos, float(rng.normal(10, 3))))
+            pos += int(rng.integers(1, 50))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    for method in ("locf", "linear"):
+        child = time_weighted_avg(df, every=60, method=method,
+                                  quantized=1e6)
+        got = compose_twa(child, every=3600)
+        want = time_weighted_avg(df, every=3600, method=method,
+                                 quantized=1e6)
+        key = ["source", "doc_id", "bin_start"]
+        g = got.orderBy(*key).toPandas().reset_index(drop=True)
+        w = (want.select(*g.columns).orderBy(*key).toPandas()
+             .reset_index(drop=True))
+        pd.testing.assert_frame_equal(g, w)
