@@ -4815,6 +4815,105 @@ GROUP BY source ORDER BY source
 """
 
 
+def q_rollup_compose_family(spark, sf_dir):
+    """The TimescaleDB ``rollup()`` family as one self-verifying
+    oracle: counter_agg / gauge_agg / state_agg / heartbeat_agg /
+    time_weighted_avg built at 60, composed to 3600 with their
+    compose_* twins, and compared in-query against direct 3600 builds
+    (exact on integer partials, <=1e-9 on derived ratios).  Emits
+    per-source booleans + an integer bin total the DuckDB twin
+    recomputes from the series."""
+    from .operators.analyses import (
+        compose_counter, compose_gauge, compose_heartbeat, compose_state,
+        compose_twa, counter_agg, gauge_agg, heartbeat_agg, state_agg,
+        time_weighted_avg)
+
+    s = series(spark, sf_dir)
+    # integer-quantized gauge/counter inputs -> exact partial sums
+    g = s.withColumn("v", F.floor(F.col("value") * 100).cast("long"))
+    cnt_src = g.withColumn("v", F.abs(F.col("v")))  # counters move up
+    st = s.withColumn(
+        "state",
+        F.when(F.col("value") < 30, "low")
+         .when(F.col("value") < 60, "mid").otherwise("high"),
+    )
+
+    def _ok(composed, direct, keys, float_cols):
+        j = composed.alias("c").join(
+            direct.alias("d"), on=keys, how="full"
+        )
+        checks = []
+        for c in composed.columns:
+            if c in keys:
+                continue
+            a, b = F.col(f"c.{c}"), F.col(f"d.{c}")
+            both_null = a.isNull() & b.isNull()
+            if c in float_cols:
+                checks.append(both_null | (F.abs(a - b) <= 1e-9))
+            else:
+                checks.append(both_null | (a == b))
+        good = checks[0]
+        for ch in checks[1:]:
+            good = good & ch
+        return (
+            j.groupBy(F.col("source").alias("src"))
+            .agg(F.min(good).alias("ok"))
+        )
+
+    keys = ["source", "doc_id", "bin_start", "bin_end", "bin_label"]
+    c_ok = _ok(compose_counter(counter_agg(cnt_src, value_col="v",
+                                           every=60), 3600),
+               counter_agg(cnt_src, value_col="v", every=3600),
+               keys, set())
+    g_ok = _ok(compose_gauge(gauge_agg(g, value_col="v", every=60), 3600),
+               gauge_agg(g, value_col="v", every=3600),
+               keys, {"rate", "dx"})
+    s_ok = _ok(compose_state(state_agg(st, every=60), 3600),
+               state_agg(st, every=3600),
+               keys + ["state"], {"duration"})
+    h_ok = _ok(compose_heartbeat(
+                   heartbeat_agg(s.where(F.col("value").isNotNull()),
+                                 every=60, alive_window=8), 3600),
+               heartbeat_agg(s.where(F.col("value").isNotNull()),
+                             every=3600, alive_window=8),
+               keys, {"uptime", "downtime", "live_frac"})
+    t_ok = _ok(compose_twa(time_weighted_avg(s, every=60,
+                                             quantized=1e6), 3600),
+               time_weighted_avg(s, every=3600, quantized=1e6),
+               keys, {"integral", "duration", "twa"})
+
+    n_bins = (
+        s.where(F.col("value").isNotNull())
+        .groupBy(F.col("source").alias("src"))
+        .agg(F.count_distinct(
+            F.col("doc_id"),
+            (F.floor(F.col("pos") / 3600)).cast("long")).alias("n_bins_1h"))
+    )
+    out = (
+        n_bins.join(c_ok.withColumnRenamed("ok", "counter_ok"), on="src")
+        .join(g_ok.withColumnRenamed("ok", "gauge_ok"), on="src")
+        .join(s_ok.withColumnRenamed("ok", "state_ok"), on="src")
+        .join(h_ok.withColumnRenamed("ok", "heartbeat_ok"), on="src")
+        .join(t_ok.withColumnRenamed("ok", "twa_ok"), on="src")
+    )
+    return out.select(
+        F.col("src").alias("source"), "n_bins_1h", "counter_ok",
+        "gauge_ok", "state_ok", "heartbeat_ok", "twa_ok",
+    ).orderBy("source")
+
+
+SQL_ROLLUP_COMPOSE_FAMILY = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       CAST(count(DISTINCT (doc_id, CAST(floor(pos / 3600) AS BIGINT)))
+            AS BIGINT) AS n_bins_1h,
+       TRUE AS counter_ok, TRUE AS gauge_ok, TRUE AS state_ok,
+       TRUE AS heartbeat_ok, TRUE AS twa_ok
+FROM series WHERE value IS NOT NULL
+GROUP BY source ORDER BY source
+"""
+
+
 def q_tier_snapshot_travel(spark, sf_dir):
     """Iceberg-analog snapshot semantics through SnapshotBackend
     (tiers.py), as a self-verifying oracle: commit a 3600-bin tier
@@ -4911,6 +5010,8 @@ QUERIES = {
     # --- round-4 additions (never driver-verified, newest first) -----
     "ddsketch_quantile_tiers": (q_ddsketch_tiers, SQL_DDSKETCH_TIERS),
     "ddsketch_collapse": (q_ddsketch_collapse, SQL_DDSKETCH_COLLAPSE),
+    "rollup_compose_family": (q_rollup_compose_family,
+                              SQL_ROLLUP_COMPOSE_FAMILY),
     "tier_snapshot_travel": (q_tier_snapshot_travel, SQL_SNAPSHOT_TRAVEL),
     "holt_smooth": (q_holt_smooth, SQL_HOLT_SMOOTH),
     "theil_sen_trend": (q_theil_sen, SQL_THEIL_SEN),
