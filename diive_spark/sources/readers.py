@@ -128,3 +128,50 @@ def save_parquet(df: DataFrame, path: str, partition_cols: Sequence[str] = ()) -
 
 def load_parquet(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
+
+
+def save_pickle(obj, path: str) -> str:
+    """Checkpoint analog of the reference's ``save_as_pickle``
+    (diive core/io/files.py:66-76), split by artifact kind — a pickled
+    JVM-backed DataFrame would be meaningless, so:
+
+    - a Spark ``DataFrame`` is persisted as parquet plus a ``.schema``
+      sidecar holding the exact DDL (types survive bit-for-bit,
+      readable by any engine — the distributed-safe equivalent of
+      pickling a pandas frame);
+    - anything else (fitted params, config dicts, thresholds — the
+      small driver-side objects the reference actually pickles) goes
+      through ``pickle`` unchanged.
+
+    Returns the written path.  ``load_pickle`` dispatches on the
+    sidecar's presence, so call sites keep the reference's
+    save/load symmetry."""
+    import pickle
+
+    if isinstance(obj, DataFrame):
+        obj.write.mode("overwrite").parquet(path)
+        with open(path + ".schema", "w") as f:
+            f.write(obj.schema.json())
+        return path
+    with open(path, "wb") as f:
+        pickle.dump(obj, f)
+    return path
+
+
+def load_pickle(spark: SparkSession, path: str):
+    """Counterpart of :func:`save_pickle` (reference
+    core/io/files.py:78-85): DataFrames come back with the EXACT saved
+    schema enforced (the sidecar DDL is applied to the scan, so a
+    checkpoint round trip never silently widens or reorders types);
+    other objects unpickle."""
+    import os as _os
+    import pickle
+
+    from pyspark.sql.types import StructType
+
+    if _os.path.exists(path + ".schema"):
+        with open(path + ".schema") as f:
+            schema = StructType.fromJson(__import__("json").loads(f.read()))
+        return spark.read.schema(schema).parquet(path)
+    with open(path, "rb") as f:
+        return pickle.load(f)

@@ -217,3 +217,25 @@ def test_golden_icos_zip_10s(spark):
     # END -> MIDDLE: first stamp 00:00:10 shifts back 5 s
     first = data.agg(F.min("TIMESTAMP")).first()[0]
     assert (first.hour, first.minute, first.second) == (0, 0, 5)
+
+
+def test_save_load_pickle_roundtrip(spark, tmp_path):
+    """save/load_pickle analog (reference core/io/files.py:66-85):
+    DataFrames round-trip through parquet + exact-schema sidecar
+    (types preserved bit-for-bit); plain driver-side objects round-trip
+    through real pickle; load dispatches automatically."""
+    from diive_spark.sources.readers import load_pickle, save_pickle
+
+    df = spark.createDataFrame(
+        [("a", 1, 1.5, True)], "s string, i int, f double, b boolean"
+    )
+    p = str(tmp_path / "ckpt")
+    save_pickle(df, p)
+    back = load_pickle(spark, p)
+    assert back.schema == df.schema
+    assert back.collect() == df.collect()
+
+    obj = {"ustar_threshold": 0.325, "seasons": [1, 2, 3]}
+    p2 = str(tmp_path / "params.pkl")
+    save_pickle(obj, p2)
+    assert load_pickle(spark, p2) == obj
