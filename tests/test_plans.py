@@ -474,3 +474,57 @@ def test_r4_series_ops_exchange_bounds(spark, tiny_series):
         interpolated_tw_avg(tiny_series, every=60, quantized=1e6)
     )
     assert p.count("Exchange") <= 2 and "SinglePartition" not in p
+
+
+def test_ddsketch_plan_shape(spark, tiny_series):
+    """ddsketch_agg is one partial-aggregated groupBy over bounded
+    bucket rows (single Exchange, raw readings never shuffle);
+    compose/collapse re-group the tiny bucket table (<= 2 Exchanges);
+    the quantile pick runs per (key, bin) windows — never a
+    SinglePartition collapse."""
+    from diive_spark.operators.analyses import (
+        collapse_ddsketch, compose_ddsketch, ddsketch_agg,
+        ddsketch_quantiles)
+
+    sk = ddsketch_agg(tiny_series, every=3600)
+    p = _physical_plan(sk)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+    assert has_partial_aggregation(sk)
+    comp = compose_ddsketch(sk, 86400)
+    p = _physical_plan(comp)
+    assert p.count("Exchange") <= 2 and "SinglePartition" not in p
+    small = collapse_ddsketch(sk, 3)
+    p = _physical_plan(small)
+    assert p.count("Exchange") <= 2 and "SinglePartition" not in p
+    q = ddsketch_quantiles(comp, [0.5, 0.95])
+    assert "SinglePartition" not in _physical_plan(q)
+
+
+def test_compose_family_plan_shape(spark, tiny_series):
+    """Every compose_* rollup is one groupBy over the (tiny) child bin
+    table: <= 2 Exchanges (child agg partitioning + the re-group),
+    no SinglePartition."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.analyses import (
+        compose_counter, compose_gauge, compose_heartbeat, compose_state,
+        compose_twa, counter_agg, gauge_agg, heartbeat_agg, state_agg,
+        time_weighted_avg)
+
+    child_parent = [
+        (compose_counter,
+         counter_agg(tiny_series.withColumn("c", F.abs(F.col("value"))),
+                     every=60, value_col="c")),
+        (compose_gauge, gauge_agg(tiny_series, every=60)),
+        (compose_state,
+         state_agg(tiny_series.withColumn(
+             "state", (F.col("value") > 50).cast("string")), every=60)),
+        (compose_heartbeat,
+         heartbeat_agg(tiny_series.where(F.col("value").isNotNull()),
+                       every=60, alive_window=8)),
+        (compose_twa, time_weighted_avg(tiny_series, every=60)),
+    ]
+    for compose, child in child_parent:
+        p = _physical_plan(compose(child, 3600))
+        assert p.count("Exchange") <= 2, compose.__name__
+        assert "SinglePartition" not in p, compose.__name__
