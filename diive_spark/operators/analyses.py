@@ -2107,22 +2107,30 @@ def ddsketch_collapse_level(
     so cross-bin and cross-tier merges stay exact.
 
     One aggregation pass over the (tiny) bucket table: per group,
-    count distinct collapsed buckets at every candidate level, take the
-    global max per level, pick the first under the cap — an
-    O(levels * buckets) control read returning ``max_level + 1``
-    numbers, never touching raw readings."""
+    collect the distinct (sign, bucket) set ONCE (bounded by the
+    per-bin bucket count), then evaluate every candidate level as a
+    JVM array expression over that set — no Expand, no per-level
+    re-aggregation; an O(levels * buckets) control read returning
+    ``max_level + 1`` numbers, never touching raw readings."""
     keys = list(key_cols)
-    aggs = []
+    per_group = sketch.groupBy(*keys, "bin_start").agg(
+        F.collect_set(F.struct("sign", "bucket")).alias("_bs")
+    )
+    def _collapser(step):
+        # single-arg lambda on purpose: a 2-arg lambda would make
+        # F.transform pass the array INDEX as the second argument
+        return lambda s: F.struct(
+            s["sign"].alias("sign"),
+            F.when(s["sign"] == 0, F.lit(0).cast("long")).otherwise(
+                F.ceil(s["bucket"] / F.lit(step))
+            ).alias("bucket"),
+        )
+
+    projs = []
     for lv in range(max_level + 1):
-        step = 2 ** lv
-        cb = F.when(F.col("sign") == 0, F.lit(0)).otherwise(
-            F.ceil(F.col("bucket") / F.lit(step))
-        )
-        aggs.append(
-            F.count_distinct(F.col("sign"), cb).alias(f"l{lv}")
-        )
-    per_group = sketch.groupBy(*keys, "bin_start").agg(*aggs)
-    worst = per_group.agg(
+        collapsed = F.transform("_bs", _collapser(2 ** lv))
+        projs.append(F.size(F.array_distinct(collapsed)).alias(f"l{lv}"))
+    worst = per_group.select(*projs).agg(
         *[F.max(f"l{lv}").alias(f"l{lv}") for lv in range(max_level + 1)]
     ).first()
     for lv in range(max_level + 1):
