@@ -2134,7 +2134,8 @@ def ddsketch_collapse_level(
         *[F.max(f"l{lv}").alias(f"l{lv}") for lv in range(max_level + 1)]
     ).first()
     for lv in range(max_level + 1):
-        if worst[f"l{lv}"] <= max_buckets:
+        # max over an EMPTY sketch is null -> any level satisfies the cap
+        if worst[f"l{lv}"] is None or worst[f"l{lv}"] <= max_buckets:
             return lv
     return max_level
 

@@ -123,3 +123,69 @@ def test_toolkit_operators_degenerate_inputs(spark):
     assert c["open"] == c["close"] == 3.0
     g = gauge_agg(single, 60).collect()[0]
     assert g["delta"] is None and g["idelta_left"] is None
+
+
+def test_ddsketch_and_compose_family_degenerate_inputs(spark):
+    """Round-4 operators on empty / single-row / all-null inputs:
+    empty or sane frames, never a raise."""
+    from diive_spark.operators.analyses import (
+        collapse_ddsketch, compose_counter, compose_ddsketch, compose_gauge,
+        compose_heartbeat, compose_state, compose_twa, counter_agg,
+        ddsketch_agg, ddsketch_collapse_level, ddsketch_quantiles,
+        gauge_agg, heartbeat_agg, state_agg, time_weighted_avg)
+
+    empty = spark.createDataFrame(
+        [], "source string, doc_id string, pos long, value double"
+    )
+    sk = ddsketch_agg(empty, every=60)
+    assert sk.count() == 0
+    assert compose_ddsketch(sk, 3600).count() == 0
+    assert collapse_ddsketch(sk, 3).count() == 0
+    assert ddsketch_quantiles(sk, [0.5]).count() == 0
+    # empty sketch: any level satisfies any cap -> level 0
+    assert ddsketch_collapse_level(sk, max_buckets=8) == 0
+    for compose, agg in (
+        (compose_counter, counter_agg),
+        (compose_gauge, gauge_agg),
+        (compose_twa, time_weighted_avg),
+    ):
+        assert compose(agg(empty, every=60), 3600).count() == 0
+    assert compose_state(
+        state_agg(empty.withColumn("state", F.lit("x")), every=60), 3600
+    ).count() == 0
+    assert compose_heartbeat(
+        heartbeat_agg(empty, every=60, alive_window=5), 3600
+    ).count() == 0
+
+    # all-null values: sketch drops them; single zero value -> zero store
+    nul = spark.createDataFrame(
+        [("a", "d", 0, None), ("a", "d", 1, None), ("a", "d", 2, 0.0)],
+        "source string, doc_id string, pos long, value double",
+    )
+    rows = ddsketch_agg(nul, every=60).collect()
+    assert len(rows) == 1 and rows[0]["sign"] == 0 and rows[0]["cnt"] == 1
+    q = ddsketch_quantiles(ddsketch_agg(nul, every=60), [0.5]).collect()
+    assert len(q) == 1 and q[0]["est"] == 0.0 and q[0]["n"] == 1
+
+
+def test_snapshot_backend_degenerate(spark, tmp_path):
+    """SnapshotBackend on an empty-partition write and reserved-column
+    misuse: clean errors / sane snapshots, never corruption."""
+    import pytest
+
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    be = SnapshotBackend(spark, str(tmp_path / "t"))
+    with pytest.raises(ValueError):
+        be.read("never_written")
+    assert be.partition_values("never_written") == []
+    assert not be.table_exists("never_written")
+    df = spark.createDataFrame([("a", 1.0)], "source string, snapv double")
+    with pytest.raises(ValueError):
+        be.write_partitions(df, "t")  # reserved column name
+    # empty write commits an empty snapshot; reads error clearly
+    empty = spark.createDataFrame([], "source string, v double")
+    be.write_partitions(empty, "t")
+    assert be.table_exists("t") and be.partition_values("t") == []
+    with pytest.raises(ValueError):
+        be.read("t")
