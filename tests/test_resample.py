@@ -382,3 +382,45 @@ def test_tokens_array_rollup_matches_explode_pipeline(spark):
     # the 1m tier is produced without a single shuffle
     plan = arr._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan and "SinglePartition" not in plan
+
+
+def test_tokens_array_rollup_kernel_parity(spark):
+    """The Arrow/numpy ingest kernel reproduces the JVM array-expression
+    path: n/n_grid/min/max and null positions EXACT, sums to 1e-9
+    (float reordering), on a corpus with sentinels, a z-gate, empty
+    docs and a partial trailing chunk."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.conventions import NA_SENTINEL
+    from diive_spark.operators.resample import (
+        tokens_array_rollup, tokens_array_rollup_kernel)
+
+    rng = np.random.default_rng(17)
+    rows = []
+    for i in range(60):
+        n = int(rng.integers(0, 400))  # includes empty docs
+        toks = rng.integers(0, 50000, size=n)
+        toks[rng.random(n) < 0.05] = NA_SENTINEL
+        if n > 10:
+            toks[5] = 3_000_000  # z-gate victim
+        rows.append((f"s{i % 3}", f"d{i:03d}", [int(x) for x in toks], n))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "tokens", "n_tok"])
+    df = spark.createDataFrame(pdf).repartition(8)
+
+    kw = dict(every=60, thres=4.0, na_sentinel=NA_SENTINEL)
+    key = ["source", "doc_id", "bin_start"]
+    a = (tokens_array_rollup(df, **kw)
+         .orderBy(*key).toPandas().reset_index(drop=True))
+    b = (tokens_array_rollup_kernel(df, **kw)
+         .select(*a.columns).orderBy(*key).toPandas()
+         .reset_index(drop=True))
+    assert len(a) == len(b) and len(a) > 0
+    for c in ("source", "doc_id", "bin_start", "bin_end", "bin_label",
+              "n", "n_grid"):
+        assert (a[c] == b[c]).all(), c
+    for c in ("sum", "sumsq", "min", "max", "mean", "sd"):
+        na, nb = a[c].isna(), b[c].isna()
+        assert (na == nb).all(), f"{c} null positions"
+        d = (a[c] - b[c]).abs().max()
+        assert d < 1e-6, (c, d)
