@@ -1629,8 +1629,7 @@ def compose_freq(
     bin, never by readings).
     """
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, _ = _parent_bin(every)
     child = sketch.withColumn("_pb", pb)
     # one (n, err) row per child bin, then totals per parent bin
     per_child = (
@@ -1928,6 +1927,20 @@ def asap_smooth(
     )
 
 
+def ddsketch_bucket_cols(v, gamma: float):
+    """The DDSketch (sign, bucket) store expressions for a value column
+    — the single shared implementation behind the batch
+    (:func:`ddsketch_agg`) and streaming (``stream_ddsketch_partials``)
+    faces, so the bucket formula cannot drift between them."""
+    sign = (
+        F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
+    ).cast("int")
+    bucket = F.when(v == 0, F.lit(0)).otherwise(
+        F.ceil(F.log(F.abs(v)) / math.log(float(gamma)))
+    ).cast("int")
+    return sign, bucket
+
+
 def ddsketch_agg(
     df: DataFrame,
     every: int,
@@ -1966,15 +1979,12 @@ def ddsketch_agg(
     b = (F.floor(F.col(axis_col).cast("long") / int(every)) * int(every)).cast(
         "long"
     )
-    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
-    bucket = F.when(
-        v == 0, F.lit(0)
-    ).otherwise(F.ceil(F.log(F.abs(v)) / math.log(float(gamma)))).cast("int")
+    sign, bucket = ddsketch_bucket_cols(v, gamma)
     return (
         pts.select(
             *keys,
             b.alias("bin_start"),
-            sign.cast("int").alias("sign"),
+            sign.alias("sign"),
             bucket.alias("bucket"),
         )
         .groupBy(*keys, "bin_start", "sign", "bucket")
@@ -1993,8 +2003,7 @@ def compose_ddsketch(
     composed sketch is BIT-IDENTICAL to one built directly at the
     parent resolution — exact composition, same long form in and out."""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, _ = _parent_bin(every)
     return (
         sketch.withColumn("bin_start", pb)
         .groupBy(*keys, "bin_start", "sign", "bucket")
@@ -2137,7 +2146,29 @@ def ddsketch_collapse_level(
         # max over an EMPTY sketch is null -> any level satisfies the cap
         if worst[f"l{lv}"] is None or worst[f"l{lv}"] <= max_buckets:
             return lv
-    return max_level
+    # collapsing never merges across the sign/zero stores, so a cap
+    # below the per-bin store count is unsatisfiable — fail loudly
+    # rather than return a level that silently violates the contract
+    raise ValueError(
+        f"no collapse level <= {max_level} caps every bin at "
+        f"{max_buckets} buckets (worst bin still has "
+        f"{worst[f'l{max_level}']}; the sign/zero stores never merge, "
+        f"so max_buckets must be >= the per-bin store count)")
+
+
+def _parent_bin(every: int):
+    """Shared re-binning expressions for the compose_* rollups: the
+    parent bin_start expression and the (bin_start, bin_end, bin_label)
+    output columns — one definition so every composer keeps the same
+    bin conventions."""
+    e = int(every)
+    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    out = [
+        F.col("_pb").alias("bin_start"),
+        (F.col("_pb") + e).cast("long").alias("bin_end"),
+        (F.col("_pb") + e).cast("long").alias("bin_label"),
+    ]
+    return pb, out
 
 
 def compose_counter(
@@ -2155,8 +2186,7 @@ def compose_counter(
     earliest/latest child bin.  Same schema in and out, so counter
     tiers chain raw -> 1m -> 1h -> 1d like the stats/sketch tiers."""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, pcols = _parent_bin(every)
     bs = F.col("bin_start")
     return (
         agg.withColumn("_pb", pb)
@@ -2170,9 +2200,7 @@ def compose_counter(
         )
         .select(
             *keys,
-            F.col("_pb").alias("bin_start"),
-            (F.col("_pb") + e).cast("long").alias("bin_end"),
-            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            *pcols,
             "n", "counter_delta", "n_resets", "first", "last",
         )
     )
@@ -2193,8 +2221,7 @@ def compose_gauge(
     ``first``/``last`` from the earliest/latest child.  Same schema in
     and out."""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, pcols = _parent_bin(every)
     bs = F.col("bin_start")
     has_inc = F.when(F.col("idelta_left").isNotNull(), bs)
     return (
@@ -2212,9 +2239,7 @@ def compose_gauge(
         )
         .select(
             *keys,
-            F.col("_pb").alias("bin_start"),
-            (F.col("_pb") + e).cast("long").alias("bin_end"),
-            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            *pcols,
             "n", "delta", "idelta_left", "idelta_right", "rate", "dx",
             "first", "last",
         )
@@ -2232,8 +2257,7 @@ def compose_state(
     sums: segments belong wholly to their left endpoint's bin, so
     re-binning never splits or moves one.  Same schema in and out."""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, pcols = _parent_bin(every)
     return (
         agg.withColumn("_pb", pb)
         .groupBy(*keys, "_pb", state_col)
@@ -2244,9 +2268,7 @@ def compose_state(
         )
         .select(
             *keys,
-            F.col("_pb").alias("bin_start"),
-            (F.col("_pb") + e).cast("long").alias("bin_end"),
-            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            *pcols,
             state_col, "n_segments", "duration", "n_enter",
         )
     )
@@ -2262,8 +2284,7 @@ def compose_heartbeat(
     plain sums under the left-endpoint segment convention; ``live_frac``
     re-derives from the summed partials.  Same schema in and out."""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, pcols = _parent_bin(every)
     return (
         agg.withColumn("_pb", pb)
         .groupBy(*keys, "_pb")
@@ -2275,9 +2296,7 @@ def compose_heartbeat(
         )
         .select(
             *keys,
-            F.col("_pb").alias("bin_start"),
-            (F.col("_pb") + e).cast("long").alias("bin_end"),
-            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            *pcols,
             "n_beats", "uptime", "downtime", "n_gaps",
             (F.col("uptime") / (F.col("uptime") + F.col("downtime"))
              ).alias("live_frac"),
@@ -2298,8 +2317,7 @@ def compose_twa(
     partitionings matters — float partial sums are order-dependent at
     the last ulp.)"""
     keys = list(key_cols)
-    e = int(every)
-    pb = (F.floor(F.col("bin_start") / e) * e).cast("long")
+    pb, pcols = _parent_bin(every)
     return (
         agg.withColumn("_pb", pb)
         .groupBy(*keys, "_pb")
@@ -2310,9 +2328,7 @@ def compose_twa(
         )
         .select(
             *keys,
-            F.col("_pb").alias("bin_start"),
-            (F.col("_pb") + e).cast("long").alias("bin_end"),
-            (F.col("_pb") + e).cast("long").alias("bin_label"),
+            *pcols,
             "n", "integral", "duration",
             (F.col("integral") / F.col("duration")).alias("twa"),
         )

@@ -634,8 +634,10 @@ def tokens_array_rollup_kernel(
     import pandas as pd
 
     keys = list(key_cols)
+    key_fields = {f.name: f.dataType.simpleString()
+                  for f in tokens_df.schema.fields}
     out_schema = (
-        ", ".join(f"{k} string" for k in keys)
+        ", ".join(f"{k} {key_fields[k]}" for k in keys)
         + ", bin_start long, bin_end long, bin_label long, n long, "
           "n_grid long, sum double, sumsq double, min double, "
           "max double, mean double, sd double"
@@ -647,12 +649,16 @@ def tokens_array_rollup_kernel(
     def _batches(it):
         for pdf in it:
             toks = pdf[tokens_col]
-            lens = np.fromiter((len(a) for a in toks), dtype=np.int64,
-                               count=len(toks))
+            # null arrays behave like the JVM twin: no chunks emitted
+            lens = np.fromiter(
+                (0 if a is None else len(a) for a in toks),
+                dtype=np.int64, count=len(toks),
+            )
             nz = lens > 0
             if not nz.any():
                 continue
             arrs = [np.asarray(a) for a, keep in zip(toks, nz) if keep]
+            pdf = pdf[nz.tolist()].reset_index(drop=True)
             lens = lens[nz]
             flat = np.concatenate(arrs).astype(np.float64)
             ndoc = len(lens)
@@ -712,7 +718,7 @@ def tokens_array_rollup_kernel(
                 return a
 
             out = {
-                k: pdf[k].to_numpy()[nz][ch_doc] for k in keys
+                k: pdf[k].to_numpy()[ch_doc] for k in keys
             }
             out.update({
                 "bin_start": bin_start,

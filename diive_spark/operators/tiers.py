@@ -255,6 +255,26 @@ class SnapshotBackend(TierBackend):
         jpath = jvm.org.apache.hadoop.fs.Path(path)
         return jpath.getFileSystem(self.spark._jsc.hadoopConfiguration()), jvm
 
+    # metadata goes through the Hadoop FileSystem API like the data
+    # files, so hdfs:// and s3a:// roots work identically to local
+    # paths (single-writer commit protocol, like an Iceberg catalog
+    # pointer owned by one driver)
+    def _write_text(self, path: str, text: str) -> None:
+        fs, jvm = self._fs(path)
+        out = fs.create(jvm.org.apache.hadoop.fs.Path(path), True)
+        out.write(bytearray(text.encode("utf-8")))
+        out.close()
+
+    def _read_text(self, path: str) -> str | None:
+        fs, jvm = self._fs(path)
+        jpath = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.exists(jpath):
+            return None
+        stm = fs.open(jpath)
+        baos = jvm.java.io.ByteArrayOutputStream()
+        jvm.org.apache.hadoop.io.IOUtils.copyBytes(stm, baos, 65536, True)
+        return bytes(baos.toByteArray()).decode("utf-8")
+
     def location(self, tier: str) -> str:
         return os.path.join(self.root, tier)
 
@@ -272,47 +292,43 @@ class SnapshotBackend(TierBackend):
         """All committed snapshots, oldest first (Iceberg:
         ``table.snapshots`` metadata table)."""
         mdir = self._manifest_dir(tier)
-        if not os.path.isdir(mdir):
+        fs, jvm = self._fs(mdir)
+        jdir = jvm.org.apache.hadoop.fs.Path(mdir)
+        if not fs.exists(jdir):
             return []
         out = []
-        for name in os.listdir(mdir):
+        for st in fs.listStatus(jdir):
+            name = st.getPath().getName()
             if name.startswith("snap-") and name.endswith(".json"):
-                with open(os.path.join(mdir, name)) as f:
-                    out.append(json.load(f))
+                out.append(json.loads(
+                    self._read_text(os.path.join(mdir, name))))
         return sorted(out, key=lambda s: s["id"])
 
     def _snapshot(self, tier: str, snapshot_id: int) -> dict:
-        path = os.path.join(self._manifest_dir(tier),
-                            f"snap-{snapshot_id}.json")
-        if not os.path.exists(path):
+        text = self._read_text(os.path.join(
+            self._manifest_dir(tier), f"snap-{snapshot_id}.json"))
+        if text is None:
             raise ValueError(
                 f"{tier}: no snapshot {snapshot_id} (expired or never "
                 f"committed)")
-        with open(path) as f:
-            return json.load(f)
+        return json.loads(text)
 
     def current_snapshot_id(self, tier: str) -> int | None:
-        path = self._current_path(tier)
-        if not os.path.exists(path):
-            return None
-        with open(path) as f:
-            return int(f.read().strip())
+        text = self._read_text(self._current_path(tier))
+        return None if text is None else int(text.strip())
 
     def _commit(self, tier: str, parts: dict[str, int],
                 parent: int | None) -> int:
         snaps = self.snapshots(tier)
         new_id = (max(s["id"] for s in snaps) + 1) if snaps else 1
-        os.makedirs(self._manifest_dir(tier), exist_ok=True)
         manifest = {"id": new_id, "parent": parent, "ts": time.time(),
                     "parts": parts}
-        with open(os.path.join(self._manifest_dir(tier),
-                               f"snap-{new_id}.json"), "w") as f:
-            json.dump(manifest, f)
-        # the pointer flip IS the commit (Iceberg: atomic catalog swap)
-        tmp = self._current_path(tier) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(new_id))
-        os.replace(tmp, self._current_path(tier))
+        self._write_text(
+            os.path.join(self._manifest_dir(tier), f"snap-{new_id}.json"),
+            json.dumps(manifest))
+        # the pointer flip IS the commit (Iceberg: atomic catalog swap;
+        # single-writer, so create-overwrite is the swap)
+        self._write_text(self._current_path(tier), str(new_id))
         return new_id
 
     # ------------------------------------------------------ TierBackend
@@ -354,10 +370,24 @@ class SnapshotBackend(TierBackend):
             dest_parent = os.path.join(self._data_root(tier),
                                        f"{prefix}{value}")
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
-            fs.rename(
+            dest = jvm.org.apache.hadoop.fs.Path(dest_parent,
+                                                 f"snapv={new_id}")
+            # a leftover snapv=<new_id> dir can only be debris from a
+            # crashed attempt at this same uncommitted snapshot (no
+            # manifest references it) — clear it, then REQUIRE the
+            # rename to succeed: Hadoop rename returns false instead of
+            # raising, and ignoring that would commit a manifest
+            # pointing at partial data
+            if fs.exists(dest):
+                fs.delete(dest, True)
+            if not fs.rename(
                 jvm.org.apache.hadoop.fs.Path(stage, f"{prefix}{value}"),
-                jvm.org.apache.hadoop.fs.Path(dest_parent, f"snapv={new_id}"),
-            )
+                dest,
+            ):
+                raise IOError(
+                    f"{tier}: staging rename failed for partition "
+                    f"{value!r} -> {dest}; snapshot {new_id} aborted "
+                    f"(nothing committed)")
             parts[value] = new_id
         fs.delete(jvm.org.apache.hadoop.fs.Path(stage), True)
         committed = self._commit(tier, parts, parent)
@@ -395,10 +425,7 @@ class SnapshotBackend(TierBackend):
         ``rollback_to_snapshot``) — O(1), no data job; later snapshots
         stay readable via :meth:`read_at` until expired."""
         self._snapshot(tier, snapshot_id)  # must exist
-        tmp = self._current_path(tier) + ".tmp"
-        with open(tmp, "w") as f:
-            f.write(str(snapshot_id))
-        os.replace(tmp, self._current_path(tier))
+        self._write_text(self._current_path(tier), str(snapshot_id))
 
     def partition_values(self, tier: str) -> list[str]:
         cur = self.current_snapshot_id(tier)
@@ -457,8 +484,8 @@ class SnapshotBackend(TierBackend):
                         fs.delete(vst.getPath(), True)
                         files_deleted += 1
         for s in expired:
-            os.remove(os.path.join(self._manifest_dir(tier),
-                                   f"snap-{s['id']}.json"))
+            fs.delete(jvm.org.apache.hadoop.fs.Path(
+                self._manifest_dir(tier), f"snap-{s['id']}.json"), False)
         return {"expired": len(expired), "files_deleted": files_deleted}
 
 

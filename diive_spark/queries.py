@@ -4685,12 +4685,20 @@ def q_ddsketch_tiers(spark, sf_dir):
         )
     exact = exacts[0].unionByName(exacts[1])
     err_ok = (
-        est.join(exact, on=["source", "doc_id", "bin_start", "q"])
+        # FULL join: a (key, bin, q) with an estimate but no exact row,
+        # or vice versa, must fail the boolean — an inner join would
+        # silently skip coverage holes
+        est.join(exact, on=["source", "doc_id", "bin_start", "q"],
+                 how="full")
         .withColumn(
             "_ok",
-            F.when(F.col("exact") == 0.0, F.col("est") == 0.0).otherwise(
-                F.abs(F.col("est") - F.col("exact")) / F.abs(F.col("exact"))
-                <= F.lit(bound)
+            F.coalesce(
+                F.when(F.col("exact") == 0.0, F.col("est") == 0.0)
+                .otherwise(
+                    F.abs(F.col("est") - F.col("exact"))
+                    / F.abs(F.col("exact")) <= F.lit(bound)
+                ),
+                F.lit(False),
             ),
         )
         .groupBy("source")
@@ -4770,12 +4778,16 @@ def q_ddsketch_collapse(spark, sf_dir):
                       F.ceil(F.lit(0.5) * F.col("_nn")).cast("long"))
     ).select("source", "doc_id", "bin_start", F.col("value").alias("exact"))
     err_ok = (
-        est.join(exact, on=["source", "doc_id", "bin_start"])
+        est.join(exact, on=["source", "doc_id", "bin_start"], how="full")
         .withColumn(
             "_ok",
-            F.when(F.col("exact") == 0.0, F.col("est") == 0.0).otherwise(
-                F.abs(F.col("est") - F.col("exact")) / F.abs(F.col("exact"))
-                <= F.lit(bound)
+            F.coalesce(
+                F.when(F.col("exact") == 0.0, F.col("est") == 0.0)
+                .otherwise(
+                    F.abs(F.col("est") - F.col("exact"))
+                    / F.abs(F.col("exact")) <= F.lit(bound)
+                ),
+                F.lit(False),
             ),
         )
         .groupBy("source")
@@ -4855,9 +4867,12 @@ def q_rollup_compose_family(spark, sf_dir):
         good = checks[0]
         for ch in checks[1:]:
             good = good & ch
+        # one-sided full-join rows (a bin present on only one side)
+        # evaluate the comparisons to NULL — they must FAIL the check,
+        # not be skipped by null-ignoring min
         return (
             j.groupBy(F.col("source").alias("src"))
-            .agg(F.min(good).alias("ok"))
+            .agg(F.min(F.coalesce(good, F.lit(False))).alias("ok"))
         )
 
     keys = ["source", "doc_id", "bin_start", "bin_end", "bin_label"]

@@ -131,27 +131,27 @@ def stream_ddsketch_partials(
     """Streaming DDSketch store (Masson, Rim & Lee, VLDB 2019): exact
     counts over logarithmic value buckets per tumbling event-time
     window — the streaming face of ``analyses.ddsketch_agg``, emitting
-    the SAME long form (keys..., bin_start, bin_end, sign, bucket,
-    cnt), so batch ``compose_ddsketch`` / ``ddsketch_quantiles`` /
-    ``collapse_ddsketch`` work on streamed tiers unchanged, and a
-    streamed 1m tier merges exactly with a batch-built one (count-sum).
+    the IDENTICAL long form (keys..., bin_start BIGINT epoch seconds,
+    sign, bucket, cnt), so batch ``compose_ddsketch`` /
+    ``ddsketch_quantiles`` / ``collapse_ddsketch`` run on streamed
+    tiers unchanged and a streamed 1m store unions/merges exactly with
+    a batch-built one (count-sum).  The bucket expression is the ONE
+    shared implementation (``analyses.ddsketch_bucket_cols``), so the
+    two faces cannot drift.
 
     State per window is bounded by the distinct-bucket count (~1.2k
     buckets across 10 decades at gamma=1.02 — use the batch collapse
     downstream if tighter), and the watermark expires windows, so
     state never grows with stream length.  Pure column expressions:
     whole-stage codegen, no Python in the hot path."""
-    import math as _math
+    from ..operators.analyses import ddsketch_bucket_cols
 
     v = F.col(value_col)
-    sign = F.when(v > 0, F.lit(1)).when(v < 0, F.lit(-1)).otherwise(F.lit(0))
-    bucket = F.when(v == 0, F.lit(0)).otherwise(
-        F.ceil(F.log(F.abs(v)) / _math.log(float(gamma)))
-    ).cast("int")
+    sign, bucket = ddsketch_bucket_cols(v, gamma)
     win = F.window(ts_col, every)
     agg = (
         stream_df.where(v.isNotNull())
-        .withColumn("sign", sign.cast("int"))
+        .withColumn("sign", sign)
         .withColumn("bucket", bucket)
         .withWatermark(ts_col, watermark)
         .groupBy(*key_cols, win, "sign", "bucket")
@@ -159,7 +159,7 @@ def stream_ddsketch_partials(
     )
     return agg.select(
         *key_cols,
-        F.col("window.start").alias("bin_start"),
-        F.col("window.end").alias("bin_end"),
+        F.unix_timestamp(F.col("window.start")).cast("long")
+        .alias("bin_start"),
         "sign", "bucket", "cnt",
     )

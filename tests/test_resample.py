@@ -405,6 +405,7 @@ def test_tokens_array_rollup_kernel_parity(spark):
         if n > 10:
             toks[5] = 3_000_000  # z-gate victim
         rows.append((f"s{i % 3}", f"d{i:03d}", [int(x) for x in toks], n))
+    rows.append(("s0", "dnull", None, 0))  # null array: no chunks, no crash
     pdf = pd.DataFrame(rows, columns=["source", "doc_id", "tokens", "n_tok"])
     df = spark.createDataFrame(pdf).repartition(8)
 

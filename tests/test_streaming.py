@@ -543,12 +543,11 @@ def test_stream_ewma_chart_survives_arrow_chunk_splits(spark, tmp_path):
 
 
 def test_stream_ddsketch_equals_batch_sketch(spark, tmp_path):
-    """Streamed DDSketch partials == the batch ddsketch_agg built on
-    the same rows (same long form, exact counts), proven by composing
-    the streamed 1m store and comparing bit-for-bit."""
-    import math
-
-    from diive_spark.operators.analyses import ddsketch_agg
+    """Streamed DDSketch partials are the IDENTICAL long form as batch
+    ddsketch_agg: bit-equal rows on emitted bins, and the batch
+    compose_ddsketch runs on the streamed store unchanged (the
+    documented contract)."""
+    from diive_spark.operators.analyses import compose_ddsketch, ddsketch_agg
     from diive_spark.streaming.rollup import (
         stream_ddsketch_partials, write_tier_stream)
 
@@ -577,13 +576,14 @@ def test_stream_ddsketch_equals_batch_sketch(spark, tmp_path):
     # streamed windows still open (after the last watermark) are absent
     # from `got`; compare only emitted bins
     emitted = [r.bin_start for r in got.select("bin_start").distinct().collect()]
-    want = want.withColumn(
-        "bin_ts", F.timestamp_seconds(F.col("bin_start"))
-    ).where(F.col("bin_ts").isin(emitted))
-    cols = ["source", "sign", "bucket", "cnt"]
-    g = (got.withColumn("bs", F.unix_timestamp("bin_start").cast("long"))
-         .select("bs", *cols).orderBy("bs", *cols).toPandas())
-    w = (want.select(F.col("bin_start").alias("bs"), *cols)
-         .orderBy("bs", *cols).toPandas())
+    want = want.where(F.col("bin_start").isin(emitted))
+    cols = ["source", "bin_start", "sign", "bucket", "cnt"]
+    g = got.select(*cols).orderBy(*cols).toPandas()
+    w = want.select(*cols).orderBy(*cols).toPandas()
     assert len(g) > 0 and g.reset_index(drop=True).equals(
         w.reset_index(drop=True))
+    # batch compose runs on the streamed store UNCHANGED
+    comp = compose_ddsketch(got, every=3600, key_cols=["source"])
+    assert comp.count() > 0
+    assert int(comp.agg(F.sum("cnt")).first()[0]) == int(
+        got.agg(F.sum("cnt")).first()[0])
