@@ -71,3 +71,87 @@ def stream_gap_detector(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+COUNTER_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("counter_delta", T.DoubleType()),
+        T.StructField("n_resets", T.LongType()),
+        T.StructField("first", T.DoubleType()),
+        T.StructField("first_pos", T.LongType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("last_pos", T.LongType()),
+    ]
+)
+
+COUNTER_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("last_val", T.DoubleType()),
+    ]
+)
+
+
+def _counter_partials(key, pdfs, state):
+    import pandas as pd
+
+    prev_pos, prev_val = (state.get if state.exists else (None, None))
+    rows = []
+    pts = []
+    for pdf in pdfs:
+        pts.extend(zip((int(p) for p in pdf["pos"]),
+                       (float(v) for v in pdf["value"])))
+    bins: dict[int, list] = {}
+    for pos, val in sorted(pts):
+        if prev_pos is not None and pos <= prev_pos:
+            continue  # replay / duplicate: idempotent skip
+        if prev_val is None:
+            inc, reset = 0.0, 0
+        else:
+            d = val - prev_val
+            inc, reset = (val, 1) if d < 0 else (d, 0)
+        b = (pos // 60) * 60
+        agg = bins.get(b)
+        if agg is None:
+            # n, delta, resets, first, first_pos, last, last_pos
+            bins[b] = [1, inc, reset, val, pos, val, pos]
+        else:
+            agg[0] += 1
+            agg[1] += inc
+            agg[2] += reset
+            agg[5], agg[6] = val, pos
+        prev_pos, prev_val = pos, val
+    state.update((prev_pos, prev_val))
+    for b, (n, delta, resets, f, fp, l, lp) in sorted(bins.items()):
+        rows.append((key[0], key[1], b, n, delta, resets, f, fp, l, lp))
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in COUNTER_SCHEMA])
+
+
+def stream_counter_partials(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming face of ``analyses.counter_agg`` (reset-healed
+    monotonic counters): per (source, doc_id), keep the last reading
+    as keyed state so the increment at a bin's first point crosses
+    micro-batch AND bin boundaries exactly like the batch window's
+    ``lag`` — the batch convention that makes per-bin deltas tile the
+    series total.  Emits 60-unit-bin PARTIALS with first/last pos
+    anchors (the candle_agg open_pos/close_pos pattern), so multiple
+    emissions of one bin across micro-batches compose EXACTLY:
+    sums for n / counter_delta / n_resets, ``min_by(first, first_pos)``
+    / ``max_by(last, last_pos)`` for the edge readings — then
+    ``analyses.compose_counter`` lifts the result into coarser tiers.
+    Replayed or out-of-order records at-or-before the stored position
+    are skipped, so checkpoint replays converge to the same table
+    (idempotent, like stream_ingest_tokens).  State is two scalars per
+    series."""
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _counter_partials,
+        outputStructType=COUNTER_SCHEMA,
+        stateStructType=COUNTER_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -587,3 +587,72 @@ def test_stream_ddsketch_equals_batch_sketch(spark, tmp_path):
     assert comp.count() > 0
     assert int(comp.agg(F.sum("cnt")).first()[0]) == int(
         got.agg(F.sum("cnt")).first()[0])
+
+
+def test_stream_counter_partials_equals_batch(spark, tmp_path):
+    """Streamed reset-healed counter partials, composed with the
+    documented anchors, reproduce batch counter_agg EXACTLY across
+    micro-batch boundaries (increments cross batches via keyed state)
+    and tier up through compose_counter."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import compose_counter, counter_agg
+    from diive_spark.streaming.stateful import stream_counter_partials
+
+    src = str(tmp_path / "ctr_in")
+    out = str(tmp_path / "ctr_out")
+    ckpt = str(tmp_path / "ctr_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+
+    rng = np.random.default_rng(23)
+    c, rows = 0.0, []
+    for pos in range(400):
+        c += float(rng.integers(0, 5))
+        if pos in (90, 181, 240):  # resets, incl. one at a batch edge
+            c = 1.0
+        rows.append(("web", "d0", pos, c))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_counter_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    # three micro-batches with edges NOT on bin boundaries
+    for lo, hi in ((0, 181), (181, 310), (310, 400)):
+        spark.createDataFrame(rows[lo:hi], schema).write.mode(
+            "append").parquet(src)
+        drain()
+
+    got = spark.read.parquet(out)
+    composed = (
+        got.groupBy("source", "doc_id", "bin_start")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("counter_delta").alias("counter_delta"),
+            F.sum("n_resets").cast("long").alias("n_resets"),
+            F.min_by("first", F.col("first_pos")).alias("first"),
+            F.max_by("last", F.col("last_pos")).alias("last"),
+        )
+    )
+    want = counter_agg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "n", "counter_delta",
+            "n_resets", "first", "last"]
+    g = composed.select(*cols).orderBy("bin_start").toPandas()
+    w = want.select(*cols).orderBy("bin_start").toPandas()
+    assert g.reset_index(drop=True).equals(w.reset_index(drop=True))
+    assert int(w["n_resets"].sum()) == 3
+
+    # streamed partials lift into tiers through the SAME batch composer
+    tier = compose_counter(
+        composed.withColumn("bin_end", F.col("bin_start") + 60)
+        .withColumn("bin_label", F.col("bin_start") + 60), every=360)
+    assert tier.count() > 0
+    assert abs(
+        tier.agg(F.sum("counter_delta")).first()[0]
+        - w["counter_delta"].sum()
+    ) < 1e-9
