@@ -155,3 +155,76 @@ def stream_counter_partials(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+STATEAGG_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("state", T.StringType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("duration", T.DoubleType()),
+        T.StructField("n_enter", T.LongType()),
+    ]
+)
+
+STATEAGG_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("last_state", T.StringType()),
+    ]
+)
+
+
+def _state_partials(key, pdfs, state):
+    import pandas as pd
+
+    prev_pos, prev_state = (state.get if state.exists else (None, None))
+    pts = []
+    for pdf in pdfs:
+        pts.extend(zip((int(p) for p in pdf["pos"]),
+                       (str(v) for v in pdf["state"])))
+    bins: dict[tuple, list] = {}
+    for pos, st in sorted(pts):
+        if prev_pos is not None and pos <= prev_pos:
+            continue  # replay / duplicate
+        if prev_pos is not None:
+            # the PREVIOUS reading's segment closes now: duration
+            # pos - prev_pos, attributed to prev's bin (left endpoint)
+            b = (prev_pos // 60) * 60
+            k2 = (b, prev_state)
+            agg = bins.get(k2)
+            if agg is None:
+                bins[k2] = [1, float(pos - prev_pos), 0]
+            else:
+                agg[0] += 1
+                agg[1] += float(pos - prev_pos)
+        prev_pos, prev_state = pos, st
+    state.update((prev_pos, prev_state))
+    rows = [
+        (key[0], key[1], b, st, n, dur, ent)
+        for (b, st), (n, dur, ent) in sorted(bins.items())
+    ]
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in STATEAGG_SCHEMA])
+
+
+def stream_state_partials(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming face of ``analyses.state_agg`` (time in
+    state, locf hold): keyed state = the last (pos, state) reading, so
+    a segment closes when its SUCCESSOR arrives — across micro-batch
+    boundaries exactly like the batch window's ``lead``.  Left-endpoint
+    attribution makes the per-bin (state, duration, n_segments)
+    partials compose by PLAIN SUM across emissions and tiers
+    (``analyses.compose_state``).  n_enter is emitted as 0 — transition
+    counting needs the predecessor's state at segment-OPEN time, which
+    the batch twin recomputes; the streamed store carries the
+    duration/segment facts.  Replay-idempotent like the counter face."""
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _state_partials,
+        outputStructType=STATEAGG_SCHEMA,
+        stateStructType=STATEAGG_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -656,3 +656,54 @@ def test_stream_counter_partials_equals_batch(spark, tmp_path):
         tier.agg(F.sum("counter_delta")).first()[0]
         - w["counter_delta"].sum()
     ) < 1e-9
+
+
+def test_stream_state_partials_equals_batch(spark, tmp_path):
+    """Streamed time-in-state partials, plain-summed, reproduce batch
+    state_agg's n_segments/duration exactly across micro-batch edges
+    (segments close when their successor arrives, via keyed state)."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import state_agg
+    from diive_spark.streaming.stateful import stream_state_partials
+
+    src = str(tmp_path / "st_in")
+    out = str(tmp_path / "st_out")
+    ckpt = str(tmp_path / "st_ckpt")
+    schema = "source string, doc_id string, pos long, state string"
+
+    rng = np.random.default_rng(29)
+    rows, pos = [], 0
+    while pos < 400:
+        rows.append(("web", "d0", pos,
+                     str(rng.choice(["ok", "warn", "down"]))))
+        pos += int(rng.integers(1, 9))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_state_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(rows) // 2
+    for chunk in (rows[:cut], rows[cut:]):
+        spark.createDataFrame(chunk, schema).write.mode("append").parquet(src)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start", "state")
+        .agg(F.sum("n_segments").cast("long").alias("n_segments"),
+             F.sum("duration").alias("duration"))
+    )
+    want = state_agg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "state", "n_segments",
+            "duration"]
+    g = got.select(*cols).orderBy("bin_start", "state").toPandas()
+    w = want.select(*cols).orderBy("bin_start", "state").toPandas()
+    assert len(g) > 0 and g.reset_index(drop=True).equals(
+        w.reset_index(drop=True))
