@@ -228,3 +228,76 @@ def stream_state_partials(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HEARTBEAT_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("n_beats", T.LongType()),
+        T.StructField("uptime", T.DoubleType()),
+        T.StructField("downtime", T.DoubleType()),
+        T.StructField("n_gaps", T.LongType()),
+    ]
+)
+
+HEARTBEAT_STATE = T.StructType([T.StructField("last_pos", T.LongType())])
+
+
+def _heartbeat_partials(alive_window: float):
+    import pandas as pd
+
+    def fn(key, pdfs, state):
+        prev_pos = state.get[0] if state.exists else None
+        pts = []
+        for pdf in pdfs:
+            pts.extend(int(p) for p in pdf["pos"])
+        bins: dict[int, list] = {}
+        for pos in sorted(pts):
+            if prev_pos is not None and pos <= prev_pos:
+                continue  # replay / duplicate
+            if prev_pos is not None:
+                dt = float(pos - prev_pos)
+                up = min(dt, alive_window)
+                b = (prev_pos // 60) * 60
+                agg = bins.get(b)
+                gap = 1 if dt > alive_window else 0
+                if agg is None:
+                    bins[b] = [1, up, dt - up, gap]
+                else:
+                    agg[0] += 1
+                    agg[1] += up
+                    agg[2] += dt - up
+                    agg[3] += gap
+            prev_pos = pos
+        state.update((prev_pos,))
+        rows = [
+            (key[0], key[1], b, n, u, d, g)
+            for b, (n, u, d, g) in sorted(bins.items())
+        ]
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in HEARTBEAT_SCHEMA])
+
+    return fn
+
+
+def stream_heartbeat_partials(
+    stream_df: DataFrame, alive_window: float
+) -> DataFrame:
+    """Stateful streaming face of ``analyses.heartbeat_agg``: each
+    heartbeat proves liveness for ``alive_window`` units; a segment
+    closes when the NEXT beat arrives (keyed state = last beat
+    position, so segments cross micro-batch edges exactly like the
+    batch ``lead``).  Left-endpoint attribution -> per-bin
+    (n_beats, uptime, downtime, n_gaps) partials compose by PLAIN SUM
+    across emissions and tiers (``analyses.compose_heartbeat``
+    re-derives live_frac).  Replay-idempotent."""
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _heartbeat_partials(float(alive_window)),
+        outputStructType=HEARTBEAT_SCHEMA,
+        stateStructType=HEARTBEAT_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -707,3 +707,63 @@ def test_stream_state_partials_equals_batch(spark, tmp_path):
     w = want.select(*cols).orderBy("bin_start", "state").toPandas()
     assert len(g) > 0 and g.reset_index(drop=True).equals(
         w.reset_index(drop=True))
+
+
+def test_stream_heartbeat_partials_equals_batch(spark, tmp_path):
+    """Streamed heartbeat partials, plain-summed, reproduce batch
+    heartbeat_agg exactly across micro-batch edges; compose_heartbeat
+    lifts them into tiers."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import (
+        compose_heartbeat, heartbeat_agg)
+    from diive_spark.streaming.stateful import stream_heartbeat_partials
+
+    src = str(tmp_path / "hb_in")
+    out = str(tmp_path / "hb_out")
+    ckpt = str(tmp_path / "hb_ckpt")
+    schema = "source string, doc_id string, pos long"
+
+    rng = np.random.default_rng(31)
+    rows, pos = [], 0
+    while pos < 500:
+        rows.append(("web", "d0", pos))
+        pos += int(rng.integers(1, 25))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_heartbeat_partials(stream, alive_window=10)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(rows) // 2
+    for chunk in (rows[:cut], rows[cut:]):
+        spark.createDataFrame(chunk, schema).write.mode("append").parquet(src)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start")
+        .agg(F.sum("n_beats").cast("long").alias("n_beats"),
+             F.sum("uptime").alias("uptime"),
+             F.sum("downtime").alias("downtime"),
+             F.sum("n_gaps").cast("long").alias("n_gaps"))
+    )
+    want = heartbeat_agg(spark.createDataFrame(rows, schema), every=60,
+                         alive_window=10)
+    cols = ["source", "doc_id", "bin_start", "n_beats", "uptime",
+            "downtime", "n_gaps"]
+    g = got.select(*cols).orderBy("bin_start").toPandas()
+    w = want.select(*cols).orderBy("bin_start").toPandas()
+    assert len(g) > 0 and g.reset_index(drop=True).equals(
+        w.reset_index(drop=True))
+    comp = compose_heartbeat(
+        got.withColumn("bin_end", F.col("bin_start") + 60)
+        .withColumn("bin_label", F.col("bin_start") + 60)
+        .withColumn("live_frac", F.col("uptime")
+                    / (F.col("uptime") + F.col("downtime"))), every=300)
+    assert comp.count() > 0
