@@ -301,3 +301,74 @@ def stream_heartbeat_partials(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+TWA_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("integral", T.DoubleType()),
+        T.StructField("duration", T.DoubleType()),
+    ]
+)
+
+TWA_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("last_val", T.DoubleType()),
+    ]
+)
+
+
+def _twa_partials(key, pdfs, state):
+    import pandas as pd
+
+    prev_pos, prev_val = (state.get if state.exists else (None, None))
+    pts = []
+    for pdf in pdfs:
+        sub = pdf.dropna(subset=["value"])
+        pts.extend(zip((int(p) for p in sub["pos"]),
+                       (float(v) for v in sub["value"])))
+    bins: dict[int, list] = {}
+    for pos, val in sorted(pts):
+        if prev_pos is not None and pos <= prev_pos:
+            continue  # replay / duplicate
+        if prev_pos is not None:
+            dt = float(pos - prev_pos)
+            b = (prev_pos // 60) * 60   # left-endpoint attribution
+            agg = bins.get(b)
+            area = prev_val * dt        # locf hold
+            if agg is None:
+                bins[b] = [1, area, dt]
+            else:
+                agg[0] += 1
+                agg[1] += area
+                agg[2] += dt
+        prev_pos, prev_val = pos, val
+    state.update((prev_pos, prev_val))
+    rows = [
+        (key[0], key[1], b, n, a, d)
+        for b, (n, a, d) in sorted(bins.items())
+    ]
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in TWA_SCHEMA])
+
+
+def stream_twa_partials(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming face of ``analyses.time_weighted_avg``
+    (method='locf'): keyed state = the last (pos, value) reading, so
+    a reading's held segment closes when its successor arrives —
+    across micro-batch edges exactly like the batch ``lead``.
+    Left-endpoint attribution -> per-bin (n, integral, duration)
+    partials compose by PLAIN SUM across emissions and tiers
+    (``analyses.compose_twa`` re-derives twa).  Null readings end no
+    segment (dropped, the batch convention).  Replay-idempotent."""
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _twa_partials,
+        outputStructType=TWA_SCHEMA,
+        stateStructType=TWA_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

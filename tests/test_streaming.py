@@ -767,3 +767,58 @@ def test_stream_heartbeat_partials_equals_batch(spark, tmp_path):
         .withColumn("live_frac", F.col("uptime")
                     / (F.col("uptime") + F.col("downtime"))), every=300)
     assert comp.count() > 0
+
+
+def test_stream_twa_partials_equals_batch(spark, tmp_path):
+    """Streamed locf time-weight partials, plain-summed, reproduce
+    batch time_weighted_avg exactly across micro-batch edges; the twa
+    ratio re-derives from the summed partials."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import time_weighted_avg
+    from diive_spark.streaming.stateful import stream_twa_partials
+
+    src = str(tmp_path / "twa_in")
+    out = str(tmp_path / "twa_out")
+    ckpt = str(tmp_path / "twa_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+
+    rng = np.random.default_rng(37)
+    rows, pos = [], 0
+    while pos < 450:
+        v = None if rng.random() < 0.1 else float(rng.normal(20, 5))
+        rows.append(("web", "d0", pos, v))
+        pos += int(rng.integers(1, 20))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_twa_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(rows) // 2
+    for chunk in (rows[:cut], rows[cut:]):
+        spark.createDataFrame(chunk, schema).write.mode("append").parquet(src)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start")
+        .agg(F.sum("n").cast("long").alias("n"),
+             F.sum("integral").alias("integral"),
+             F.sum("duration").alias("duration"))
+        .withColumn("twa", F.col("integral") / F.col("duration"))
+    )
+    want = time_weighted_avg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "n", "integral", "duration",
+            "twa"]
+    g = got.select(*cols).orderBy("bin_start").toPandas()
+    w = want.select(*cols).orderBy("bin_start").toPandas()
+    assert len(g) > 0
+    assert (g["n"] == w["n"]).all()
+    for c in ("integral", "duration", "twa"):
+        assert (g[c] - w[c]).abs().max() < 1e-9
