@@ -372,3 +372,93 @@ def stream_twa_partials(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+GAUGE_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("bin_start", T.LongType()),
+        T.StructField("n", T.LongType()),
+        T.StructField("delta", T.DoubleType()),
+        T.StructField("dx", T.DoubleType()),
+        T.StructField("idelta_left", T.DoubleType()),
+        T.StructField("ileft_pos", T.LongType()),
+        T.StructField("idelta_right", T.DoubleType()),
+        T.StructField("iright_pos", T.LongType()),
+        T.StructField("first", T.DoubleType()),
+        T.StructField("first_pos", T.LongType()),
+        T.StructField("last", T.DoubleType()),
+        T.StructField("last_pos", T.LongType()),
+    ]
+)
+
+GAUGE_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("last_val", T.DoubleType()),
+    ]
+)
+
+
+def _gauge_partials(key, pdfs, state):
+    import pandas as pd
+
+    prev_pos, prev_val = (state.get if state.exists else (None, None))
+    pts = []
+    for pdf in pdfs:
+        sub = pdf.dropna(subset=["value"])
+        pts.extend(zip((int(p) for p in sub["pos"]),
+                       (float(v) for v in sub["value"])))
+    bins: dict[int, dict] = {}
+    for pos, val in sorted(pts):
+        if prev_pos is not None and pos <= prev_pos:
+            continue  # replay / duplicate
+        b = (pos // 60) * 60  # increments land in the LATER reading's bin
+        agg = bins.setdefault(b, {
+            "n": 0, "delta": 0.0, "dx": 0.0,
+            "il": None, "ilp": None, "ir": None, "irp": None,
+            "f": val, "fp": pos, "l": val, "lp": pos,
+        })
+        agg["n"] += 1
+        agg["l"], agg["lp"] = val, pos
+        if agg["fp"] > pos:
+            agg["f"], agg["fp"] = val, pos
+        if prev_val is not None:
+            inc, dxx = val - prev_val, float(pos - prev_pos)
+            agg["delta"] += inc
+            agg["dx"] += dxx
+            if agg["il"] is None:
+                agg["il"], agg["ilp"] = inc, pos
+            agg["ir"], agg["irp"] = inc, pos
+        prev_pos, prev_val = pos, val
+    state.update((prev_pos, prev_val))
+    rows = [
+        (key[0], key[1], b, a["n"], a["delta"], a["dx"],
+         a["il"], a["ilp"], a["ir"], a["irp"],
+         a["f"], a["fp"], a["l"], a["lp"])
+        for b, a in sorted(bins.items())
+    ]
+    if rows:
+        yield pd.DataFrame(rows, columns=[f.name for f in GAUGE_SCHEMA])
+
+
+def stream_gauge_partials(stream_df: DataFrame) -> DataFrame:
+    """Stateful streaming face of ``analyses.gauge_agg`` (signed-delta
+    gauges — the counter face without reset healing): keyed state =
+    last (pos, value), so the increment at a bin's first reading
+    crosses micro-batch and bin edges exactly like the batch ``lag``.
+    Emits per-bin partials with pos anchors on BOTH the edge readings
+    and the edge increments, so multi-batch emissions of one bin
+    compose exactly: sums for n/delta/dx, ``min_by(idelta_left,
+    ileft_pos)`` / ``max_by(idelta_right, iright_pos)`` /
+    ``min_by(first, first_pos)`` / ``max_by(last, last_pos)``; rate
+    re-derives as sum(delta)/sum(dx), then ``analyses.compose_gauge``
+    lifts tiers.  Replay-idempotent."""
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _gauge_partials,
+        outputStructType=GAUGE_SCHEMA,
+        stateStructType=GAUGE_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -822,3 +822,68 @@ def test_stream_twa_partials_equals_batch(spark, tmp_path):
     assert (g["n"] == w["n"]).all()
     for c in ("integral", "duration", "twa"):
         assert (g[c] - w[c]).abs().max() < 1e-9
+
+
+def test_stream_gauge_partials_equals_batch(spark, tmp_path):
+    """Streamed signed-delta gauge partials, composed with the
+    documented anchors, reproduce batch gauge_agg exactly across
+    micro-batch edges — including rate via the dx span partial."""
+    import numpy as np
+
+    from diive_spark.operators.analyses import gauge_agg
+    from diive_spark.streaming.stateful import stream_gauge_partials
+
+    src = str(tmp_path / "g_in")
+    out = str(tmp_path / "g_out")
+    ckpt = str(tmp_path / "g_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+
+    rng = np.random.default_rng(41)
+    rows, pos, g = [], 0, 50.0
+    while pos < 450:
+        g += float(rng.normal(0, 2))
+        v = None if rng.random() < 0.08 else g
+        rows.append(("web", "d0", pos, v))
+        pos += int(rng.integers(1, 15))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_gauge_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(rows) // 2
+    for chunk in (rows[:cut], rows[cut:]):
+        spark.createDataFrame(chunk, schema).write.mode("append").parquet(src)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("delta").alias("delta"),
+            F.min_by("idelta_left", F.col("ileft_pos")).alias("idelta_left"),
+            F.max_by("idelta_right", F.col("iright_pos")).alias(
+                "idelta_right"),
+            (F.sum("delta") / F.sum("dx")).alias("rate"),
+            F.sum("dx").alias("dx"),
+            F.min_by("first", F.col("first_pos")).alias("first"),
+            F.max_by("last", F.col("last_pos")).alias("last"),
+        )
+    )
+    want = gauge_agg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "n", "delta", "idelta_left",
+            "idelta_right", "rate", "dx", "first", "last"]
+    g_ = got.select(*cols).orderBy("bin_start").toPandas()
+    w = want.select(*cols).orderBy("bin_start").toPandas()
+    assert len(g_) > 0 and (g_["n"] == w["n"]).all()
+    for c in ("delta", "idelta_left", "idelta_right", "rate", "dx",
+              "first", "last"):
+        na, nb = g_[c].isna(), w[c].isna()
+        assert (na == nb).all(), c
+        assert (g_[c] - w[c]).abs().max() < 1e-9, c
