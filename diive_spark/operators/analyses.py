@@ -573,8 +573,12 @@ def counter_agg(
         F.count(v).alias("n"),
         F.sum("_inc").alias("counter_delta"),
         F.sum("_reset").alias("n_resets"),
-        F.min_by(v, ax).alias("first"),
-        F.max_by(v, ax).alias("last"),
+        # anchor ordering masked to REAL readings: a null reading on
+        # the bin edge must not become first/last (min_by would return
+        # the null itself), since compose_counter's cross-tier
+        # min_by(first, first_pos) needs non-null anchors to fold
+        F.min_by(v, F.when(v.isNotNull(), ax)).alias("first"),
+        F.max_by(v, F.when(v.isNotNull(), ax)).alias("last"),
     )
 
 
@@ -2195,8 +2199,14 @@ def compose_counter(
             F.sum("n").cast("long").alias("n"),
             F.sum("counter_delta").alias("counter_delta"),
             F.sum("n_resets").cast("long").alias("n_resets"),
-            F.min_by("first", bs).alias("first"),
-            F.max_by("last", bs).alias("last"),
+            # a child bin whose readings were ALL null carries null
+            # anchors (n=0); mask its ordering so the parent's first/
+            # last is the earliest/latest REAL reading, matching a
+            # direct coarse build on the same nulls
+            F.min_by("first", F.when(F.col("first").isNotNull(), bs))
+            .alias("first"),
+            F.max_by("last", F.when(F.col("last").isNotNull(), bs))
+            .alias("last"),
         )
         .select(
             *keys,

@@ -265,6 +265,27 @@ class SnapshotBackend(TierBackend):
         out.write(bytearray(text.encode("utf-8")))
         out.close()
 
+    def _write_text_atomic(self, path: str, text: str) -> None:
+        """Pointer-safe write: stage to a temp sibling, then rename
+        over the target.  ``fs.create(path, True)`` truncates in place,
+        so a crash mid-write could leave a torn/empty pointer visible
+        to concurrent readers; rename is the one atomic primitive the
+        Hadoop FileSystem contract gives (HDFS renames are atomic;
+        local POSIX rename overwrites atomically).  On stores where
+        rename-onto-existing returns false (HDFS), delete-then-rename
+        leaves a brief MISSING-pointer window instead of a torn one —
+        :meth:`current_snapshot_id` repairs both by falling back to
+        the newest committed manifest."""
+        fs, jvm = self._fs(path)
+        tmp = f"{path}.tmp"
+        self._write_text(tmp, text)
+        jsrc = jvm.org.apache.hadoop.fs.Path(tmp)
+        jdst = jvm.org.apache.hadoop.fs.Path(path)
+        if not fs.rename(jsrc, jdst):
+            fs.delete(jdst, False)
+            if not fs.rename(jsrc, jdst):
+                raise IOError(f"atomic pointer rename failed: {path}")
+
     def _read_text(self, path: str) -> str | None:
         fs, jvm = self._fs(path)
         jpath = jvm.org.apache.hadoop.fs.Path(path)
@@ -313,9 +334,36 @@ class SnapshotBackend(TierBackend):
                 f"committed)")
         return json.loads(text)
 
+    # Partition directory names are Hive-escaped by Spark's writer
+    # ('a/b' -> 'a%2Fb'); manifests key on the RAW value so callers
+    # never see escaping, and paths are re-escaped on the way out.
+    # Spark's own JVM helpers are used so the mapping is exact by
+    # construction (ExternalCatalogUtils.escapePathName is what the
+    # InsertIntoHadoopFsRelation writer itself calls).
+    def _escape_part(self, value: str) -> str:
+        jvm = self.spark._jvm
+        return jvm.org.apache.spark.sql.catalyst.catalog.\
+            ExternalCatalogUtils.escapePathName(value)
+
+    def _unescape_part(self, name: str) -> str:
+        jvm = self.spark._jvm
+        return jvm.org.apache.spark.sql.catalyst.catalog.\
+            ExternalCatalogUtils.unescapePathName(name)
+
     def current_snapshot_id(self, tier: str) -> int | None:
         text = self._read_text(self._current_path(tier))
-        return None if text is None else int(text.strip())
+        if text is not None:
+            try:
+                return int(text.strip())
+            except ValueError:
+                pass  # torn/empty pointer from a crashed commit
+        # repair path: a missing or unparsable pointer falls back to
+        # the newest committed manifest (a manifest is only written as
+        # part of a commit, so max-id == last commit; a crash between
+        # manifest write and pointer flip resolves FORWARD to the
+        # manifest that was being committed)
+        snaps = self.snapshots(tier)
+        return max(s["id"] for s in snaps) if snaps else None
 
     def _commit(self, tier: str, parts: dict[str, int],
                 parent: int | None) -> int:
@@ -326,9 +374,8 @@ class SnapshotBackend(TierBackend):
         self._write_text(
             os.path.join(self._manifest_dir(tier), f"snap-{new_id}.json"),
             json.dumps(manifest))
-        # the pointer flip IS the commit (Iceberg: atomic catalog swap;
-        # single-writer, so create-overwrite is the swap)
-        self._write_text(self._current_path(tier), str(new_id))
+        # the pointer flip IS the commit (Iceberg: atomic catalog swap)
+        self._write_text_atomic(self._current_path(tier), str(new_id))
         return new_id
 
     # ------------------------------------------------------ TierBackend
@@ -364,11 +411,15 @@ class SnapshotBackend(TierBackend):
         for st in fs.listStatus(jvm.org.apache.hadoop.fs.Path(stage)):
             name = st.getPath().getName()
             if st.isDirectory() and name.startswith(prefix):
-                touched.append(name[len(prefix):])
+                # staging dirs carry Hive-ESCAPED values; manifests key
+                # on the raw value so drop_partition/read callers can
+                # pass the value as it appears in the column
+                touched.append(self._unescape_part(name[len(prefix):]))
         parts = dict(base)
         for value in touched:
+            esc = self._escape_part(value)
             dest_parent = os.path.join(self._data_root(tier),
-                                       f"{prefix}{value}")
+                                       f"{prefix}{esc}")
             fs.mkdirs(jvm.org.apache.hadoop.fs.Path(dest_parent))
             dest = jvm.org.apache.hadoop.fs.Path(dest_parent,
                                                  f"snapv={new_id}")
@@ -381,7 +432,7 @@ class SnapshotBackend(TierBackend):
             if fs.exists(dest):
                 fs.delete(dest, True)
             if not fs.rename(
-                jvm.org.apache.hadoop.fs.Path(stage, f"{prefix}{value}"),
+                jvm.org.apache.hadoop.fs.Path(stage, f"{prefix}{esc}"),
                 dest,
             ):
                 raise IOError(
@@ -399,7 +450,8 @@ class SnapshotBackend(TierBackend):
             raise ValueError(f"{tier}: snapshot {manifest['id']} is empty")
         prefix = f"{self.partition_col}="
         paths = [
-            os.path.join(self._data_root(tier), f"{prefix}{value}",
+            os.path.join(self._data_root(tier),
+                         f"{prefix}{self._escape_part(value)}",
                          f"snapv={version}")
             for value, version in sorted(parts.items())
         ]
@@ -425,7 +477,7 @@ class SnapshotBackend(TierBackend):
         ``rollback_to_snapshot``) — O(1), no data job; later snapshots
         stay readable via :meth:`read_at` until expired."""
         self._snapshot(tier, snapshot_id)  # must exist
-        self._write_text(self._current_path(tier), str(snapshot_id))
+        self._write_text_atomic(self._current_path(tier), str(snapshot_id))
 
     def partition_values(self, tier: str) -> list[str]:
         cur = self.current_snapshot_id(tier)
@@ -440,9 +492,13 @@ class SnapshotBackend(TierBackend):
         a partition predicate)."""
         parent = self.current_snapshot_id(tier)
         if parent is None:
-            return
+            raise ValueError(f"{tier}: never written")
         parts = dict(self._snapshot(tier, parent)["parts"])
-        parts.pop(value, None)
+        if value not in parts:
+            raise ValueError(
+                f"{tier}: no partition {self.partition_col}={value!r} "
+                f"in snapshot {parent} (have {sorted(parts)})")
+        parts.pop(value)
         self._commit(tier, parts, parent)
 
     def table_exists(self, tier: str) -> bool:
@@ -474,7 +530,7 @@ class SnapshotBackend(TierBackend):
                 pname = pst.getPath().getName()
                 if not pname.startswith(prefix):
                     continue
-                value = pname[len(prefix):]
+                value = self._unescape_part(pname[len(prefix):])
                 for vst in fs.listStatus(pst.getPath()):
                     vname = vst.getPath().getName()
                     if not vname.startswith("snapv="):

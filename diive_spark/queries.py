@@ -4952,10 +4952,21 @@ def q_tier_snapshot_travel(spark, sf_dir):
         .agg(F.count("value").cast("long").alias("n"))
     )
     min_src = v1.agg(F.min("source")).first()[0]
-    v2 = v1.where((F.col("source") == min_src) & (F.col("bin_start") == 0))
 
-    be = SnapshotBackend(spark, tempfile.mkdtemp(prefix="snaptravel_"),
-                         partition_col="source")
+    import shutil
+
+    root = tempfile.mkdtemp(prefix="snaptravel_")
+    try:
+        return _tier_snapshot_travel_body(spark, root, v1, min_src)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def _tier_snapshot_travel_body(spark, root, v1, min_src):
+    from .operators.tiers import SnapshotBackend
+
+    v2 = v1.where((F.col("source") == min_src) & (F.col("bin_start") == 0))
+    be = SnapshotBackend(spark, root, partition_col="source")
     be.write_partitions(v1, "t")
     snap1 = be.current_snapshot_id("t")
     be.write_partitions(v2, "t")

@@ -103,12 +103,20 @@ def _counter_partials(key, pdfs, state):
     rows = []
     pts = []
     for pdf in pdfs:
-        pts.extend(zip((int(p) for p in pdf["pos"]),
-                       (float(v) for v in pdf["value"])))
+        pts.extend(zip((int(p) for p in pdf["pos"]), pdf["value"].tolist()))
     bins: dict[int, list] = {}
-    for pos, val in sorted(pts):
+    for pos, raw in sorted(pts, key=lambda t: t[0]):
         if prev_pos is not None and pos <= prev_pos:
             continue  # replay / duplicate: idempotent skip
+        if raw is None or raw != raw:  # null/NaN reading
+            # batch counter_agg's lag chain passes the null through:
+            # the NEXT reading sees lag(value)=NULL and gets inc=0
+            # (restart).  Mirror that by clearing prev_val — without
+            # this, NaN would poison keyed state and every later
+            # increment for the series.
+            prev_pos, prev_val = pos, None
+            continue
+        val = float(raw)
         if prev_val is None:
             inc, reset = 0.0, 0
         else:
@@ -183,8 +191,13 @@ def _state_partials(key, pdfs, state):
     prev_pos, prev_state = (state.get if state.exists else (None, None))
     pts = []
     for pdf in pdfs:
-        pts.extend(zip((int(p) for p in pdf["pos"]),
-                       (str(v) for v in pdf["state"])))
+        # batch state_agg drops null states up front (the locf segment
+        # runs through the dropout until the next REAL reading), so a
+        # null row must neither open a phantom 'None' segment nor
+        # advance the keyed position
+        sub = pdf.dropna(subset=["state"])
+        pts.extend(zip((int(p) for p in sub["pos"]),
+                       (str(v) for v in sub["state"])))
     bins: dict[tuple, list] = {}
     for pos, st in sorted(pts):
         if prev_pos is not None and pos <= prev_pos:

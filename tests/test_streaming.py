@@ -887,3 +887,110 @@ def test_stream_gauge_partials_equals_batch(spark, tmp_path):
         na, nb = g_[c].isna(), w[c].isna()
         assert (na == nb).all(), c
         assert (g_[c] - w[c]).abs().max() < 1e-9, c
+
+
+def test_stream_counter_partials_null_values_match_batch(spark, tmp_path):
+    """Null readings must not poison keyed counter state (pre-fix:
+    float(NaN) became prev_val and every later increment was NaN).
+    Batch counter_agg's lag chain passes nulls through — the reading
+    AFTER a dropout restarts with inc=0 — and the streamed partials
+    must reproduce that exactly across a micro-batch edge that lands
+    ON a null."""
+    from diive_spark.operators.analyses import counter_agg
+    from diive_spark.streaming.stateful import stream_counter_partials
+
+    src = str(tmp_path / "ctrn_in")
+    out = str(tmp_path / "ctrn_out")
+    ckpt = str(tmp_path / "ctrn_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+
+    rows = []
+    c = 0.0
+    for pos in range(240):
+        c += float((pos * 7) % 5)
+        # dropouts mid-bin and one exactly at the micro-batch edge
+        v = None if pos in (25, 26, 95, 119, 180) else c
+        rows.append(("web", "d0", pos, v))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_counter_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    for lo, hi in ((0, 120), (120, 240)):
+        spark.createDataFrame(rows[lo:hi], schema).write.mode(
+            "append").parquet(src)
+        drain()
+
+    composed = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start")
+        .agg(
+            F.sum("n").cast("long").alias("n"),
+            F.sum("counter_delta").alias("counter_delta"),
+            F.sum("n_resets").cast("long").alias("n_resets"),
+            F.min_by("first", F.col("first_pos")).alias("first"),
+            F.max_by("last", F.col("last_pos")).alias("last"),
+        )
+    )
+    want = counter_agg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "n", "counter_delta",
+            "n_resets", "first", "last"]
+    g = composed.select(*cols).orderBy("bin_start").toPandas()
+    w = want.select(*cols).orderBy("bin_start").toPandas()
+    assert len(g) == 4
+    assert g.reset_index(drop=True).equals(w.reset_index(drop=True))
+    # NaN never leaked into a composed increment
+    assert g["counter_delta"].notna().all()
+
+
+def test_stream_state_partials_null_states_match_batch(spark, tmp_path):
+    """Null states are dropped like batch state_agg drops them (the
+    locf segment runs THROUGH the dropout to the next real reading);
+    pre-fix the stream minted phantom 'None' segments via str(None)."""
+    from diive_spark.operators.analyses import state_agg
+    from diive_spark.streaming.stateful import stream_state_partials
+
+    src = str(tmp_path / "stn_in")
+    out = str(tmp_path / "stn_out")
+    ckpt = str(tmp_path / "stn_ckpt")
+    schema = "source string, doc_id string, pos long, state string"
+
+    states = ["ok", "warn", None, "ok", None, "down", "ok", None, "warn",
+              "ok", "down", None]
+    rows = [("web", "d0", i * 13, s) for i, s in enumerate(states)]
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_state_partials(stream)
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(120)
+
+    cut = len(rows) // 2  # edge lands right after a null reading
+    for chunk in (rows[:cut], rows[cut:]):
+        spark.createDataFrame(chunk, schema).write.mode("append").parquet(src)
+        drain()
+
+    got = (
+        spark.read.parquet(out)
+        .groupBy("source", "doc_id", "bin_start", "state")
+        .agg(F.sum("n_segments").cast("long").alias("n_segments"),
+             F.sum("duration").alias("duration"))
+    )
+    assert got.where(F.col("state").isin("None", "nan")).count() == 0
+    want = state_agg(spark.createDataFrame(rows, schema), every=60)
+    cols = ["source", "doc_id", "bin_start", "state", "n_segments",
+            "duration"]
+    g = got.select(*cols).orderBy("bin_start", "state").toPandas()
+    w = want.select(*cols).orderBy("bin_start", "state").toPandas()
+    assert len(g) > 0 and g.reset_index(drop=True).equals(
+        w.reset_index(drop=True))

@@ -698,3 +698,66 @@ def test_ddsketch_cascade_collapsed_stays_exact(spark, tmp_path,
         .count().agg({"count": "max"}).first()[0]
     )
     assert worst <= 16
+
+
+def test_snapshot_backend_escaped_partition_values(spark, tmp_path):
+    """Partition values that Hive-escape in directory names ('/', '=',
+    space, ':') must round-trip: manifests key on the RAW value, so
+    partition_values()/drop_partition() speak column values, not
+    directory names, and reads resolve the escaped paths."""
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    be = SnapshotBackend(spark, str(tmp_path / "t"))
+    vals = ["web/us", "a=b", "s3: cold", "plain"]
+    df = spark.createDataFrame(
+        [(v, f"d{i}", float(i)) for i, v in enumerate(vals)],
+        "source string, doc_id string, v double")
+    be.write_partitions(df, "raw")
+    assert be.partition_values("raw") == sorted(vals)
+    # read resolves the escaped directories and restores raw values
+    got = {(r.source, r.v) for r in be.read("raw").collect()}
+    assert got == {(v, float(i)) for i, v in enumerate(vals)}
+    # drop by RAW value actually drops (the pre-fix bug: silent no-op)
+    be.drop_partition("raw", "web/us")
+    assert be.partition_values("raw") == sorted(vals)[:-1] \
+        or "web/us" not in be.partition_values("raw")
+    assert {r.source for r in be.read("raw").collect()} == set(vals) - {
+        "web/us"}
+    # dropping an absent partition raises instead of silently no-opping
+    with pytest.raises(ValueError, match="no partition"):
+        be.drop_partition("raw", "nope")
+    # expiry maps escaped dirs back to raw values for liveness checks:
+    # the dropped partition's files are reclaimed, survivors intact
+    stats = be.expire_snapshots("raw", keep_last=1)
+    assert stats["files_deleted"] >= 1
+    assert {r.source for r in be.read("raw").collect()} == set(vals) - {
+        "web/us"}
+
+
+def test_snapshot_backend_pointer_repair(spark, tmp_path):
+    """A torn/empty/missing _current pointer (crash mid-commit) heals:
+    current_snapshot_id falls back to the newest committed manifest
+    instead of raising int('')."""
+    import os
+
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    root = str(tmp_path / "t")
+    be = SnapshotBackend(spark, root)
+    df = spark.createDataFrame(
+        [("a", "d1", 1.0)], "source string, doc_id string, v double")
+    be.write_partitions(df, "raw")
+    be.write_partitions(df, "raw")
+    snap = be.current_snapshot_id("raw")
+    assert snap == 2
+    ptr = os.path.join(root, "raw", "_current")
+    with open(ptr, "w"):
+        pass  # torn write: empty pointer
+    assert be.current_snapshot_id("raw") == snap
+    os.remove(ptr)  # crash between manifest write and pointer flip
+    assert be.current_snapshot_id("raw") == snap
+    assert be.read("raw").count() == 1
+    # and the next commit repairs the pointer file itself
+    be.write_partitions(df, "raw")
+    with open(ptr) as fh:
+        assert int(fh.read().strip()) == 3
