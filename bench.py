@@ -58,6 +58,13 @@ BENCH_QUERIES = [
     "dedup_minhash_lsh",
     "similarity_topk_cosine",
     "token_count",
+    # --- r5 additions (VERDICT r4 items 4+6): the stable 14 above keep
+    # round-over-round comparability; these measure the plans you'd
+    # actually run at 100x.
+    "similarity_topk_lsh",   # production ANN slot (bucketed, not scan)
+    "corpus_pipeline",       # end-to-end preprocessing composition
+    "ddsketch_tiers_engine", # sketch build+compose+collapse, engine half
+    "pack_sequences",        # concat-and-chunk packing, 8 shards
 ]
 
 
@@ -401,7 +408,53 @@ def main() -> None:
         docs = docs.repartition(spark.sparkContext.defaultParallelism)
         return minhash_dedup(docs, k=64, bands=16, est_threshold=0.6)
 
-    prod_overrides = {"dedup_minhash_lsh": _dedup_minhash_prod}
+    # The production ANN slot (VERDICT r4 item 4): the registry's
+    # similarity_topk_lsh is a SELF-VERIFYING oracle whose in-query
+    # brute-force truth scan is O(n * queries) verification harness;
+    # the bench measures the engine half alone — hyperplane buckets,
+    # multi-probe, bucket equi-join — the plan you'd run at 10^9
+    # vectors.  similarity_topk_cosine stays as the named brute-force
+    # baseline row, so the scan-vs-bucket gap is visible per round.
+    def _similarity_lsh_prod(spark, sf_dir):
+        from pyspark.sql import functions as F
+
+        from diive_spark.operators import similarity
+
+        emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        queries = emb.where(F.col("vec_id") < 64)
+        return similarity.cosine_topk_lsh(
+            emb, queries, dim=64, k=10, n_planes=6, n_probe_bits=2
+        )
+
+    # End-to-end preprocessing composition (clean -> PII -> exact dedup
+    # -> MinHash-LSH near-dup -> quality gates -> frozen split): the
+    # number a pipeline owner actually budgets.
+    def _corpus_prod(spark, sf_dir):
+        from diive_spark.operators.corpus import corpus_pipeline
+
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        docs = docs.repartition(spark.sparkContext.defaultParallelism)
+        return corpus_pipeline(docs)
+
+    # DDSketch tiers, ENGINE half only (the registry query spends its
+    # wall on the in-query exactness verification — sort-window order
+    # statistics — not on the sketch): build 1m, compose 1h/1d, bound
+    # state with a level-2 uniform collapse.
+    def _ddsketch_engine(spark, sf_dir):
+        from diive_spark.operators.analyses import (
+            collapse_ddsketch, compose_ddsketch, ddsketch_agg)
+        from diive_spark.queries import series
+
+        dd1m = ddsketch_agg(series(spark, sf_dir), every=60)
+        dd1h = compose_ddsketch(dd1m, every=3600)
+        return collapse_ddsketch(compose_ddsketch(dd1h, every=86400), 2)
+
+    prod_overrides = {
+        "dedup_minhash_lsh": _dedup_minhash_prod,
+        "similarity_topk_lsh": _similarity_lsh_prod,
+        "corpus_pipeline": _corpus_prod,
+        "ddsketch_tiers_engine": _ddsketch_engine,
+    }
 
     for name in BENCH_QUERIES:
         fn = prod_overrides.get(name) or QUERIES[name][0]

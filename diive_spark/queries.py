@@ -5163,3 +5163,134 @@ QUERIES = {
     "neardup_components": (q_neardup_components, SQL_NEARDUP_COMPONENTS),
     "repetition_features": (q_repetition_features, SQL_REPETITION),
 }
+
+# Driver snapshot-window rotation (r5, VERDICT.md "Next round" #2):
+# the driver hashes the FIRST ~50 registry entries each round, so the
+# registry is ordered least-recently-driver-verified first — the r5
+# snapshot re-proves the 50 oldest certificates (r2-era) instead of
+# re-hashing the queries r4 just covered.  The map records the round
+# of each query's most recent CORRECTNESS_r0N.json appearance.
+_LAST_DRIVER_VERIFIED = {
+    "ddsketch_quantile_tiers": 4,
+    "ddsketch_collapse": 4,
+    "rollup_compose_family": 4,
+    "tier_snapshot_travel": 4,
+    "holt_smooth": 4,
+    "theil_sen_trend": 4,
+    "freq_topk_tiers": 4,
+    "cusum_changepoint": 4,
+    "m4_downsample": 4,
+    "savgol_smooth": 4,
+    "interpolated_twa": 4,
+    "quality_classifier": 4,
+    "dedup_minhash_lsh": 4,
+    "similarity_topk_lsh": 4,
+    "ml_gapfill_rf": 4,
+    "similarity_topk_ivf": 4,
+    "fit_ci_bands": 4,
+    "arrival_stats_bins": 4,
+    "acf_agg_bins": 4,
+    "topk_agg_bins": 4,
+    "robust_zscore": 4,
+    "stats2d_tiers": 4,
+    "seasonal_zscore": 4,
+    "cusum_chart": 4,
+    "ewma_chart": 4,
+    "candle_agg_tiers": 4,
+    "gauge_agg_bins": 4,
+    "hll_distinct_tiers": 4,
+    "hist_sketch_percentiles": 4,
+    "counter_agg_bins": 4,
+    "ltob_downsample": 4,
+    "time_weighted_avg": 4,
+    "state_agg_bins": 4,
+    "heartbeat_agg_bins": 4,
+    "bin_entropy": 4,
+    "tier_retention": 4,
+    "pii_redaction": 4,
+    "stratified_sample": 4,
+    "interval_join_windows": 4,
+    "sessionize_users": 4,
+    "embedding_neardup_exact": 4,
+    "distinct_rollup": 4,
+    "top_ngrams": 4,
+    "clean_text_normalize": 4,
+    "hash_split_frozen": 4,
+    "rolling_correlation": 4,
+    "boilerplate_removal": 4,
+    "unigram_logprob": 4,
+    "winsorize_clip": 4,
+    "gorilla_roundtrip": 4,
+    "tier_cascade": 3,
+    "linear_fit": 3,
+    "multimodal_decode": 3,
+    "ustar_mpt": 3,
+    "decontaminate_ngrams": 3,
+    "perplexity_bucket_sample": 3,
+    "pack_sequences": 3,
+    "temperature_mix": 3,
+    "duplicate_token_spans": 3,
+    "mask_duplicate_spans": 3,
+    "semantic_dedup": 3,
+    "tier_incremental_merge": 3,
+    "compression_ratio": 3,
+    "dedup_simhash": 3,
+    "similarity_ivf_exact": 3,
+    "bpe_pair_counts": 3,
+    "rollup_mincount_gate": 2,
+    "rollup_compose_tiers": 2,
+    "sstats_battery": 2,
+    "percentile_ladder": 2,
+    "histogram_fixed_bins": 2,
+    "gapfinder_runs": 2,
+    "interpolate_limited": 2,
+    "zscore_outliers": 2,
+    "zscore_increments": 2,
+    "localsd_hampel": 2,
+    "absolute_limits": 2,
+    "qcf_combiner": 2,
+    "daily_correlation": 2,
+    "diel_cycle": 2,
+    "circular_mean_kanda": 2,
+    "setto_threshold": 2,
+    "dedup_keep_last": 2,
+    "freq_detect": 2,
+    "grid_completion": 2,
+    "rolling_mean_gated": 2,
+    "lookup_table_fill": 2,
+    "dedup_exact": 2,
+    "token_count": 2,
+    "language_id": 2,
+    "quality_features": 2,
+    "similarity_topk_cosine": 2,
+    "ngram_jaccard": 2,
+    "lagged_variants": 2,
+    "backfill_limited": 2,
+    "banded_uncertainty": 2,
+    "banded_uncertainty_m2m3": 2,
+    "ustar_scenarios": 2,
+    "crosscov_scan": 2,
+    "daily_full_gate": 2,
+    "sorting_bins_decoupling": 2,
+    "quantile_xy_agg_z": 2,
+    "histogram_peak_bins": 2,
+    "cumulative_envelope": 2,
+    "rollup_time_30min": 2,
+    "rollup_weekly_calendar": 2,
+    "optimum_range": 2,
+    "winddir_offset_sweep": 2,
+    "screening_pipeline_ep2": 2,
+    "ml_gapfill_rf_flags": 2,
+    "quadratic_fit": 2,
+    "critical_heat_days": 2,
+    "asof_join_backward": 2,
+    "csv_ingest_filetype": 2,
+    "neardup_components": 2,
+    "repetition_features": 2,
+}
+
+_order = {k: i for i, k in enumerate(QUERIES)}
+QUERIES = dict(sorted(
+    QUERIES.items(),
+    key=lambda kv: (_LAST_DRIVER_VERIFIED.get(kv[0], 0), _order[kv[0]]),
+))
