@@ -994,3 +994,100 @@ def test_stream_state_partials_null_states_match_batch(spark, tmp_path):
     w = want.select(*cols).orderBy("bin_start", "state").toPandas()
     assert len(g) > 0 and g.reset_index(drop=True).equals(
         w.reset_index(drop=True))
+
+
+def test_stateful_partials_state_bounded_at_100k_keys(spark, tmp_path):
+    """Scale stress (VERDICT r4 item 5): every stateful-partials family
+    keeps O(1) keyed state — measured through the state-store metrics
+    at 100k distinct series.  Asserts (a) one state row per key, never
+    per point, (b) bytes/key bounded (<512 B: a few scalars + the key +
+    UnsafeRow/store overhead), (c) a SECOND batch over the SAME keys
+    does not grow the store (state size is key-cardinality-bound, not
+    stream-length-bound)."""
+    import json
+
+    from diive_spark.streaming.stateful import (
+        stream_counter_partials, stream_gauge_partials,
+        stream_heartbeat_partials, stream_state_partials,
+        stream_twa_partials)
+
+    n_keys = 100_000
+    base = (
+        spark.range(n_keys)
+        .select(
+            F.concat(F.lit("s"), (F.col("id") % 16).cast("string"))
+            .alias("source"),
+            F.concat(F.lit("d"), F.col("id").cast("string"))
+            .alias("doc_id"),
+            (F.col("id") % 97).cast("double").alias("value"),
+            F.when(F.col("id") % 3 == 0, "ok").otherwise("down")
+            .alias("state"),
+        )
+    )
+
+    families = {
+        "counter": (stream_counter_partials,
+                    ["source", "doc_id", "pos", "value"]),
+        "state": (stream_state_partials,
+                  ["source", "doc_id", "pos", "state"]),
+        "heartbeat": (lambda s: stream_heartbeat_partials(
+            s, alive_window=10), ["source", "doc_id", "pos"]),
+        "twa": (stream_twa_partials, ["source", "doc_id", "pos", "value"]),
+        "gauge": (stream_gauge_partials,
+                  ["source", "doc_id", "pos", "value"]),
+    }
+
+    measured: dict[str, float] = {}
+    for fam, (op, cols) in families.items():
+        src = str(tmp_path / f"{fam}_in")
+        out = str(tmp_path / f"{fam}_out")
+        ckpt = str(tmp_path / f"{fam}_ckpt")
+        schema = ", ".join(
+            f"{c} {'string' if c in ('source', 'doc_id', 'state') else ('long' if c == 'pos' else 'double')}"
+            for c in cols
+        )
+
+        def drain():
+            stream = spark.readStream.schema(schema).parquet(src)
+            q = (
+                op(stream)
+                .writeStream.format("parquet")
+                .option("path", out).option("checkpointLocation", ckpt)
+                .outputMode("append").trigger(availableNow=True).start()
+            )
+            q.awaitTermination(300)
+            states = [
+                so
+                for p in q.recentProgress
+                for so in p.get("stateOperators", [])
+                if so.get("numRowsTotal")
+            ]
+            assert states, f"{fam}: no state-operator progress"
+            return states[-1]
+
+        for rep in (0, 1):  # second batch replays the SAME 100k keys
+            batch = base.withColumn("pos", F.lit(rep).cast("long"))
+            batch.select(*cols).repartition(8).write.mode(
+                "append").parquet(src)
+            so = drain()
+            n_rows = so["numRowsTotal"]
+            # current-version size, NOT memoryUsedBytes: the HDFS-backed
+            # store also caches prior version maps for recovery, which
+            # would read as phantom per-key growth across batches
+            nbytes = so["customMetrics"]["stateOnCurrentVersionSizeBytes"]
+            assert n_rows == n_keys, (
+                f"{fam} rep{rep}: state rows {n_rows} != keys {n_keys} "
+                f"(state must be per-KEY, not per-point)")
+            per_key = nbytes / n_keys
+            assert per_key < 512, (
+                f"{fam} rep{rep}: {per_key:.0f} B/key exceeds bound")
+            if rep == 0:
+                measured[fam] = per_key
+            else:
+                # replaying every key may rewrite state but not GROW it
+                assert nbytes <= measured[fam] * n_keys * 1.25, (
+                    f"{fam}: store grew {measured[fam]:.0f} -> "
+                    f"{per_key:.0f} B/key on a same-key batch")
+    # one line for DESIGN_SCALE.md's measured-bytes/key row
+    print("STATE_BYTES_PER_KEY " + json.dumps(
+        {k: round(v, 1) for k, v in measured.items()}))
