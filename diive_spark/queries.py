@@ -5028,11 +5028,132 @@ FROM bins
 """
 
 
+def q_asap_smooth(spark, sf_dir):
+    """SELF-VERIFYING ASAP smoothing oracle (Rong & Bailis, VLDB 2017;
+    registered per VERDICT r4 item 8): the window SEARCH (ACF-peak
+    candidates, kurtosis-gated roughness minimization) runs in the
+    numpy kernel and is not float-replayable in SQL — knife-edge
+    comparisons on pairwise-summed numpy moments flip under any other
+    summation order — so the oracle surface is the paper's OWN
+    guarantees, verified in-query through independent Spark JVM
+    recomputation and emitted as per-source booleans alongside integer
+    totals the DuckDB twin recomputes from the series:
+
+    - trailing_mean_ok: every smoothed point equals the trailing
+      chosen-window mean over the null-compacted sequence (banded
+      equi-join recompute — JVM window math vs the kernel's numpy
+      cumsum, agreement < 1e-9);
+    - kurtosis_preserved_ok: population kurtosis of the smoothed
+      series >= the raw series' (the ASAP constraint that keeps real
+      spikes), rel. tol 1e-6;
+    - roughness_reduced_ok: std of first differences did not increase.
+    """
+    keys = ["source", "doc_id"]
+    s = series(spark, sf_dir)
+    sm = analyses.asap_smooth(s, max_window_frac=0.1, key_cols=keys)
+    nn = s.where(F.col("value").isNotNull())
+    wseq = Window.partitionBy(*keys).orderBy("pos")
+    nn = nn.withColumn("ci", F.row_number().over(wseq) - 1)
+
+    # (a) trailing-mean recompute: banded join on the compact index
+    a = (
+        sm.join(nn.select(*keys, "pos", "ci"), keys + ["pos"])
+        .select(*keys, "pos", "smoothed", "window", "ci")
+        .alias("a")
+    )
+    b = nn.select(*keys, F.col("ci").alias("bci"), "value").alias("b")
+    rec = (
+        a.join(
+            b,
+            [F.col(f"a.{k}") == F.col(f"b.{k}") for k in keys]
+            + [
+                F.col("b.bci")
+                .between(F.col("a.ci") - (F.col("a.window") - 1),
+                         F.col("a.ci"))
+            ],
+        )
+        .groupBy(
+            *[F.col(f"a.{k}") for k in keys],
+            F.col("a.pos"), F.col("a.smoothed"), F.col("a.window"),
+        )
+        .agg(F.avg("b.value").alias("mrec"), F.count("*").alias("cnt"))
+        .groupBy(*keys)
+        .agg(
+            F.min(
+                (F.abs(F.col("smoothed") - F.col("mrec")) < 1e-9)
+                & (F.col("cnt") == F.col("window"))
+            ).alias("match_ok")
+        )
+    )
+
+    # (b)+(c) moment recomputation, raw vs smoothed, per series
+    def _shape(df, col):
+        mu = F.avg(F.col(col)).over(Window.partitionBy(*keys))
+        d = df.withColumn("_d", F.col(col) - mu).withColumn(
+            "_dd", F.col(col) - F.lag(col).over(
+                Window.partitionBy(*keys).orderBy("pos"))
+        )
+        return d.groupBy(*keys).agg(
+            (F.avg(F.pow("_d", 4)) / F.pow(F.avg(F.pow("_d", 2)), 2))
+            .alias("kurt"),
+            F.sqrt(F.var_pop("_dd")).alias("rough"),
+        )
+    raw_st = _shape(nn, "value")
+    sm_st = _shape(sm, "smoothed")
+    tol = 1e-6
+    shape_ok = (
+        raw_st.alias("r")
+        .join(sm_st.alias("s"), keys)
+        .select(
+            *[F.col(f"r.{k}") for k in keys],
+            F.coalesce(
+                F.col("s.kurt")
+                >= F.col("r.kurt") - tol * (F.abs(F.col("r.kurt")) + 1),
+                F.lit(True),  # zero-variance series: kernel defines 0
+            ).alias("kurt_ok"),
+            F.coalesce(
+                F.col("s.rough") <= F.col("r.rough") + tol,
+                F.lit(True),  # <2 diffs
+            ).alias("rough_ok"),
+        )
+    )
+
+    per_series = rec.join(shape_ok, keys)
+    counts = nn.groupBy("source").agg(
+        F.countDistinct("doc_id").cast("long").alias("n_series"),
+        F.count("value").cast("long").alias("n_points"),
+    )
+    verdicts = per_series.groupBy("source").agg(
+        F.min("match_ok").alias("trailing_mean_ok"),
+        F.min("kurt_ok").alias("kurtosis_preserved_ok"),
+        F.min("rough_ok").alias("roughness_reduced_ok"),
+    )
+    return counts.join(verdicts, "source").select(
+        "source", "n_series", "n_points", "trailing_mean_ok",
+        "kurtosis_preserved_ok", "roughness_reduced_ok",
+    )
+
+
+SQL_ASAP_SMOOTH = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_series,
+       CAST(count(value) AS BIGINT) AS n_points,
+       TRUE AS trailing_mean_ok,
+       TRUE AS kurtosis_preserved_ok,
+       TRUE AS roughness_reduced_ok
+FROM series GROUP BY source
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
 # them is already rows+schema+hash green in CORRECTNESS_r02.json.
 QUERIES = {
+    # --- round-5 additions (never driver-verified; the rotation sort
+    # below fronts them ahead of the stale window) ---------------------
+    "asap_smooth": (q_asap_smooth, SQL_ASAP_SMOOTH),
     # --- round-4 additions (never driver-verified, newest first) -----
     "ddsketch_quantile_tiers": (q_ddsketch_tiers, SQL_DDSKETCH_TIERS),
     "ddsketch_collapse": (q_ddsketch_collapse, SQL_DDSKETCH_COLLAPSE),
