@@ -14,6 +14,7 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..plans.barrier import no_pushdown_filter
 from .dedup import MinHashIndex, exact_dedup, minhash_dedup
 from .scrub import decontaminate, hash_split, redact_pii
 from .textstats import clean_text, quality_score, repetition_features
@@ -66,8 +67,13 @@ def corpus_pipeline(
         repetition_features(near, text_col="text_scrubbed"),
         text_col="text_scrubbed",
     )
-    kept = scored.where(
-        (F.col("repetition_flag") == 0) & (F.col("quality") >= quality_min)
+    # Barrier, not plain where(): pushdown would inline the whole
+    # quality+repetition feature battery (split/regexp chains) into a
+    # Filter below the dedup join and re-evaluate it per doc without
+    # CSE — measured 4.8x the pipeline wall at sf0.1 (plans/barrier.py)
+    kept = no_pushdown_filter(
+        scored,
+        (F.col("repetition_flag") == 0) & (F.col("quality") >= quality_min),
     )
     return hash_split(
         kept,

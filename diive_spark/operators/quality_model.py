@@ -24,6 +24,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
 
+from ..plans.barrier import no_pushdown_filter
+
 FEATURE_COLS = [
     "n_words",
     "mean_word_len",
@@ -145,7 +147,10 @@ def train_quality_classifier(
 
     labeled = weak_labels(featurize(df, text_col=text_col),
                           text_col=text_col, id_col=id_col)
-    labeled = labeled.where(F.col("label").isNotNull())
+    # barrier: label is a when-chain over the text-feature battery;
+    # plain where() would inline that battery into a pushed-down Filter
+    # and re-evaluate it per doc (plans/barrier.py)
+    labeled = no_pushdown_filter(labeled, F.col("label").isNotNull())
     labeled = hash_split(labeled, {"fit": 0.8, "holdout": 0.2},
                          key_col=id_col, seed=11)
     asm = VectorAssembler(inputCols=FEATURE_COLS, outputCol="features",

@@ -249,6 +249,14 @@ def test_corpus_job_plan_gate(spark):
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoop" not in plan
     assert plan.count("Exchange") <= 6, plan.count("Exchange")
+    # quality-gate barrier (plans/barrier.py): the gate must stay a
+    # Filter over a projected boolean — if pushdown ever re-inlines the
+    # feature battery, Filter nodes grow split()/regexp chains and the
+    # pipeline pays the battery per doc again (measured 7.4x at sf0.1)
+    heavy_filters = [
+        l for l in plan.splitlines() if "Filter" in l and "split(" in l
+    ]
+    assert not heavy_filters, heavy_filters
     # output contract: frozen split column present and populated
     splits = {r["split"] for r in final.select("split").distinct().collect()}
     assert splits <= {"train", "val", "test"} and "train" in splits
