@@ -27,6 +27,8 @@ from __future__ import annotations
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..plans.barrier import no_pushdown_filter
+
 _MERSENNE = (1 << 31) - 1  # permutation modulus (fits ANSI long math)
 
 
@@ -237,11 +239,13 @@ def minhash_lsh_pairs(
         )
         / F.lit(float(len(mh_cols)))
     )
-    return (
-        pairs.withColumn("est_jaccard", est)
-        .where(F.col("est_jaccard") >= est_threshold)
-        .select("id_a", "id_b", "est_jaccard")
-    )
+    # barrier, not plain where(): pushdown would inline the zip_with
+    # signature compare into the Filter and evaluate it twice per
+    # candidate pair (plans/barrier.py)
+    return no_pushdown_filter(
+        pairs.withColumn("est_jaccard", est),
+        F.col("est_jaccard") >= est_threshold,
+    ).select("id_a", "id_b", "est_jaccard")
 
 
 def minhash_dedup(
@@ -672,11 +676,10 @@ class MinHashIndex:
                 F.lit(0), lambda acc, x: acc + x,
             ) / F.lit(float(self.k))
         )
-        return (
-            cand.withColumn("est_jaccard", est)
-            .where(F.col("est_jaccard") >= est_threshold)
-            .select("new_id", "index_id", "est_jaccard")
-        )
+        return no_pushdown_filter(
+            cand.withColumn("est_jaccard", est),
+            F.col("est_jaccard") >= est_threshold,
+        ).select("new_id", "index_id", "est_jaccard")
 
     def dedup_batch(self, docs: DataFrame, est_threshold: float = 0.7,
                     id_col="doc_id", text_col="text",

@@ -21,6 +21,8 @@ import random
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
+from ..plans.barrier import no_pushdown_filter
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -278,7 +280,8 @@ def cosine_near_dup_pairs(
             ],
         )
         .withColumn("cosine", _dot(F.col("a._u"), F.col("b._u")))
-        .where(F.col("cosine") >= threshold)
+        .transform(lambda d: no_pushdown_filter(
+            d, F.col("cosine") >= threshold))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
@@ -304,7 +307,10 @@ def cosine_pairs_exact(
     return (
         a.join(b, on=F.col("a.vid") < F.col("b.vid"))
         .withColumn("cosine", _dot(F.col("a._u"), F.col("b._u")))
-        .where(F.col("cosine") >= threshold)
+        # barrier: a plain where() inlines the dot battery into the
+        # Filter — twice-per-pair at scale (plans/barrier.py)
+        .transform(lambda d: no_pushdown_filter(
+            d, F.col("cosine") >= threshold))
         .select(
             F.col("a.vid").alias("id_a"),
             F.col("b.vid").alias("id_b"),
