@@ -536,3 +536,36 @@ def test_compose_family_plan_shape(spark, tiny_series):
         p = _physical_plan(compose(child, 3600))
         assert p.count("Exchange") <= 2, compose.__name__
         assert "SinglePartition" not in p, compose.__name__
+
+
+def test_no_pushdown_filter_semantics_and_plan(spark):
+    """plans/barrier.no_pushdown_filter: values identical to a plain
+    where(), but the Filter must NOT be substituted through the Project
+    that defines the gated columns — the expensive defining expression
+    (here a split battery) stays out of every Filter node."""
+    from diive_spark.plans.barrier import no_pushdown_filter
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    feat = docs.withColumn(
+        "nw", F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    )
+    cond = F.col("nw") >= 50
+    plain = feat.where(cond)
+    gated = no_pushdown_filter(feat, cond)
+
+    a = {tuple(r) for r in plain.select("doc_id", "nw").collect()}
+    b = {tuple(r) for r in gated.select("doc_id", "nw").collect()}
+    assert a == b and len(a) > 0
+
+    plain_plan = plain._jdf.queryExecution().executedPlan().toString()
+    gated_plan = gated._jdf.queryExecution().executedPlan().toString()
+    # the plain filter IS substituted (that's the pathology this guards)
+    assert any(
+        "Filter" in l and "split(" in l for l in plain_plan.splitlines()
+    )
+    # the gated filter is not: no Filter node carries the battery
+    assert not any(
+        "Filter" in l and "split(" in l for l in gated_plan.splitlines()
+    )
+    # the helper's scratch column must not leak into the output
+    assert "__gate__" not in gated.columns
