@@ -373,7 +373,10 @@ def semantic_dedup(
     else:
         raise ValueError(f"mode must be sign|lsh, got {mode!r}")
     n = with_normalized(b, vec_col)
-    side = n.where(F.col("_unit").isNotNull()).select(
+    # barrier: _unit's defining expr is the full normalize transform;
+    # plain where(isNotNull) would inline it into the Filter and run
+    # the normalize twice per row (plans/barrier.py)
+    side = no_pushdown_filter(n, F.col("_unit").isNotNull()).select(
         F.col(id_col).alias("vid"), F.col("_unit").alias("_u"), "bucket"
     )
     a, c = side.alias("a"), side.alias("b")
