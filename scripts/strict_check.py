@@ -1,7 +1,12 @@
 """Strict driver-style harness: exact order-insensitive value equality
 (no atol) for the named queries, at a given parallelism. Usage:
-python scratch_strict.py <cores> [name ...]"""
+python scripts/strict_check.py <cores> [name ...]"""
+import os
 import sys
+
+# sys.path[0] is scripts/ when launched as a file — register the repo
+# root so __spark_entry__ imports without PYTHONPATH
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import duckdb
 import pandas as pd
