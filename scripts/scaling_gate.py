@@ -55,21 +55,34 @@ def _ceiling_task(seed: int) -> float:
     return s
 
 
-def measure_ceiling(rounds: int = 2, pair: tuple[int, int] = (2, 8)) -> dict:
-    """Fixed work over N vs 4N processes, alternating, min-of-rounds."""
+def measure_ceiling(rounds: int = 2, pair: tuple[int, int] = (2, 8),
+                    pin: bool = False) -> dict:
+    """Fixed work over N vs 4N processes, alternating, min-of-rounds.
+
+    With ``pin`` the probe process (and, by fork inheritance, its
+    workers) is bound to exactly ``cores`` CPUs — the same contract the
+    pinned engine sweep runs under, so the ceiling stays an apples-to-
+    apples upper bound."""
     lo, hi = pair
+    full_mask = os.sched_getaffinity(0)
     walls: dict[int, list[float]] = {lo: [], hi: []}
     for _ in range(rounds):
         for cores in pair:
-            # fork, not spawn: workers inherit the loaded numpy, so
-            # pool startup is ~ms and the wall measures the WORK — a
-            # spawn pool pays 8x python+numpy import at 8 cores and
-            # fakes a low ceiling
-            with mp.get_context("fork").Pool(cores) as pool:
-                pool.map(_ceiling_task, range(cores))  # warm/page-in
-                t0 = time.monotonic()
-                pool.map(_ceiling_task, range(_TASKS))
-                walls[cores].append(time.monotonic() - t0)
+            if pin:
+                os.sched_setaffinity(0, set(range(cores)))
+            try:
+                # fork, not spawn: workers inherit the loaded numpy, so
+                # pool startup is ~ms and the wall measures the WORK — a
+                # spawn pool pays 8x python+numpy import at 8 cores and
+                # fakes a low ceiling
+                with mp.get_context("fork").Pool(cores) as pool:
+                    pool.map(_ceiling_task, range(cores))  # warm/page-in
+                    t0 = time.monotonic()
+                    pool.map(_ceiling_task, range(_TASKS))
+                    walls[cores].append(time.monotonic() - t0)
+            finally:
+                if pin:
+                    os.sched_setaffinity(0, full_mask)
     t_lo, t_hi = min(walls[lo]), min(walls[hi])
     return {
         "pair": [lo, hi],
@@ -106,26 +119,29 @@ def append_bench_md(ceil: dict, sweep: dict, passed: bool) -> None:
         f"(median-based {sweep['scaling_efficiency_median']:.3f}; "
         f"north-rule target >= 0.8: "
         f"{'MET' if passed else 'not met this window'})",
-        f"- noisy flag: {sweep['noisy']}",
+        f"- noisy flag: {sweep['noisy']}; CPU-pinned (taskset, "
+        f"local[N] = exactly N cores): {sweep.get('pinned', False)}",
     ]
     with open(os.path.join(REPO, "BENCH.md"), "a") as fh:
         fh.write("\n".join(lines) + "\n")
 
 
-def attempt(ceiling_min: float, eff_min: float) -> int:
+def attempt(ceiling_min: float, eff_min: float, pin: bool = False) -> int:
     # Probe 2->8 first (the historically-reported pair); under external
     # CPU steal a 1->4 sweep needs only 4 free cores, so its ceiling
     # can pass when 2->8 cannot — both are valid N-vs-4N pairs for the
     # north rule, so fall back to 1->4 when only it clears the gate.
-    ceil = measure_ceiling(pair=(2, 8))
+    ceil = measure_ceiling(pair=(2, 8), pin=pin)
     print(f"CEILING {json.dumps(ceil)}", flush=True)
     if ceil["ceiling"] < ceiling_min:
-        ceil = measure_ceiling(pair=(1, 4))
+        ceil = measure_ceiling(pair=(1, 4), pin=pin)
         print(f"CEILING {json.dumps(ceil)}", flush=True)
     if ceil["ceiling"] < ceiling_min:
         print(f"GATE: ceiling {ceil['ceiling']} < {ceiling_min} — "
               f"machine is contended, not sweeping", flush=True)
         return 3
+    if pin:
+        os.environ["SPARK_GRAFT_PIN_CPUS"] = "1"
     from bench import run_scaling
 
     sweep = run_scaling(n=ceil["pair"][0])
@@ -147,11 +163,14 @@ def main() -> None:
                     help="retry until a sweep passes (or --max-attempts)")
     ap.add_argument("--max-attempts", type=int, default=12)
     ap.add_argument("--retry-wait-s", type=int, default=1200)
+    ap.add_argument("--pin", action="store_true",
+                    help="CPU-pin both the ceiling probe and the sweep "
+                         "so local[N] means exactly N cores")
     args = ap.parse_args()
     attempts = 0
     while True:
         attempts += 1
-        rc = attempt(args.ceiling_min, args.eff_min)
+        rc = attempt(args.ceiling_min, args.eff_min, pin=args.pin)
         if rc == 0 or not args.loop or attempts >= args.max_attempts:
             sys.exit(rc)
         wait = args.retry_wait_s if rc == 3 else args.retry_wait_s * 2
