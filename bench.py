@@ -413,6 +413,11 @@ def main() -> None:
     runs = [cascade_job(spark, tokens_path) for _ in range(3)]
     c = min(runs, key=lambda r: r["wall_s"])
     timings["tokens_cascade"] = round(c["wall_s"], 3)
+    # restore scan-packing defaults: the override above is sized for the
+    # 25 MB cascade input; the registry slots below measure their
+    # r1-r4-comparable plans under the default packing
+    spark.conf.set("spark.sql.files.maxPartitionBytes", str(128 << 20))
+    spark.conf.set("spark.sql.files.openCostInBytes", str(4 << 20))
 
     # warm the Python UDF workers once (steady-state measurement: the
     # Arrow minhash kernel otherwise pays ~32 worker cold-starts inside
