@@ -2654,29 +2654,42 @@ def q_tier_cascade(spark, sf_dir):
     DuckDB twin recomputes directly from the series.  Integer-only so
     the driver hash is float-determinism-proof; value parity of the
     rollup math itself is rollup_compose_tiers' job."""
+    import shutil
     import tempfile
 
     from .operators.tiers import TierStore
 
-    st = TierStore(spark, tempfile.mkdtemp(prefix="tiers_q_"))
-    st.materialize_cascade(series(spark, sf_dir))
-    parts = []
-    for tier in ("tier_1m", "tier_1h", "tier_1d"):
-        gated = st.read_gated(tier, 0.25)
-        parts.append(
-            gated.agg(
-                F.count(F.lit(1)).alias("n_gated_bins"),
-                F.sum("n").cast("long").alias("sum_n"),
-                F.sum("n_grid").cast("long").alias("sum_n_grid"),
-            ).select(
-                F.lit(tier).alias("tier"),
-                "n_gated_bins", "sum_n", "sum_n_grid",
+    root = tempfile.mkdtemp(prefix="tiers_q_")
+    try:
+        st = TierStore(spark, root)
+        st.materialize_cascade(series(spark, sf_dir))
+        parts = []
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            gated = st.read_gated(tier, 0.25)
+            parts.append(
+                gated.agg(
+                    F.count(F.lit(1)).alias("n_gated_bins"),
+                    F.sum("n").cast("long").alias("sum_n"),
+                    F.sum("n_grid").cast("long").alias("sum_n_grid"),
+                ).select(
+                    F.lit(tier).alias("tier"),
+                    "n_gated_bins", "sum_n", "sum_n_grid",
+                )
             )
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        # integer-only stats: collect and rebuild so the returned frame
+        # no longer references the temp store (rmtree'd in finally —
+        # VERDICT r4 flagged the leak pattern on snapshot_travel).
+        rows = [(r["tier"], r["n_gated_bins"], r["sum_n"], r["sum_n_grid"])
+                for r in out.collect()]
+        return spark.createDataFrame(
+            rows,
+            "tier string, n_gated_bins long, sum_n long, sum_n_grid long",
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_TIER_CASCADE = f"""
@@ -3191,39 +3204,51 @@ def q_tier_incremental_merge(spark, sf_dir):
     merged = b1.join(b2.select("source", "doc_id"),
                      on=["source", "doc_id"], how="left_anti").unionByName(b2)
 
-    inc = TierStore(spark, tempfile.mkdtemp(prefix="tiers_inc_"))
-    inc.write_raw(b1)
-    inc.materialize_cascade(series_view(b1))
-    inc.ingest_increment(b2)
-    full = TierStore(spark, tempfile.mkdtemp(prefix="tiers_full_"))
-    full.write_raw(merged)
-    full.materialize_cascade(series_view(merged))
+    import shutil
 
-    keys = ["source", "doc_id", "bin_start"]
-    stat_i = ["n", "n_grid"]
-    stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
-    parts = []
-    for tier in ("tier_1m", "tier_1h", "tier_1d"):
-        a = inc.read(tier).select(keys + stat_i + stat_f)
-        b = full.read(tier).select(keys + stat_i + stat_f)
-        j = a.alias("a").join(b.alias("b"), on=keys, how="full_outer")
-        diff = F.lit(False)
-        for c in stat_i:
-            diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-        for c in stat_f:
-            diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
-                F.round(F.col(f"b.{c}"), 6)
+    inc_root = tempfile.mkdtemp(prefix="tiers_inc_")
+    full_root = tempfile.mkdtemp(prefix="tiers_full_")
+    try:
+        inc = TierStore(spark, inc_root)
+        inc.write_raw(b1)
+        inc.materialize_cascade(series_view(b1))
+        inc.ingest_increment(b2)
+        full = TierStore(spark, full_root)
+        full.write_raw(merged)
+        full.materialize_cascade(series_view(merged))
+
+        keys = ["source", "doc_id", "bin_start"]
+        stat_i = ["n", "n_grid"]
+        stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
+        parts = []
+        for tier in ("tier_1m", "tier_1h", "tier_1d"):
+            a = inc.read(tier).select(keys + stat_i + stat_f)
+            b = full.read(tier).select(keys + stat_i + stat_f)
+            j = a.alias("a").join(b.alias("b"), on=keys, how="full_outer")
+            diff = F.lit(False)
+            for c in stat_i:
+                diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            for c in stat_f:
+                diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
+                    F.round(F.col(f"b.{c}"), 6)
+                )
+            parts.append(
+                j.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
+                ).select(F.lit(tier).alias("tier"), "n_rows", "n_mismatch")
             )
-        parts.append(
-            j.agg(
-                F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
-            ).select(F.lit(tier).alias("tier"), "n_rows", "n_mismatch")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = [(r["tier"], r["n_rows"], r["n_mismatch"])
+                for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "tier string, n_rows long, n_mismatch long"
         )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+    finally:
+        shutil.rmtree(inc_root, ignore_errors=True)
+        shutil.rmtree(full_root, ignore_errors=True)
 
 
 SQL_TIER_INCREMENTAL_MERGE = """
@@ -3275,50 +3300,61 @@ def q_tier_retention(spark, sf_dir):
         .withColumn("n_tok", F.size("tokens").cast("int"))
         .where("n_tok >= 1")
     )
-    store = TierStore(spark, tempfile.mkdtemp(prefix="tiers_ret_"))
-    store.write_raw(toks)
-    store.materialize_cascade(series_view(toks))
-    gone = store.partitions("raw")[0]  # sorted -> lexicographic min
+    import shutil
 
-    keys = ["source", "doc_id", "bin_start"]
-    stat_i = ["n", "n_grid"]
-    stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
-    tiers = ("tier_1m", "tier_1h", "tier_1d")
-    before = {
-        t: store.read(t).select(keys + stat_i + stat_f).localCheckpoint()
-        for t in tiers
-    }
-    store.expire_raw(sources=[gone])
+    root = tempfile.mkdtemp(prefix="tiers_ret_")
+    try:
+        store = TierStore(spark, root)
+        store.write_raw(toks)
+        store.materialize_cascade(series_view(toks))
+        gone = store.partitions("raw")[0]  # sorted -> lexicographic min
 
-    parts = []
-    for t in tiers:
-        a = before[t].alias("a")
-        b = store.read(t).select(keys + stat_i + stat_f).alias("b")
-        j = a.join(b, on=keys, how="full_outer")
-        diff = F.lit(False)
-        for c in stat_i:
-            diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
-        for c in stat_f:
-            diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
-                F.round(F.col(f"b.{c}"), 6)
+        keys = ["source", "doc_id", "bin_start"]
+        stat_i = ["n", "n_grid"]
+        stat_f = ["sum", "sumsq", "min", "max", "p25", "p50", "p75", "p95"]
+        tiers = ("tier_1m", "tier_1h", "tier_1d")
+        before = {
+            t: store.read(t).select(keys + stat_i + stat_f)
+            .localCheckpoint()
+            for t in tiers
+        }
+        store.expire_raw(sources=[gone])
+
+        parts = []
+        for t in tiers:
+            a = before[t].alias("a")
+            b = store.read(t).select(keys + stat_i + stat_f).alias("b")
+            j = a.join(b, on=keys, how="full_outer")
+            diff = F.lit(False)
+            for c in stat_i:
+                diff = diff | ~F.col(f"a.{c}").eqNullSafe(F.col(f"b.{c}"))
+            for c in stat_f:
+                diff = diff | ~F.round(F.col(f"a.{c}"), 6).eqNullSafe(
+                    F.round(F.col(f"b.{c}"), 6)
+                )
+            parts.append(
+                j.agg(
+                    F.count(F.lit(1)).cast("long").alias("n_rows"),
+                    F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
+                ).select(F.lit(t).alias("tier"), "n_rows", "n_mismatch")
             )
         parts.append(
-            j.agg(
+            store.read("raw").agg(
                 F.count(F.lit(1)).cast("long").alias("n_rows"),
-                F.count(F.when(diff, 1)).cast("long").alias("n_mismatch"),
-            ).select(F.lit(t).alias("tier"), "n_rows", "n_mismatch")
+                F.count(F.when(F.col("source") == gone, 1))
+                .cast("long").alias("n_mismatch"),
+            ).select(F.lit("raw_docs").alias("tier"), "n_rows", "n_mismatch")
         )
-    parts.append(
-        store.read("raw").agg(
-            F.count(F.lit(1)).cast("long").alias("n_rows"),
-            F.count(F.when(F.col("source") == gone, 1))
-            .cast("long").alias("n_mismatch"),
-        ).select(F.lit("raw_docs").alias("tier"), "n_rows", "n_mismatch")
-    )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionByName(p)
-    return out
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        rows = [(r["tier"], r["n_rows"], r["n_mismatch"])
+                for r in out.collect()]
+        return spark.createDataFrame(
+            rows, "tier string, n_rows long, n_mismatch long"
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 SQL_TIER_RETENTION = """
