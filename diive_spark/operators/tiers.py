@@ -35,6 +35,7 @@ for aggregations keyed by ``source`` alone — provided via
 from __future__ import annotations
 
 import json
+import math
 import os
 import time
 from dataclasses import dataclass
@@ -119,6 +120,13 @@ class TierBackend:
       ``DELETE WHERE partition = value`` (metadata-only delete).
     - ``table_exists(tier)``: has the tier ever been written.
     - ``location(tier)``: diagnostic storage URI.
+    - ``compact(tier, target_file_bytes, partitions)``: bin-pack small
+      data files into ~target-size files without changing values — the
+      maintenance op that keeps scan task counts sane after many
+      incremental merges (every merge rewrites its touched partitions
+      at the job's write parallelism, so a partition touched by K
+      merges ends up with O(K x tasks) small files).  Iceberg:
+      ``CALL system.rewrite_data_files(strategy => 'binpack')``.
     """
 
     def write_partitions(self, df: DataFrame, tier: str) -> None:
@@ -138,6 +146,26 @@ class TierBackend:
 
     def location(self, tier: str) -> str:
         raise NotImplementedError
+
+    def compact(self, tier: str, target_file_bytes: int = 128 << 20,
+                partitions: Sequence[str] | None = None) -> dict:
+        raise NotImplementedError
+
+
+def _dir_parquet_stats(spark: SparkSession, path: str) -> tuple[int, int]:
+    """(n_files, n_bytes) of the parquet data files directly under
+    *path* (Hadoop FS listing — works for local, hdfs://, s3a://)."""
+    jvm = spark._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(jpath):
+        return 0, 0
+    n = b = 0
+    for st in fs.listStatus(jpath):
+        if st.isFile() and st.getPath().getName().endswith(".parquet"):
+            n += 1
+            b += st.getLen()
+    return n, b
 
 
 class ParquetDPOBackend(TierBackend):
@@ -215,6 +243,61 @@ class ParquetDPOBackend(TierBackend):
 
     def table_exists(self, tier: str) -> bool:
         return fs_exists(self.spark, self.location(tier))
+
+    def compact(self, tier: str, target_file_bytes: int = 128 << 20,
+                partitions: Sequence[str] | None = None) -> dict:
+        """Bin-pack each partition's data files into
+        ceil(bytes / target_file_bytes) files (Iceberg
+        ``rewrite_data_files`` analog).  Values unchanged: the rewrite
+        is a shuffle-free ``coalesce`` that concatenates the existing
+        row groups, so the range-layout sort order within each original
+        file survives.  Swap protocol per partition: write to an
+        underscore-prefixed staging dir (invisible to Spark reads and
+        to ``partition_values``), retire the live leaf, promote the
+        staging dir, delete the retired leaf — single-writer like the
+        lineage files; :class:`SnapshotBackend`/Iceberg give the fully
+        atomic snapshot-commit variant of this op."""
+        jvm = self.spark._jvm
+        root = jvm.org.apache.hadoop.fs.Path(self.location(tier))
+        fs = root.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        esc_util = jvm.org.apache.spark.sql.catalyst.catalog.\
+            ExternalCatalogUtils
+        todo = (self.partition_values(tier) if partitions is None
+                else list(partitions))
+        stats = {"partitions_compacted": 0,
+                 "files_before": 0, "files_after": 0}
+        for value in todo:
+            esc = esc_util.escapePathName(value)
+            leaf = os.path.join(self.location(tier),
+                                f"{self.partition_col}={esc}")
+            n_files, n_bytes = _dir_parquet_stats(self.spark, leaf)
+            target_n = max(1, math.ceil(n_bytes / max(target_file_bytes, 1)))
+            if n_files <= target_n:
+                continue
+            tmp = os.path.join(self.location(tier), f"_compacting-{esc}")
+            retired = os.path.join(self.location(tier), f"_retired-{esc}")
+            (
+                self.spark.read.parquet(leaf)
+                .coalesce(target_n)
+                .write.mode("overwrite").parquet(tmp)
+            )
+            jleaf = jvm.org.apache.hadoop.fs.Path(leaf)
+            jtmp = jvm.org.apache.hadoop.fs.Path(tmp)
+            jret = jvm.org.apache.hadoop.fs.Path(retired)
+            fs.delete(jret, True)  # debris from a crashed attempt
+            if not fs.rename(jleaf, jret):
+                raise IOError(f"{tier}: compact retire failed for "
+                              f"partition {value!r}")
+            if not fs.rename(jtmp, jleaf):
+                fs.rename(jret, jleaf)  # restore the live leaf
+                raise IOError(f"{tier}: compact promote failed for "
+                              f"partition {value!r} (original restored)")
+            fs.delete(jret, True)
+            after, _ = _dir_parquet_stats(self.spark, leaf)
+            stats["partitions_compacted"] += 1
+            stats["files_before"] += n_files
+            stats["files_after"] += after
+        return stats
 
 
 class SnapshotBackend(TierBackend):
@@ -549,6 +632,61 @@ class SnapshotBackend(TierBackend):
                 self._manifest_dir(tier), f"snap-{s['id']}.json"), False)
         return {"expired": len(expired), "files_deleted": files_deleted}
 
+    def compact(self, tier: str, target_file_bytes: int = 128 << 20,
+                partitions: Sequence[str] | None = None) -> dict:
+        """Bin-pack small data files as a NEW SNAPSHOT (Iceberg
+        ``rewrite_data_files``): each partition whose current version
+        holds more than ceil(bytes / target) files is rewritten —
+        shuffle-free coalesce, values unchanged — into a fresh
+        ``snapv=<new>`` version dir, and one atomic pointer flip
+        commits all compacted partitions together.  Readers pinned to
+        older snapshots (time travel) are untouched; the pre-compaction
+        file versions stay reclaimable via :meth:`expire_snapshots` —
+        exactly the Iceberg maintenance contract."""
+        cur = self.current_snapshot_id(tier)
+        if cur is None:
+            raise ValueError(f"{tier}: nothing committed")
+        parts = dict(self._snapshot(tier, cur)["parts"])
+        snaps = self.snapshots(tier)
+        new_id = max(s["id"] for s in snaps) + 1
+        only = None if partitions is None else set(partitions)
+        stats = {"partitions_compacted": 0,
+                 "files_before": 0, "files_after": 0}
+        new_parts = dict(parts)
+        for value, version in sorted(parts.items()):
+            if only is not None and value not in only:
+                continue
+            esc = self._escape_part(value)
+            leaf = os.path.join(self._data_root(tier),
+                                f"{self.partition_col}={esc}",
+                                f"snapv={version}")
+            n_files, n_bytes = _dir_parquet_stats(self.spark, leaf)
+            target_n = max(1, math.ceil(n_bytes / max(target_file_bytes, 1)))
+            if n_files <= target_n:
+                continue
+            dest = os.path.join(self._data_root(tier),
+                                f"{self.partition_col}={esc}",
+                                f"snapv={new_id}")
+            # mode("overwrite") clears debris from a crashed attempt at
+            # this same uncommitted id (no manifest references it yet)
+            (
+                self.spark.read.parquet(leaf)
+                .coalesce(target_n)
+                .write.mode("overwrite").parquet(dest)
+            )
+            after, _ = _dir_parquet_stats(self.spark, dest)
+            new_parts[value] = new_id
+            stats["partitions_compacted"] += 1
+            stats["files_before"] += n_files
+            stats["files_after"] += after
+        if stats["partitions_compacted"]:
+            committed = self._commit(tier, new_parts, cur)
+            assert committed == new_id
+            stats["snapshot_id"] = committed
+        else:
+            stats["snapshot_id"] = None
+        return stats
+
 
 class IcebergBackend(TierBackend):
     """REAL Iceberg binding for the tier seam (VERDICT r4 item 3): the
@@ -739,6 +877,31 @@ class IcebergBackend(TierBackend):
         return {
             "expired": None,  # Iceberg reports files, not snapshots
             "files_deleted": d.get("deleted_data_files_count", 0),
+        }
+
+    def compact(self, tier: str, target_file_bytes: int = 128 << 20,
+                partitions: Sequence[str] | None = None) -> dict:
+        """``CALL system.rewrite_data_files(strategy => 'binpack')`` —
+        the real Iceberg maintenance action the two sibling backends
+        model.  *partitions* narrows the rewrite with a ``where``
+        predicate (Iceberg plans it against partition metadata)."""
+        filt = ""
+        if partitions:
+            vals = ", ".join(
+                "'" + str(v).replace("'", "''") + "'" for v in partitions
+            )
+            filt = f", where => '{self.partition_col} IN ({vals})'"
+        row = self.spark.sql(
+            f"CALL {self._catalog()}.system.rewrite_data_files("
+            f"table => '{self._table(tier)}', strategy => 'binpack', "
+            f"options => map('target-file-size-bytes', "
+            f"'{int(target_file_bytes)}', 'min-input-files', '2')"
+            f"{filt})"
+        ).collect()[0].asDict()
+        return {
+            "partitions_compacted": None,  # Iceberg reports file counts
+            "files_before": int(row.get("rewritten_data_files_count") or 0),
+            "files_after": int(row.get("added_data_files_count") or 0),
         }
 
 
@@ -948,6 +1111,25 @@ class TierStore:
             "partitions_missing": len(missing),
         })
         return {"expired": hit, "missing": missing}
+
+    def compact(self, tier: str, target_file_bytes: int = 128 << 20,
+                partitions: Sequence[str] | None = None) -> dict:
+        """Bin-pack *tier*'s small data files (delegates to the
+        backend's ``rewrite_data_files`` analog) and record the rewrite
+        in the metrics table.  Run it after a burst of incremental
+        merges: each merge rewrites its touched partitions at the job's
+        write parallelism, so K merges leave O(K x tasks) files per hot
+        partition and scan task counts (and open-file overhead) creep
+        up until a compaction folds them back to ~target-size files.
+        Values are unchanged — callers never observe anything but
+        fewer, larger files."""
+        wall = time.monotonic()
+        stats = self.backend.compact(tier, target_file_bytes, partitions)
+        self._append(self._metrics_path, {
+            "tier": tier, "op": "compact", "ts": time.time(),
+            "wall_s": round(time.monotonic() - wall, 3), **stats,
+        })
+        return stats
 
     # -------------------------------------------------- ddsketch cascade
     def materialize_ddsketch(

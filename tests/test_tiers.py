@@ -847,3 +847,128 @@ def test_iceberg_merge_upsert(spark, tmp_path):
     be.merge_upsert(df2, "m", ["source", "doc_id", "bin_start"])
     got = {(r.doc_id, r.v) for r in be.read("m").collect()}
     assert got == {("d1", 1.0), ("d2", 20.0), ("d3", 3.0)}
+
+
+# ---- compact (rewrite_data_files analog), all three backends
+
+
+def _many_file_frame(spark):
+    """64 rows over 2 sources in 8 NON-shuffle input partitions (range
+    partitioning is narrow, so AQE cannot coalesce it): a partitionBy
+    write fans this out to 8 files per source directory."""
+    return spark.range(0, 64, 1, 8).select(
+        F.when(F.col("id") % 2 == 0, F.lit("a")).otherwise(F.lit("b"))
+        .alias("source"),
+        F.concat(F.lit("d"), F.col("id")).alias("doc_id"),
+        (F.col("id") % 7).cast("long").alias("bin_start"),
+        (F.col("id") * 1.0).alias("v"),
+    )
+
+
+def _compact_backend(spark, kind, tmp_path):
+    from diive_spark.operators.tiers import (
+        IcebergBackend, ParquetDPOBackend, SnapshotBackend)
+
+    if kind == "dpo":
+        return ParquetDPOBackend(spark, str(tmp_path / "be"),
+                                 range_layout=False)
+    if kind == "snapshot":
+        return SnapshotBackend(spark, str(tmp_path / "be"),
+                               range_layout=False)
+    if not IcebergBackend.available(spark):
+        pytest.skip(
+            "iceberg-spark-runtime jars absent in this sandbox; the "
+            "dpo/snapshot legs cover the same contract (compact maps "
+            "to CALL system.rewrite_data_files, see IcebergBackend)")
+    return IcebergBackend(spark, "local.tiertest_compact",
+                          range_layout=False)
+
+
+@pytest.mark.parametrize("kind", ["dpo", "snapshot", "iceberg"])
+def test_backend_contract_compact_binpacks_without_value_change(
+        spark, tmp_path, kind):
+    """compact() folds many small files into ceil(bytes/target) files,
+    leaves every row bit-identical, and is idempotent."""
+    be = _compact_backend(spark, kind, tmp_path)
+    be.write_partitions(_many_file_frame(spark), "t")
+    before = sorted(
+        (r.source, r.doc_id, r.bin_start, r.v)
+        for r in be.read("t").collect()
+    )
+    assert len(before) == 64
+
+    stats = be.compact("t")  # default 128 MB target -> 1 file/partition
+    if kind == "iceberg":
+        assert stats["files_before"] > stats["files_after"] >= 1
+    else:
+        assert stats["partitions_compacted"] == 2
+        assert stats["files_before"] == 16
+        assert stats["files_after"] == 2
+    after = sorted(
+        (r.source, r.doc_id, r.bin_start, r.v)
+        for r in be.read("t").collect()
+    )
+    assert after == before
+
+    again = be.compact("t")  # already packed: must be a no-op
+    if kind == "iceberg":
+        assert again["files_before"] == 0
+    else:
+        assert again["partitions_compacted"] == 0
+        assert sorted(
+            (r.source, r.doc_id, r.bin_start, r.v)
+            for r in be.read("t").collect()
+        ) == before
+
+
+def test_snapshot_compact_is_a_snapshot_commit(spark, tmp_path):
+    """SnapshotBackend.compact commits atomically: one new snapshot,
+    time travel to the pre-compact snapshot reads the ORIGINAL files,
+    and expiry then reclaims the uncompacted versions."""
+    from diive_spark.operators.tiers import SnapshotBackend
+
+    be = SnapshotBackend(spark, str(tmp_path / "be"), range_layout=False)
+    be.write_partitions(_many_file_frame(spark), "t")
+    s1 = be.current_snapshot_id("t")
+    before = sorted(
+        (r.source, r.doc_id, r.v) for r in be.read("t").collect())
+
+    stats = be.compact("t")
+    s2 = be.current_snapshot_id("t")
+    assert stats["snapshot_id"] == s2 and s2 != s1
+    # pre-compact snapshot still readable from the original files
+    assert sorted(
+        (r.source, r.doc_id, r.v) for r in be.read_at("t", s1).collect()
+    ) == before
+    # expiry reclaims the 2 uncompacted partition versions; the current
+    # (compacted) read is untouched
+    rec = be.expire_snapshots("t", keep_last=1)
+    assert rec["files_deleted"] == 2
+    assert sorted(
+        (r.source, r.doc_id, r.v) for r in be.read("t").collect()
+    ) == before
+    with pytest.raises(ValueError):
+        be.read_at("t", s1)
+
+
+def test_tier_store_compact_records_metrics(spark, tmp_path):
+    """TierStore.compact delegates to the backend and lands an op row
+    in the metrics table."""
+    from diive_spark.operators.tiers import ParquetDPOBackend
+
+    root = str(tmp_path / "store")
+    st = TierStore(spark, root,
+                   backend=ParquetDPOBackend(spark, root,
+                                             range_layout=False))
+    df = _many_file_frame(spark).withColumnRenamed("v", "n_tok")
+    st.backend.write_partitions(df, "raw")
+    before = sorted((r.source, r.doc_id) for r in st.read("raw").collect())
+
+    stats = st.compact("raw")
+    assert stats["partitions_compacted"] == 2
+    assert sorted(
+        (r.source, r.doc_id) for r in st.read("raw").collect()) == before
+    rows = [m for m in st.metrics() if m.get("op") == "compact"]
+    assert len(rows) == 1
+    assert rows[0]["tier"] == "raw"
+    assert rows[0]["files_before"] == 16 and rows[0]["files_after"] == 2
