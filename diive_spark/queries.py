@@ -3381,6 +3381,86 @@ WHERE source <> (SELECT min(source) FROM eligible)
 """
 
 
+def q_tier_compact(spark, sf_dir):
+    """SELF-VERIFYING oracle for the tier seam's bin-pack compaction
+    (tiers.py compact — the Iceberg rewrite_data_files analog): write
+    the doc stats as a multi-file raw tier (repartition(8) before a
+    partitionBy write fans every source across up to 8 files), compact
+    to the default 128 MB target (tiny input -> exactly ONE file per
+    partition, independent of parallelism), and emit
+    (n_docs, n_sources, files_after, n_mismatch) where files_after is
+    counted straight off the filesystem and n_mismatch full-outer-joins
+    every (source, doc_id, n_tok) row before vs after — compaction must
+    be invisible to readers except for fewer, larger files.  The DuckDB
+    twin recomputes the counts from the documents table with literal
+    zero mismatches; any value disturbance or failure to reach the
+    bin-pack target breaks the driver hash."""
+    import os
+    import shutil
+    import tempfile
+
+    from .operators.tiers import (
+        ParquetDPOBackend, TierStore, _dir_parquet_stats)
+
+    docs = _load(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            F.col("doc_id").cast("string").alias("doc_id"),
+            F.expr(_TOKENS_FROM_TEXT).alias("tokens"),
+            "source",
+        )
+        .withColumn("n_tok", F.size("tokens").cast("int"))
+        .where("n_tok >= 1")
+        .select("doc_id", "n_tok", "source")
+    )
+    root = tempfile.mkdtemp(prefix="tiers_cmp_")
+    try:
+        # range_layout=False keeps the repartition(8) fan-out, so the
+        # write really produces multiple files per partition dir
+        be = ParquetDPOBackend(spark, root, range_layout=False)
+        st = TierStore(spark, root, backend=be)
+        be.write_partitions(toks.repartition(8), "raw")
+        before = st.read("raw").localCheckpoint()
+
+        st.compact("raw")
+
+        after = st.read("raw")
+        j = before.alias("a").join(
+            after.alias("b"), on=["source", "doc_id"], how="full_outer")
+        n_mismatch = j.where(
+            ~F.col("a.n_tok").eqNullSafe(F.col("b.n_tok"))
+        ).count()
+        n_docs = after.count()
+        n_sources = after.select("source").distinct().count()
+        tier_dir = os.path.join(root, "raw")
+        files_after = sum(
+            _dir_parquet_stats(spark, os.path.join(tier_dir, d))[0]
+            for d in os.listdir(tier_dir) if d.startswith("source=")
+        )
+        return spark.createDataFrame(
+            [(int(n_docs), int(n_sources), int(files_after),
+              int(n_mismatch))],
+            "n_docs long, n_sources long, files_after long, "
+            "n_mismatch long",
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+SQL_TIER_COMPACT = """
+WITH toks AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_pos
+  FROM documents),
+eligible AS (SELECT * FROM toks WHERE n_pos >= 1)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+       CAST(count(DISTINCT source) AS BIGINT) AS files_after,
+       CAST(0 AS BIGINT) AS n_mismatch
+FROM eligible
+"""
+
+
 def q_semantic_dedup(spark, sf_dir):
     """SemDeDup-style semantic dedup (operators/similarity.py:
     semantic_dedup) in its deterministic sign-bucket mode: flag every
@@ -5233,6 +5313,7 @@ QUERIES = {
     "bin_entropy": (q_bin_entropy, SQL_BIN_ENTROPY),
     # --- never driver-verified (newest first) ------------------------
     "tier_retention": (q_tier_retention, SQL_TIER_RETENTION),
+    "tier_compact": (q_tier_compact, SQL_TIER_COMPACT),
     "pii_redaction": (q_pii_redaction, SQL_PII_REDACTION),
     "stratified_sample": (q_stratified_sample, SQL_STRATIFIED_SAMPLE),
     "interval_join_windows": (q_interval_join, SQL_INTERVAL_JOIN),
