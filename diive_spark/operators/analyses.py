@@ -2343,3 +2343,93 @@ def compose_twa(
             (F.col("integral") / F.col("duration")).alias("twa"),
         )
     )
+
+
+# --- SAX symbolization (round-5 continuation) -------------------------
+
+# N(0,1) quantile breakpoints to double precision (the published SAX
+# lookup table, Lin/Keogh/Lonardi/Chiu DMKD 2003 §3.2, extended to
+# full binary64 — both engines consume these identical literals, so
+# symbol assignment is deterministic across Spark and the SQL twin).
+SAX_BREAKPOINTS = {
+    2: [0.0],
+    3: [-0.43072729929545744, 0.43072729929545744],
+    4: [-0.6744897501960817, 0.0, 0.6744897501960817],
+    5: [-0.8416212335729142, -0.2533471031357997,
+        0.2533471031357997, 0.8416212335729142],
+    6: [-0.9674215661017014, -0.43072729929545744, 0.0,
+        0.43072729929545744, 0.9674215661017014],
+    8: [-1.1503493803760079, -0.6744897501960817,
+        -0.31863936396437514, 0.0, 0.31863936396437514,
+        0.6744897501960817, 1.1503493803760079],
+}
+
+
+def sax_symbolize(
+    df: DataFrame,
+    segments: int = 8,
+    alphabet: int = 4,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """SAX symbolic aggregate approximation per series (Lin, Keogh,
+    Lonardi & Chiu, DMKD 2003 — public method; diive has no symbolic
+    index, its pattern tooling is histogram/peak-bin based,
+    diive/pkgs/analyses/histogram.py:14-122 is the closest analog).
+
+    Pipeline per series: drop nulls -> compact index ``ci`` ->
+    z-normalize against the per-series population mean/SD -> PAA with
+    ``segments`` equal slices (``seg = floor(ci * segments / n)``, the
+    standard variable-length extension) -> map each segment mean to a
+    symbol by counting crossed N(0,1) breakpoints.
+
+    Zero-variance series z-normalize to all-zeros (the SAX convention:
+    a flat series is all-middle-symbol), guarded identically in the
+    SQL twin.  Shapes for 10^12 series: one window pass for the
+    compact index, one groupBy for the per-series moments joined back
+    broadcast-free (series keys are the shuffle key throughout — the
+    same single-exchange layout as the rollup family), one groupBy for
+    the PAA means.  All JVM expressions; no UDF.
+
+    Emits (key..., seg, n_pts, paa, symbol, letter) — ``symbol`` in
+    ``[0, alphabet)``, ``letter`` = 'a' + symbol.
+    """
+    if segments < 1:
+        raise ValueError(f"segments must be >= 1, got {segments}")
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be one of {sorted(SAX_BREAKPOINTS)}, "
+            f"got {alphabet}"
+        )
+    keys = list(key_cols)
+    bps = SAX_BREAKPOINTS[alphabet]
+    pts = df.where(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*keys).orderBy(axis_col)
+    pts = pts.withColumn("_ci", F.row_number().over(wseq) - 1)
+    stats = pts.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    z = F.when(
+        (F.col("_sd").isNull()) | (F.col("_sd") == 0.0), F.lit(0.0)
+    ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd"))
+    seg = F.floor(
+        F.col("_ci") * F.lit(int(segments)) / F.col("_n")
+    ).cast("long")
+    paa = (
+        pts.join(stats, keys)
+        .select(*keys, seg.alias("seg"), z.alias("_z"))
+        .groupBy(*keys, "seg")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pts"),
+            F.avg("_z").alias("paa"),
+        )
+    )
+    sym = F.lit(0)
+    for bp in bps:
+        sym = sym + F.when(F.col("paa") > F.lit(float(bp)), 1).otherwise(0)
+    out = paa.withColumn("symbol", sym.cast("int"))
+    letter = F.char(F.col("symbol") + F.lit(97))
+    return out.withColumn("letter", letter)

@@ -5262,6 +5262,63 @@ FROM series GROUP BY source
 """
 
 
+_SAX_SEGMENTS, _SAX_ALPHABET = 8, 4
+
+
+def q_sax_symbolize(spark, sf_dir):
+    """SAX symbolic aggregate approximation per series (Lin et al.
+    DMKD 2003): z-normalize -> 8-segment PAA -> 4-letter Gaussian
+    alphabet.  All JVM expressions (one window pass + two groupBys on
+    the series key); the DuckDB twin replays the identical arithmetic
+    with the same binary64 breakpoint literals, so symbols match
+    exactly (paa rounded for the hash; a symbol flip would need a
+    segment mean within float noise of a breakpoint)."""
+    out = analyses.sax_symbolize(
+        series(spark, sf_dir),
+        segments=_SAX_SEGMENTS,
+        alphabet=_SAX_ALPHABET,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "seg", "n_pts",
+        _r(F.col("paa")).alias("paa"), "symbol", "letter",
+    )
+
+
+_SAX_BPS = __import__(
+    "diive_spark.operators.analyses", fromlist=["SAX_BREAKPOINTS"]
+).SAX_BREAKPOINTS[_SAX_ALPHABET]
+
+SQL_SAX_SYMBOLIZE = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+ix AS (SELECT source, doc_id, value,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY pos) - 1 AS ci
+       FROM pts),
+st AS (SELECT source, doc_id, avg(value) AS mu,
+              stddev_pop(value) AS sd, count(*) AS n
+       FROM ix GROUP BY 1, 2),
+zp AS (SELECT ix.source, ix.doc_id,
+              CAST(floor(ix.ci * {_SAX_SEGMENTS} / st.n) AS BIGINT) AS seg,
+              CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                   ELSE (ix.value - st.mu) / st.sd END AS z
+       FROM ix JOIN st USING (source, doc_id)),
+pa AS (SELECT source, doc_id, seg, CAST(count(*) AS BIGINT) AS n_pts,
+              avg(z) AS paa
+       FROM zp GROUP BY 1, 2, 3),
+sym AS (SELECT *,
+          CAST(({" + ".join(
+              f"CASE WHEN paa > {bp!r} THEN 1 ELSE 0 END"
+              for bp in _SAX_BPS)}) AS INT) AS symbol
+        FROM pa)
+SELECT source, doc_id, seg, n_pts, round(paa, 6) AS paa, symbol,
+       chr(97 + symbol) AS letter
+FROM sym
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -5269,6 +5326,7 @@ FROM series GROUP BY source
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "sax_symbolize": (q_sax_symbolize, SQL_SAX_SYMBOLIZE),
     "asap_smooth": (q_asap_smooth, SQL_ASAP_SMOOTH),
     # --- round-4 additions (never driver-verified, newest first) -----
     "ddsketch_quantile_tiers": (q_ddsketch_tiers, SQL_DDSKETCH_TIERS),

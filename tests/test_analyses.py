@@ -1386,3 +1386,69 @@ def test_compose_twa_equals_direct(spark):
         w = (want.select(*g.columns).orderBy(*key).toPandas()
              .reset_index(drop=True))
         pd.testing.assert_frame_equal(g, w)
+
+
+def test_sax_matches_numpy(spark):
+    from diive_spark.operators.analyses import SAX_BREAKPOINTS, sax_symbolize
+
+    pdf = seeded_series(n=257, gap_frac=0.15, seed=21)
+    got = (
+        sax_symbolize(spark.createDataFrame(pdf), segments=8, alphabet=4)
+        .toPandas()
+        .sort_values("seg")
+        .reset_index(drop=True)
+    )
+    x = pdf["value"].dropna().to_numpy()
+    n = len(x)
+    z = (x - x.mean()) / x.std()  # numpy std is population (ddof=0)
+    seg = (np.arange(n) * 8) // n
+    bps = np.array(SAX_BREAKPOINTS[4])
+    assert len(got) == 8
+    for s in range(8):
+        zi = z[seg == s]
+        row = got.iloc[s]
+        assert row["seg"] == s and row["n_pts"] == len(zi)
+        assert abs(row["paa"] - zi.mean()) < 1e-9
+        want_sym = int((zi.mean() > bps).sum())
+        assert row["symbol"] == want_sym
+        assert row["letter"] == chr(97 + want_sym)
+
+
+def test_sax_flat_series_all_middle(spark):
+    from diive_spark.operators.analyses import sax_symbolize
+
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": np.arange(40),
+            "value": 7.5,
+        }
+    )
+    got = sax_symbolize(
+        spark.createDataFrame(pdf), segments=4, alphabet=4
+    ).toPandas()
+    # zero variance -> z == 0 everywhere -> paa == 0 -> symbol 1 of 4
+    # (one breakpoint crossed: paa > -0.674..., not > 0)
+    assert len(got) == 4
+    assert (got["paa"] == 0.0).all()
+    assert (got["symbol"] == 1).all()
+    assert (got["letter"] == "b").all()
+
+
+def test_sax_short_series_and_validation(spark):
+    import pytest as _pytest
+
+    from diive_spark.operators.analyses import sax_symbolize
+
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0, 1, 2], "value": [1.0, 2.0, 9.0]}
+    )
+    got = sax_symbolize(
+        spark.createDataFrame(pdf), segments=8, alphabet=4
+    ).toPandas()
+    # fewer points than segments: only occupied segments emitted
+    assert len(got) == 3
+    assert got["n_pts"].sum() == 3
+    with _pytest.raises(ValueError):
+        sax_symbolize(spark.createDataFrame(pdf), alphabet=7)
