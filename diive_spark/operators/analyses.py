@@ -2433,3 +2433,150 @@ def sax_symbolize(
     out = paa.withColumn("symbol", sym.cast("int"))
     letter = F.char(F.col("symbol") + F.lit(97))
     return out.withColumn("letter", letter)
+
+
+# --- Count-Min sketch (round-5 continuation) ---------------------------
+
+# Fixed pairwise-independent hash family over the Mersenne prime
+# 2^31-1 (Cormode & Muthukrishnan, J.Alg 2005 §3: h_r(x) =
+# ((a_r*x + b_r) mod p) mod width).  Seeds are deterministic literals
+# so sketches built anywhere — any engine, any partitioning, any
+# round — merge and probe consistently; the SQL twin replays the
+# identical integer arithmetic.
+CM_PRIME = (1 << 31) - 1
+CM_SEEDS = (
+    (1_000_003, 12_345),
+    (999_983, 54_321),
+    (424_243, 777),
+    (104_729, 98_765),
+    (15_485_863, 31_337),
+    (32_452_843, 271_828),
+)
+
+
+def _cm_col(iv, row, width: int):
+    """Bucket column for item ``iv`` (long, any sign) under hash row
+    ``row`` — both engines use value mod p first so the a*x product
+    stays below 2^62 (no overflow in 64-bit integers)."""
+    a = F.element_at(
+        F.array(*[F.lit(s[0]) for s in CM_SEEDS]), row + 1
+    ).cast("long")
+    b = F.element_at(
+        F.array(*[F.lit(s[1]) for s in CM_SEEDS]), row + 1
+    ).cast("long")
+    return F.pmod(
+        F.pmod(a * F.pmod(iv, F.lit(CM_PRIME)) + b, F.lit(CM_PRIME)),
+        F.lit(int(width)),
+    ).cast("int")
+
+
+def cm_sketch_agg(
+    df: DataFrame,
+    every: int,
+    depth: int = 4,
+    width: int = 128,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Count-Min frequency sketch per ``every``-sized bin (Cormode &
+    Muthukrishnan 2005) — the point-query complement to the Misra-Gries
+    top-k store (:func:`topk_agg` answers "which items are heavy";
+    this answers "how often did item x occur" for ANY x, with
+    one-sided error: estimate >= truth always, overshoot <= e/width *
+    N with probability 1 - exp(-depth)).
+
+    Store = exact counts over (row, col) hash cells, long form: one
+    row per (key..., bin_start, row, col) with its count — the same
+    tier-table shape as :func:`ddsketch_agg`, mergeable by plain
+    ``groupBy().sum()`` (:func:`compose_cm`), so composition is EXACT
+    (counters are additive) and tiers chain raw -> 1m -> 1h -> 1d
+    without re-scanning raw data.
+
+    100 TB shape: the tier-1 groupBy is map-side combined and bounded
+    per bin by ``min(distinct_items, depth*width)`` cells, so raw
+    readings never shuffle; parent tiers shuffle only cell rows.
+    Values are truncated to integer identity via ``cast(long)``
+    (callers bucket/floor continuous values first); nulls drop.
+    """
+    if not 1 <= depth <= len(CM_SEEDS):
+        raise ValueError(f"depth must be in [1, {len(CM_SEEDS)}], got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    b = (F.floor(F.col(axis_col).cast("long") / int(every)) * int(every)).cast(
+        "long"
+    )
+    iv = F.col(value_col).cast("long")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    return (
+        pts.select(*keys, b.alias("bin_start"), iv.alias("_iv"))
+        .withColumn("row", rows)
+        .select(
+            *keys,
+            "bin_start",
+            F.col("row").cast("int").alias("row"),
+            _cm_col(F.col("_iv"), F.col("row"), width).alias("col"),
+        )
+        .groupBy(*keys, "bin_start", "row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+
+
+def compose_cm(
+    sketch: DataFrame,
+    every: int,
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Merge child :func:`cm_sketch_agg` bins into ``every``-sized
+    parent bins WITHOUT rescanning raw data.  Hash cells are
+    value-determined, so the merge is a plain count sum and the
+    composed sketch is BIT-IDENTICAL to one built directly at the
+    parent resolution."""
+    keys = list(key_cols)
+    pb, _ = _parent_bin(every)
+    return (
+        sketch.withColumn("bin_start", pb)
+        .groupBy(*keys, "bin_start", "row", "col")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+    )
+
+
+def cm_estimate(
+    sketch: DataFrame,
+    probes: DataFrame,
+    depth: int = 4,
+    width: int = 128,
+    value_col: str = "value",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Point-frequency estimates from a :func:`cm_sketch_agg` store:
+    for each probe row (key..., bin_start, value) return it with
+    ``cm_est`` = min over hash rows of the matching cell count
+    (absent cell = 0 — the item never hashed there).
+
+    The probe fans out to ``depth`` narrow (key, bin, row, col) lookup
+    rows and equi-joins the sketch — at scale this is a hash join on
+    the same layout the sketch is stored in (never a scan of raw
+    readings)."""
+    keys = list(key_cols)
+    others = [
+        c for c in probes.columns
+        if c not in set(keys) | {"bin_start", value_col}
+    ]
+    iv = F.col(value_col).cast("long")
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    fan = (
+        probes.withColumn("row", rows)
+        .withColumn("row", F.col("row").cast("int"))
+        .withColumn("col", _cm_col(iv, F.col("row"), width))
+    )
+    hit = fan.join(
+        sketch.withColumnRenamed("cnt", "_cell"),
+        keys + ["bin_start", "row", "col"],
+        "left",
+    ).withColumn("_cell", F.coalesce(F.col("_cell"), F.lit(0)))
+    return hit.groupBy(*keys, "bin_start", value_col, *others).agg(
+        F.min("_cell").cast("long").alias("cm_est")
+    )

@@ -5319,6 +5319,126 @@ FROM sym
 """
 
 
+_CM_D, _CM_W, _CM_B1, _CM_PB, _CM_TOPK = 4, 128, 50, 250, 3
+
+
+def q_cm_heavy_hitters(spark, sf_dir):
+    """Count-Min point-frequency store over composed tiers (Cormode &
+    Muthukrishnan 2005): build 50-pos child sketches, merge them into
+    250-pos parents WITHOUT re-scanning readings, then probe the
+    parents for each bin's true top-3 items.  Self-verifying on two
+    axes the DuckDB twin replays or certifies: the twin rebuilds the
+    identical integer hash cells and min-over-rows estimates
+    (hash-exact), while ``compose_exact_ok`` is proven Spark-side by a
+    full-outer cell compare of the composed sketch vs one built
+    directly at parent resolution (counters are additive, so any
+    mismatch is an engine bug)."""
+    keys = ["source", "doc_id"]
+    pts = (
+        series(spark, sf_dir)
+        .where(F.col("value").isNotNull())
+        .select(*keys, "pos", F.floor("value").cast("long").alias("iv"))
+    )
+    sk1 = analyses.cm_sketch_agg(
+        pts, every=_CM_B1, depth=_CM_D, width=_CM_W,
+        value_col="iv", key_cols=keys,
+    )
+    skp = analyses.compose_cm(sk1, every=_CM_PB, key_cols=keys)
+    direct = analyses.cm_sketch_agg(
+        pts, every=_CM_PB, depth=_CM_D, width=_CM_W,
+        value_col="iv", key_cols=keys,
+    )
+    cell = keys + ["bin_start", "row", "col"]
+    mism = (
+        skp.withColumnRenamed("cnt", "_ca")
+        .join(direct.withColumnRenamed("cnt", "_cb"), cell, "full")
+        .where(
+            F.col("_ca").isNull()
+            | F.col("_cb").isNull()
+            | (F.col("_ca") != F.col("_cb"))
+        )
+        .agg(F.count(F.lit(1)).alias("_bad"))
+    )
+    pb = (F.floor(F.col("pos") / _CM_PB) * _CM_PB).cast("long")
+    exact = (
+        pts.select(*keys, pb.alias("bin_start"), "iv")
+        .groupBy(*keys, "bin_start", "iv")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    wtop = Window.partitionBy(*keys, "bin_start").orderBy(
+        F.desc("true_cnt"), F.asc("iv")
+    )
+    probes = (
+        exact.withColumn("rk", F.row_number().over(wtop))
+        .where(F.col("rk") <= _CM_TOPK)
+    )
+    est = analyses.cm_estimate(
+        skp, probes, depth=_CM_D, width=_CM_W,
+        value_col="iv", key_cols=keys,
+    )
+    return (
+        est.crossJoin(mism)  # single-row stat join (verification scalar)
+        .select(
+            *keys,
+            "bin_start",
+            F.col("iv").cast("int").alias("value"),
+            F.col("rk").cast("int").alias("rk"),
+            "true_cnt",
+            "cm_est",
+            (F.col("cm_est") >= F.col("true_cnt")).alias("ge_ok"),
+            (F.col("_bad") == 0).alias("compose_exact_ok"),
+        )
+    )
+
+
+_CM_H_ROWS = ", ".join(
+    f"({r}, {analyses.CM_SEEDS[r][0]}, {analyses.CM_SEEDS[r][1]})"
+    for r in range(_CM_D)
+)
+
+SQL_CM_HEAVY_HITTERS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos,
+               CAST(floor(value) AS BIGINT) AS iv
+        FROM series WHERE value IS NOT NULL),
+pb AS (SELECT source, doc_id,
+              CAST(floor(pos / {_CM_PB}) AS BIGINT) * {_CM_PB} AS bin_start,
+              iv
+       FROM pts),
+h(hrow, a, b) AS (VALUES {_CM_H_ROWS}),
+cells AS (SELECT source, doc_id, bin_start, h.hrow,
+                 ((h.a * (iv % {analyses.CM_PRIME}) + h.b)
+                  % {analyses.CM_PRIME}) % {_CM_W} AS col,
+                 CAST(count(*) AS BIGINT) AS cnt
+          FROM pb CROSS JOIN h
+          GROUP BY 1, 2, 3, 4, 5),
+exact AS (SELECT source, doc_id, bin_start, iv,
+                 CAST(count(*) AS BIGINT) AS true_cnt
+          FROM pb GROUP BY 1, 2, 3, 4),
+top AS (SELECT * FROM (
+          SELECT *, row_number() OVER (
+                   PARTITION BY source, doc_id, bin_start
+                   ORDER BY true_cnt DESC, iv ASC) AS rk
+          FROM exact)
+        WHERE rk <= {_CM_TOPK}),
+est AS (SELECT t.source, t.doc_id, t.bin_start, t.iv, t.true_cnt, t.rk,
+               CAST(min(coalesce(c.cnt, 0)) AS BIGINT) AS cm_est
+        FROM top t
+        CROSS JOIN h
+        LEFT JOIN cells c
+          ON c.source = t.source AND c.doc_id = t.doc_id
+         AND c.bin_start = t.bin_start AND c.hrow = h.hrow
+         AND c.col = ((h.a * (t.iv % {analyses.CM_PRIME}) + h.b)
+                      % {analyses.CM_PRIME}) % {_CM_W}
+        GROUP BY 1, 2, 3, 4, 5, 6)
+SELECT source, doc_id, bin_start, CAST(iv AS INT) AS value,
+       CAST(rk AS INT) AS rk, true_cnt, cm_est,
+       cm_est >= true_cnt AS ge_ok,
+       TRUE AS compose_exact_ok
+FROM est
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -5326,6 +5446,7 @@ FROM sym
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "sax_symbolize": (q_sax_symbolize, SQL_SAX_SYMBOLIZE),
     "asap_smooth": (q_asap_smooth, SQL_ASAP_SMOOTH),
     # --- round-4 additions (never driver-verified, newest first) -----

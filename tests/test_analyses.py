@@ -1452,3 +1452,117 @@ def test_sax_short_series_and_validation(spark):
     assert got["n_pts"].sum() == 3
     with _pytest.raises(ValueError):
         sax_symbolize(spark.createDataFrame(pdf), alphabet=7)
+
+
+def _cm_numpy_sketch(items, depth, width):
+    from diive_spark.operators.analyses import CM_PRIME, CM_SEEDS
+
+    cells = {}
+    for v in items:
+        for r in range(depth):
+            a, b = CM_SEEDS[r]
+            col = ((a * (int(v) % CM_PRIME) + b) % CM_PRIME) % width
+            cells[(r, col)] = cells.get((r, col), 0) + 1
+    return cells
+
+
+def test_cm_sketch_matches_numpy_and_overestimates(spark):
+    from diive_spark.operators.analyses import cm_estimate, cm_sketch_agg
+
+    rng = np.random.default_rng(7)
+    vals = rng.integers(0, 40, size=500)
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": np.arange(500),
+            "value": vals.astype(float),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    depth, width = 4, 32  # narrow width to force collisions
+    sk = cm_sketch_agg(sdf, every=1000, depth=depth, width=width)
+    got_cells = {
+        (r["row"], r["col"]): r["cnt"] for r in sk.collect()
+    }
+    assert got_cells == _cm_numpy_sketch(vals, depth, width)
+
+    probes = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "source": "s",
+                "doc_id": "d0",
+                "bin_start": 0,
+                "value": np.arange(45).astype(float),  # incl. absent 40..44
+            }
+        )
+    )
+    est = cm_estimate(
+        sk, probes, depth=depth, width=width
+    ).toPandas().set_index("value")["cm_est"]
+    truth = pd.Series(vals).value_counts()
+    # one-sided error: estimate never undershoots the true count
+    for v in range(45):
+        assert est[float(v)] >= int(truth.get(v, 0))
+    # exact replication of the numpy min-over-rows estimate
+    from diive_spark.operators.analyses import CM_PRIME, CM_SEEDS
+
+    cells = _cm_numpy_sketch(vals, depth, width)
+    for v in range(45):
+        want = min(
+            cells.get(
+                (r, ((CM_SEEDS[r][0] * (v % CM_PRIME) + CM_SEEDS[r][1])
+                     % CM_PRIME) % width),
+                0,
+            )
+            for r in range(depth)
+        )
+        assert est[float(v)] == want
+
+
+def test_cm_compose_equals_direct(spark):
+    from diive_spark.operators.analyses import cm_sketch_agg, compose_cm
+
+    rng = np.random.default_rng(11)
+    pdf = pd.DataFrame(
+        {
+            "source": np.repeat(["a", "b"], 300),
+            "doc_id": "d0",
+            "pos": np.tile(np.arange(300), 2),
+            "value": rng.integers(0, 25, size=600).astype(float),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    child = cm_sketch_agg(sdf, every=50, depth=3, width=16)
+    composed = compose_cm(child, every=150)
+    direct = cm_sketch_agg(sdf, every=150, depth=3, width=16)
+    key = ["source", "doc_id", "bin_start", "row", "col"]
+    c = composed.orderBy(*key).toPandas().reset_index(drop=True)
+    d = direct.select(*c.columns).orderBy(*key).toPandas().reset_index(
+        drop=True
+    )
+    pd.testing.assert_frame_equal(c, d)
+
+
+def test_cm_validation_and_nulls(spark):
+    import pytest as _pytest
+
+    from diive_spark.operators.analyses import cm_sketch_agg
+
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": [0, 1, 2],
+            "value": [1.0, None, 3.0],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    sk = cm_sketch_agg(sdf, every=10, depth=2, width=8)
+    # null dropped: total count per hash row == 2
+    per_row = sk.groupBy("row").agg(F.sum("cnt").alias("n")).collect()
+    assert {r["row"]: r["n"] for r in per_row} == {0: 2, 1: 2}
+    with _pytest.raises(ValueError):
+        cm_sketch_agg(sdf, every=10, depth=99)
+    with _pytest.raises(ValueError):
+        cm_sketch_agg(sdf, every=10, width=1)
