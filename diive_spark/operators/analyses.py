@@ -2580,3 +2580,125 @@ def cm_estimate(
     return hit.groupBy(*keys, "bin_start", value_col, *others).agg(
         F.min("_cell").cast("long").alias("cm_est")
     )
+
+
+def holt_winters_smooth(
+    df: DataFrame,
+    period: int,
+    alpha: float = 0.3,
+    beta: float = 0.1,
+    gamma: float = 0.1,
+    horizon: int = 1,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Holt-Winters additive triple-exponential smoothing per series
+    (Winters 1960 / Hyndman & Athanasopoulos FPP §7.3 — public method;
+    the seasonal extension of :func:`holt_smooth`, and the forecasting
+    complement of diive's fit-based cycle tooling).
+
+    Classical simple initialization over the first two seasons
+    (NIST/SEMATECH e-Handbook §6.4.3.5)::
+
+        l_m = mean(x_1..x_m)
+        b_m = (mean(x_{m+1}..x_{2m}) - mean(x_1..x_m)) / m
+        s_i = x_i - l_m                      (i = 1..m)
+
+    and for t = m+1..n, with ``s_old`` the season of t-m::
+
+        l_t = alpha*(x_t - s_old) + (1-alpha)*(l_{t-1} + b_{t-1})
+        b_t = beta*(l_t - l_{t-1}) + (1-beta)*b_{t-1}
+        s_t = gamma*(x_t - l_t) + (1-gamma)*s_old
+
+    Computed as an EXACT left fold with a struct accumulator carrying
+    the rolling m-element seasonal array (``aggregate`` over an
+    ``array_sort``-ordered collect; the init means fold sequentially
+    too), so results are bit-deterministic across engines and
+    partitionings — the DuckDB twin replays the identical fold with a
+    recursive CTE carrying a LIST column.  One groupBy shuffle;
+    per-series state bounded by series length (token streams are
+    n_tok-capped; unbounded series take the applyInPandas route, the
+    ewma_chart precedent).
+
+    Emits per series: ``n, level, trend, season_next`` (the seasonal
+    the h-step forecast consumes), ``forecast`` (= level + h*trend +
+    season_next) and ``rmse`` over the n-m one-step-ahead errors; all
+    outputs null when n < 2*period (the init needs two full seasons).
+    """
+    if period < 1:
+        raise ValueError(f"period must be >= 1, got {period}")
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError(f"alpha must be in (0, 1], got {alpha}")
+    if not 0.0 <= beta <= 1.0:
+        raise ValueError(f"beta must be in [0, 1], got {beta}")
+    if not 0.0 <= gamma <= 1.0:
+        raise ValueError(f"gamma must be in [0, 1], got {gamma}")
+    keys = list(key_cols)
+    m = int(period)
+    a, be, g = float(alpha), float(beta), float(gamma)
+    h = int(horizon)
+    pts = df.where(F.col(value_col).isNotNull())
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("long").alias("p"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    gdf = pts.groupBy(*keys).agg(arr.alias("_arr"))
+    gdf = (
+        gdf.withColumn("_v", F.transform(F.col("_arr"), lambda s: s["x"]))
+        .withColumn("_n", F.size("_v"))
+        .drop("_arr")
+    )
+    # sequential left-fold means (bit-identical to the SQL twin's
+    # list_reduce — never list_sum, whose summation order is free)
+    fold_sum = lambda c: F.aggregate(  # noqa: E731
+        c, F.lit(0.0), lambda acc, x: acc + x
+    )
+    s1 = F.slice(F.col("_v"), 1, m)
+    s2 = F.slice(F.col("_v"), m + 1, m)
+    l1 = fold_sum(s1) / F.lit(float(m))
+    b1 = (fold_sum(s2) / F.lit(float(m)) - l1) / F.lit(float(m))
+    s_init = F.transform(s1, lambda x: x - l1)
+    init = F.struct(
+        l1.alias("l"),
+        b1.alias("b"),
+        F.lit(0.0).alias("sse"),
+        s_init.alias("s"),
+    )
+    rest = F.expr(f"slice(_v, {m + 1}, greatest(size(_v) - {m}, 0))")
+
+    def step(acc, x):
+        s_old = F.element_at(acc["s"], 1)
+        new_l = F.lit(a) * (x - s_old) + F.lit(1.0 - a) * (
+            acc["l"] + acc["b"]
+        )
+        new_b = F.lit(be) * (new_l - acc["l"]) + F.lit(1.0 - be) * acc["b"]
+        err = x - (acc["l"] + acc["b"] + s_old)
+        new_s = F.lit(g) * (x - new_l) + F.lit(1.0 - g) * s_old
+        return F.struct(
+            new_l.alias("l"),
+            new_b.alias("b"),
+            (acc["sse"] + err * err).alias("sse"),
+            F.concat(
+                F.slice(acc["s"], 2, m - 1), F.array(new_s)
+            ).alias("s"),
+        )
+
+    state = F.aggregate(rest, init, step)
+    n = F.col("_n")
+    out = gdf.withColumn("_st", F.when(n >= 2 * m, state))
+    lvl, trd = F.col("_st")["l"], F.col("_st")["b"]
+    season_next = F.element_at(F.col("_st")["s"], ((h - 1) % m) + 1)
+    return out.select(
+        *keys,
+        n.cast("long").alias("n"),
+        lvl.alias("level"),
+        trd.alias("trend"),
+        season_next.alias("season_next"),
+        (lvl + F.lit(float(h)) * trd + season_next).alias("forecast"),
+        F.sqrt(F.col("_st")["sse"] / (n - m).cast("double")).alias("rmse"),
+    )

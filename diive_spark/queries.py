@@ -5319,6 +5319,78 @@ FROM sym
 """
 
 
+_HW_M, _HW_A, _HW_B, _HW_G, _HW_H = 12, 0.3, 0.1, 0.1, 5
+
+
+def q_holt_winters(spark, sf_dir):
+    """Holt-Winters additive triple-exponential smoothing per series
+    (Winters 1960): final (level, trend, next seasonal), h-step
+    forecast and one-step RMSE from one exact struct-accumulator fold
+    carrying the rolling seasonal array.  The DuckDB twin replays the
+    identical fold with a recursive CTE whose state includes a LIST
+    column (the holt_smooth precedent extended with seasonal state);
+    the init means fold sequentially on both engines (list_reduce /
+    aggregate — never a vectorized sum), so doubles are bit-identical."""
+    out = analyses.holt_winters_smooth(
+        series(spark, sf_dir), period=_HW_M, alpha=_HW_A, beta=_HW_B,
+        gamma=_HW_G, horizon=_HW_H, key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("level")).alias("level"),
+        _r(F.col("trend")).alias("trend"),
+        _r(F.col("season_next")).alias("season_next"),
+        _r(F.col("forecast")).alias("forecast"),
+        _r(F.col("rmse")).alias("rmse"),
+    )
+
+
+_HW_SIDX = ((_HW_H - 1) % _HW_M) + 1
+
+SQL_HOLT_WINTERS = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+v AS (SELECT source, doc_id, array_agg(value ORDER BY pos) AS vals,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+init AS (SELECT source, doc_id, n, vals, l1,
+                (s2sum / {float(_HW_M)!r} - l1) / {float(_HW_M)!r} AS b1
+         FROM (SELECT *,
+                 list_reduce(vals[1:{_HW_M}],
+                             (acc, x) -> acc + x) / {float(_HW_M)!r} AS l1,
+                 list_reduce(vals[{_HW_M + 1}:{2 * _HW_M}],
+                             (acc, x) -> acc + x) AS s2sum
+               FROM v WHERE n >= {2 * _HW_M})),
+fold AS (
+  SELECT source, doc_id, n, vals, {_HW_M} AS i, l1 AS l, b1 AS b,
+         0.0::DOUBLE AS sse,
+         list_transform(vals[1:{_HW_M}], x -> x - l1) AS s
+  FROM init
+  UNION ALL
+  SELECT source, doc_id, n, vals, i + 1,
+         {_HW_A!r} * (vals[i + 1] - s[1]) + {1.0 - _HW_A!r} * (l + b),
+         {_HW_B!r} * (({_HW_A!r} * (vals[i + 1] - s[1])
+             + {1.0 - _HW_A!r} * (l + b)) - l) + {1.0 - _HW_B!r} * b,
+         sse + (vals[i + 1] - (l + b + s[1]))
+             * (vals[i + 1] - (l + b + s[1])),
+         list_append(s[2:],
+             {_HW_G!r} * (vals[i + 1] - ({_HW_A!r} * (vals[i + 1] - s[1])
+                 + {1.0 - _HW_A!r} * (l + b))) + {1.0 - _HW_G!r} * s[1])
+  FROM fold WHERE i < n
+),
+st AS (SELECT source, doc_id, l, b, sse, s FROM fold WHERE i = n)
+SELECT v.source, v.doc_id, v.n,
+       round(st.l, 6) AS level,
+       round(st.b, 6) AS trend,
+       round(st.s[{_HW_SIDX}], 6) AS season_next,
+       round(st.l + {float(_HW_H)!r} * st.b + st.s[{_HW_SIDX}], 6)
+         AS forecast,
+       round(sqrt(st.sse / CAST(v.n - {_HW_M} AS DOUBLE)), 6) AS rmse
+FROM v LEFT JOIN st USING (source, doc_id)
+"""
+
+
 _CM_D, _CM_W, _CM_B1, _CM_PB, _CM_TOPK = 4, 128, 50, 250, 3
 
 
@@ -5446,6 +5518,7 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "holt_winters_smooth": (q_holt_winters, SQL_HOLT_WINTERS),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "sax_symbolize": (q_sax_symbolize, SQL_SAX_SYMBOLIZE),
     "asap_smooth": (q_asap_smooth, SQL_ASAP_SMOOTH),

@@ -1566,3 +1566,84 @@ def test_cm_validation_and_nulls(spark):
         cm_sketch_agg(sdf, every=10, depth=99)
     with _pytest.raises(ValueError):
         cm_sketch_agg(sdf, every=10, width=1)
+
+
+def _hw_numpy(x, m, a, be, g, h):
+    l = x[:m].mean()
+    b = (x[m:2 * m].mean() - x[:m].mean()) / m
+    s = list(x[:m] - l)
+    sse = 0.0
+    for t in range(m, len(x)):
+        s_old = s[0]
+        err = x[t] - (l + b + s_old)
+        sse += err * err
+        nl = a * (x[t] - s_old) + (1 - a) * (l + b)
+        nb = be * (nl - l) + (1 - be) * b
+        ns = g * (x[t] - nl) + (1 - g) * s_old
+        l, b = nl, nb
+        s = s[1:] + [ns]
+    season_next = s[(h - 1) % m]
+    return (
+        l, b, season_next, l + h * b + season_next,
+        math.sqrt(sse / (len(x) - m)),
+    )
+
+
+def test_holt_winters_matches_numpy_loop(spark):
+    from diive_spark.operators.analyses import holt_winters_smooth
+
+    pdf = seeded_series(n=300, gap_frac=0.1, seed=13)
+    got = holt_winters_smooth(
+        spark.createDataFrame(pdf), period=12, alpha=0.4, beta=0.15,
+        gamma=0.2, horizon=5,
+    ).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    l, b, sn, fc, rmse = _hw_numpy(x, 12, 0.4, 0.15, 0.2, 5)
+    assert got["n"] == len(x)
+    assert abs(got["level"] - l) < 1e-10
+    assert abs(got["trend"] - b) < 1e-10
+    assert abs(got["season_next"] - sn) < 1e-10
+    assert abs(got["forecast"] - fc) < 1e-10
+    assert abs(got["rmse"] - rmse) < 1e-10
+
+
+def test_holt_winters_beats_holt_on_seasonal_signal(spark):
+    from diive_spark.operators.analyses import holt_smooth, holt_winters_smooth
+
+    m = 8
+    pos = np.arange(160)
+    season = np.array([5.0, 3.0, 0.0, -2.0, -5.0, -3.0, 0.0, 2.0])
+    v = 10.0 + 0.05 * pos + season[pos % m]
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    sdf = spark.createDataFrame(pdf)
+    hw = holt_winters_smooth(
+        sdf, period=m, alpha=0.3, beta=0.05, gamma=0.2
+    ).toPandas().iloc[0]
+    ho = holt_smooth(sdf, alpha=0.3, beta=0.05).toPandas().iloc[0]
+    # the seasonal model must explain the cycle the trend model can't
+    assert hw["rmse"] < 0.35 * ho["rmse"]
+
+
+def test_holt_winters_short_series_nulls_and_validation(spark):
+    import pytest as _pytest
+
+    from diive_spark.operators.analyses import holt_winters_smooth
+
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": np.arange(15),
+            "value": np.linspace(0, 5, 15),
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    got = holt_winters_smooth(sdf, period=8).toPandas().iloc[0]
+    # n = 15 < 2*period = 16 -> all outputs null
+    assert got["n"] == 15 and pd.isna(got["level"]) and pd.isna(got["rmse"])
+    with _pytest.raises(ValueError):
+        holt_winters_smooth(sdf, period=0)
+    with _pytest.raises(ValueError):
+        holt_winters_smooth(sdf, period=8, gamma=1.5)
