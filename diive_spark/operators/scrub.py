@@ -401,3 +401,94 @@ def remove_boilerplate_paragraphs(
         )
     )
     return df.join(rebuilt, on=id_col, how="left")
+
+
+# --- Bloom-filter membership (round-5 continuation) --------------------
+
+
+def _bloom_pos(item_col, i: int, m_bits: int):
+    """Bit position of ``item_col`` under hash ``i``: the first 60 bits
+    of md5 over a seed-prefixed item, mod ``m_bits``.  md5 + hex-cast is
+    the engine-portable construction this module already uses for
+    deterministic sampling (:func:`_hash_bucket`) — the DuckDB twin
+    computes the identical integer with
+    ``('0x' || substr(md5(...), 1, 15))::BIGINT``."""
+    hx = F.substring(F.md5(F.concat(F.lit(f"bf{i}:"), item_col)), 1, 15)
+    return F.pmod(F.conv(hx, 16, 10).cast("long"), F.lit(int(m_bits)))
+
+
+def bloom_build(
+    items: DataFrame,
+    item_col: str = "item",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+) -> DataFrame:
+    """Build a Bloom filter (Bloom, CACM 1970) over the items as a
+    LONG-FORM bit set: one row per set bit.  No false negatives ever;
+    false-positive rate ~ (1 - exp(-k*n/m))^k.
+
+    Long form (not a packed bitmap) is deliberate: it composes by
+    plain union+distinct, broadcasts as an ordinary small relation,
+    stays exactly replayable on any SQL engine, and at ~10 bits/item
+    is still ~6x smaller than the exact 64-bit hash set
+    (:func:`contamination_hits`'s broadcast).  The exact set wins for
+    thousands-of-docs eval suites; the bloom is the scale path when
+    the membership side reaches billions (seen-URL registries,
+    cross-snapshot document caches) where 8 bytes/item no longer
+    broadcasts.  A packed variant would swap the distinct for
+    ``bitmap_construct_agg`` — same positions, denser transport.
+    """
+    if not 1 <= k <= 16:
+        raise ValueError(f"k must be in [1, 16], got {k}")
+    if m_bits < 2:
+        raise ValueError(f"m_bits must be >= 2, got {m_bits}")
+    col = F.col(item_col).cast("string")
+    poss = F.array(*[_bloom_pos(col, i, m_bits) for i in range(k)])
+    return (
+        items.where(F.col(item_col).isNotNull())
+        .select(F.explode(poss).alias("bit"))
+        .distinct()
+    )
+
+
+def bloom_probe(
+    df: DataFrame,
+    bloom: DataFrame,
+    item_col: str = "item",
+    m_bits: int = 1 << 20,
+    k: int = 4,
+    flag_col: str = "bloom_hit",
+) -> DataFrame:
+    """Membership test against a :func:`bloom_build` bit set: returns
+    *df* with ``flag_col`` (boolean; true = possibly-member, false =
+    DEFINITELY absent).
+
+    Scale shape: the verdict is computed per DISTINCT item (k fan-out
+    rows each, broadcast-joined against the bit set, flagged when all
+    k probes land on set bits), then hash-joined back onto the rows —
+    the wide ``df`` never fans out, and the verdict relation is
+    distinct-items-sized, so AQE typically broadcasts the join-back.
+    Null items flag false (no membership claim)."""
+    col = F.col(item_col).cast("string")
+    items = df.select(col.alias("_it")).where(
+        F.col("_it").isNotNull()
+    ).distinct()
+    fan = items.withColumn(
+        "_pos",
+        F.explode(F.array(*[_bloom_pos(F.col("_it"), i, m_bits)
+                            for i in range(k)])),
+    )
+    verdict = (
+        fan.join(
+            F.broadcast(bloom.withColumnRenamed("bit", "_pos")
+                        .withColumn("_set", F.lit(1))),
+            on="_pos", how="left",
+        )
+        .groupBy("_it")
+        .agg((F.count("_set") == k).alias(flag_col))
+    )
+    out = df.join(
+        verdict, on=col == F.col("_it"), how="left"
+    ).drop("_it")
+    return out.withColumn(flag_col, F.coalesce(F.col(flag_col),
+                                               F.lit(False)))

@@ -5319,6 +5319,104 @@ FROM sym
 """
 
 
+_BL_M, _BL_K, _BL_N = 1 << 15, 4, 4
+
+
+def q_bloom_decontaminate(spark, sf_dir):
+    """Bloom-filter decontamination (Bloom 1970 bit set over benchmark
+    4-grams, probed by corpus grams): the scale path for membership
+    sides too big to broadcast as exact hash sets.  Hash-exact oracle —
+    the DuckDB twin rebuilds the identical md5-derived bit positions —
+    plus the Bloom guarantee verified as data: ``n_false_neg`` (true
+    hits the filter missed) must be 0 per doc, while ``n_bloom_hits -
+    n_true_hits`` exposes the (deterministic, md5-fixed) false
+    positives the one-sided error allows."""
+    docs = _load(spark, sf_dir, "documents")
+    bench_grams = (
+        docs.where(F.col("source") == "src0")
+        .select(F.explode(scrub.word_ngrams(F.col("text"), _BL_N))
+                .alias("g"))
+        .distinct()
+    )
+    bloom = scrub.bloom_build(
+        bench_grams, item_col="g", m_bits=_BL_M, k=_BL_K
+    )
+    corpus = docs.where(F.col("source") != "src0").select(
+        "doc_id",
+        F.explode(scrub.word_ngrams(F.col("text"), _BL_N)).alias("g"),
+    )
+    flagged = scrub.bloom_probe(
+        corpus, bloom, item_col="g", m_bits=_BL_M, k=_BL_K
+    )
+    truth = bench_grams.withColumn("_true", F.lit(1))
+    per_doc = (
+        flagged.join(F.broadcast(truth), on="g", how="left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(F.coalesce(F.col("_true"), F.lit(0)))
+            .cast("long").alias("n_true_hits"),
+            F.sum(F.col("bloom_hit").cast("int"))
+            .cast("long").alias("n_bloom_hits"),
+            F.sum((F.col("_true").isNotNull() & ~F.col("bloom_hit"))
+                  .cast("int")).cast("long").alias("n_false_neg"),
+        )
+    )
+    return per_doc.select(
+        "doc_id", "n_grams", "n_true_hits", "n_bloom_hits",
+        "n_false_neg",
+        (F.col("n_false_neg") == 0).alias("no_false_neg_ok"),
+    )
+
+
+_BL_POS = (
+    "(('0x' || substr(md5('bf' || CAST(hidx.i AS VARCHAR) || ':' || {g}),"
+    f" 1, 15))::BIGINT) % {_BL_M}"
+)
+
+SQL_BLOOM_DECONTAMINATE = rf"""
+WITH toks AS (
+  SELECT doc_id, source,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS w
+  FROM documents),
+grams AS (
+  SELECT doc_id, source,
+         list_distinct(list_transform(range(1, len(w) - {_BL_N} + 2),
+                       i -> array_to_string(w[i:i+{_BL_N - 1}], ' '))) AS gs
+  FROM toks WHERE len(w) >= {_BL_N}),
+bench AS (
+  SELECT DISTINCT unnest(gs) AS g FROM grams WHERE source = 'src0'),
+hidx(i) AS (VALUES {", ".join(f"({i})" for i in range(_BL_K))}),
+bits AS (
+  SELECT DISTINCT {_BL_POS.format(g="bench.g")} AS bit
+  FROM bench CROSS JOIN hidx),
+corpus AS (
+  SELECT doc_id, unnest(gs) AS g FROM grams WHERE source <> 'src0'),
+cg AS (SELECT DISTINCT g FROM corpus),
+probe AS (
+  SELECT cg.g, count(b.bit) = {_BL_K} AS bloom_hit
+  FROM cg CROSS JOIN hidx
+  LEFT JOIN bits b ON b.bit = {_BL_POS.format(g="cg.g")}
+  GROUP BY cg.g),
+tr AS (SELECT g, 1 AS t FROM bench),
+agg AS (
+  SELECT c.doc_id,
+         CAST(count(*) AS BIGINT) AS n_grams,
+         CAST(sum(coalesce(tr.t, 0)) AS BIGINT) AS n_true_hits,
+         CAST(sum(CASE WHEN p.bloom_hit THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bloom_hits,
+         CAST(sum(CASE WHEN tr.t IS NOT NULL AND NOT p.bloom_hit
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_false_neg
+  FROM corpus c
+  JOIN probe p USING (g)
+  LEFT JOIN tr USING (g)
+  GROUP BY 1)
+SELECT doc_id, n_grams, n_true_hits, n_bloom_hits, n_false_neg,
+       n_false_neg = 0 AS no_false_neg_ok
+FROM agg
+"""
+
+
 _HW_M, _HW_A, _HW_B, _HW_G, _HW_H = 12, 0.3, 0.1, 0.1, 5
 
 
@@ -5518,6 +5616,8 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "bloom_decontaminate": (q_bloom_decontaminate,
+                            SQL_BLOOM_DECONTAMINATE),
     "holt_winters_smooth": (q_holt_winters, SQL_HOLT_WINTERS),
     "cm_heavy_hitters": (q_cm_heavy_hitters, SQL_CM_HEAVY_HITTERS),
     "sax_symbolize": (q_sax_symbolize, SQL_SAX_SYMBOLIZE),

@@ -242,3 +242,67 @@ def test_temperature_mix_flattens_head(spark):
                temperature_mix_sample(df.repartition(16), alpha=0.3,
                                       strata_col="src").collect())
     assert a == b
+
+
+def _bloom_py_positions(item: str, k: int, m_bits: int):
+    import hashlib
+
+    out = []
+    for i in range(k):
+        hx = hashlib.md5(f"bf{i}:{item}".encode()).hexdigest()[:15]
+        out.append(int(hx, 16) % m_bits)
+    return out
+
+
+def test_bloom_no_false_negatives_and_exact_positions(spark):
+    import pandas as pd
+
+    from diive_spark.operators.scrub import bloom_build, bloom_probe
+
+    members = [f"gram-{i}" for i in range(200)]
+    probes = members + [f"other-{i}" for i in range(400)]
+    m_bits, k = 4096, 4
+    bloom = bloom_build(
+        spark.createDataFrame(pd.DataFrame({"item": members})),
+        m_bits=m_bits, k=k,
+    )
+    # bit set matches the hashlib twin exactly
+    want_bits = sorted(
+        {p for it in members for p in _bloom_py_positions(it, k, m_bits)}
+    )
+    assert sorted(r["bit"] for r in bloom.collect()) == want_bits
+
+    got = bloom_probe(
+        spark.createDataFrame(pd.DataFrame({"item": probes})),
+        bloom, m_bits=m_bits, k=k,
+    ).toPandas().set_index("item")["bloom_hit"]
+    # zero false negatives — the Bloom guarantee
+    assert all(got[it] for it in members)
+    # flags match the hashlib twin per probe (incl. any false positive)
+    bitset = set(want_bits)
+    for it in probes:
+        want = all(p in bitset for p in _bloom_py_positions(it, k, m_bits))
+        assert bool(got[it]) == want
+    # false-positive rate sane: n=200, m=4096, k=4 -> theory ~0.24%
+    fp = sum(bool(got[it]) for it in probes[200:])
+    assert fp <= 12  # 3% cap, >10x theory — deterministic given md5
+
+
+def test_bloom_nulls_and_validation(spark):
+    import pandas as pd
+    import pytest as _pytest
+
+    from diive_spark.operators.scrub import bloom_build, bloom_probe
+
+    pdf = pd.DataFrame({"item": ["a", None, "b"]})
+    bloom = bloom_build(spark.createDataFrame(pdf), m_bits=64, k=2)
+    got = bloom_probe(
+        spark.createDataFrame(pdf), bloom, m_bits=64, k=2
+    ).toPandas()
+    # null item probes false; members probe true
+    by = {r["item"]: r["bloom_hit"] for _, r in got.iterrows()}
+    assert by["a"] and by["b"] and not by[None]
+    with _pytest.raises(ValueError):
+        bloom_build(spark.createDataFrame(pdf), k=0)
+    with _pytest.raises(ValueError):
+        bloom_build(spark.createDataFrame(pdf), m_bits=1)
