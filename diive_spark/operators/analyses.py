@@ -2702,3 +2702,137 @@ def holt_winters_smooth(
         (lvl + F.lit(float(h)) * trd + season_next).alias("forecast"),
         F.sqrt(F.col("_st")["sse"] / (n - m).cast("double")).alias("rmse"),
     )
+
+
+def matrix_profile(
+    df: DataFrame,
+    m: int = 8,
+    exclusion: int | None = None,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    max_points: int = 8192,
+) -> DataFrame:
+    """Self-join matrix profile per series (Yeh et al., ICDM 2016 —
+    public algorithm; diive's anomaly tooling is z-score/Hampel based,
+    this adds shape-based discord/motif discovery).
+
+    For every length-``m`` subsequence: the z-normalized Euclidean
+    distance to its nearest non-trivial neighbor in the SAME series
+    (``|i - j| >= exclusion``, default ``max(1, m // 2)`` — the
+    standard trivial-match zone).  Low profile = motif (repeated
+    shape), high profile = discord (anomalous shape).
+
+    Distances use the correlation identity
+    ``d(i,j) = sqrt(max(2m(1 - (dot - m*mu_i*mu_j)/(m*sd_i*sd_j)), 0))``
+    with population window moments; a zero-variance window is the
+    all-zeros z-vector (d = 0 vs another flat window, sqrt(m)
+    otherwise) — guarded identically in the SQL twin.
+
+    The profile is inherently O(n^2) per series (one BLAS matmul in
+    the numpy kernel), so the kernel REFUSES series longer than
+    ``max_points`` rather than silently choking an executor — at
+    10^12-series scale the parallelism is ACROSS series (the LTTB /
+    LOF / ASAP contract: one bounded series per worker); window or
+    downsample longer series first (``m4_downsample``/``bucket_rollup``)
+    — that is the published scale recipe (the MP literature's own
+    anytime/segmented variants stream exactly such chunks.)
+
+    Emits one row per subsequence: (key..., sub_ci, sub_pos, nn_ci,
+    mp) — ``sub_ci`` the compact (null-free) window-start index,
+    ``sub_pos`` its original axis position, ``nn_ci`` the nearest
+    neighbor's compact index (ties -> smallest), ``mp`` the distance.
+    Series with no admissible (i, j) pair emit nothing.
+    """
+    if m < 2:
+        raise ValueError(f"m must be >= 2, got {m}")
+    excl = max(1, m // 2) if exclusion is None else int(exclusion)
+    if excl < 1:
+        raise ValueError(f"exclusion must be >= 1, got {exclusion}")
+    keys = list(key_cols)
+    import numpy as np
+    import pandas as pd
+    import pyspark.sql.types as T
+
+    out_schema = T.StructType(
+        [df.schema[k] for k in keys]
+        + [
+            T.StructField("sub_ci", T.LongType()),
+            T.StructField("sub_pos", T.LongType()),
+            T.StructField("nn_ci", T.LongType()),
+            T.StructField("mp", T.DoubleType()),
+        ]
+    )
+    mm, cap = int(m), int(max_points)
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        sub = pdf.dropna(subset=[value_col]).sort_values(axis_col)
+        x = sub[value_col].to_numpy(dtype=np.float64)
+        pos = sub[axis_col].to_numpy()
+        n = len(x)
+        if n > cap:
+            raise ValueError(
+                f"matrix_profile: series has {n} points > max_points="
+                f"{cap}; window or downsample first (O(n^2) kernel)"
+            )
+        n_sub = n - mm + 1
+        if n_sub < excl + 1:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        w = np.lib.stride_tricks.sliding_window_view(x, mm)
+        mu = w.mean(axis=1)
+        sd = w.std(axis=1)  # population
+        dot = w @ w.T
+        denom = mm * np.outer(sd, sd)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            corr = (dot - mm * np.outer(mu, mu)) / denom
+        d = np.sqrt(np.maximum(2.0 * mm * (1.0 - corr), 0.0))
+        zi = sd == 0.0
+        if zi.any():
+            both = np.logical_and.outer(zi, zi)
+            one = np.logical_xor.outer(zi, zi)
+            d[both] = 0.0
+            d[one] = math.sqrt(mm)
+        idx = np.arange(n_sub)
+        d[np.abs(idx[:, None] - idx[None, :]) < excl] = np.inf
+        nn = d.argmin(axis=1)
+        mp = d[idx, nn]
+        out = pd.DataFrame(
+            {
+                "sub_ci": idx.astype("int64"),
+                "sub_pos": pos[:n_sub].astype("int64"),
+                "nn_ci": nn.astype("int64"),
+                "mp": mp,
+            }
+        )
+        for k in keys:
+            out[k] = pdf[k].iloc[0]
+        return out[[f.name for f in out_schema]]
+
+    return df.groupBy(*keys).applyInPandas(_kernel, schema=out_schema)
+
+
+def matrix_profile_discord(
+    df: DataFrame,
+    m: int = 8,
+    top: int = 1,
+    exclusion: int | None = None,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    max_points: int = 8192,
+) -> DataFrame:
+    """Top-``top`` discords per series: the subsequences whose matrix
+    profile is LARGEST (farthest from any other shape in the series) —
+    the MP-native anomaly report.  Deterministic tie-break: higher mp
+    first, then smaller sub_ci."""
+    prof = matrix_profile(
+        df, m=m, exclusion=exclusion, value_col=value_col,
+        axis_col=axis_col, key_cols=key_cols, max_points=max_points,
+    )
+    keys = list(key_cols)
+    wd = Window.partitionBy(*keys).orderBy(F.desc("mp"), F.asc("sub_ci"))
+    return (
+        prof.withColumn("rk", F.row_number().over(wd))
+        .where(F.col("rk") <= int(top))
+        .select(*keys, "rk", "sub_ci", "sub_pos", "nn_ci", "mp")
+    )

@@ -5319,6 +5319,80 @@ FROM sym
 """
 
 
+_MP_M, _MP_EXCL, _MP_CAP = 8, 4, 200
+
+
+def q_matrix_profile(spark, sf_dir):
+    """Matrix profile per series (Yeh et al. ICDM 2016): z-normalized
+    distance from every length-8 subsequence to its nearest non-trivial
+    neighbor.  The numpy kernel computes it with one BLAS matmul per
+    series; the DuckDB twin recomputes EVERY pairwise distance from
+    scratch (subsequence-moment windows + an 8-offset dot-product
+    join) — a full independent replay, not an invariant check.  Both
+    sides cap each series at its first 200 null-free points: the twin's
+    pair join is O(cap^2) per series and the driver runs at sf0.01."""
+    keys = ["source", "doc_id"]
+    nn = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy(*keys).orderBy("pos")
+    capped = (
+        nn.withColumn("_ci", F.row_number().over(w) - 1)
+        .where(F.col("_ci") < _MP_CAP)
+        .drop("_ci")
+    )
+    out = analyses.matrix_profile(
+        capped, m=_MP_M, exclusion=_MP_EXCL, key_cols=keys,
+        max_points=_MP_CAP,
+    )
+    return out.select(
+        "source", "doc_id", "sub_ci", _r(F.col("mp")).alias("mp")
+    )
+
+
+SQL_MATRIX_PROFILE = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, value,
+               row_number() OVER (PARTITION BY source, doc_id
+                                  ORDER BY pos) - 1 AS ci
+        FROM series WHERE value IS NOT NULL),
+cap AS (SELECT * FROM pts WHERE ci < {_MP_CAP}),
+nn AS (SELECT source, doc_id, count(*) AS n FROM cap GROUP BY 1, 2),
+winmom AS (SELECT source, doc_id, ci AS i,
+                  avg(value) OVER fr AS mu,
+                  var_pop(value) OVER fr AS varr
+           FROM cap
+           WINDOW fr AS (PARTITION BY source, doc_id ORDER BY ci
+                         ROWS BETWEEN CURRENT ROW
+                         AND {_MP_M - 1} FOLLOWING)),
+sidx AS (SELECT w.source, w.doc_id, w.i, w.mu, sqrt(w.varr) AS sd
+         FROM winmom w JOIN nn USING (source, doc_id)
+         WHERE w.i <= nn.n - {_MP_M}),
+pairs AS (SELECT a.source, a.doc_id, a.i, b.i AS j,
+                 a.mu AS mui, b.mu AS muj, a.sd AS sdi, b.sd AS sdj
+          FROM sidx a JOIN sidx b USING (source, doc_id)
+          WHERE abs(b.i - a.i) >= {_MP_EXCL}),
+dots AS (SELECT p.source, p.doc_id, p.i, p.j,
+                p.mui, p.muj, p.sdi, p.sdj,
+                sum(xa.value * xb.value) AS dot
+         FROM pairs p
+         JOIN cap xa ON xa.source = p.source AND xa.doc_id = p.doc_id
+                    AND xa.ci BETWEEN p.i AND p.i + {_MP_M - 1}
+         JOIN cap xb ON xb.source = p.source AND xb.doc_id = p.doc_id
+                    AND xb.ci = p.j + (xa.ci - p.i)
+         GROUP BY 1, 2, 3, 4, 5, 6, 7, 8),
+d AS (SELECT source, doc_id, i, j,
+             CASE WHEN sdi = 0 AND sdj = 0 THEN 0.0
+                  WHEN sdi = 0 OR sdj = 0 THEN sqrt({float(_MP_M)!r})
+                  ELSE sqrt(greatest(
+                    2.0 * {_MP_M} * (1.0 - (dot - {_MP_M} * mui * muj)
+                                     / ({_MP_M} * sdi * sdj)), 0.0))
+             END AS dist
+      FROM dots)
+SELECT source, doc_id, CAST(i AS BIGINT) AS sub_ci,
+       round(min(dist), 6) AS mp
+FROM d GROUP BY 1, 2, 3
+"""
+
+
 _BL_M, _BL_K, _BL_N = 1 << 15, 4, 4
 
 
@@ -5616,6 +5690,7 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "matrix_profile": (q_matrix_profile, SQL_MATRIX_PROFILE),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             SQL_BLOOM_DECONTAMINATE),
     "holt_winters_smooth": (q_holt_winters, SQL_HOLT_WINTERS),

@@ -1647,3 +1647,86 @@ def test_holt_winters_short_series_nulls_and_validation(spark):
         holt_winters_smooth(sdf, period=0)
     with _pytest.raises(ValueError):
         holt_winters_smooth(sdf, period=8, gamma=1.5)
+
+
+def _mp_numpy_brute(x, m, excl):
+    n_sub = len(x) - m + 1
+    subs = [np.asarray(x[i:i + m], dtype=float) for i in range(n_sub)]
+    zs = []
+    for s in subs:
+        sd = s.std()
+        zs.append(np.zeros(m) if sd == 0 else (s - s.mean()) / sd)
+    mp, nn = [], []
+    for i in range(n_sub):
+        best, bj = np.inf, -1
+        for j in range(n_sub):
+            if abs(i - j) < excl:
+                continue
+            d = float(np.sqrt(((zs[i] - zs[j]) ** 2).sum()))
+            if d < best:
+                best, bj = d, j
+        mp.append(best)
+        nn.append(bj)
+    return np.array(mp), np.array(nn)
+
+
+def test_matrix_profile_matches_brute_force(spark):
+    from diive_spark.operators.analyses import matrix_profile
+
+    pdf = seeded_series(n=120, gap_frac=0.1, seed=3)
+    got = (
+        matrix_profile(spark.createDataFrame(pdf), m=8)
+        .toPandas()
+        .sort_values("sub_ci")
+        .reset_index(drop=True)
+    )
+    x = pdf["value"].dropna().to_numpy()
+    mp, nn = _mp_numpy_brute(x, 8, 4)
+    assert len(got) == len(mp)
+    np.testing.assert_allclose(got["mp"].to_numpy(), mp, atol=1e-8)
+    # nearest-neighbor indices agree wherever the min is unambiguous
+    d = np.abs(got["mp"].to_numpy() - mp)
+    assert (got["nn_ci"].to_numpy() == nn)[d < 1e-10].mean() > 0.95
+
+
+def test_matrix_profile_finds_planted_discord(spark):
+    from diive_spark.operators.analyses import matrix_profile_discord
+
+    pos = np.arange(256)
+    v = np.sin(2 * np.pi * pos / 16)  # pure repeating shape
+    v[140:148] = [5.0, -5.0, 5.0, -5.0, 5.0, -5.0, 5.0, -5.0]  # discord
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    got = matrix_profile_discord(
+        spark.createDataFrame(pdf), m=8, top=1
+    ).toPandas().iloc[0]
+    # the top discord window must overlap the planted anomaly
+    assert 133 <= got["sub_ci"] <= 147
+    assert got["mp"] > 1.0
+
+
+def test_matrix_profile_guards(spark):
+    import pytest as _pytest
+
+    from diive_spark.operators.analyses import matrix_profile
+
+    flat = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(30),
+         "value": 2.0}
+    )
+    got = matrix_profile(spark.createDataFrame(flat), m=8).toPandas()
+    # all-flat series: every window is the zero z-vector -> mp == 0
+    assert len(got) == 23 and (got["mp"] == 0.0).all()
+
+    short = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0, 1, 2],
+         "value": [1.0, 2.0, 3.0]}
+    )
+    assert matrix_profile(spark.createDataFrame(short), m=8).count() == 0
+    with _pytest.raises(ValueError):
+        matrix_profile(spark.createDataFrame(short), m=1)
+    with _pytest.raises(Exception):  # executor ValueError surfaces wrapped
+        matrix_profile(
+            spark.createDataFrame(flat), m=8, max_points=10
+        ).count()
