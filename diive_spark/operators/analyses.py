@@ -2836,3 +2836,57 @@ def matrix_profile_discord(
         .where(F.col("rk") <= int(top))
         .select(*keys, "rk", "sub_ci", "sub_pos", "nn_ci", "mp")
     )
+
+
+def sax_motif_buckets(
+    df: DataFrame,
+    segments: int = 8,
+    alphabet: int = 4,
+    min_series: int = 2,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Cross-series motif discovery by SAX-word bucketing (the indexing
+    use Lin et al. DMKD 2003 §5 designed SAX for): symbolize every
+    series (:func:`sax_symbolize`), concatenate its segment letters
+    into one word, and group series by word — series sharing a word
+    have the same coarse shape.
+
+    This is the SCALE path for "which of my 10^12 series look alike":
+    :func:`matrix_profile` is exact but O(n^2) WITHIN a series and
+    pairwise ACROSS them; SAX bucketing replaces the cross-series
+    all-pairs with one equi-shuffle on a ``segments``-letter word
+    (the MinHash-LSH band-bucket pattern applied to shapes).  Candidate
+    buckets can then be verified exactly with z-normalized distance —
+    only within buckets, never all-pairs.
+
+    Emits one row per word with >= ``min_series`` members:
+    (word, n_series, members) — members an array of
+    'key0|key1'-joined series ids, sorted for determinism.
+    """
+    keys = list(key_cols)
+    sym = sax_symbolize(
+        df, segments=segments, alphabet=alphabet,
+        value_col=value_col, axis_col=axis_col, key_cols=keys,
+    )
+    word = F.array_join(
+        F.transform(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("seg"), F.col("letter")))
+            ),
+            lambda s: s["letter"],
+        ),
+        "",
+    )
+    series_words = sym.groupBy(*keys).agg(word.alias("word"))
+    sid = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    return (
+        series_words.select(sid.alias("_sid"), "word")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_series"),
+            F.array_sort(F.collect_list("_sid")).alias("members"),
+        )
+        .where(F.col("n_series") >= int(min_series))
+    )

@@ -5319,6 +5319,58 @@ FROM sym
 """
 
 
+def q_sax_motif_buckets(spark, sf_dir):
+    """Cross-series motif discovery by SAX-word bucketing (Lin et al.
+    DMKD 2003 §5): one equi-shuffle on the 8-letter word replaces
+    cross-series all-pairs shape comparison — the LSH-band pattern
+    applied to shapes.  min_series=1 so the driver hashes EVERY
+    bucket; members emitted as a sorted ';'-joined string (array
+    columns don't canonicalize through the driver compare)."""
+    out = analyses.sax_motif_buckets(
+        series(spark, sf_dir),
+        segments=_SAX_SEGMENTS,
+        alphabet=_SAX_ALPHABET,
+        min_series=1,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "word", "n_series", F.array_join("members", ";").alias("members")
+    )
+
+
+SQL_SAX_MOTIF_BUCKETS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+ix AS (SELECT source, doc_id, value,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY pos) - 1 AS ci
+       FROM pts),
+st AS (SELECT source, doc_id, avg(value) AS mu,
+              stddev_pop(value) AS sd, count(*) AS n
+       FROM ix GROUP BY 1, 2),
+zp AS (SELECT ix.source, ix.doc_id,
+              CAST(floor(ix.ci * {_SAX_SEGMENTS} / st.n) AS BIGINT) AS seg,
+              CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                   ELSE (ix.value - st.mu) / st.sd END AS z
+       FROM ix JOIN st USING (source, doc_id)),
+pa AS (SELECT source, doc_id, seg, avg(z) AS paa
+       FROM zp GROUP BY 1, 2, 3),
+sym AS (SELECT source, doc_id, seg,
+          chr(97 + ({" + ".join(
+              f"CASE WHEN paa > {bp!r} THEN 1 ELSE 0 END"
+              for bp in _SAX_BPS)})) AS letter
+        FROM pa),
+words AS (SELECT source, doc_id,
+                 string_agg(letter, '' ORDER BY seg) AS word
+          FROM sym GROUP BY 1, 2),
+sids AS (SELECT word, source || '|' || doc_id AS sid FROM words)
+SELECT word, CAST(count(*) AS BIGINT) AS n_series,
+       string_agg(sid, ';' ORDER BY sid) AS members
+FROM sids GROUP BY word
+"""
+
+
 _MP_M, _MP_EXCL, _MP_CAP = 8, 4, 200
 
 
@@ -5690,6 +5742,7 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "sax_motif_buckets": (q_sax_motif_buckets, SQL_SAX_MOTIF_BUCKETS),
     "matrix_profile": (q_matrix_profile, SQL_MATRIX_PROFILE),
     "bloom_decontaminate": (q_bloom_decontaminate,
                             SQL_BLOOM_DECONTAMINATE),

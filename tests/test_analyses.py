@@ -1730,3 +1730,30 @@ def test_matrix_profile_guards(spark):
         matrix_profile(
             spark.createDataFrame(flat), m=8, max_points=10
         ).count()
+
+
+def test_sax_motif_buckets_groups_shape_not_scale(spark):
+    from diive_spark.operators.analyses import sax_motif_buckets
+
+    pos = np.arange(64)
+    base = np.sin(2 * np.pi * pos / 32)
+    rows = []
+    for did, v in [
+        ("a", base),                 # shape A
+        ("b", 3.0 * base + 10.0),    # shape A, scaled+shifted
+        ("c", base[::-1].copy()),    # mirrored shape
+    ]:
+        rows.append(
+            pd.DataFrame(
+                {"source": "s", "doc_id": did, "pos": pos, "value": v}
+            )
+        )
+    sdf = spark.createDataFrame(pd.concat(rows))
+    got = sax_motif_buckets(
+        sdf, segments=8, alphabet=4, min_series=2
+    ).toPandas()
+    # z-normalization makes SAX scale/offset-invariant: a and b share a
+    # word; the mirrored series does not join their bucket
+    assert len(got) == 1
+    assert got.iloc[0]["n_series"] == 2
+    assert list(got.iloc[0]["members"]) == ["s|a", "s|b"]
