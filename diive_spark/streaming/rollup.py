@@ -163,3 +163,54 @@ def stream_ddsketch_partials(
         .alias("bin_start"),
         "sign", "bucket", "cnt",
     )
+
+
+def stream_cm_partials(
+    stream_df: DataFrame,
+    every: str = "1 minute",
+    watermark: str = "2 minutes",
+    depth: int = 4,
+    width: int = 128,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    key_cols: Sequence[str] = ("source",),
+) -> DataFrame:
+    """Streaming Count-Min store (Cormode & Muthukrishnan 2005): exact
+    counts over (row, col) hash cells per tumbling event-time window —
+    the streaming face of ``analyses.cm_sketch_agg``, emitting the
+    IDENTICAL long form (keys..., bin_start BIGINT epoch seconds, row,
+    col, cnt), so batch ``compose_cm`` / ``cm_estimate`` run on
+    streamed tiers unchanged and a streamed 1m store merges exactly
+    with a batch-built one (count-sum; cells are value-determined by
+    the shared ``_cm_col`` hash, so the two faces cannot drift).
+
+    State per window is bounded by min(distinct_items, depth*width)
+    cells (depth 4 x width 128 = 512 rows ~ 8 KB), the watermark
+    expires windows, and the fan-out is ``depth`` narrow rows per
+    reading — pure column expressions, whole-stage codegen, no Python
+    in the hot path."""
+    from ..operators.analyses import CM_SEEDS, _cm_col
+
+    if not 1 <= depth <= len(CM_SEEDS):
+        raise ValueError(f"depth must be in [1, {len(CM_SEEDS)}], got {depth}")
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    v = F.col(value_col)
+    rows = F.explode(F.array(*[F.lit(r) for r in range(depth)]))
+    win = F.window(ts_col, every)
+    agg = (
+        stream_df.where(v.isNotNull())
+        .withColumn("_iv", v.cast("long"))
+        .withColumn("row", rows)
+        .withColumn("row", F.col("row").cast("int"))
+        .withColumn("col", _cm_col(F.col("_iv"), F.col("row"), width))
+        .withWatermark(ts_col, watermark)
+        .groupBy(*key_cols, win, "row", "col")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    return agg.select(
+        *key_cols,
+        F.unix_timestamp(F.col("window.start")).cast("long")
+        .alias("bin_start"),
+        "row", "col", "cnt",
+    )

@@ -1091,3 +1091,66 @@ def test_stateful_partials_state_bounded_at_100k_keys(spark, tmp_path):
     # one line for DESIGN_SCALE.md's measured-bytes/key row
     print("STATE_BYTES_PER_KEY " + json.dumps(
         {k: round(v, 1) for k, v in measured.items()}))
+
+
+def test_stream_cm_equals_batch_sketch(spark, tmp_path):
+    """Streamed Count-Min partials are the IDENTICAL long form as batch
+    cm_sketch_agg: bit-equal cells on emitted bins, and batch
+    compose_cm / cm_estimate run on the streamed store unchanged."""
+    from diive_spark.operators.analyses import (
+        cm_estimate, cm_sketch_agg, compose_cm)
+    from diive_spark.streaming.rollup import (
+        stream_cm_partials, write_tier_stream)
+
+    src = str(tmp_path / "in")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    _batch(spark, 0, 60).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_cm_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+    _batch(spark, 30, 60).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(SCHEMA).parquet(src)
+    q = write_tier_stream(stream_cm_partials(stream), out, ckpt).start()
+    q.awaitTermination(120)
+
+    got = spark.read.parquet(out)
+    assert got.count() > 0
+    batch = spark.read.parquet(src).select(
+        "source",
+        F.unix_timestamp("ts").cast("long").alias("pos"),
+        "value",
+    )
+    want = cm_sketch_agg(batch, every=60, key_cols=["source"])
+    emitted = [
+        r.bin_start for r in got.select("bin_start").distinct().collect()
+    ]
+    want = want.where(F.col("bin_start").isin(emitted))
+    cols = ["source", "bin_start", "row", "col", "cnt"]
+    g = got.select(*cols).orderBy(*cols).toPandas()
+    w = want.select(*cols).orderBy(*cols).toPandas()
+    assert len(g) > 0 and g.reset_index(drop=True).equals(
+        w.reset_index(drop=True))
+    # batch compose + probe run on the streamed store UNCHANGED
+    comp = compose_cm(got, every=3600, key_cols=["source"])
+    assert int(comp.agg(F.sum("cnt")).first()[0]) == int(
+        got.agg(F.sum("cnt")).first()[0])
+    # true counts from EMITTED 1m bins only — a 1h parent composed from
+    # the streamed store excludes still-open 1m windows by design
+    probes = (
+        batch.withColumn(
+            "_b1", (F.floor(F.col("pos") / 60) * 60).cast("long")
+        )
+        .where(F.col("_b1").isin(emitted))
+        .withColumn(
+            "bin_start",
+            (F.floor(F.col("pos") / 3600) * 3600).cast("long"),
+        )
+        .withColumn("value", F.col("value").cast("long"))
+        .groupBy("source", "bin_start", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = cm_estimate(comp, probes, key_cols=["source"])
+    bad = est.where(F.col("cm_est") < F.col("true_cnt"))
+    # one-sided error holds on every probed item
+    assert est.count() > 0 and bad.count() == 0
