@@ -569,3 +569,62 @@ def test_no_pushdown_filter_semantics_and_plan(spark):
     )
     # the helper's scratch column must not leak into the output
     assert "__gate__" not in gated.columns
+
+
+def test_cm_sketch_single_exchange_and_partial_agg(spark, tiny_series):
+    """cm_sketch_agg is one shuffle (the cell groupBy, map-side
+    combined — readings never cross the wire) and compose_cm adds
+    exactly one more; neither collapses to SinglePartition."""
+    from diive_spark.operators.analyses import cm_sketch_agg, compose_cm
+
+    sk = cm_sketch_agg(tiny_series, every=600)
+    p = _physical_plan(sk)
+    assert p.count("Exchange") == 1 and "SinglePartition" not in p
+    assert "partial_count" in p  # map-side combine before the exchange
+    comp = compose_cm(sk, every=3600)
+    p2 = _physical_plan(comp)
+    assert p2.count("Exchange") == 2 and "SinglePartition" not in p2
+
+
+def test_bloom_probe_broadcasts_bits_and_never_fans_wide_rows(spark):
+    """bloom_probe's membership join against the bit set is a
+    broadcast hash join, and the k-way fan-out (Generate/explode)
+    happens on the DISTINCT-item relation, never on the wide input
+    rows: in the physical plan the Generate must sit below the
+    verdict aggregate, with the wide row join above it."""
+    import pandas as pd
+
+    from diive_spark.operators.scrub import bloom_build, bloom_probe
+
+    items = spark.createDataFrame(
+        pd.DataFrame({"item": [f"g{i}" for i in range(50)]})
+    )
+    wide = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "item": [f"g{i}" for i in range(80)],
+                "payload": ["x" * 10] * 80,
+            }
+        )
+    )
+    bloom = bloom_build(items, m_bits=1024, k=4)
+    out = bloom_probe(wide, bloom, m_bits=1024, k=4)
+    p = _physical_plan(out)
+    assert "BroadcastHashJoin" in p
+    # the explode feeds the per-item aggregate (HashAggregate above
+    # Generate), so fan-out cost is k * distinct items, not k * rows
+    gen = p.find("Generate")
+    agg = p.find("HashAggregate")
+    assert gen != -1 and agg != -1 and agg < gen
+
+
+def test_sax_bounded_exchanges_no_single_partition(spark, tiny_series):
+    """sax_symbolize = compact-index window + moments groupBy + PAA
+    groupBy on the series key: a handful of key-partitioned exchanges,
+    never a SinglePartition collapse."""
+    from diive_spark.operators.analyses import sax_symbolize
+
+    out = sax_symbolize(tiny_series, segments=8, alphabet=4)
+    p = _physical_plan(out)
+    assert "SinglePartition" not in p
+    assert p.count("Exchange") <= 4

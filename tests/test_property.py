@@ -232,3 +232,102 @@ def test_hist_sketch_compose_and_bound(spark, values):
             x = xs[rank - 1]
             e = float(row[f"p{int(round(q * 100)):02d}_est"].iloc[0])
             assert abs(e - x) <= width * (1 + 1e-9) + 1e-9
+
+
+# ------------------------------------------------------------- count-min
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    items=st.lists(st.integers(-50, 50), min_size=1, max_size=300),
+    split=st.integers(1, 299),
+)
+def test_cm_compose_exact_and_one_sided(spark, items, split):
+    """Count-Min properties under hypothesis-driven shapes: (a) child
+    sketches compose to the BIT-identical direct parent store, and
+    (b) every point estimate >= the true count and <= the bin total
+    (the one-sided error envelope), at a width narrow enough to force
+    collisions."""
+    from diive_spark.operators.analyses import (
+        cm_estimate, cm_sketch_agg, compose_cm)
+
+    vals = [float(v) for v in items]
+    pdf = pd.DataFrame(
+        {
+            "source": "s",
+            "doc_id": "d0",
+            "pos": np.arange(len(vals)),
+            "value": vals,
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    child_every = max(1, min(split, len(vals)))
+    child = cm_sketch_agg(sdf, every=child_every, depth=3, width=16)
+    parent_every = child_every * 4
+    composed = compose_cm(child, every=parent_every)
+    direct = cm_sketch_agg(sdf, every=parent_every, depth=3, width=16)
+    key = ["source", "doc_id", "bin_start", "row", "col"]
+    c = composed.orderBy(*key).toPandas().reset_index(drop=True)
+    d = (direct.select(*c.columns).orderBy(*key).toPandas()
+         .reset_index(drop=True))
+    pd.testing.assert_frame_equal(c, d)
+
+    truth = (
+        pdf.assign(
+            bin_start=(pdf["pos"] // parent_every) * parent_every,
+            iv=pdf["value"].astype("int64"),
+        )
+        .groupby(["source", "doc_id", "bin_start", "iv"])
+        .size()
+        .reset_index(name="true_cnt")
+    )
+    probes = spark.createDataFrame(
+        truth.rename(columns={"iv": "value"})
+    )
+    est = cm_estimate(
+        composed, probes, depth=3, width=16
+    ).toPandas()
+    n_per_bin = truth.groupby("bin_start")["true_cnt"].sum().to_dict()
+    for _, r in est.iterrows():
+        assert r["cm_est"] >= r["true_cnt"]
+        assert r["cm_est"] <= n_per_bin[r["bin_start"]]
+
+
+# ----------------------------------------------------------------- bloom
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    members=st.sets(st.integers(0, 500), min_size=1, max_size=120),
+    probes=st.sets(st.integers(0, 1000), min_size=1, max_size=120),
+)
+def test_bloom_never_false_negative(spark, members, probes):
+    """Bloom property under hypothesis-driven member/probe sets: no
+    member ever probes false, and every flag equals the hashlib twin
+    exactly (so false positives are the deterministic md5 ones, never
+    an implementation artifact)."""
+    import hashlib
+
+    from diive_spark.operators.scrub import bloom_build, bloom_probe
+
+    m_bits, k = 512, 3  # small filter: false positives guaranteed
+
+    def pypos(it: str):
+        return [
+            int(hashlib.md5(f"bf{i}:{it}".encode()).hexdigest()[:15], 16)
+            % m_bits
+            for i in range(k)
+        ]
+
+    mem = [f"it{v}" for v in sorted(members)]
+    prb = sorted({f"it{v}" for v in probes} | set(mem))
+    bloom = bloom_build(
+        spark.createDataFrame(pd.DataFrame({"item": mem})),
+        m_bits=m_bits, k=k,
+    )
+    got = bloom_probe(
+        spark.createDataFrame(pd.DataFrame({"item": prb})),
+        bloom, m_bits=m_bits, k=k,
+    ).toPandas().set_index("item")["bloom_hit"]
+    bits = {p for it in mem for p in pypos(it)}
+    for it in prb:
+        want = all(p in bits for p in pypos(it))
+        assert bool(got[it]) == want
+        if it in mem:
+            assert got[it]
