@@ -1248,6 +1248,112 @@ class TierStore:
         return ddsketch_quantiles(self.read(f"{tier}_dd"), qs,
                                   gamma=gamma, key_cols=self.key_cols)
 
+    def materialize_cm(
+        self,
+        series_df: DataFrame,
+        cascade: Sequence[TierSpec] = DEFAULT_CASCADE,
+        depth: int = 4,
+        width: int = 128,
+        axis_col: str = "pos",
+        value_col: str = "value",
+        resume: bool = True,
+    ) -> dict[str, dict]:
+        """Materialize sibling ``<tier>_cm`` long-form Count-Min tables
+        for every tier in *cascade* — one-sided point-frequency
+        estimates for ANY item at any tier with zero raw re-scans above
+        tier 1 (the point-query complement of the Misra-Gries
+        ``TierSpec.topk`` column, which only answers for the heavy
+        items it kept).  Tier 1 builds from the raw series (one
+        map-side-combined groupBy bounded by depth*width cells per
+        bin); upper tiers compose by exact count-sum
+        (:func:`~.analyses.compose_cm` — cells are value-determined, so
+        the composed store is bit-identical to a direct build).
+
+        Same fingerprint-resume contract as :meth:`materialize_ddsketch`:
+        per-source xor fingerprints of the tier-1 cell rows decide
+        which partitions recompute; unchanged partitions are skipped at
+        every tier.  Probe the stores with :meth:`read_cm_estimate`."""
+        from .analyses import cm_sketch_agg, compose_cm
+
+        report: dict[str, dict] = {}
+        first = cascade[0]
+        if first.from_tier is not None:
+            raise ValueError("cascade[0] must build from the raw series")
+        cm1 = cm_sketch_agg(series_df, every=first.every, depth=depth,
+                            width=width, value_col=value_col,
+                            axis_col=axis_col, key_cols=self.key_cols)
+        cm1 = cm1.persist()
+        fp_rows = (
+            cm1.groupBy(self.partition_col)
+            .agg(
+                F.sum("cnt").alias("n"),
+                F.bit_xor(F.xxhash64(*self.key_cols, "bin_start",
+                                     "row", "col", "cnt")).alias("h"),
+            )
+            .collect()
+        )
+        fps = {r[self.partition_col]: f"{r['n']}:{r['h']}" for r in fp_rows}
+        for spec in cascade:
+            name = f"{spec.name}_cm"
+            t0 = time.monotonic()
+            done = self._completed(name) if resume else {}
+            todo = [p for p, fp in fps.items() if done.get(p) != fp]
+            skipped = [p for p in fps if p not in todo]
+            if not todo:
+                report[name] = {
+                    "partitions_computed": 0,
+                    "partitions_skipped": len(skipped),
+                    "n_rows": 0, "wall_s": 0.0, "points_per_sec": 0.0,
+                }
+                continue
+            if spec.from_tier is None:
+                out = cm1.where(F.col(self.partition_col).isin(todo))
+            else:
+                src = self.read(f"{spec.from_tier}_cm").where(
+                    F.col(self.partition_col).isin(todo)
+                )
+                out = compose_cm(src, every=spec.every,
+                                 key_cols=self.key_cols)
+            obs = Observation()
+            self._write_partitions(
+                out.select(*self.key_cols, "bin_start", "row", "col",
+                           "cnt")
+                .observe(obs, F.count(F.lit(1)).alias("n_rows")),
+                name,
+            )
+            n_rows = int(obs.get["n_rows"])
+            wall = time.monotonic() - t0
+            ts = time.time()
+            for p in todo:
+                self._append(self._lineage_path, {
+                    "tier": name, "partition": p, "fingerprint": fps[p],
+                    "n_rows": n_rows, "wall_s": wall, "ts": ts,
+                })
+            metrics = {
+                "partitions_computed": len(todo),
+                "partitions_skipped": len(skipped),
+                "n_rows": n_rows, "wall_s": wall,
+                "points_per_sec": n_rows / wall if wall > 0 else 0.0,
+                "depth": int(depth), "width": int(width),
+            }
+            self._append(self._metrics_path,
+                         {"tier": name, "op": "materialize_cm", "ts": ts,
+                          **metrics})
+            report[name] = metrics
+        cm1.unpersist()
+        return report
+
+    def read_cm_estimate(self, tier: str, probes: DataFrame,
+                         depth: int = 4, width: int = 128,
+                         value_col: str = "value") -> DataFrame:
+        """Point-frequency estimates from a ``<tier>_cm`` cell table
+        (pass the SAME depth/width the cascade was built with)."""
+        from .analyses import cm_estimate
+
+        return cm_estimate(self.read(f"{tier}_cm"), probes, depth=depth,
+                           width=width, value_col=value_col,
+                           key_cols=self.key_cols)
+
     # ------------------------------------------------------------ cascade
     def materialize_cascade(
         self,

@@ -972,3 +972,42 @@ def test_tier_store_compact_records_metrics(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["tier"] == "raw"
     assert rows[0]["files_before"] == 16 and rows[0]["files_after"] == 2
+
+
+def test_cm_cascade_compose_resume_and_probe(spark, store, tiny_series):
+    """Sibling <tier>_cm Count-Min tables: 1d tier composed through
+    1m -> 1h is bit-identical to a direct raw build at 86400; resume
+    skips unchanged partitions at every tier; the probe read path
+    never undershoots the true per-bin item count."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.analyses import cm_sketch_agg
+
+    rep1 = store.materialize_cm(tiny_series, depth=3, width=32)
+    assert all(m["partitions_computed"] > 0 for m in rep1.values())
+    key = ["source", "doc_id", "bin_start", "row", "col"]
+    cols = key + ["cnt"]
+    got = store.read("tier_1d_cm").select(*cols).orderBy(*key).toPandas()
+    want = (
+        cm_sketch_agg(tiny_series, every=86400, depth=3, width=32)
+        .select(*cols).orderBy(*key).toPandas()
+    )
+    assert got.reset_index(drop=True).equals(want.reset_index(drop=True))
+
+    rep2 = store.materialize_cm(tiny_series, depth=3, width=32)
+    assert all(m["partitions_computed"] == 0 for m in rep2.values())
+
+    probes = (
+        tiny_series.where(F.col("value").isNotNull())
+        .select(
+            "source", "doc_id",
+            ((F.floor(F.col("pos") / 3600) * 3600).cast("long"))
+            .alias("bin_start"),
+            F.col("value").cast("long").alias("value"),
+        )
+        .groupBy("source", "doc_id", "bin_start", "value")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    est = store.read_cm_estimate("tier_1h", probes, depth=3, width=32)
+    assert est.count() > 0
+    assert est.where(F.col("cm_est") < F.col("true_cnt")).count() == 0
