@@ -2890,3 +2890,95 @@ def sax_motif_buckets(
         )
         .where(F.col("n_series") >= int(min_series))
     )
+
+
+# chi-square 95th-percentile critical values, dof 1..24 (the public
+# table, e.g. NIST/SEMATECH e-Handbook §1.3.6.7.4) — both engines
+# consume the same literal, so the white-noise verdict is deterministic
+CHI2_95 = {
+    1: 3.841, 2: 5.991, 3: 7.815, 4: 9.488, 5: 11.070, 6: 12.592,
+    7: 14.067, 8: 15.507, 9: 16.919, 10: 18.307, 11: 19.675,
+    12: 21.026, 13: 22.362, 14: 23.685, 15: 24.996, 16: 26.296,
+    17: 27.587, 18: 28.869, 19: 30.144, 20: 31.410, 21: 32.671,
+    22: 33.924, 23: 35.172, 24: 36.415,
+}
+
+
+def ljung_box(
+    df: DataFrame,
+    h: int = 10,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Ljung-Box portmanteau white-noise test per series (Ljung & Box,
+    Biometrika 1978 — public method; the residual-diagnostics
+    complement of :func:`holt_smooth`/:func:`holt_winters_smooth`,
+    whose RMSE says how big the one-step errors are while Q says
+    whether structure is LEFT in them)::
+
+        rho_k = sum_{t>k} (x_t - xbar)(x_{t-k} - xbar) / sum (x_t - xbar)^2
+        Q     = n (n+2) sum_{k=1..h} rho_k^2 / (n - k)
+
+    computed over the null-compacted sequence (LB assumes regular
+    spacing; gaps are closed the way the ACF battery does).  Under the
+    white-noise null Q ~ chi2(h); ``white_noise_ok`` compares Q to the
+    published 95% critical value (:data:`CHI2_95`).
+
+    One window pass materializes all ``h`` lags at once, one groupBy
+    folds the numerators — per-series state is 2h+2 running sums, no
+    collected arrays, so series length is unbounded (unlike the
+    fold-based smoothers).  Constant series (zero denominator) emit
+    null Q and null verdict.  Requires ``1 <= h <= 24`` (the table)
+    and emits nothing for series with n <= h.
+    """
+    if not 1 <= h <= 24:
+        raise ValueError(f"h must be in [1, 24], got {h}")
+    keys = list(key_cols)
+    v = F.col(value_col)
+    pts = df.where(v.isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    lagged = pts.select(
+        *keys,
+        v.cast("double").alias("_x"),
+        *[F.lag(v.cast("double"), k).over(w).alias(f"_l{k}")
+          for k in range(1, h + 1)],
+    )
+    stats = lagged.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("_x").alias("_mu"),
+    )
+    j = lagged.join(stats, keys)
+    dev = F.col("_x") - F.col("_mu")
+    num_aggs = [
+        F.sum(
+            F.when(
+                F.col(f"_l{k}").isNotNull(),
+                dev * (F.col(f"_l{k}") - F.col("_mu")),
+            )
+        ).alias(f"_num{k}")
+        for k in range(1, h + 1)
+    ]
+    agg = j.groupBy(*keys, "n").agg(
+        F.sum(dev * dev).alias("_den"), *num_aggs
+    )
+    n = F.col("n").cast("double")
+    qsum = None
+    for k in range(1, h + 1):
+        rho = F.col(f"_num{k}") / F.col("_den")
+        term = rho * rho / (n - F.lit(float(k)))
+        qsum = term if qsum is None else qsum + term
+    q = F.when(F.col("_den") > 0, n * (n + F.lit(2.0)) * qsum)
+    crit = float(CHI2_95[h])
+    return (
+        agg.where(F.col("n") > h)
+        .select(
+            *keys,
+            "n",
+            q.alias("q_stat"),
+            F.lit(h).cast("int").alias("h"),
+            F.lit(crit).alias("chi2_crit_95"),
+            F.when(q.isNotNull(), q <= F.lit(crit))
+            .alias("white_noise_ok"),
+        )
+    )

@@ -5319,6 +5319,74 @@ FROM sym
 """
 
 
+_LB_H = 10
+
+
+def q_ljung_box(spark, sf_dir):
+    """Ljung-Box white-noise test per series (Ljung & Box 1978): Q over
+    10 lags vs the published chi-square 95% critical value.  Running
+    sums only (no collected arrays), one window pass + one groupBy; the
+    DuckDB twin replays the identical sums and left-to-right term
+    order, rho^2 as a plain product on both engines (pow() paths
+    differ across engines in the last ulp)."""
+    out = analyses.ljung_box(
+        series(spark, sf_dir), h=_LB_H, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("q_stat")).alias("q_stat"),
+        "h", "chi2_crit_95", "white_noise_ok",
+    )
+
+
+_LB_CRIT = __import__(
+    "diive_spark.operators.analyses", fromlist=["CHI2_95"]
+).CHI2_95[_LB_H]
+
+_LB_LAGS = ",\n            ".join(
+    f"lag(x, {k}) OVER w AS l{k}" for k in range(1, _LB_H + 1)
+)
+_LB_NUMS = ",\n           ".join(
+    f"sum(CASE WHEN l.l{k} IS NOT NULL"
+    f" THEN (l.x - st.mu) * (l.l{k} - st.mu) END) AS num{k}"
+    for k in range(1, _LB_H + 1)
+)
+_LB_TERMS = "\n         + ".join(
+    f"(num{k} / den) * (num{k} / den) / (CAST(n AS DOUBLE) - {float(k)!r})"
+    for k in range(1, _LB_H + 1)
+)
+
+SQL_LJUNG_BOX = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, CAST(value AS DOUBLE) AS x
+        FROM series WHERE value IS NOT NULL),
+lagd AS (SELECT source, doc_id, x,
+            {_LB_LAGS}
+         FROM pts
+         WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+st AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n,
+              avg(x) AS mu
+       FROM lagd GROUP BY 1, 2),
+agg AS (SELECT l.source, l.doc_id, st.n,
+           sum((l.x - st.mu) * (l.x - st.mu)) AS den,
+           {_LB_NUMS}
+        FROM lagd l JOIN st USING (source, doc_id)
+        GROUP BY 1, 2, 3),
+q AS (SELECT source, doc_id, n,
+         CASE WHEN den > 0 THEN
+           CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 2.0) *
+           ({_LB_TERMS})
+         END AS q_stat
+      FROM agg WHERE n > {_LB_H})
+SELECT source, doc_id, n, round(q_stat, 6) AS q_stat,
+       CAST({_LB_H} AS INT) AS h,
+       {_LB_CRIT!r} AS chi2_crit_95,
+       CASE WHEN q_stat IS NULL THEN NULL
+            ELSE q_stat <= {_LB_CRIT!r} END AS white_noise_ok
+FROM q
+"""
+
+
 def q_sax_motif_buckets(spark, sf_dir):
     """Cross-series motif discovery by SAX-word bucketing (Lin et al.
     DMKD 2003 §5): one equi-shuffle on the 8-letter word replaces
@@ -5742,6 +5810,7 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
     "sax_motif_buckets": (q_sax_motif_buckets, SQL_SAX_MOTIF_BUCKETS),
     "matrix_profile": (q_matrix_profile, SQL_MATRIX_PROFILE),
     "bloom_decontaminate": (q_bloom_decontaminate,

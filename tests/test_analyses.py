@@ -1757,3 +1757,67 @@ def test_sax_motif_buckets_groups_shape_not_scale(spark):
     assert len(got) == 1
     assert got.iloc[0]["n_series"] == 2
     assert list(got.iloc[0]["members"]) == ["s|a", "s|b"]
+
+
+def _lb_numpy(x, h):
+    x = np.asarray(x, dtype=float)
+    n = len(x)
+    mu = x.mean()
+    den = ((x - mu) ** 2).sum()
+    q = 0.0
+    for k in range(1, h + 1):
+        num = ((x[k:] - mu) * (x[:-k] - mu)).sum()
+        q += (num / den) ** 2 / (n - k)
+    return n * (n + 2) * q
+
+
+def test_ljung_box_matches_numpy(spark):
+    from diive_spark.operators.analyses import CHI2_95, ljung_box
+
+    pdf = seeded_series(n=250, gap_frac=0.1, seed=17)
+    got = ljung_box(spark.createDataFrame(pdf), h=10).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    want = _lb_numpy(x, 10)
+    assert got["n"] == len(x)
+    assert abs(got["q_stat"] - want) < 1e-8
+    assert got["chi2_crit_95"] == CHI2_95[10]
+    assert bool(got["white_noise_ok"]) == (want <= CHI2_95[10])
+
+
+def test_ljung_box_separates_noise_from_cycle(spark):
+    from diive_spark.operators.analyses import ljung_box
+
+    rng = np.random.default_rng(23)
+    pos = np.arange(400)
+    frames = []
+    for did, v in [
+        ("noise", rng.standard_normal(400)),
+        ("cycle", np.sin(2 * np.pi * pos / 20) + 0.1
+         * rng.standard_normal(400)),
+    ]:
+        frames.append(pd.DataFrame(
+            {"source": "s", "doc_id": did, "pos": pos, "value": v}))
+    got = ljung_box(
+        spark.createDataFrame(pd.concat(frames)), h=10
+    ).toPandas().set_index("doc_id")
+    assert bool(got.loc["noise", "white_noise_ok"])
+    assert not bool(got.loc["cycle", "white_noise_ok"])
+    assert got.loc["cycle", "q_stat"] > 10 * got.loc["noise", "q_stat"]
+
+
+def test_ljung_box_constant_and_short_series(spark):
+    import pytest as _pytest
+
+    from diive_spark.operators.analyses import ljung_box
+
+    const = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(50), "value": 4.0}
+    )
+    got = ljung_box(spark.createDataFrame(const), h=5).toPandas().iloc[0]
+    assert pd.isna(got["q_stat"]) and pd.isna(got["white_noise_ok"])
+    short = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0, 1], "value": [1.0, 2.0]}
+    )
+    assert ljung_box(spark.createDataFrame(short), h=5).count() == 0
+    with _pytest.raises(ValueError):
+        ljung_box(spark.createDataFrame(short), h=30)
