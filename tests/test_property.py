@@ -331,3 +331,99 @@ def test_bloom_never_false_negative(spark, members, probes):
         assert bool(got[it]) == want
         if it in mem:
             assert got[it]
+
+
+# ---------------------------------------------------------- holt-winters
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    n=st.integers(24, 120),
+    m=st.sampled_from([2, 3, 4, 12]),
+    a=st.floats(0.05, 1.0),
+    be=st.floats(0.0, 1.0),
+    g=st.floats(0.0, 1.0),
+    seed=st.integers(0, 10_000),
+)
+def test_holt_winters_fold_matches_loop(spark, n, m, a, be, g, seed):
+    """The struct-accumulator Holt-Winters fold equals a plain Python
+    recursion for arbitrary (n, period, alpha, beta, gamma) — the fold
+    rewrite can't drift from the textbook recurrence anywhere in the
+    parameter box."""
+    from diive_spark.operators.analyses import holt_winters_smooth
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(10.0, 3.0, n)
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(n), "value": x}
+    )
+    got = holt_winters_smooth(
+        spark.createDataFrame(pdf), period=m, alpha=a, beta=be,
+        gamma=g, horizon=3,
+    ).toPandas().iloc[0]
+    if n < 2 * m:
+        assert pd.isna(got["level"])
+        return
+    l = x[:m].mean()
+    b = (x[m:2 * m].mean() - x[:m].mean()) / m
+    s = list(x[:m] - l)
+    sse = 0.0
+    for t in range(m, n):
+        s_old = s[0]
+        sse += (x[t] - (l + b + s_old)) ** 2
+        nl = a * (x[t] - s_old) + (1 - a) * (l + b)
+        nb = be * (nl - l) + (1 - be) * b
+        ns = g * (x[t] - nl) + (1 - g) * s_old
+        l, b = nl, nb
+        s = s[1:] + [ns]
+    assert abs(got["level"] - l) < 1e-8 * max(1, abs(l))
+    assert abs(got["trend"] - b) < 1e-8 * max(1, abs(b))
+    assert abs(got["season_next"] - s[(3 - 1) % m]) < 1e-8
+    assert abs(got["rmse"] - math.sqrt(sse / (n - m))) < 1e-8
+
+
+# --------------------------------------------------------- matrix profile
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    n=st.integers(12, 80),
+    m=st.sampled_from([3, 4, 8]),
+    seed=st.integers(0, 10_000),
+    flat_run=st.booleans(),
+)
+def test_matrix_profile_matches_brute(spark, n, m, seed, flat_run):
+    """The BLAS-matmul profile equals the O(n^2 m) definitional brute
+    force for arbitrary series — including planted zero-variance runs,
+    the guard branch."""
+    from diive_spark.operators.analyses import matrix_profile
+
+    rng = np.random.default_rng(seed)
+    x = rng.normal(0.0, 1.0, n)
+    if flat_run and n >= 2 * m:
+        x[: m + 2] = 1.5  # zero-variance windows at the head
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(n), "value": x}
+    )
+    got = (
+        matrix_profile(spark.createDataFrame(pdf), m=m)
+        .toPandas().sort_values("sub_ci").reset_index(drop=True)
+    )
+    excl = max(1, m // 2)
+    n_sub = n - m + 1
+    if n_sub < excl + 1:
+        assert len(got) == 0
+        return
+    zs = []
+    for i in range(n_sub):
+        s = x[i:i + m]
+        sd = s.std()
+        zs.append(np.zeros(m) if sd == 0 else (s - s.mean()) / sd)
+    want = []
+    for i in range(n_sub):
+        best = np.inf
+        for j in range(n_sub):
+            if abs(i - j) < excl:
+                continue
+            best = min(best, float(
+                np.sqrt(((zs[i] - zs[j]) ** 2).sum())))
+        want.append(best)
+    assert len(got) == n_sub
+    np.testing.assert_allclose(got["mp"].to_numpy(), np.array(want),
+                               atol=1e-7)
