@@ -404,3 +404,128 @@ def unigram_logprob_score(
         .drop("_nw")
     )
     return df.join(scored, on=id_col, how="left")
+
+
+def bigram_logprob_score(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    smoothing: float = 1.0,
+) -> DataFrame:
+    """Mean per-bigram conditional log-probability ``ln p(w_i | w_{i-1})``
+    under the corpus's own bigram counts with add-``smoothing``
+    (Laplace) over the corpus vocabulary — one order up from
+    :func:`unigram_logprob_score`: fluent text scores high because its
+    word PAIRS recur corpus-wide, while shuffled-word spam that fools
+    the unigram proxy (same words, scrambled order) scores low.  The
+    standard KenLM-lite fluency signal for training-data pipelines.
+
+    ``p(b | a) = (c(a,b) + k) / (c(a,·) + k * V)`` where ``c(a,·)``
+    counts bigrams starting with ``a`` and ``V`` is the corpus
+    vocabulary size.
+
+    Three aggregations, no UDFs: bigram pairs come from a row-local
+    ``transform`` over the word array (adjacent pairs — no self-join),
+    corpus pair/context counts are two groupBys with map-side combine,
+    and scoring re-joins the exploded pairs on (a, b) — narrow rows
+    (two words + a count), AQE-handled Zipf head, the same shuffle
+    shape as the unigram scorer.  Docs with < 2 words score null.
+    """
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    # NB: sequence(1, 0) is a DESCENDING [1, 0] in Spark, not empty —
+    # single-word docs need the explicit empty-array branch
+    pairs_arr = F.expr(
+        "CASE WHEN size(_words) >= 2 THEN "
+        "transform(sequence(1, size(_words) - 1), "
+        "i -> struct(_words[i - 1] AS a, _words[i] AS b)) "
+        "ELSE array() END"
+    )
+    pairs = (
+        df.select(F.col(id_col), words_arr.alias("_words"))
+        .select(F.col(id_col), F.explode(pairs_arr).alias("_pr"))
+        .select(id_col, F.col("_pr.a").alias("_a"), F.col("_pr.b").alias("_b"))
+    )
+    pair_c = pairs.groupBy("_a", "_b").agg(F.count(F.lit(1)).alias("_cab"))
+    ctx_c = pair_c.groupBy("_a").agg(F.sum("_cab").alias("_ca"))
+    vocab = (
+        df.select(F.explode(words_arr).alias("_w"))
+        .agg(F.count_distinct("_w").alias("_v"))
+    )
+    k = F.lit(float(smoothing))
+    scored = (
+        pairs.join(pair_c, on=["_a", "_b"])
+        .join(ctx_c, on="_a")
+        .crossJoin(F.broadcast(vocab))
+        .withColumn(
+            "_lp",
+            F.log((F.col("_cab") + k) / (F.col("_ca") + k * F.col("_v"))),
+        )
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.avg("_lp").alias("bigram_logprob"),
+        )
+    )
+    return df.join(scored, on=id_col, how="left").withColumn(
+        "n_bigrams", F.coalesce(F.col("n_bigrams"), F.lit(0)).cast("long")
+    )
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    top_k: int = 10,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Top-``top_k`` terms per ``group_col`` by tf-idf (Spärck Jones
+    1972): ``score = tf(group, w) * ln(n_docs / df(w))`` with raw
+    group-level term frequency and document frequency over the whole
+    corpus — the standard "what characterizes this source" summary a
+    corpus curation pipeline reads before weighting sources.
+
+    Rank is deterministic across engines: terms order by
+    (round(score, 6) DESC, term ASC), so a last-rank tie never
+    flip-flops on floating summation order.
+
+    Scale shape: one explode + two groupBys (term stats carry narrow
+    (word, count) rows with map-side combine), a broadcast of the
+    one-row corpus size, and a per-group window TOP-K over the
+    (group, term) aggregate — the window input is already one row per
+    distinct (group, term), never the raw token stream.  No UDFs.
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(
+        F.col(id_col), F.col(group_col), F.explode(words_arr).alias("term")
+    )
+    tf = tok.groupBy(group_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(
+        F.count_distinct(id_col).alias("_df")
+    )
+    n_docs = df.agg(F.count_distinct(id_col).alias("_nd"))
+    scored = (
+        tf.join(dfreq, on="term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn(
+            "score",
+            F.col("tf").cast("double")
+            * F.log(F.col("_nd").cast("double") / F.col("_df").cast("double")),
+        )
+    )
+    w = Window.partitionBy(group_col).orderBy(
+        F.round(F.col("score"), 6).desc(), F.col("term").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            group_col,
+            F.col("rank").cast("long").alias("rank"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("_df").cast("long").alias("df"),
+            "score",
+        )
+    )

@@ -23,11 +23,13 @@ the driver records a rows-only check for them.
 
 from __future__ import annotations
 
+import math
+
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession, Window
 
 from .operators import analyses, corrections, dedup, gaps, outliers, qcf, resample
-from .operators import scrub, similarity, textstats
+from .operators import forecast, scrub, similarity, spectral, textstats
 
 KEYS = ["source", "doc_id"]
 
@@ -5803,6 +5805,378 @@ FROM est
 """
 
 
+_KAL_Q, _KAL_R = 0.2, 4.0
+
+
+def q_kalman_local_level(spark, sf_dir):
+    """Kalman local-level filter per series (Kalman 1960): final
+    (level, error variance), steady gain, one-step innovation RMSE
+    from one exact struct-accumulator fold.  The DuckDB twin replays
+    the identical recurrence with a recursive CTE (the holt_smooth
+    precedent) — bit-identical doubles, round-6 hashes match."""
+    out = forecast.kalman_local_level(
+        series(spark, sf_dir), q=_KAL_Q, r=_KAL_R,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("level")).alias("level"),
+        _r(F.col("p_var")).alias("p_var"),
+        _r(F.col("gain")).alias("gain"),
+        _r(F.col("rmse")).alias("rmse"),
+    )
+
+
+SQL_KALMAN_LOCAL_LEVEL = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+v AS (SELECT source, doc_id, array_agg(value ORDER BY pos) AS vals,
+             CAST(count(*) AS BIGINT) AS n
+      FROM pts GROUP BY 1, 2),
+fold AS (
+  SELECT source, doc_id, n, vals, 1 AS i,
+         vals[1] AS m, {_KAL_R!r}::DOUBLE AS p, 0.0::DOUBLE AS sse
+  FROM v WHERE n >= 1
+  UNION ALL
+  SELECT source, doc_id, n, vals, i + 1,
+         m + ((p + {_KAL_Q!r}) / ((p + {_KAL_Q!r}) + {_KAL_R!r}))
+           * (vals[i + 1] - m),
+         (1.0 - ((p + {_KAL_Q!r}) / ((p + {_KAL_Q!r}) + {_KAL_R!r})))
+           * (p + {_KAL_Q!r}),
+         sse + (vals[i + 1] - m) * (vals[i + 1] - m)
+  FROM fold WHERE i < n
+),
+st AS (SELECT source, doc_id, n, m, p, sse FROM fold WHERE i = n)
+SELECT source, doc_id, n,
+       round(m, 6) AS level,
+       round(p, 6) AS p_var,
+       round((p + {_KAL_Q!r}) / ((p + {_KAL_Q!r}) + {_KAL_R!r}), 6) AS gain,
+       CASE WHEN n >= 2 THEN round(sqrt(sse / (n - 1)), 6) END AS rmse
+FROM st
+"""
+
+
+_DFT_K = 24
+_TWO_PI_LIT = 2.0 * math.pi
+
+
+def q_dft_power_peak(spark, sf_dir):
+    """Periodogram over the first 24 Fourier frequencies per series
+    (Schuster 1898, direct-DFT form) and the dominant one.  Power is
+    emitted as ln(P) (relative error of the cos/sin sums is ~1e-13, so
+    the log is rounding-stable where the raw O(1e6) power would not
+    be); the argmax compares ROUND-6 powers with smallest-k tie-break,
+    identical comparator in the SQL twin."""
+    out = spectral.dft_power_peak(
+        series(spark, sf_dir), max_k=_DFT_K, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n", "k_peak",
+        _r(F.col("period")).alias("period"),
+        _r(F.when(F.col("power") > 0, F.log(F.col("power")))).alias(
+            "power_ln"
+        ),
+        _r(F.col("power_frac")).alias("power_frac"),
+    )
+
+
+SQL_DFT_POWER_PEAK = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+idx AS (SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) AS BIGINT) - 1 AS i,
+               value
+        FROM pts),
+nn AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n,
+              avg(value) AS mu
+       FROM idx GROUP BY 1, 2),
+ks AS (SELECT source, doc_id, n, mu,
+              unnest(range(1, least({_DFT_K}, n // 2) + 1)) AS k
+       FROM nn WHERE n >= 4),
+sums AS (
+  SELECT ks.source, ks.doc_id, ks.n, ks.k,
+         sum((idx.value - ks.mu)
+             * cos((({_TWO_PI_LIT!r} * CAST(ks.k AS DOUBLE)) / ks.n)
+                   * CAST(idx.i AS DOUBLE))) AS cs,
+         sum((idx.value - ks.mu)
+             * sin((({_TWO_PI_LIT!r} * CAST(ks.k AS DOUBLE)) / ks.n)
+                   * CAST(idx.i AS DOUBLE))) AS sn
+  FROM ks JOIN idx USING (source, doc_id)
+  GROUP BY 1, 2, 3, 4),
+pk AS (SELECT source, doc_id, n, k, cs * cs + sn * sn AS p FROM sums),
+best AS (
+  SELECT source, doc_id, k, p,
+         row_number() OVER (PARTITION BY source, doc_id
+                            ORDER BY round(p, 6) DESC, k ASC) AS rn,
+         sum(p) OVER (PARTITION BY source, doc_id) AS total
+  FROM pk)
+SELECT nn.source, nn.doc_id, nn.n,
+       b.k AS k_peak,
+       round(CAST(nn.n AS DOUBLE) / CAST(b.k AS DOUBLE), 6) AS period,
+       round(CASE WHEN b.p > 0 THEN ln(b.p) END, 6) AS power_ln,
+       round(CASE WHEN b.total > 0 THEN b.p / b.total END, 6)
+         AS power_frac
+FROM nn LEFT JOIN (SELECT * FROM best WHERE rn = 1) b
+  USING (source, doc_id)
+"""
+
+
+def q_pacf_yule_walker(spark, sf_dir):
+    """Partial autocorrelations at lags 1..3 per series via the
+    closed-form Durbin-Levinson recursion on Yule-Walker
+    autocorrelations (Durbin 1960) — pure guarded sums over three
+    window lags, identical formulas in the SQL twin."""
+    out = spectral.pacf_yule_walker(
+        series(spark, sf_dir), key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("r1")).alias("r1"),
+        _r(F.col("r2")).alias("r2"),
+        _r(F.col("r3")).alias("r3"),
+        _r(F.col("pacf1")).alias("pacf1"),
+        _r(F.col("pacf2")).alias("pacf2"),
+        _r(F.col("pacf3")).alias("pacf3"),
+    )
+
+
+SQL_PACF_YULE_WALKER = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+lg AS (SELECT source, doc_id, value AS v,
+              lag(value, 1) OVER w AS l1,
+              lag(value, 2) OVER w AS l2,
+              lag(value, 3) OVER w AS l3
+       FROM pts
+       WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+ag AS (SELECT source, doc_id,
+              CAST(count(v) AS BIGINT) AS n,
+              sum(v) AS s, sum(v * v) AS ss,
+              sum(v * l1) AS c1,
+              sum(CASE WHEN l1 IS NOT NULL THEN v END) AS sa1,
+              sum(l1) AS sb1,
+              sum(v * l2) AS c2,
+              sum(CASE WHEN l2 IS NOT NULL THEN v END) AS sa2,
+              sum(l2) AS sb2,
+              sum(v * l3) AS c3,
+              sum(CASE WHEN l3 IS NOT NULL THEN v END) AS sa3,
+              sum(l3) AS sb3
+       FROM lg GROUP BY 1, 2),
+r AS (SELECT *,
+             s / n AS m,
+             ss - n * (s / n) * (s / n) AS den0
+      FROM ag),
+rr AS (SELECT source, doc_id, n,
+              CASE WHEN n >= 2 AND den0 > 1e-12 THEN
+                (c1 - (s / n) * (sa1 + sb1) + (n - 1.0) * (s / n) * (s / n))
+                  / den0 END AS r1,
+              CASE WHEN n >= 3 AND den0 > 1e-12 THEN
+                (c2 - (s / n) * (sa2 + sb2) + (n - 2.0) * (s / n) * (s / n))
+                  / den0 END AS r2,
+              CASE WHEN n >= 4 AND den0 > 1e-12 THEN
+                (c3 - (s / n) * (sa3 + sb3) + (n - 3.0) * (s / n) * (s / n))
+                  / den0 END AS r3
+       FROM r),
+p2 AS (SELECT *,
+              CASE WHEN abs(1.0 - r1 * r1) > 1e-12
+                   THEN (r2 - r1 * r1) / (1.0 - r1 * r1) END AS pacf2
+       FROM rr)
+SELECT source, doc_id, n,
+       round(r1, 6) AS r1, round(r2, 6) AS r2, round(r3, 6) AS r3,
+       round(r1, 6) AS pacf1,
+       round(pacf2, 6) AS pacf2,
+       round(CASE WHEN abs(1.0 - (r1 * (1.0 - pacf2)) * r1
+                           - pacf2 * r2) > 1e-12 THEN
+               (r3 - (r1 * (1.0 - pacf2)) * r2 - pacf2 * r1)
+                 / (1.0 - (r1 * (1.0 - pacf2)) * r1 - pacf2 * r2) END, 6)
+         AS pacf3
+FROM p2
+"""
+
+
+_SEAS_P = 7
+
+
+def q_seasonal_decompose(spark, sf_dir):
+    """Classical additive seasonal decomposition at period 7 (FPP3
+    §3.4): full-window-gated centered-MA trend, re-centered per-phase
+    seasonal profile, Hyndman seasonal-strength per series.  Windows,
+    groupBys and joins only — the SQL twin states the identical
+    plan."""
+    out = forecast.seasonal_decompose(
+        series(spark, sf_dir), period=_SEAS_P, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "phase", "n_phase",
+        _r(F.col("seasonal")).alias("seasonal"),
+        _r(F.col("strength")).alias("strength"),
+    )
+
+
+SQL_SEASONAL_DECOMPOSE = f"""
+WITH series AS ({SERIES_SQL}),
+t AS (SELECT source, doc_id, pos, value,
+             CASE WHEN count(value) OVER w = {_SEAS_P}
+                  THEN avg(value) OVER w END AS trend
+      FROM series
+      WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos
+                   RANGE BETWEEN {(_SEAS_P - 1) // 2} PRECEDING
+                             AND {(_SEAS_P - 1) // 2} FOLLOWING)),
+det AS (SELECT source, doc_id, pos % {_SEAS_P} AS phase,
+               value - trend AS d
+        FROM t WHERE value IS NOT NULL AND trend IS NOT NULL),
+ph AS (SELECT source, doc_id, phase,
+              CAST(count(*) AS BIGINT) AS n_phase, avg(d) AS raw
+       FROM det GROUP BY 1, 2, 3),
+bar AS (SELECT source, doc_id, avg(raw) AS bar FROM ph GROUP BY 1, 2),
+ses AS (SELECT ph.source, ph.doc_id, ph.phase, ph.n_phase,
+               ph.raw - bar.bar AS seasonal
+        FROM ph JOIN bar USING (source, doc_id)),
+res AS (SELECT det.source, det.doc_id, det.d,
+               det.d - ses.seasonal AS rr
+        FROM det JOIN ses USING (source, doc_id, phase)),
+st AS (SELECT source, doc_id,
+              CASE WHEN var_samp(d) > 0
+                   THEN greatest(0.0, 1.0 - var_samp(rr) / var_samp(d))
+              END AS strength
+       FROM res GROUP BY 1, 2)
+SELECT s.source, s.doc_id, CAST(s.phase AS BIGINT) AS phase, s.n_phase,
+       round(s.seasonal, 6) AS seasonal,
+       round(st.strength, 6) AS strength
+FROM ses s JOIN st USING (source, doc_id)
+"""
+
+
+_SNB_P = 48
+
+
+def q_seasonal_naive_backtest(spark, sf_dir):
+    """Seasonal-naive forecaster backtest vs the naive-1 carry-forward
+    benchmark (FPP3 §5.2) at period 48: the exactly-k-positions-back
+    lookup is a pos-RANGE window frame [t-k, t-k] — no self-join."""
+    out = forecast.seasonal_naive_backtest(
+        series(spark, sf_dir), period=_SNB_P, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n_seasonal",
+        _r(F.col("mae")).alias("mae"),
+        _r(F.col("rmse")).alias("rmse"),
+        _r(F.col("bias")).alias("bias"),
+        "n_naive",
+        _r(F.col("mae_naive")).alias("mae_naive"),
+        _r(F.col("skill")).alias("skill"),
+    )
+
+
+SQL_SEASONAL_NAIVE = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+s AS (SELECT source, doc_id, value,
+             max(value) OVER (PARTITION BY source, doc_id ORDER BY pos
+                              RANGE BETWEEN {_SNB_P} PRECEDING
+                                        AND {_SNB_P} PRECEDING) AS ps,
+             max(value) OVER (PARTITION BY source, doc_id ORDER BY pos
+                              RANGE BETWEEN 1 PRECEDING
+                                        AND 1 PRECEDING) AS p1
+      FROM pts)
+SELECT source, doc_id,
+       CAST(count(value - ps) AS BIGINT) AS n_seasonal,
+       round(avg(abs(value - ps)), 6) AS mae,
+       round(sqrt(avg((value - ps) * (value - ps))), 6) AS rmse,
+       round(avg(value - ps), 6) AS bias,
+       CAST(count(value - p1) AS BIGINT) AS n_naive,
+       round(avg(abs(value - p1)), 6) AS mae_naive,
+       round(CASE WHEN count(value - ps) >= 1 AND count(value - p1) >= 1
+                   AND avg(abs(value - p1)) > 0
+             THEN 1.0 - avg(abs(value - ps)) / avg(abs(value - p1))
+             END, 6) AS skill
+FROM s GROUP BY 1, 2
+"""
+
+
+def q_bigram_logprob(spark, sf_dir):
+    """Mean conditional bigram log-probability per doc under the
+    corpus's own add-1-smoothed bigram counts — the order-sensitive
+    LM-fluency proxy one step above unigram_logprob."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.bigram_logprob_score(docs)
+    return out.select(
+        "doc_id", "n_bigrams",
+        _r(F.col("bigram_logprob")).alias("bigram_logprob"),
+    )
+
+
+SQL_BIGRAM_LOGPROB = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+prs AS (
+  SELECT doc_id, s.a AS a, s.b AS b
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws)),
+                      i -> struct_pack(a := ws[i], b := ws[i + 1]))) AS s
+        FROM w)),
+pc AS (SELECT a, b, count(*) AS cab FROM prs GROUP BY 1, 2),
+cc AS (SELECT a, sum(cab) AS ca FROM pc GROUP BY 1),
+vv AS (SELECT count(DISTINCT w2) AS v
+       FROM (SELECT unnest(ws) AS w2 FROM w)),
+sc AS (SELECT p.doc_id,
+              CAST(count(*) AS BIGINT) AS n_bigrams,
+              avg(ln((pc.cab + 1.0) / (cc.ca + 1.0 * vv.v))) AS lp
+       FROM prs p JOIN pc USING (a, b) JOIN cc USING (a) CROSS JOIN vv
+       GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(sc.n_bigrams, 0) AS n_bigrams,
+       round(sc.lp, 6) AS bigram_logprob
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Top-10 terms per source by tf-idf (Spärck Jones 1972) with a
+    deterministic (round-6 score DESC, term ASC) rank — the
+    what-characterizes-this-source summary a curation pipeline reads
+    before weighting sources."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.tfidf_top_terms(docs, top_k=10)
+    return out.select(
+        "source", "rank", "term", "tf", "df",
+        _r(F.col("score")).alias("score"),
+    )
+
+
+SQL_TFIDF_TOP_TERMS = r"""
+WITH tok AS (
+  SELECT doc_id, source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS tf
+       FROM tok GROUP BY 1, 2),
+dfq AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+        FROM tok GROUP BY 1),
+nd AS (SELECT count(DISTINCT doc_id) AS nd FROM documents),
+sc AS (SELECT tf.source, tf.term, tf.tf, dfq.df,
+              CAST(tf.tf AS DOUBLE)
+                * ln(CAST(nd.nd AS DOUBLE) / CAST(dfq.df AS DOUBLE))
+                AS score
+       FROM tf JOIN dfq USING (term) CROSS JOIN nd),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(score, 6) DESC,
+                                          term ASC) AS rank
+       FROM sc)
+SELECT source, CAST(rank AS BIGINT) AS rank, term, tf, df,
+       round(score, 6) AS score
+FROM rk WHERE rank <= 10
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -5810,6 +6184,14 @@ FROM est
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "kalman_local_level": (q_kalman_local_level, SQL_KALMAN_LOCAL_LEVEL),
+    "dft_power_peak": (q_dft_power_peak, SQL_DFT_POWER_PEAK),
+    "pacf_yule_walker": (q_pacf_yule_walker, SQL_PACF_YULE_WALKER),
+    "seasonal_decompose": (q_seasonal_decompose, SQL_SEASONAL_DECOMPOSE),
+    "seasonal_naive_backtest": (q_seasonal_naive_backtest,
+                                SQL_SEASONAL_NAIVE),
+    "bigram_logprob": (q_bigram_logprob, SQL_BIGRAM_LOGPROB),
+    "tfidf_top_terms": (q_tfidf_top_terms, SQL_TFIDF_TOP_TERMS),
     "ljung_box": (q_ljung_box, SQL_LJUNG_BOX),
     "sax_motif_buckets": (q_sax_motif_buckets, SQL_SAX_MOTIF_BUCKETS),
     "matrix_profile": (q_matrix_profile, SQL_MATRIX_PROFILE),

@@ -1,0 +1,395 @@
+"""Oracle-twin tests for the forecast / spectral / LM-fluency additions:
+kalman_local_level, seasonal_decompose, seasonal_naive_backtest,
+dft_power_peak, pacf_yule_walker, bigram_logprob_score, tfidf_top_terms.
+
+Every numeric operator is checked against a definitional numpy/pandas
+twin (exact recurrence loop, numpy rfft periodogram, full
+Durbin-Levinson recursion) plus a planted-signal sanity case, and the
+shuffle-shape claims carry plan gates.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pandas as pd
+
+from tests.conftest import seeded_series
+
+
+def _one_series(pdf, spark):
+    return spark.createDataFrame(pdf)
+
+
+# ------------------------------------------------------------- kalman
+
+def test_kalman_matches_numpy_loop(spark):
+    pdf = seeded_series(n=300, gap_frac=0.1, seed=11)
+    from diive_spark.operators.forecast import kalman_local_level
+
+    q, r = 0.2, 4.0
+    got = kalman_local_level(
+        _one_series(pdf, spark), q=q, r=r
+    ).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    m, p, sse = x[0], r, 0.0
+    for xi in x[1:]:
+        p_pred = p + q
+        gain = p_pred / (p_pred + r)
+        innov = xi - m
+        m = m + gain * innov
+        p = (1 - gain) * p_pred
+        sse += innov * innov
+    assert got["n"] == len(x)
+    assert abs(got["level"] - m) < 1e-12
+    assert abs(got["p_var"] - p) < 1e-12
+    assert abs(got["gain"] - (p + q) / ((p + q) + r)) < 1e-12
+    assert abs(got["rmse"] - math.sqrt(sse / (len(x) - 1))) < 1e-12
+
+
+def test_kalman_constant_series_locks_on(spark):
+    # constant observations: level == the constant, innovations after
+    # the first are 0, P converges toward the steady-state fixed point
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(60),
+         "value": 7.5}
+    )
+    from diive_spark.operators.forecast import kalman_local_level
+
+    got = kalman_local_level(_one_series(pdf, spark), q=0.2, r=4.0)
+    row = got.toPandas().iloc[0]
+    assert abs(row["level"] - 7.5) < 1e-12
+    assert row["rmse"] < 1e-12
+    # steady-state P* solves P = (1-K)(P+q) with K = (P+q)/(P+q+r)
+    pstar = row["p_var"]
+    p_pred = pstar + 0.2
+    assert abs((1 - p_pred / (p_pred + 4.0)) * p_pred - pstar) < 1e-9
+
+
+def test_kalman_single_point(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [3], "value": [9.0]}
+    )
+    from diive_spark.operators.forecast import kalman_local_level
+
+    row = kalman_local_level(_one_series(pdf, spark)).toPandas().iloc[0]
+    assert row["n"] == 1 and abs(row["level"] - 9.0) < 1e-12
+    assert pd.isna(row["rmse"])
+
+
+# ---------------------------------------------------------- decompose
+
+def test_seasonal_decompose_recovers_planted_profile(spark):
+    # pure trend + period-7 profile, no noise: the re-centered phase
+    # means must equal the planted profile (itself re-centered) and
+    # strength must be ~1 (residual variance ~0)
+    period = 7
+    prof = np.array([4.0, -2.0, 1.0, 0.0, -3.0, 2.5, -2.5])
+    pos = np.arange(140)
+    v = 100.0 + 0.25 * pos + prof[pos % period]
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.forecast import seasonal_decompose
+
+    got = (
+        seasonal_decompose(_one_series(pdf, spark), period=period)
+        .toPandas()
+        .sort_values("phase")
+        .reset_index(drop=True)
+    )
+    want = prof - prof.mean()
+    assert len(got) == period
+    np.testing.assert_allclose(got["seasonal"], want, atol=1e-9)
+    assert (got["strength"] > 0.999999).all()
+
+
+def test_seasonal_decompose_matches_pandas_twin(spark):
+    pdf = seeded_series(n=240, gap_frac=0.12, seed=3)
+    period, h = 7, 3
+    from diive_spark.operators.forecast import seasonal_decompose
+
+    got = (
+        seasonal_decompose(_one_series(pdf, spark), period=period)
+        .toPandas()
+        .sort_values("phase")
+        .reset_index(drop=True)
+    )
+    s = pdf.set_index("pos")["value"]
+    # centered MA on the pos grid, full-window gated
+    trend = s.rolling(period, center=True, min_periods=period).mean()
+    det = (s - trend).dropna()
+    phase = det.index.to_numpy() % period
+    raw = pd.Series(det.to_numpy()).groupby(phase).mean()
+    seasonal = raw - raw.mean()
+    resid = det.to_numpy() - seasonal.reindex(phase).to_numpy()
+    strength = max(
+        0.0, 1.0 - np.var(resid, ddof=1) / np.var(det.to_numpy(), ddof=1)
+    )
+    np.testing.assert_allclose(
+        got["seasonal"], seasonal.sort_index().to_numpy(), atol=1e-9
+    )
+    np.testing.assert_allclose(got["strength"], strength, atol=1e-9)
+    counts = pd.Series(1, index=phase).groupby(level=0).sum()
+    np.testing.assert_array_equal(
+        got["n_phase"], counts.sort_index().to_numpy()
+    )
+
+
+# ----------------------------------------------------------- backtest
+
+def test_seasonal_naive_backtest_matches_pandas(spark):
+    pdf = seeded_series(n=400, gap_frac=0.15, seed=21)
+    period = 48
+    from diive_spark.operators.forecast import seasonal_naive_backtest
+
+    got = seasonal_naive_backtest(
+        _one_series(pdf, spark), period=period
+    ).toPandas().iloc[0]
+    s = pdf.set_index("pos")["value"].dropna()
+    full = s.reindex(np.arange(pdf["pos"].max() + 1))
+
+    def metrics(k):
+        e = (full - full.shift(k)).dropna()
+        return len(e), e.abs().mean(), math.sqrt((e**2).mean()), e.mean()
+
+    n_s, mae_s, rmse_s, bias_s = metrics(period)
+    n_1, mae_1, _, _ = metrics(1)
+    assert got["n_seasonal"] == n_s and got["n_naive"] == n_1
+    assert abs(got["mae"] - mae_s) < 1e-9
+    assert abs(got["rmse"] - rmse_s) < 1e-9
+    assert abs(got["bias"] - bias_s) < 1e-9
+    assert abs(got["mae_naive"] - mae_1) < 1e-9
+    assert abs(got["skill"] - (1 - mae_s / mae_1)) < 1e-9
+
+
+def test_seasonal_naive_perfect_on_periodic_signal(spark):
+    pos = np.arange(200)
+    v = 10.0 + np.where(pos % 48 < 24, 5.0, -5.0)
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.forecast import seasonal_naive_backtest
+
+    got = seasonal_naive_backtest(
+        _one_series(pdf, spark), period=48
+    ).toPandas().iloc[0]
+    assert got["mae"] < 1e-12 and got["rmse"] < 1e-12
+    assert got["skill"] > 0.999  # naive-1 misses every square edge
+
+
+def test_seasonal_naive_no_join_single_exchange(spark):
+    from diive_spark.operators.forecast import seasonal_naive_backtest
+    from diive_spark.queries import series
+
+    out = seasonal_naive_backtest(series(spark, "/root/testdata/sf0.01"),
+                                  period=48)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    # series() itself needs one exchange for its row_number window; the
+    # backtest adds no second hash partitioning (window + agg reuse it)
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+# ---------------------------------------------------------------- dft
+
+def test_dft_peak_finds_planted_sinusoid(spark):
+    n, k_true = 256, 5
+    pos = np.arange(n)
+    v = 50.0 + 12.0 * np.sin(2 * np.pi * k_true * pos / n)
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": pos, "value": v}
+    )
+    from diive_spark.operators.spectral import dft_power_peak
+
+    got = dft_power_peak(_one_series(pdf, spark), max_k=24)
+    row = got.toPandas().iloc[0]
+    assert row["k_peak"] == k_true
+    assert abs(row["period"] - n / k_true) < 1e-9
+    assert row["power_frac"] > 0.999
+    # periodogram value of a pure tone: |S|^2 = (A*n/2)^2
+    assert abs(row["power"] - (12.0 * n / 2) ** 2) < 1e-3
+
+
+def test_dft_power_matches_numpy_rfft(spark):
+    pdf = seeded_series(n=180, gap_frac=0.1, seed=5)
+    from diive_spark.operators.spectral import dft_power_peak
+
+    row = dft_power_peak(
+        _one_series(pdf, spark), max_k=24
+    ).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    x = x - x.mean()
+    spec = np.abs(np.fft.rfft(x)) ** 2
+    band = spec[1 : min(24, len(x) // 2) + 1]
+    k_np = int(np.argmax(np.round(band, 6))) + 1
+    assert row["k_peak"] == k_np
+    assert abs(row["power"] - band[k_np - 1]) < 1e-6 * band[k_np - 1]
+    assert abs(row["power_frac"] - band[k_np - 1] / band.sum()) < 1e-9
+
+
+def test_dft_short_series_nulls(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": [0, 1, 2],
+         "value": [1.0, 2.0, 3.0]}
+    )
+    from diive_spark.operators.spectral import dft_power_peak
+
+    row = dft_power_peak(_one_series(pdf, spark)).toPandas().iloc[0]
+    assert row["n"] == 3 and pd.isna(row["k_peak"])
+
+
+# --------------------------------------------------------------- pacf
+
+def test_pacf_matches_full_durbin_levinson(spark):
+    pdf = seeded_series(n=400, gap_frac=0.08, seed=13)
+    from diive_spark.operators.spectral import pacf_yule_walker
+
+    row = pacf_yule_walker(_one_series(pdf, spark)).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    m = x.mean()
+    d = x - m
+    den = (d * d).sum()
+    # the operator's r_k assembles the pair sums from raw cross-moments;
+    # replay the DEFINITIONAL form so the algebra itself is what's tested
+    r = [1.0]
+    for k in (1, 2, 3):
+        r.append(((x[k:] - m) * (x[:-k] - m)).sum() / den)
+    # full Durbin-Levinson
+    phi_prev = [r[1]]
+    pacf = [r[1]]
+    for k in (2, 3):
+        num = r[k] - sum(
+            phi_prev[j] * r[k - 1 - j] for j in range(len(phi_prev))
+        )
+        denk = 1 - sum(
+            phi_prev[j] * r[j + 1] for j in range(len(phi_prev))
+        )
+        phik = num / denk
+        phi_prev = [
+            phi_prev[j] - phik * phi_prev[len(phi_prev) - 1 - j]
+            for j in range(len(phi_prev))
+        ] + [phik]
+        pacf.append(phik)
+    assert row["n"] == len(x)
+    assert abs(row["pacf1"] - pacf[0]) < 1e-9
+    assert abs(row["pacf2"] - pacf[1]) < 1e-9
+    assert abs(row["pacf3"] - pacf[2]) < 1e-9
+
+
+def test_pacf_ar1_cuts_off_after_lag1(spark):
+    rng = np.random.default_rng(17)
+    n, phi = 4000, 0.7
+    x = np.zeros(n)
+    eps = rng.normal(0, 1, n)
+    for i in range(1, n):
+        x[i] = phi * x[i - 1] + eps[i]
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(n), "value": x}
+    )
+    from diive_spark.operators.spectral import pacf_yule_walker
+
+    row = pacf_yule_walker(_one_series(pdf, spark)).toPandas().iloc[0]
+    assert abs(row["pacf1"] - phi) < 0.05
+    assert abs(row["pacf2"]) < 0.05 and abs(row["pacf3"]) < 0.05
+
+
+def test_pacf_degenerate_constant_is_null(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(20), "value": 4.2}
+    )
+    from diive_spark.operators.spectral import pacf_yule_walker
+
+    row = pacf_yule_walker(_one_series(pdf, spark)).toPandas().iloc[0]
+    assert pd.isna(row["r1"]) and pd.isna(row["pacf3"])
+
+
+# ------------------------------------------------------------ text LM
+
+def test_bigram_logprob_hand_computed(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3],
+             "text": ["a b a b", "a b", "c"]}
+        )
+    )
+    from diive_spark.operators.textstats import bigram_logprob_score
+
+    got = (
+        bigram_logprob_score(docs)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # corpus bigrams: (a,b) x3, (b,a) x1; contexts: a->3, b->1; V=3
+    p_ab = (3 + 1) / (3 + 3)
+    p_ba = (1 + 1) / (1 + 3)
+    lp1 = (2 * math.log(p_ab) + math.log(p_ba)) / 3
+    assert got.loc[1, "n_bigrams"] == 3
+    assert abs(got.loc[1, "bigram_logprob"] - lp1) < 1e-12
+    assert got.loc[2, "n_bigrams"] == 1
+    assert abs(got.loc[2, "bigram_logprob"] - math.log(p_ab)) < 1e-12
+    assert got.loc[3, "n_bigrams"] == 0
+    assert pd.isna(got.loc[3, "bigram_logprob"])
+
+
+def test_bigram_scores_order_sensitivity(spark):
+    # same unigrams, scrambled order: the scrambled doc must score
+    # strictly lower — the signal unigram_logprob cannot see
+    base = "the quick brown fox jumps over the lazy dog " * 5
+    scrambled = " ".join(reversed(base.split()))
+    rows = [(i, base) for i in range(10)] + [(99, scrambled)]
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    from diive_spark.operators.textstats import bigram_logprob_score
+
+    got = bigram_logprob_score(docs).toPandas().set_index("doc_id")
+    assert got.loc[99, "bigram_logprob"] < got.loc[0, "bigram_logprob"] - 0.5
+
+
+def test_tfidf_matches_pandas_twin(spark):
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    from diive_spark.operators.textstats import tfidf_top_terms
+
+    got = tfidf_top_terms(docs, top_k=5).toPandas()
+    pdf = docs.select("doc_id", "source", "text").toPandas()
+    rows = []
+    for _, rr in pdf.iterrows():
+        for w in rr["text"].strip().lower().split():
+            rows.append((rr["doc_id"], rr["source"], w))
+    tok = pd.DataFrame(rows, columns=["doc_id", "source", "term"])
+    tf = tok.groupby(["source", "term"]).size().rename("tf").reset_index()
+    dfreq = (
+        tok.groupby("term")["doc_id"].nunique().rename("df").reset_index()
+    )
+    nd = pdf["doc_id"].nunique()
+    sc = tf.merge(dfreq, on="term")
+    sc["score"] = sc["tf"] * np.log(nd / sc["df"])
+    sc["rscore"] = sc["score"].round(6)
+    sc = sc.sort_values(
+        ["source", "rscore", "term"], ascending=[True, False, True]
+    )
+    sc["rank"] = sc.groupby("source").cumcount() + 1
+    want = sc[sc["rank"] <= 5]
+    merged = got.merge(
+        want, on=["source", "rank"], suffixes=("", "_w"), how="outer",
+        indicator=True,
+    )
+    assert (merged["_merge"] == "both").all()
+    assert (merged["term"] == merged["term_w"]).all()
+    np.testing.assert_allclose(merged["score"], merged["score_w"], atol=1e-9)
+
+
+def test_tfidf_plan_no_cartesian_window_on_aggregate(spark):
+    from diive_spark.operators.textstats import tfidf_top_terms
+
+    docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    plan = (
+        tfidf_top_terms(docs, top_k=10)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "CartesianProduct" not in plan
+    # the corpus-size side must arrive broadcast, never shuffled
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
