@@ -245,3 +245,244 @@ def pacf_yule_walker(
         "pacf2",
         pacf3.alias("pacf3"),
     )
+
+
+HURST_SIZES = (8, 16, 32, 64)
+
+
+def hurst_rs(
+    df: DataFrame,
+    sizes: Sequence[int] = HURST_SIZES,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Hurst exponent per series by rescaled-range (R/S) analysis
+    (Hurst 1951; Mandelbrot & Wallis 1969 — the classic long-range-
+    dependence estimator): H ~ 0.5 = memoryless, H > 0.5 = persistent
+    trends, H < 0.5 = mean-reverting.  The long-memory tell that
+    completes the correlation battery — :func:`pacf_yule_walker` sees
+    short AR structure, R/S sees power-law persistence PACF truncates.
+
+    For each block size ``s``: split the pos-ordered non-null readings
+    into complete blocks of ``s``; per block compute the cumulative
+    deviations ``Z_t = cs_t - t * mean`` (cs = running sum), the range
+    ``R = max Z - min Z`` and the population SD; ``RS = R / SD``
+    (zero-SD blocks are skipped).  Per size: mean RS over complete
+    blocks.  ``H`` = OLS slope of ln(mean RS) on ln(s) across sizes
+    with a valid mean (null when fewer than 2 sizes qualify).
+
+    Emits one row per (series, s): ``s, n_blocks, avg_rs`` plus the
+    series-level ``h`` repeated on each row.
+
+    Scale shape: per size, ONE window pass (running sum + block total
+    as two frames over the same sort) and one groupBy per block — all
+    on the series-key exchange, no collect, per-block state is 5
+    scalars, so series length is unbounded.  The sizes loop unions
+    len(sizes) such branches (bounded, default 4); the final OLS is a
+    groupBy over <= len(sizes) rows per series.  No UDFs.
+    """
+    if len(sizes) < 2 or any(s < 2 for s in sizes):
+        raise ValueError(f"need >= 2 sizes, all >= 2, got {sizes!r}")
+    keys = list(key_cols)
+    v = F.col(value_col).cast("double")
+    pts = df.where(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*keys).orderBy(axis_col)
+    pts = pts.select(
+        *keys, v.alias("_x"), (F.row_number().over(wseq) - 1).alias("_rn")
+    )
+    per_size = []
+    for s in sizes:
+        sl = F.lit(int(s))
+        b = (F.col("_rn") / sl).cast("long")
+        t = pts.withColumn("_b", b).withColumn(
+            "_k", (F.col("_rn") % sl + 1).cast("double")
+        )
+        wb = Window.partitionBy(*keys, "_b").orderBy("_rn")
+        t = t.withColumn(
+            "_cs",
+            F.sum("_x").over(wb.rowsBetween(Window.unboundedPreceding, 0)),
+        ).withColumn(
+            "_tot",
+            F.sum("_x").over(
+                wb.rowsBetween(
+                    Window.unboundedPreceding, Window.unboundedFollowing
+                )
+            ),
+        )
+        z = F.col("_cs") - F.col("_k") * (F.col("_tot") / sl.cast("double"))
+        blk = t.groupBy(*keys, "_b").agg(
+            F.count(F.lit(1)).alias("_cnt"),
+            F.max(z).alias("_zmax"),
+            F.min(z).alias("_zmin"),
+            F.sum("_x").alias("_sx"),
+            F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        )
+        sm = F.col("_sx") / sl.cast("double")
+        var = F.col("_sxx") / sl.cast("double") - sm * sm
+        std = F.sqrt(F.greatest(var, F.lit(0.0)))
+        rs = F.when(
+            (F.col("_cnt") == s) & (std > 0),
+            (F.col("_zmax") - F.col("_zmin")) / std,
+        )
+        per_size.append(
+            blk.groupBy(*keys).agg(
+                F.lit(int(s)).cast("long").alias("s"),
+                F.count(rs).alias("n_blocks"),
+                F.avg(rs).alias("avg_rs"),
+            )
+        )
+    tall = per_size[0]
+    for extra in per_size[1:]:
+        tall = tall.unionByName(extra)
+    x = F.log(F.col("s").cast("double"))
+    y = F.when(F.col("avg_rs") > 0, F.log(F.col("avg_rs")))
+    xv = F.when(y.isNotNull(), x)
+    ols = tall.groupBy(*keys).agg(
+        F.count(y).alias("_p"),
+        F.sum(xv).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(xv * y).alias("_sxy"),
+        F.sum(xv * xv).alias("_sxx"),
+    )
+    p = F.col("_p").cast("double")
+    den = p * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    h = F.when(
+        (F.col("_p") >= 2) & (F.abs(den) > 1e-12),
+        (p * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    return tall.join(ols.select(*keys, h.alias("h")), on=keys).select(
+        *keys,
+        F.col("s"),
+        F.col("n_blocks").cast("long").alias("n_blocks"),
+        "avg_rs",
+        "h",
+    )
+
+
+DTW_SENTINEL = 1.0e30
+
+
+def dtw_to_exemplar(
+    df: DataFrame,
+    exemplar_doc: str = "0",
+    segments: int = 24,
+    radius: int = 4,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Banded dynamic-time-warping distance of every series to its
+    group's exemplar series (DTW: Sakoe & Chiba 1978; the Keogh
+    lower-bound school's standard |i-j| <= radius band) — the
+    shape-alignment complement of :func:`sax_motif_buckets`: SAX words
+    bucket candidates coarsely, DTW ranks how well a series' z-shape
+    aligns to a reference allowing local time warps that plain
+    Euclidean/correlation distance punishes.
+
+    Pipeline per series: z-normalize (population moments; flat series
+    map to all-zeros — the SAX convention) -> PAA to ``segments``
+    equal slices (the published DTW-at-scale recipe: warp the PAA
+    sketch, not the raw signal) -> banded DP against the exemplar of
+    the same group (``doc = exemplar_doc``)::
+
+        cost(i,j) = |x_i - y_j| + min(cost(i-1,j), cost(i-1,j-1),
+                                      cost(i,j-1))   for |i-j| <= radius
+
+    computed as an EXACT nested array fold (outer fold over rows
+    carrying the previous DP row, inner fold building each row left to
+    right) — all JVM expressions, NO UDF; out-of-band cells hold a
+    1e30 sentinel that never wins a min.  DP values are
+    order-independent, so a SQL engine replaying the grid in diagonal
+    order (recursive CTE) reproduces them bit-for-bit on identical
+    inputs — oracle-checkable.
+
+    Emits per series: ``n_seg`` and ``dtw`` (null when the series or
+    its group's exemplar has fewer non-null readings than
+    ``segments``, or the exemplar is absent).  The exemplar scores 0
+    against itself.
+
+    Scale shape: the SAX-pipeline exchanges (one window pass + two
+    groupBys on the series key) reduce every series to a
+    ``segments``-float sketch; exemplars (one row per group) broadcast;
+    the O(segments^2) DP is row-local and constant-bounded (24x24 =
+    576 fused cells).  Series count is the parallel axis; nothing
+    quadratic in series length or corpus size.
+    """
+    if segments < 2:
+        raise ValueError(f"segments must be >= 2, got {segments}")
+    if not 1 <= radius <= segments:
+        raise ValueError(f"radius must be in [1, {segments}], got {radius}")
+    keys = list(key_cols)
+    if len(keys) < 2:
+        raise ValueError("need >= 2 key cols: (*group, doc)")
+    group_cols, doc_col = keys[:-1], keys[-1]
+    seg_n = int(segments)
+    pts = df.where(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*keys).orderBy(axis_col)
+    pts = pts.withColumn("_ci", F.row_number().over(wseq) - 1)
+    stats = pts.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    z = F.when(
+        (F.col("_sd").isNull()) | (F.col("_sd") == 0.0), F.lit(0.0)
+    ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd"))
+    seg = F.floor(
+        F.col("_ci") * F.lit(seg_n) / F.col("_n")
+    ).cast("long")
+    paa = (
+        pts.join(stats, keys)
+        .select(*keys, seg.alias("_seg"), z.alias("_z"))
+        .groupBy(*keys, "_seg")
+        .agg(F.avg("_z").alias("_paa"))
+    )
+    arr = (
+        paa.groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_seg"), F.col("_paa")))
+            ).alias("_a")
+        )
+        .select(
+            *keys,
+            F.transform(F.col("_a"), lambda s: s["_paa"]).alias("va"),
+        )
+        .withColumn("n_seg", F.size("va"))
+    )
+    ex = arr.where(F.col(doc_col) == exemplar_doc).select(
+        *group_cols, F.col("va").alias("_ya"), F.col("n_seg").alias("_yn")
+    )
+    j = arr.join(F.broadcast(ex), on=group_cols, how="left")
+    sent = F.lit(DTW_SENTINEL)
+    init = F.array(F.lit(0.0), *[sent for _ in range(seg_n)])
+
+    def outer(prev, i):
+        def inner(acc2, jj):
+            w = F.abs(
+                F.element_at(F.col("va"), i)
+                - F.element_at(F.col("_ya"), jj)
+            )
+            cell = F.when(
+                F.abs(i - jj) <= radius,
+                w
+                + F.least(
+                    F.element_at(prev, jj + F.lit(1)),
+                    F.element_at(prev, jj),
+                    F.element_at(acc2, jj),
+                ),
+            ).otherwise(sent)
+            return F.concat(acc2, F.array(cell))
+
+        return F.aggregate(
+            F.sequence(F.lit(1), F.lit(seg_n)), F.array(sent), inner
+        )
+
+    rows = F.aggregate(F.sequence(F.lit(1), F.lit(seg_n)), init, outer)
+    ok = (F.col("n_seg") == seg_n) & (F.col("_yn") == seg_n)
+    return j.select(
+        *keys,
+        F.col("n_seg").cast("long").alias("n_seg"),
+        F.when(ok, F.element_at(rows, seg_n + 1)).alias("dtw"),
+    )

@@ -6177,6 +6177,168 @@ FROM rk WHERE rank <= 10
 """
 
 
+_HURST_SIZES = (8, 16, 32, 64)
+
+
+def q_hurst_rs(spark, sf_dir):
+    """Hurst exponent per series via rescaled-range analysis (Hurst
+    1951): per-size mean R/S over complete blocks plus the OLS
+    log-log slope H, identical window/groupBy plan in the SQL twin."""
+    out = spectral.hurst_rs(
+        series(spark, sf_dir), sizes=_HURST_SIZES,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "s", "n_blocks",
+        _r(F.col("avg_rs")).alias("avg_rs"),
+        _r(F.col("h")).alias("h"),
+    )
+
+
+def _hurst_size_sql(s: int) -> str:
+    return f"""
+  SELECT source, doc_id, CAST({s} AS BIGINT) AS s,
+         CAST(count(rs) AS BIGINT) AS n_blocks, avg(rs) AS avg_rs
+  FROM (
+    SELECT source, doc_id, b,
+           CASE WHEN cnt = {s}
+                 AND sqrt(greatest(sxx / {s}.0
+                                   - (sx / {s}.0) * (sx / {s}.0),
+                                   0.0)) > 0
+                THEN (zmax - zmin)
+                     / sqrt(greatest(sxx / {s}.0
+                                     - (sx / {s}.0) * (sx / {s}.0),
+                                     0.0)) END AS rs
+    FROM (
+      SELECT source, doc_id, b, count(*) AS cnt,
+             max(cs - k * (tot / {s}.0)) AS zmax,
+             min(cs - k * (tot / {s}.0)) AS zmin,
+             sum(x) AS sx, sum(x * x) AS sxx
+      FROM (
+        SELECT source, doc_id, rn // {s} AS b, x,
+               CAST(rn % {s} + 1 AS DOUBLE) AS k,
+               sum(x) OVER (PARTITION BY source, doc_id, rn // {s}
+                            ORDER BY rn ROWS UNBOUNDED PRECEDING) AS cs,
+               sum(x) OVER (PARTITION BY source, doc_id,
+                            rn // {s}) AS tot
+        FROM idx)
+      GROUP BY 1, 2, 3))
+  GROUP BY 1, 2"""
+
+
+SQL_HURST_RS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+idx AS (SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) AS BIGINT) - 1 AS rn,
+               value AS x
+        FROM pts),
+tall AS ({" UNION ALL ".join(_hurst_size_sql(s) for s in _HURST_SIZES)}),
+ols AS (
+  SELECT source, doc_id,
+         count(CASE WHEN avg_rs > 0 THEN 1 END) AS p,
+         sum(CASE WHEN avg_rs > 0
+                  THEN ln(CAST(s AS DOUBLE)) END) AS sx,
+         sum(CASE WHEN avg_rs > 0 THEN ln(avg_rs) END) AS sy,
+         sum(CASE WHEN avg_rs > 0
+                  THEN ln(CAST(s AS DOUBLE)) * ln(avg_rs) END) AS sxy,
+         sum(CASE WHEN avg_rs > 0
+                  THEN ln(CAST(s AS DOUBLE)) * ln(CAST(s AS DOUBLE)) END)
+           AS sxx
+  FROM tall GROUP BY 1, 2)
+SELECT t.source, t.doc_id, t.s, t.n_blocks,
+       round(t.avg_rs, 6) AS avg_rs,
+       round(CASE WHEN o.p >= 2
+                   AND abs(o.p * o.sxx - o.sx * o.sx) > 1e-12
+             THEN (o.p * o.sxy - o.sx * o.sy)
+                  / (o.p * o.sxx - o.sx * o.sx) END, 6) AS h
+FROM tall t JOIN ols o USING (source, doc_id)
+"""
+
+
+_DTW_SEG, _DTW_R = 24, 4
+
+
+def q_dtw_exemplar(spark, sf_dir):
+    """Banded DTW distance of every series to its source's exemplar
+    (doc '0') on z-PAA sketches (Sakoe & Chiba 1978 band).  The DP is
+    an exact nested array fold in Spark (row-major order) and a
+    recursive-CTE diagonal sweep in DuckDB — DP values are
+    order-independent, so both engines produce identical doubles."""
+    out = spectral.dtw_to_exemplar(
+        series(spark, sf_dir), exemplar_doc="0",
+        segments=_DTW_SEG, radius=_DTW_R, key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n_seg",
+        _r(F.col("dtw")).alias("dtw"),
+    )
+
+
+SQL_DTW_EXEMPLAR = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+ix AS (SELECT source, doc_id, value,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY pos) - 1 AS ci
+       FROM pts),
+st AS (SELECT source, doc_id, avg(value) AS mu,
+              stddev_pop(value) AS sd, count(*) AS n
+       FROM ix GROUP BY 1, 2),
+zp AS (SELECT ix.source, ix.doc_id,
+              CAST(floor(ix.ci * {_DTW_SEG} / st.n) AS BIGINT) AS seg,
+              CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                   ELSE (ix.value - st.mu) / st.sd END AS z
+       FROM ix JOIN st USING (source, doc_id)),
+pa AS (SELECT source, doc_id, seg, avg(z) AS paa
+       FROM zp GROUP BY 1, 2, 3),
+arr AS (SELECT source, doc_id, array_agg(paa ORDER BY seg) AS va,
+               CAST(count(*) AS BIGINT) AS n_seg
+        FROM pa GROUP BY 1, 2),
+ex AS (SELECT source, va AS ya, n_seg AS yn FROM arr
+       WHERE doc_id = '0'),
+pairs AS (SELECT a.source, a.doc_id, a.va, ex.ya
+          FROM arr a JOIN ex USING (source)
+          WHERE a.n_seg = {_DTW_SEG} AND ex.yn = {_DTW_SEG}),
+cells AS (
+  SELECT source, doc_id, 2 AS d, 1 AS i, 1 AS j,
+         abs(va[1] - ya[1]) AS cost
+  FROM pairs
+  UNION ALL
+  SELECT source, doc_id, d, i, j, cost FROM (
+    -- cells of diagonal d+1: grid-DP as a shortest path swept in
+    -- anti-diagonal order; the working set holds diag d (step
+    -- contributions right/down) and the carried diag d-1 (diagonal
+    -- step), both tagged d, so td = c.d + 1 selects exactly the
+    -- legal predecessors of the next diagonal
+    SELECT c.source, c.doc_id, c.d + 1 AS d, t.ni AS i, t.nj AS j,
+           abs(p.va[t.ni] - p.ya[t.nj]) + min(c.cost) AS cost
+    FROM cells c
+    JOIN pairs p USING (source, doc_id),
+    LATERAL (VALUES (c.i + 1, c.j,     c.i + c.j + 1),
+                    (c.i,     c.j + 1, c.i + c.j + 1),
+                    (c.i + 1, c.j + 1, c.i + c.j + 2)) t(ni, nj, td)
+    WHERE t.td = c.d + 1
+      AND t.ni <= {_DTW_SEG} AND t.nj <= {_DTW_SEG}
+      AND abs(t.ni - t.nj) <= {_DTW_R}
+    GROUP BY c.source, c.doc_id, c.d, t.ni, t.nj, p.va, p.ya
+    UNION ALL
+    -- carry the just-built diagonal once, as prev for d+2
+    SELECT source, doc_id, d + 1, i, j, cost FROM cells
+    WHERE i + j = d AND d + 1 < {2 * _DTW_SEG}
+  )
+)
+SELECT a.source, a.doc_id, a.n_seg, round(f.cost, 6) AS dtw
+FROM arr a LEFT JOIN
+  (SELECT source, doc_id, min(cost) AS cost FROM cells
+   WHERE i = {_DTW_SEG} AND j = {_DTW_SEG} GROUP BY 1, 2) f
+  USING (source, doc_id)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -6184,6 +6346,8 @@ FROM rk WHERE rank <= 10
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "dtw_exemplar": (q_dtw_exemplar, SQL_DTW_EXEMPLAR),
+    "hurst_rs": (q_hurst_rs, SQL_HURST_RS),
     "kalman_local_level": (q_kalman_local_level, SQL_KALMAN_LOCAL_LEVEL),
     "dft_power_peak": (q_dft_power_peak, SQL_DFT_POWER_PEAK),
     "pacf_yule_walker": (q_pacf_yule_walker, SQL_PACF_YULE_WALKER),

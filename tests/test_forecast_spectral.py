@@ -393,3 +393,190 @@ def test_tfidf_plan_no_cartesian_window_on_aggregate(spark):
     assert "CartesianProduct" not in plan
     # the corpus-size side must arrive broadcast, never shuffled
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+# -------------------------------------------------------------- hurst
+
+def _hurst_numpy(x, sizes=(8, 16, 32, 64)):
+    rows = []
+    for s in sizes:
+        rss = []
+        nb = len(x) // s
+        for b in range(nb):
+            blk = x[b * s : (b + 1) * s]
+            z = np.cumsum(blk - blk.mean())
+            std = blk.std(ddof=0)
+            if std > 0:
+                rss.append((z.max() - z.min()) / std)
+        rows.append((s, len(rss), np.mean(rss) if rss else np.nan))
+    valid = [(np.log(s), np.log(rs)) for s, n, rs in rows if rs > 0]
+    h = np.nan
+    if len(valid) >= 2:
+        xs = np.array([v[0] for v in valid])
+        ys = np.array([v[1] for v in valid])
+        p = len(xs)
+        h = (p * (xs * ys).sum() - xs.sum() * ys.sum()) / (
+            p * (xs * xs).sum() - xs.sum() ** 2
+        )
+    return rows, h
+
+
+def test_hurst_matches_numpy_twin(spark):
+    pdf = seeded_series(n=600, gap_frac=0.1, seed=31)
+    from diive_spark.operators.spectral import hurst_rs
+
+    got = (
+        hurst_rs(_one_series(pdf, spark))
+        .toPandas()
+        .sort_values("s")
+        .reset_index(drop=True)
+    )
+    x = pdf["value"].dropna().to_numpy()
+    rows, h = _hurst_numpy(x)
+    # the numpy twin's per-block Z uses cumsum(blk - mean) which equals
+    # the operator's cs - k*mean identity exactly in real arithmetic
+    for i, (s, nb, rs) in enumerate(rows):
+        assert got.loc[i, "s"] == s and got.loc[i, "n_blocks"] == nb
+        assert abs(got.loc[i, "avg_rs"] - rs) < 1e-9
+    np.testing.assert_allclose(got["h"], h, atol=1e-9)
+
+
+def test_hurst_separates_persistence_regimes(spark):
+    rng = np.random.default_rng(7)
+    n = 4096
+    noise = rng.normal(0, 1, n)
+    # persistent: heavy moving average of noise; antipersistent:
+    # first-difference of noise (strong mean reversion)
+    persistent = np.convolve(noise, np.ones(25) / 25, mode="same")
+    antip = np.diff(noise, prepend=0.0)
+    from diive_spark.operators.spectral import hurst_rs
+
+    def h_of(v, tag):
+        pdf = pd.DataFrame(
+            {"source": "s", "doc_id": tag, "pos": np.arange(len(v)),
+             "value": v}
+        )
+        return (
+            hurst_rs(_one_series(pdf, spark)).toPandas()["h"].iloc[0]
+        )
+
+    h_noise = h_of(noise, "n")
+    h_pers = h_of(persistent, "p")
+    h_anti = h_of(antip, "a")
+    assert 0.35 < h_noise < 0.7
+    assert h_pers > h_noise + 0.15
+    assert h_anti < h_noise - 0.1
+
+
+def test_hurst_short_series_null_h(spark):
+    # 12 readings: only size 8 yields a complete block -> p = 1 -> h null
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(12),
+         "value": np.arange(12, dtype=float) ** 1.3}
+    )
+    from diive_spark.operators.spectral import hurst_rs
+
+    got = hurst_rs(_one_series(pdf, spark)).toPandas()
+    assert got["h"].isna().all()
+    assert got.set_index("s").loc[8, "n_blocks"] == 1
+    assert got.set_index("s").loc[64, "n_blocks"] == 0
+
+
+# ---------------------------------------------------------------- dtw
+
+def _zpaa(v, seg_n):
+    v = pd.Series(v).dropna().to_numpy()
+    n = len(v)
+    sd = v.std(ddof=0)
+    z = np.zeros(n) if sd == 0 else (v - v.mean()) / sd
+    segs = (np.arange(n) * seg_n) // n
+    return np.array([z[segs == s].mean() for s in range(min(seg_n, n))])
+
+
+def _dtw_band_ref(x, y, radius):
+    n, m = len(x), len(y)
+    big = 1e30
+    prev = [0.0] + [big] * m
+    for i in range(1, n + 1):
+        cur = [big]
+        for j in range(1, m + 1):
+            if abs(i - j) <= radius:
+                c = abs(x[i - 1] - y[j - 1]) + min(
+                    prev[j], prev[j - 1], cur[j - 1]
+                )
+            else:
+                c = big
+            cur.append(c)
+        prev = cur
+    return prev[m]
+
+
+def test_dtw_matches_reference_dp(spark):
+    rng = np.random.default_rng(23)
+    series = {}
+    rows = []
+    for d in ["0", "1", "2"]:
+        v = rng.normal(50, 10, 120)
+        v[rng.random(120) < 0.1] = np.nan
+        series[d] = v
+        for p, val in enumerate(v):
+            rows.append(("s", d, p, val))
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    from diive_spark.operators.spectral import dtw_to_exemplar
+
+    got = (
+        dtw_to_exemplar(
+            spark.createDataFrame(pdf), exemplar_doc="0",
+            segments=8, radius=3,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    ref_sketch = _zpaa(series["0"], 8)
+    for d in ["0", "1", "2"]:
+        want = _dtw_band_ref(_zpaa(series[d], 8), ref_sketch, 3)
+        assert abs(got.loc[d, "dtw"] - want) < 1e-9, d
+    assert got.loc["0", "dtw"] < 1e-12  # self-distance
+
+
+def test_dtw_warp_tolerance_beats_reversal(spark):
+    # a locally time-warped copy of the exemplar shape must sit far
+    # closer (in DTW) than the reversed shape — the property Euclidean
+    # distance on aligned positions cannot deliver
+    n = 192
+    t = np.linspace(0, 4 * np.pi, n)
+    base = np.sin(t) * 10 + 50
+    warp = np.interp(
+        np.linspace(0, 1, n) ** 1.15, np.linspace(0, 1, n), base
+    )
+    rows = []
+    for d, v in [("0", base), ("w", warp), ("r", base[::-1])]:
+        rows += [("s", d, p, float(x)) for p, x in enumerate(v)]
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    from diive_spark.operators.spectral import dtw_to_exemplar
+
+    got = (
+        dtw_to_exemplar(
+            spark.createDataFrame(pdf), exemplar_doc="0",
+            segments=24, radius=4,
+        )
+        .toPandas()
+        .set_index("doc_id")
+    )
+    assert got.loc["w", "dtw"] < 0.25 * got.loc["r", "dtw"]
+
+
+def test_dtw_short_or_missing_exemplar_is_null(spark):
+    rows = [("a", "0", p, float(p)) for p in range(30)]   # exemplar ok
+    rows += [("a", "1", p, float(p)) for p in range(5)]   # too short
+    rows += [("b", "1", p, float(p)) for p in range(30)]  # no exemplar
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    from diive_spark.operators.spectral import dtw_to_exemplar
+
+    got = dtw_to_exemplar(
+        spark.createDataFrame(pdf), exemplar_doc="0",
+        segments=8, radius=3,
+    ).toPandas().set_index(["source", "doc_id"])
+    assert abs(got.loc[("a", "0"), "dtw"]) < 1e-12
+    assert pd.isna(got.loc[("a", "1"), "dtw"])
+    assert pd.isna(got.loc[("b", "1"), "dtw"])
