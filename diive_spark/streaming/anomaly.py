@@ -186,3 +186,100 @@ def stream_cusum_chart(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KALMAN_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("level", T.DoubleType()),
+        T.StructField("p_var", T.DoubleType()),
+        T.StructField("flag_innov", T.IntegerType()),
+    ]
+)
+
+KALMAN_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("m", T.DoubleType()),
+        T.StructField("p", T.DoubleType()),
+        T.StructField("last_pos", T.LongType()),
+    ]
+)
+
+
+def stream_kalman_filter(
+    stream_df: DataFrame,
+    q: float = 0.1,
+    r: float = 1.0,
+    n_sigma: float = 3.0,
+) -> DataFrame:
+    """Stateful streaming Kalman local-level filter (Kalman 1960): the
+    batch fold of operators/forecast.py:kalman_local_level carried as
+    O(1) per-series state ``(m, P, last_pos)`` across micro-batches —
+    IDENTICAL double arithmetic (p_pred = P + q; gain = p_pred /
+    (p_pred + r); m += gain * innov; P = (1 - gain) * p_pred; init
+    m = x1, P = r), so the streamed final state is bit-equal to the
+    batch operator over the same readings (the stream_ewma_chart /
+    stateful-partials parity contract).
+
+    Emits one row per non-null reading with the post-update level and
+    error variance plus ``flag_innov`` = 2 where the standardized
+    innovation ``|x - m_pred| / sqrt(p_pred + r)`` exceeds ``n_sigma``
+    — the state-space anomaly gate: unlike the EWMA chart's fixed
+    calibrated limits, the innovation variance ADAPTS (wide after
+    gaps/starts, tight once locked on).
+
+    At-least-once replays (pos <= last_pos) are dropped before
+    folding; out-of-order records within a micro-batch are sorted
+    after concatenating all Arrow chunks (the established contract in
+    this module).  Restart-safe through the checkpoint.
+    """
+    if q < 0 or r <= 0:
+        raise ValueError(f"need q >= 0 and r > 0, got q={q} r={r}")
+    if n_sigma <= 0:
+        raise ValueError(f"n_sigma must be > 0, got {n_sigma}")
+    qf, rf, ns = float(q), float(r), float(n_sigma)
+
+    def _filt(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        m, p, last_pos = state.get if state.exists else (None, None, None)
+        rows: list[tuple] = []
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.dropna(subset=["value"]).sort_values("pos")
+        for pos, val in zip(pdf["pos"], pdf["value"]):
+            pos, val = int(pos), float(val)
+            if last_pos is not None and pos <= last_pos:
+                continue  # at-least-once replay: already folded
+            if m is None:
+                m, p, flag = val, rf, 0
+            else:
+                p_pred = p + qf
+                gain = p_pred / (p_pred + rf)
+                innov = val - m
+                flag = (
+                    2 if abs(innov) > ns * math.sqrt(p_pred + rf) else 0
+                )
+                m = m + gain * innov
+                p = (1.0 - gain) * p_pred
+            rows.append((key[0], key[1], pos, val, m, p, flag))
+            last_pos = pos
+        state.update((m, p, last_pos))
+        if rows:
+            yield pd.DataFrame(
+                rows,
+                columns=["source", "doc_id", "pos", "value", "level",
+                         "p_var", "flag_innov"],
+            )
+
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _filt,
+        outputStructType=KALMAN_SCHEMA,
+        stateStructType=KALMAN_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

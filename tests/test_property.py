@@ -427,3 +427,151 @@ def test_matrix_profile_matches_brute(spark, n, m, seed, flat_run):
     assert len(got) == n_sub
     np.testing.assert_allclose(got["mp"].to_numpy(), np.array(want),
                                atol=1e-7)
+
+
+# ------------------------------------------------------------- kalman
+@settings(max_examples=8, deadline=None, derandomize=True)
+@given(
+    n=st.integers(1, 120),
+    q=st.floats(0.0, 5.0),
+    r=st.floats(0.1, 10.0),
+    seed=st.integers(0, 10_000),
+    gap_frac=st.sampled_from([0.0, 0.3]),
+)
+def test_kalman_fold_matches_loop(spark, n, q, r, seed, gap_frac):
+    """The Kalman local-level struct fold equals the plain recurrence
+    for arbitrary (n, q, r) and null patterns — incl. n=1 (init-only)
+    and heavy-gap series."""
+    from diive_spark.operators.forecast import kalman_local_level
+
+    rng = np.random.default_rng(seed)
+    v = rng.normal(0.0, 5.0, n)
+    mask = rng.random(n) < gap_frac
+    vv = v.copy()
+    vv[mask] = np.nan
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(n), "value": vv}
+    )
+    x = pd.Series(vv).dropna().to_numpy()
+    out = kalman_local_level(
+        spark.createDataFrame(pdf), q=q, r=r
+    ).toPandas()
+    if len(x) == 0:
+        assert len(out) == 0
+        return
+    got = out.iloc[0]
+    m, p, sse = x[0], r, 0.0
+    for xi in x[1:]:
+        p_pred = p + q
+        gain = p_pred / (p_pred + r)
+        innov = xi - m
+        m = m + gain * innov
+        p = (1 - gain) * p_pred
+        sse += innov * innov
+    assert got["n"] == len(x)
+    assert abs(got["level"] - m) < 1e-9 * max(1, abs(m))
+    assert abs(got["p_var"] - p) < 1e-12
+    if len(x) >= 2:
+        assert abs(got["rmse"] - math.sqrt(sse / (len(x) - 1))) < 1e-9
+
+
+# ---------------------------------------------------------------- dtw
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    n=st.integers(2, 60),
+    seg=st.sampled_from([4, 8, 16]),
+    radius=st.integers(1, 6),
+    seed=st.integers(0, 10_000),
+    flat=st.booleans(),
+)
+def test_dtw_fold_matches_reference_dp(spark, n, seg, radius, seed, flat):
+    """The nested-array-fold DTW equals the definitional banded DP for
+    arbitrary shapes — incl. zero-variance (flat) series, short series
+    (null), and every band width; self-distance is 0."""
+    from diive_spark.operators.spectral import dtw_to_exemplar
+
+    radius = min(radius, seg)
+    rng = np.random.default_rng(seed)
+    ex = rng.normal(0, 1, max(n, seg))
+    other = np.full(n, 3.25) if flat else rng.normal(0, 1, n)
+    rows = [("s", "0", p, float(x)) for p, x in enumerate(ex)]
+    rows += [("s", "1", p, float(x)) for p, x in enumerate(other)]
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    got = dtw_to_exemplar(
+        spark.createDataFrame(pdf), exemplar_doc="0",
+        segments=seg, radius=radius,
+    ).toPandas().set_index("doc_id")
+
+    def zpaa(v):
+        v = np.asarray(v, dtype=float)
+        sd = v.std(ddof=0)
+        z = np.zeros(len(v)) if sd == 0 else (v - v.mean()) / sd
+        segs = (np.arange(len(v)) * seg) // len(v)
+        return np.array([z[segs == s].mean()
+                         for s in range(min(seg, len(v)))])
+
+    def dp(x, y):
+        big = 1e30
+        prev = [0.0] + [big] * len(y)
+        for i in range(1, len(x) + 1):
+            cur = [big]
+            for j in range(1, len(y) + 1):
+                if abs(i - j) <= radius:
+                    c = abs(x[i - 1] - y[j - 1]) + min(
+                        prev[j], prev[j - 1], cur[j - 1]
+                    )
+                else:
+                    c = big
+                cur.append(c)
+            prev = cur
+        return prev[len(y)]
+
+    ye = zpaa(ex)
+    assert got.loc["0", "dtw"] < 1e-12
+    if n < seg:
+        assert pd.isna(got.loc["1", "dtw"])
+    else:
+        want = dp(zpaa(other), ye)
+        assert abs(got.loc["1", "dtw"] - want) < 1e-9
+
+
+# -------------------------------------------------------------- hurst
+@settings(max_examples=6, deadline=None, derandomize=True)
+@given(
+    n=st.integers(4, 300),
+    seed=st.integers(0, 10_000),
+    shape=st.sampled_from(["noise", "flat", "ramp"]),
+)
+def test_hurst_matches_definition(spark, n, seed, shape):
+    """hurst_rs equals the definitional per-block R/S computation for
+    arbitrary lengths — incl. all-flat series (every block zero-SD ->
+    null H) and deterministic ramps."""
+    from diive_spark.operators.spectral import hurst_rs
+
+    rng = np.random.default_rng(seed)
+    if shape == "noise":
+        v = rng.normal(0, 1, n)
+    elif shape == "flat":
+        v = np.full(n, 2.5)
+    else:
+        v = np.arange(n, dtype=float) * 0.5
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(n), "value": v}
+    )
+    got = (
+        hurst_rs(spark.createDataFrame(pdf))
+        .toPandas().sort_values("s").reset_index(drop=True)
+    )
+    for i, s in enumerate((8, 16, 32, 64)):
+        rss = []
+        for b in range(n // s):
+            blk = v[b * s:(b + 1) * s]
+            z = np.cumsum(blk - blk.mean())
+            sd = blk.std(ddof=0)
+            if sd > 0:
+                rss.append((z.max() - z.min()) / sd)
+        assert got.loc[i, "n_blocks"] == len(rss)
+        if rss:
+            assert abs(got.loc[i, "avg_rs"] - np.mean(rss)) < 1e-9
+        else:
+            assert pd.isna(got.loc[i, "avg_rs"])

@@ -1154,3 +1154,64 @@ def test_stream_cm_equals_batch_sketch(spark, tmp_path):
     bad = est.where(F.col("cm_est") < F.col("true_cnt"))
     # one-sided error holds on every probed item
     assert est.count() > 0 and bad.count() == 0
+
+
+def test_stream_kalman_bit_parity_with_batch_fold(spark, tmp_path):
+    """Streaming Kalman local-level filter: two micro-batches with a
+    query restart and a replayed tail must (a) emit one row per unique
+    reading, (b) end in a state BIT-IDENTICAL to the batch
+    kalman_local_level fold over the concatenated series, and (c) flag
+    a planted level jump through the adaptive innovation gate."""
+    import numpy as np
+    import pandas as pd
+
+    from diive_spark.operators.forecast import kalman_local_level
+    from diive_spark.streaming.anomaly import stream_kalman_filter
+
+    src = str(tmp_path / "ka_in")
+    out = str(tmp_path / "ka_out")
+    ckpt = str(tmp_path / "ka_ckpt")
+    schema = "source string, doc_id string, pos long, value double"
+    q_var, r_var = 0.2, 4.0
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_kalman_filter(stream, q=q_var, r=r_var, n_sigma=3.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    rng = np.random.default_rng(41)
+    v = rng.normal(20.0, 1.0, 80)
+    v[60:] += 25.0                                     # level jump
+    rows1 = [("web", "d0", int(p), float(v[p])) for p in range(40)]
+    rows2 = [("web", "d0", int(p), float(v[p])) for p in range(40, 80)]
+    rows2 += rows1[-4:]                                # replayed delivery
+
+    spark.createDataFrame(rows1, schema).write.mode("append").parquet(src)
+    drain()
+    spark.createDataFrame(rows2, schema).write.mode("append").parquet(src)
+    drain()                                            # fresh query, same ckpt
+
+    got = (
+        spark.read.parquet(out).toPandas()
+        .sort_values("pos").reset_index(drop=True)
+    )
+    assert len(got) == 80                              # replays suppressed
+    batch_pdf = pd.DataFrame(
+        {"source": "web", "doc_id": "d0", "pos": np.arange(80), "value": v}
+    )
+    b = kalman_local_level(
+        spark.createDataFrame(batch_pdf), q=q_var, r=r_var
+    ).toPandas().iloc[0]
+    last = got.iloc[-1]
+    assert last["level"] == b["level"]                 # bit parity
+    assert last["p_var"] == b["p_var"]
+    assert got.loc[60, "flag_innov"] == 2              # jump caught
+    assert (got.loc[5:59, "flag_innov"] == 0).all()    # quiet in-control run
