@@ -486,3 +486,97 @@ def dtw_to_exemplar(
         F.col("n_seg").cast("long").alias("n_seg"),
         F.when(ok, F.element_at(rows, seg_n + 1)).alias("dtw"),
     )
+
+
+def variance_ratio(
+    df: DataFrame,
+    q: int = 4,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Variance-ratio random-walk test per series (Lo & MacKinlay 1988,
+    homoscedastic form, overlapping q-differences): VR(q) ~ 1 under a
+    random walk, > 1 for trending/persistent streams, < 1 for
+    mean-reverting ones — the hypothesis-test companion to
+    :func:`hurst_rs` (H estimates the exponent, VR's z-statistic says
+    whether the departure from memorylessness is significant).
+
+    Over the pos-ordered non-null readings ``x_1..x_n`` with
+    ``mu = (x_n - x_1) / (n - 1)``::
+
+        sig1 = sum_{t=2..n}   (x_t - x_{t-1} - mu)^2     / (n - 1)
+        sigq = sum_{t=q+1..n} (x_t - x_{t-q} - q*mu)^2   / (q * (n - q))
+        VR   = sigq / sig1
+        z    = (VR - 1) * sqrt(3 * q * (n - q)
+                               / (2 * (2*q - 1) * (q - 1)))
+
+    Emitted per series: ``n, mu, vr, z``; null when n < q + 1 or the
+    lag-1 variance is ~0 (constant/deterministic-ramp series).
+
+    Scale shape: two window lags + one groupBy of guarded sums — the
+    pacf_yule_walker plan (two narrow exchanges on the series key, 6
+    scalars of per-series state, unbounded series, no UDFs).
+    """
+    if q < 2:
+        raise ValueError(f"q must be >= 2, got {q}")
+    keys = list(key_cols)
+    v = F.col(value_col).cast("double")
+    pts = df.where(F.col(value_col).isNotNull())
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    stepped = (
+        pts.withColumn("_l1", F.lag(v, 1).over(w))
+        .withColumn("_lq", F.lag(v, q).over(w))
+        .withColumn("_rn", F.row_number().over(w))
+    )
+    agg = stepped.groupBy(*keys).agg(
+        F.count(v).alias("n"),
+        F.min_by(v, F.col("_rn")).alias("_x1"),
+        F.max_by(v, F.col("_rn")).alias("_xn"),
+        F.sum(
+            (v - F.col("_l1")) * (v - F.col("_l1"))
+        ).alias("_s1sq"),
+        F.sum(v - F.col("_l1")).alias("_s1"),
+        F.sum(
+            (v - F.col("_lq")) * (v - F.col("_lq"))
+        ).alias("_sqsq"),
+        F.sum(v - F.col("_lq")).alias("_sq"),
+        F.count(F.col("_l1")).alias("_n1"),
+        F.count(F.col("_lq")).alias("_nq"),
+    )
+    n = F.col("n").cast("double")
+    mu = F.when(
+        F.col("n") >= 2, (F.col("_xn") - F.col("_x1")) / (n - 1.0)
+    )
+    # sum (d - c)^2 = sum d^2 - 2 c sum d + cnt * c^2
+    qf = float(q)
+    s1 = (
+        F.col("_s1sq")
+        - 2.0 * mu * F.col("_s1")
+        + F.col("_n1").cast("double") * mu * mu
+    ) / (n - 1.0)
+    sq = (
+        F.col("_sqsq")
+        - 2.0 * (F.lit(qf) * mu) * F.col("_sq")
+        + F.col("_nq").cast("double") * (F.lit(qf) * mu) * (F.lit(qf) * mu)
+    ) / (F.lit(qf) * F.col("_nq").cast("double"))
+    vr = F.when(
+        (F.col("n") >= q + 1) & (s1 > 1e-12), sq / s1
+    )
+    z = vr.isNotNull()
+    zstat = F.when(
+        z,
+        (vr - 1.0)
+        * F.sqrt(
+            F.lit(3.0 * qf)
+            * F.col("_nq").cast("double")
+            / F.lit(2.0 * (2.0 * qf - 1.0) * (qf - 1.0))
+        ),
+    )
+    return agg.select(
+        *keys,
+        F.col("n").cast("long").alias("n"),
+        mu.alias("mu"),
+        vr.alias("vr"),
+        zstat.alias("z"),
+    )

@@ -6339,6 +6339,99 @@ FROM arr a LEFT JOIN
 """
 
 
+_VR_Q = 4
+
+
+def q_variance_ratio(spark, sf_dir):
+    """Lo-MacKinlay variance-ratio random-walk test per series at
+    q=4 (homoscedastic, overlapping differences): VR plus its
+    z-statistic from guarded window-lag sums — the hypothesis-test
+    companion to hurst_rs.  Constants injected via repr so both
+    engines use identical binary64 literals."""
+    out = spectral.variance_ratio(
+        series(spark, sf_dir), q=_VR_Q, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n",
+        _r(F.col("mu")).alias("mu"),
+        _r(F.col("vr")).alias("vr"),
+        _r(F.col("z")).alias("z"),
+    )
+
+
+SQL_VARIANCE_RATIO = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+lg AS (SELECT source, doc_id, value AS v,
+              lag(value, 1) OVER w AS l1,
+              lag(value, {_VR_Q}) OVER w AS lq,
+              row_number() OVER w AS rn
+       FROM pts
+       WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+ag AS (SELECT source, doc_id,
+              CAST(count(v) AS BIGINT) AS n,
+              min_by(v, rn) AS x1, max_by(v, rn) AS xn,
+              sum((v - l1) * (v - l1)) AS s1sq, sum(v - l1) AS s1,
+              sum((v - lq) * (v - lq)) AS sqsq, sum(v - lq) AS sq,
+              CAST(count(l1) AS BIGINT) AS n1,
+              CAST(count(lq) AS BIGINT) AS nq
+       FROM lg GROUP BY 1, 2),
+m AS (SELECT *,
+             CASE WHEN n >= 2 THEN (xn - x1) / (n - 1.0) END AS mu
+      FROM ag),
+v2 AS (SELECT *,
+              (s1sq - 2.0 * mu * s1 + n1 * mu * mu) / (n - 1.0) AS sig1,
+              (sqsq - 2.0 * ({_VR_Q}.0 * mu) * sq
+                    + nq * ({_VR_Q}.0 * mu) * ({_VR_Q}.0 * mu))
+                / ({_VR_Q}.0 * nq) AS sigq
+       FROM m),
+v3 AS (SELECT *,
+              CASE WHEN n >= {_VR_Q + 1} AND sig1 > 1e-12
+                   THEN sigq / sig1 END AS vr
+       FROM v2)
+SELECT source, doc_id, n,
+       round(mu, 6) AS mu,
+       round(vr, 6) AS vr,
+       round((vr - 1.0) * sqrt(({3.0 * _VR_Q!r} * nq)
+                               / {2.0 * (2.0 * _VR_Q - 1.0) * (_VR_Q - 1.0)!r}),
+             6) AS z
+FROM v3
+"""
+
+
+def q_source_kl(spark, sf_dir):
+    """KL divergence of each source's unigram distribution from the
+    corpus distribution (Kullback & Leibler 1951) — the corpus-drift
+    signal, with token/vocab counts and top-term mass."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.source_kl_divergence(docs)
+    return out.select(
+        "source", "n_tokens", "n_vocab",
+        _r(F.col("kl")).alias("kl"),
+        _r(F.col("top_term_mass")).alias("top_term_mass"),
+    )
+
+
+SQL_SOURCE_KL = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+tf AS (SELECT source, w, count(*) AS c FROM tok GROUP BY 1, 2),
+ts AS (SELECT source, sum(c) AS tot_s FROM tf GROUP BY 1),
+cq AS (SELECT w, count(*) AS cw FROM tok GROUP BY 1),
+tq AS (SELECT count(*) AS tot_q FROM tok)
+SELECT tf.source,
+       CAST(max(ts.tot_s) AS BIGINT) AS n_tokens,
+       CAST(count(*) AS BIGINT) AS n_vocab,
+       round(sum((c / tot_s) * ln((c / tot_s) / (cw / tot_q))), 6) AS kl,
+       round(max(c / tot_s), 6) AS top_term_mass
+FROM tf JOIN ts USING (source) JOIN cq USING (w) CROSS JOIN tq
+GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -6346,6 +6439,8 @@ FROM arr a LEFT JOIN
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "variance_ratio": (q_variance_ratio, SQL_VARIANCE_RATIO),
+    "source_kl_divergence": (q_source_kl, SQL_SOURCE_KL),
     "dtw_exemplar": (q_dtw_exemplar, SQL_DTW_EXEMPLAR),
     "hurst_rs": (q_hurst_rs, SQL_HURST_RS),
     "kalman_local_level": (q_kalman_local_level, SQL_KALMAN_LOCAL_LEVEL),

@@ -580,3 +580,109 @@ def test_dtw_short_or_missing_exemplar_is_null(spark):
     assert abs(got.loc[("a", "0"), "dtw"]) < 1e-12
     assert pd.isna(got.loc[("a", "1"), "dtw"])
     assert pd.isna(got.loc[("b", "1"), "dtw"])
+
+
+# ------------------------------------------------------ variance ratio
+
+def test_variance_ratio_matches_numpy(spark):
+    pdf = seeded_series(n=500, gap_frac=0.1, seed=29)
+    q = 4
+    from diive_spark.operators.spectral import variance_ratio
+
+    got = variance_ratio(_one_series(pdf, spark), q=q).toPandas().iloc[0]
+    x = pdf["value"].dropna().to_numpy()
+    n = len(x)
+    mu = (x[-1] - x[0]) / (n - 1)
+    d1 = x[1:] - x[:-1]
+    dq = x[q:] - x[:-q]
+    sig1 = ((d1 - mu) ** 2).sum() / (n - 1)
+    sigq = ((dq - q * mu) ** 2).sum() / (q * (n - q))
+    vr = sigq / sig1
+    z = (vr - 1) * math.sqrt(3 * q * (n - q) / (2 * (2 * q - 1) * (q - 1)))
+    assert got["n"] == n
+    assert abs(got["mu"] - mu) < 1e-12
+    assert abs(got["vr"] - vr) < 1e-9
+    assert abs(got["z"] - z) < 1e-9
+
+
+def test_variance_ratio_separates_regimes(spark):
+    rng = np.random.default_rng(11)
+    n = 4000
+    eps = rng.normal(0, 1, n)
+    walk = np.cumsum(eps)                      # random walk: VR ~ 1
+    trend = np.cumsum(np.convolve(eps, np.ones(8) / 8, mode="same"))
+    noise = eps                                # levels: mean-reverting
+    from diive_spark.operators.spectral import variance_ratio
+
+    def vr_of(v, tag):
+        pdf = pd.DataFrame(
+            {"source": "s", "doc_id": tag, "pos": np.arange(len(v)),
+             "value": v}
+        )
+        return variance_ratio(
+            _one_series(pdf, spark), q=4
+        ).toPandas().iloc[0]
+
+    r_walk, r_trend, r_noise = (
+        vr_of(walk, "w"), vr_of(trend, "t"), vr_of(noise, "n")
+    )
+    assert 0.8 < r_walk["vr"] < 1.2 and abs(r_walk["z"]) < 3.0
+    assert r_trend["vr"] > 1.5 and r_trend["z"] > 3.0
+    assert r_noise["vr"] < 0.6 and r_noise["z"] < -3.0
+
+
+def test_variance_ratio_constant_series_null(spark):
+    pdf = pd.DataFrame(
+        {"source": "s", "doc_id": "d0", "pos": np.arange(30), "value": 5.0}
+    )
+    from diive_spark.operators.spectral import variance_ratio
+
+    got = variance_ratio(_one_series(pdf, spark)).toPandas().iloc[0]
+    assert pd.isna(got["vr"]) and pd.isna(got["z"])
+
+
+# --------------------------------------------------------- KL drift
+
+def test_source_kl_hand_computed(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2],
+             "source": ["a", "b"],
+             "text": ["x x y", "y z z z"]}
+        )
+    )
+    from diive_spark.operators.textstats import source_kl_divergence
+
+    got = source_kl_divergence(docs).toPandas().set_index("source")
+    # corpus: x:2 y:2 z:3, total 7
+    def kl(counts, tot):
+        q = {"x": 2 / 7, "y": 2 / 7, "z": 3 / 7}
+        return sum(
+            (c / tot) * math.log((c / tot) / q[w])
+            for w, c in counts.items()
+        )
+
+    assert got.loc["a", "n_tokens"] == 3 and got.loc["a", "n_vocab"] == 2
+    assert abs(got.loc["a", "kl"] - kl({"x": 2, "y": 1}, 3)) < 1e-12
+    assert abs(got.loc["b", "kl"] - kl({"y": 1, "z": 3}, 4)) < 1e-12
+    assert abs(got.loc["a", "top_term_mass"] - 2 / 3) < 1e-12
+
+
+def test_source_kl_nonneg_and_flags_drifted_source(spark):
+    rng = np.random.default_rng(5)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for d in range(40):
+        words = rng.choice(vocab, 60)
+        rows.append((d, "base", " ".join(words)))
+    for d in range(40, 44):
+        # drifted source writes from a disjoint vocabulary
+        rows.append((d, "drift", " ".join(rng.choice(["q1", "q2"], 60))))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    from diive_spark.operators.textstats import source_kl_divergence
+
+    got = source_kl_divergence(docs).toPandas().set_index("source")
+    assert (got["kl"] >= -1e-12).all()
+    assert got.loc["drift", "kl"] > got.loc["base", "kl"] + 1.0
