@@ -583,3 +583,116 @@ def source_kl_divergence(
         "kl",
         "top_term_mass",
     )
+
+
+def zipf_slope(
+    df: DataFrame,
+    max_rank: int = 256,
+    text_col: str = "text",
+    group_col: str = "source",
+) -> DataFrame:
+    """Zipf rank-frequency slope per source: OLS fit of ``ln(freq)`` on
+    ``ln(rank)`` over the top ``max_rank`` terms (Zipf 1949; natural
+    text sits near slope -1) — the corpus-health tell that catches
+    template/boilerplate-dominated sources (slope far below -1: a few
+    terms eat the mass) and synthetic/uniform gibberish (slope near 0)
+    that per-doc quality filters miss because every individual doc
+    looks fine.
+
+    Rank is deterministic across engines: (count DESC, term ASC).
+
+    Scale shape: the tfidf plan — one explode, one (source, term)
+    groupBy with map-side combine, a per-source TOP-``max_rank`` window
+    over the aggregate (bounded by dictionary size, never corpus
+    size), then a 5-sum OLS fold over <= max_rank rows per source.
+    """
+    if max_rank < 3:
+        raise ValueError(f"max_rank must be >= 3, got {max_rank}")
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(F.col(group_col), F.explode(words_arr).alias("_w"))
+    tf = tok.groupBy(group_col, "_w").agg(F.count(F.lit(1)).alias("_c"))
+    w = Window.partitionBy(group_col).orderBy(
+        F.col("_c").desc(), F.col("_w").asc()
+    )
+    ranked = tf.withColumn("_rk", F.row_number().over(w)).where(
+        F.col("_rk") <= max_rank
+    )
+    x = F.log(F.col("_rk").cast("double"))
+    y = F.log(F.col("_c").cast("double"))
+    agg = ranked.groupBy(group_col).agg(
+        F.count(F.lit(1)).alias("n_terms"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    p = F.col("n_terms").cast("double")
+    den = p * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    slope = F.when(
+        (F.col("n_terms") >= 3) & (F.abs(den) > 1e-12),
+        (p * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    intercept = F.when(
+        slope.isNotNull(),
+        (F.col("_sy") - slope * F.col("_sx")) / p,
+    )
+    return agg.select(
+        group_col,
+        F.col("n_terms").cast("long").alias("n_terms"),
+        slope.alias("slope"),
+        intercept.alias("intercept"),
+    )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a doc's DISTINCT word
+    n-grams whose first corpus occurrence (minimum ``doc_id``) is this
+    doc — the redundancy-growth curve a dedup pipeline reads to decide
+    where incremental data stops adding information (novelty near 0 =
+    the doc restates earlier material even if no single document
+    matches it, the gap exact/near-dup detectors leave).
+
+    Scale shape: n-grams are built row-locally (adjacent-window
+    transform + array_distinct — no self-join), then one groupBy for
+    the per-n-gram first-doc and one join back on the n-gram — the
+    decontaminate_ngrams shuffle shape.  At the 10^12 scale the join
+    key would be ``xxhash64(ngram)`` (8-byte rows, same min/first-doc
+    algebra); the string key here keeps the oracle engine-portable.
+    Docs with fewer than ``n`` words have 0 n-grams and null novelty.
+    """
+    if n < 2:
+        raise ValueError(f"n must be >= 2, got {n}")
+    words_arr = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    grams_arr = F.expr(
+        f"CASE WHEN size(_words) >= {n} THEN "
+        f"array_distinct(transform(sequence(0, size(_words) - {n}), "
+        f"i -> concat_ws(' ', slice(_words, i + 1, {n})))) "
+        "ELSE array() END"
+    )
+    grams = (
+        df.select(F.col(id_col), words_arr.alias("_words"))
+        .select(F.col(id_col), F.explode(grams_arr).alias("_g"))
+    )
+    first = grams.groupBy("_g").agg(F.min(id_col).alias("_first"))
+    scored = (
+        grams.join(first, on="_g")
+        .groupBy(id_col)
+        .agg(
+            F.count(F.lit(1)).alias("n_ngrams"),
+            F.avg(
+                F.when(F.col(id_col) == F.col("_first"), 1.0).otherwise(0.0)
+            ).alias("novelty"),
+        )
+    )
+    return df.select(id_col).join(scored, on=id_col, how="left").select(
+        id_col,
+        F.coalesce(F.col("n_ngrams"), F.lit(0)).cast("long").alias(
+            "n_ngrams"
+        ),
+        "novelty",
+    )

@@ -6432,6 +6432,89 @@ GROUP BY 1
 """
 
 
+def q_zipf_slope(spark, sf_dir):
+    """Zipf rank-frequency slope per source (Zipf 1949): OLS of
+    ln(freq) on ln(rank) over the top-256 terms with a deterministic
+    (count DESC, term ASC) rank — template-dominated and synthetic
+    sources fall off the ~-1 natural-text line."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.zipf_slope(docs, max_rank=256)
+    return out.select(
+        "source", "n_terms",
+        _r(F.col("slope")).alias("slope"),
+        _r(F.col("intercept")).alias("intercept"),
+    )
+
+
+SQL_ZIPF_SLOPE = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+tf AS (SELECT source, w, CAST(count(*) AS BIGINT) AS c
+       FROM tok GROUP BY 1, 2),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY c DESC, w ASC) AS r
+       FROM tf),
+kept AS (SELECT * FROM rk WHERE r <= 256),
+ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_terms,
+              sum(ln(CAST(r AS DOUBLE))) AS sx,
+              sum(ln(CAST(c AS DOUBLE))) AS sy,
+              sum(ln(CAST(r AS DOUBLE)) * ln(CAST(c AS DOUBLE))) AS sxy,
+              sum(ln(CAST(r AS DOUBLE)) * ln(CAST(r AS DOUBLE))) AS sxx
+       FROM kept GROUP BY 1),
+sl AS (SELECT *,
+              CASE WHEN n_terms >= 3
+                    AND abs(n_terms * sxx - sx * sx) > 1e-12
+                   THEN (n_terms * sxy - sx * sy)
+                        / (n_terms * sxx - sx * sx) END AS slope
+       FROM ag)
+SELECT source, n_terms,
+       round(slope, 6) AS slope,
+       round(CASE WHEN slope IS NOT NULL
+             THEN (sy - slope * sx) / n_terms END, 6) AS intercept
+FROM sl
+"""
+
+
+def q_ngram_novelty(spark, sf_dir):
+    """Per-doc trigram novelty: fraction of the doc's distinct word
+    trigrams first seen (min doc_id) in this doc — the redundancy
+    curve between exact-dup and topic-level similarity."""
+    docs = _load(spark, sf_dir, "documents")
+    out = textstats.ngram_novelty(docs, n=3)
+    return out.select(
+        "doc_id", "n_ngrams",
+        _r(F.col("novelty")).alias("novelty"),
+    )
+
+
+SQL_NGRAM_NOVELTY = r"""
+WITH w AS (
+  SELECT doc_id,
+         regexp_split_to_array(lower(trim(text)), '\s+') AS ws
+  FROM documents),
+g AS (
+  SELECT DISTINCT doc_id, gg
+  FROM (SELECT doc_id,
+               unnest(list_transform(range(1, len(ws) - 1),
+                      i -> ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2]))
+                 AS gg
+        FROM w WHERE len(ws) >= 3)),
+f AS (SELECT gg, min(doc_id) AS first_doc FROM g GROUP BY 1),
+sc AS (SELECT g.doc_id,
+              CAST(count(*) AS BIGINT) AS n_ngrams,
+              avg(CASE WHEN g.doc_id = f.first_doc
+                       THEN 1.0 ELSE 0.0 END) AS novelty
+       FROM g JOIN f USING (gg) GROUP BY 1)
+SELECT d.doc_id,
+       coalesce(sc.n_ngrams, 0) AS n_ngrams,
+       round(sc.novelty, 6) AS novelty
+FROM documents d LEFT JOIN sc USING (doc_id)
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -6439,6 +6522,8 @@ GROUP BY 1
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
+    "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "variance_ratio": (q_variance_ratio, SQL_VARIANCE_RATIO),
     "source_kl_divergence": (q_source_kl, SQL_SOURCE_KL),
     "dtw_exemplar": (q_dtw_exemplar, SQL_DTW_EXEMPLAR),

@@ -686,3 +686,80 @@ def test_source_kl_nonneg_and_flags_drifted_source(spark):
     got = source_kl_divergence(docs).toPandas().set_index("source")
     assert (got["kl"] >= -1e-12).all()
     assert got.loc["drift", "kl"] > got.loc["base", "kl"] + 1.0
+
+
+# ----------------------------------------------------- zipf / novelty
+
+def test_zipf_slope_matches_pandas_and_flags_degenerate(spark):
+    rng = np.random.default_rng(19)
+    vocab = [f"w{i}" for i in range(200)]
+    # zipfian source: word i with weight 1/(i+1); degenerate source:
+    # one word dominates
+    pz = 1.0 / np.arange(1, 201)
+    pz /= pz.sum()
+    rows = []
+    for d in range(30):
+        rows.append((d, "zipf", " ".join(rng.choice(vocab, 200, p=pz))))
+    for d in range(30, 40):
+        rows.append((d, "flat", " ".join(rng.choice(vocab[:50], 200))))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "source", "text"])
+    )
+    from diive_spark.operators.textstats import zipf_slope
+
+    got = zipf_slope(docs, max_rank=64).toPandas().set_index("source")
+    # pandas twin
+    pdf = docs.toPandas()
+    for src in ["zipf", "flat"]:
+        words = " ".join(pdf[pdf.source == src]["text"]).split()
+        tf = pd.Series(words).value_counts()
+        tf = tf.reset_index()
+        tf.columns = ["w", "c"]
+        tf = tf.sort_values(["c", "w"], ascending=[False, True]).head(64)
+        x = np.log(np.arange(1, len(tf) + 1))
+        y = np.log(tf["c"].to_numpy(dtype=float))
+        p = len(x)
+        slope = (p * (x * y).sum() - x.sum() * y.sum()) / (
+            p * (x * x).sum() - x.sum() ** 2
+        )
+        assert abs(got.loc[src, "slope"] - slope) < 1e-9, src
+    # zipfian text is much steeper than uniform text
+    assert got.loc["zipf", "slope"] < got.loc["flat", "slope"] - 0.3
+
+
+def test_ngram_novelty_hand_computed(spark):
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {"doc_id": [1, 2, 3, 4],
+             "text": [
+                 "a b c d",          # trigrams: "a b c", "b c d" (new)
+                 "a b c x",          # "a b c" old, "b c x" new -> 0.5
+                 "a b c d",          # both old -> 0.0
+                 "q r",              # too short -> 0 ngrams, null
+             ]}
+        )
+    )
+    from diive_spark.operators.textstats import ngram_novelty
+
+    got = ngram_novelty(docs, n=3).toPandas().set_index("doc_id")
+    assert got.loc[1, "n_ngrams"] == 2 and got.loc[1, "novelty"] == 1.0
+    assert got.loc[2, "n_ngrams"] == 2 and got.loc[2, "novelty"] == 0.5
+    assert got.loc[3, "n_ngrams"] == 2 and got.loc[3, "novelty"] == 0.0
+    assert got.loc[4, "n_ngrams"] == 0 and pd.isna(got.loc[4, "novelty"])
+
+
+def test_ngram_novelty_decays_on_redundant_corpus(spark):
+    # every doc repeats the same passage plus a small unique tail: the
+    # novelty curve must start at 1 and decay hard
+    rows = []
+    base = "the quick brown fox jumps over the lazy dog again and again"
+    for d in range(20):
+        rows.append((d, base + f" unique tail {d} here"))
+    docs = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text"])
+    )
+    from diive_spark.operators.textstats import ngram_novelty
+
+    got = ngram_novelty(docs, n=3).toPandas().set_index("doc_id")
+    assert got.loc[0, "novelty"] == 1.0
+    assert (got.loc[5:, "novelty"] < 0.45).all()
