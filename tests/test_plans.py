@@ -628,3 +628,44 @@ def test_sax_bounded_exchanges_no_single_partition(spark, tiny_series):
     p = _physical_plan(out)
     assert "SinglePartition" not in p
     assert p.count("Exchange") <= 4
+
+
+def test_dft_fold_no_explode_no_extra_exchange(spark):
+    """dft_power_peak must compute the O(n·K) trig sums as a row-local
+    array fold, never a (reading × frequency) explode: no Generate
+    node, and only the series-key exchanges (series() window + the
+    groupBy collect) appear."""
+    from diive_spark.queries import q_dft_power_peak
+
+    plan = _physical_plan(q_dft_power_peak(spark, SF))
+    assert "Generate" not in plan          # no explode anywhere
+    assert "Join" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
+
+
+def test_new_series_ops_no_cartesian_or_bnlj(spark):
+    """The round-5 forecast/spectral battery must never fall back to a
+    cartesian or nested-loop join (exemplar/profile sides are tiny and
+    keyed/broadcast)."""
+    from diive_spark.queries import (
+        q_dtw_exemplar,
+        q_hurst_rs,
+        q_seasonal_decompose,
+        q_variance_ratio,
+    )
+
+    for qfn in (q_dtw_exemplar, q_hurst_rs, q_seasonal_decompose,
+                q_variance_ratio):
+        plan = _physical_plan(qfn(spark, SF))
+        assert "CartesianProduct" not in plan, qfn.__name__
+        assert "BroadcastNestedLoopJoin" not in plan, qfn.__name__
+
+
+def test_dtw_exemplar_side_is_broadcast(spark):
+    """dtw_exemplar's per-group exemplar table (one row per source)
+    must arrive broadcast — shuffling the full sketch table against a
+    40-row side would be the classic smell at 10^12 series."""
+    from diive_spark.queries import q_dtw_exemplar
+
+    plan = _physical_plan(q_dtw_exemplar(spark, SF))
+    assert "BroadcastHashJoin" in plan
