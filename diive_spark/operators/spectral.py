@@ -580,3 +580,90 @@ def variance_ratio(
         vr.alias("vr"),
         zstat.alias("z"),
     )
+
+
+def top_correlated_pairs(
+    df: DataFrame,
+    top_k: int = 5,
+    min_overlap: int = 30,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Most-correlated series pairs within each group: exact Pearson r
+    over position-aligned readings for every within-group doc pair,
+    ranked by |r| (deterministic tie-break on rounded |r|, then the
+    pair ids) — the cross-SERIES companion of the reference's
+    daily_correlation (diive/pkgs/analyses/correlation.py:8-55, which
+    correlates two COLUMNS per calendar bucket): which token streams
+    move together.
+
+    Pairs need at least ``min_overlap`` aligned non-null readings;
+    ``a < b`` on the doc id keeps each pair once.  Correlation is
+    assembled from guarded component sums (NOT F.corr — ANSI division
+    by zero on constant streams; the acf_agg precedent), null on
+    zero-variance sides.
+
+    Scale shape: ONE equi-join on (group, pos) — readings meet their
+    pair partners co-partitioned by position, no cartesian — then one
+    groupBy per pair and a per-group TOP-K window over the pair
+    aggregate (<= docs² rows per group, never the readings).  The
+    within-group pair count is quadratic in docs-per-group BY
+    DEFINITION of all-pairs output; at 10^12-series scale the recipe
+    is sax_motif_buckets / similarity LSH first, then this exact pass
+    bucket-locally (the dedup_minhash_lsh pattern).
+    """
+    if top_k < 1:
+        raise ValueError(f"top_k must be >= 1, got {top_k}")
+    if min_overlap < 3:
+        raise ValueError(f"min_overlap must be >= 3, got {min_overlap}")
+    keys = list(key_cols)
+    group_cols, doc_col = keys[:-1], keys[-1]
+    pts = df.where(F.col(value_col).isNotNull()).select(
+        *group_cols,
+        F.col(doc_col).alias("_doc"),
+        F.col(axis_col).alias("_pos"),
+        F.col(value_col).cast("double").alias("_x"),
+    )
+    left = pts
+    right = (
+        pts.withColumnRenamed("_doc", "_doc_b")
+        .withColumnRenamed("_x", "_y")
+    )
+    pairs = left.join(right, on=[*group_cols, "_pos"]).where(
+        F.col("_doc") < F.col("_doc_b")
+    )
+    agg = pairs.groupBy(*group_cols, "_doc", "_doc_b").agg(
+        F.count(F.lit(1)).alias("n_overlap"),
+        F.sum("_x").alias("_sa"),
+        F.sum("_y").alias("_sb"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sab"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_saa"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_sbb"),
+    )
+    n = F.col("n_overlap").cast("double")
+    cov_n = n * F.col("_sab") - F.col("_sa") * F.col("_sb")
+    va_n = n * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb_n = n * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    r = F.when(
+        (F.col("n_overlap") >= min_overlap) & (va_n > 0) & (vb_n > 0),
+        cov_n / F.sqrt(va_n * vb_n),
+    )
+    scored = agg.withColumn("r", r).where(F.col("r").isNotNull())
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.round(F.abs(F.col("r")), 6).desc(),
+        F.col("_doc").asc(),
+        F.col("_doc_b").asc(),
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= top_k)
+        .select(
+            *group_cols,
+            F.col("rank").cast("long").alias("rank"),
+            F.col("_doc").alias("doc_a"),
+            F.col("_doc_b").alias("doc_b"),
+            F.col("n_overlap").cast("long").alias("n_overlap"),
+            "r",
+        )
+    )

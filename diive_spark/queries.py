@@ -6515,6 +6515,54 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 """
 
 
+def q_top_correlated_pairs(spark, sf_dir):
+    """Most-correlated series pairs per source: exact Pearson r over
+    pos-aligned readings for every within-source doc pair, top-5 by
+    |r| with a deterministic (round-6 |r| DESC, pair ASC) rank — the
+    cross-series companion of daily_correlation."""
+    out = spectral.top_correlated_pairs(
+        series(spark, sf_dir), top_k=5, min_overlap=30,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "rank", "doc_a", "doc_b", "n_overlap",
+        _r(F.col("r")).alias("r"),
+    )
+
+
+SQL_TOP_CORRELATED_PAIRS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+pr AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              sum(a.value) AS sa, sum(b.value) AS sb,
+              sum(a.value * b.value) AS sab,
+              sum(a.value * a.value) AS saa,
+              sum(b.value * b.value) AS sbb
+       FROM pts a JOIN pts b
+         ON a.source = b.source AND a.pos = b.pos
+        AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3),
+rr AS (SELECT *,
+              CASE WHEN n_overlap >= 30
+                    AND n_overlap * saa - sa * sa > 0
+                    AND n_overlap * sbb - sb * sb > 0
+                   THEN (n_overlap * sab - sa * sb)
+                        / sqrt((n_overlap * saa - sa * sa)
+                               * (n_overlap * sbb - sb * sb)) END AS r
+       FROM pr),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          doc_a ASC, doc_b ASC) AS rank
+       FROM rr WHERE r IS NOT NULL)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_a, doc_b, n_overlap,
+       round(r, 6) AS r
+FROM rk WHERE rank <= 5
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -6522,6 +6570,8 @@ FROM documents d LEFT JOIN sc USING (doc_id)
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "top_correlated_pairs": (q_top_correlated_pairs,
+                             SQL_TOP_CORRELATED_PAIRS),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),
     "ngram_novelty": (q_ngram_novelty, SQL_NGRAM_NOVELTY),
     "variance_ratio": (q_variance_ratio, SQL_VARIANCE_RATIO),

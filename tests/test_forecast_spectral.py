@@ -763,3 +763,54 @@ def test_ngram_novelty_decays_on_redundant_corpus(spark):
     got = ngram_novelty(docs, n=3).toPandas().set_index("doc_id")
     assert got.loc[0, "novelty"] == 1.0
     assert (got.loc[5:, "novelty"] < 0.45).all()
+
+
+# ------------------------------------------------- correlated pairs
+
+def test_top_correlated_pairs_matches_pandas(spark):
+    rng = np.random.default_rng(37)
+    base = rng.normal(0, 1, 200)
+    series = {
+        "0": base + rng.normal(0, 0.1, 200),      # ~base
+        "1": -base + rng.normal(0, 0.1, 200),     # anti-correlated
+        "2": rng.normal(0, 1, 200),               # independent
+        "3": base * 2 + 5 + rng.normal(0, 0.2, 200),
+    }
+    rows = []
+    for d, v in series.items():
+        rows += [("s", d, p, float(x)) for p, x in enumerate(v)]
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    from diive_spark.operators.spectral import top_correlated_pairs
+
+    got = top_correlated_pairs(
+        spark.createDataFrame(pdf), top_k=6, min_overlap=30
+    ).toPandas()
+    # pandas twin over all pairs
+    import itertools
+
+    want = []
+    for a, b in itertools.combinations(sorted(series), 2):
+        r = np.corrcoef(series[a], series[b])[0, 1]
+        want.append((a, b, r))
+    want.sort(key=lambda t: (-round(abs(t[2]), 6), t[0], t[1]))
+    assert len(got) == 6
+    for i, (a, b, r) in enumerate(want):
+        assert got.loc[i, "doc_a"] == a and got.loc[i, "doc_b"] == b
+        assert abs(got.loc[i, "r"] - r) < 1e-9
+    # structure: the three base-linked pairs outrank the noise pairs
+    top3 = set(map(tuple, got.loc[:2, ["doc_a", "doc_b"]].values))
+    assert top3 == {("0", "1"), ("0", "3"), ("1", "3")}
+
+
+def test_top_correlated_pairs_min_overlap_and_constant_guard(spark):
+    rows = [("s", "0", p, float(p % 7)) for p in range(100)]
+    rows += [("s", "1", p, 4.0) for p in range(100)]        # constant
+    rows += [("s", "2", p, float(p % 7)) for p in range(10)]  # short
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    from diive_spark.operators.spectral import top_correlated_pairs
+
+    got = top_correlated_pairs(
+        spark.createDataFrame(pdf), top_k=5, min_overlap=30
+    ).toPandas()
+    # constant side -> null r dropped; short overlap dropped -> no rows
+    assert len(got) == 0
