@@ -455,15 +455,29 @@ def dtw_to_exemplar(
         *group_cols, F.col("va").alias("_ya"), F.col("n_seg").alias("_yn")
     )
     j = arr.join(F.broadcast(ex), on=group_cols, how="left")
+    cost = _dtw_cost(F.col("va"), F.col("_ya"), seg_n, radius)
+    ok = (F.col("n_seg") == seg_n) & (F.col("_yn") == seg_n)
+    return j.select(
+        *keys,
+        F.col("n_seg").cast("long").alias("n_seg"),
+        F.when(ok, cost).alias("dtw"),
+    )
+
+
+def _dtw_cost(xa, ya, seg_n: int, radius: int):
+    """Banded DTW DP cost between two equal-length ``seg_n`` double
+    arrays as a pure nested JVM fold (outer fold over rows carrying
+    the previous DP row; inner fold builds each row left to right) —
+    the exact Sakoe-Chiba recurrence, no UDF.  Out-of-band cells hold
+    the :data:`DTW_SENTINEL` that never wins a min.  DP values are
+    order-independent, so a SQL engine replaying the grid in diagonal
+    order (recursive CTE) reproduces them bit-for-bit."""
     sent = F.lit(DTW_SENTINEL)
     init = F.array(F.lit(0.0), *[sent for _ in range(seg_n)])
 
     def outer(prev, i):
         def inner(acc2, jj):
-            w = F.abs(
-                F.element_at(F.col("va"), i)
-                - F.element_at(F.col("_ya"), jj)
-            )
+            w = F.abs(F.element_at(xa, i) - F.element_at(ya, jj))
             cell = F.when(
                 F.abs(i - jj) <= radius,
                 w
@@ -480,11 +494,149 @@ def dtw_to_exemplar(
         )
 
     rows = F.aggregate(F.sequence(F.lit(1), F.lit(seg_n)), init, outer)
-    ok = (F.col("n_seg") == seg_n) & (F.col("_yn") == seg_n)
-    return j.select(
-        *keys,
-        F.col("n_seg").cast("long").alias("n_seg"),
-        F.when(ok, F.element_at(rows, seg_n + 1)).alias("dtw"),
+    return F.element_at(rows, seg_n + 1)
+
+
+def sax_dtw_motifs(
+    df: DataFrame,
+    segments: int = 8,
+    alphabet: int = 4,
+    radius: int = 3,
+    max_bucket: int = 32,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Cross-series motif verification: SAX-word bucket FIRST, exact
+    banded DTW only WITHIN buckets — the documented scale recipe of
+    :func:`~..analyses.sax_motif_buckets` ("candidate buckets can then
+    be verified exactly ... only within buckets, never all-pairs")
+    made a first-class operator.  Lin et al. DMKD 2003 §5 (SAX as an
+    index) + Sakoe & Chiba 1978 (the banded DP); diive's pattern
+    tooling is histogram/peak-bin based (diive/pkgs/analyses/
+    histogram.py:14-122), with no symbolic index or alignment
+    distance — this is target-side capability.
+
+    Per series: z-normalize -> ``segments``-slice PAA -> SAX word
+    over ``alphabet`` Gaussian breakpoints.  Series sharing a word
+    form a candidate bucket; within each bucket every (sid_a < sid_b)
+    pair gets an exact banded DTW distance over the z-PAA sketches
+    (:func:`_dtw_cost` — pure JVM fold, no UDF).  Only series with a
+    full ``segments``-slot sketch participate (shorter series cannot
+    produce a comparable word).
+
+    Hot-bucket guard (the dedup.py minhash star-link pattern): a
+    bucket with more than ``max_bucket`` members would emit O(B^2)
+    pairs — at 10^12 series a degenerate word (e.g. every near-flat
+    series) is a guaranteed skew bomb.  Such buckets degrade to
+    star-link pairs against the bucket's min-sid anchor: O(B) rows,
+    and connectivity through the anchor still links every member for
+    a downstream connected-components pass.  ``pair_kind`` says which
+    regime produced each row ('full' | 'star').
+
+    Scale shape: the SAX pipeline is the single-exchange-on-series-key
+    layout; bucketing adds ONE equi-shuffle on the 8-letter word
+    (narrow rows: sid + word + ``segments`` doubles); pair DTW is
+    row-local and constant-bounded.  Nothing is quadratic in corpus
+    size or series length; per-bucket blowup is capped by
+    ``max_bucket``.
+    """
+    if segments < 2:
+        raise ValueError(f"segments must be >= 2, got {segments}")
+    if not 1 <= radius <= segments:
+        raise ValueError(f"radius must be in [1, {segments}], got {radius}")
+    if max_bucket < 2:
+        raise ValueError(f"max_bucket must be >= 2, got {max_bucket}")
+    from .analyses import SAX_BREAKPOINTS
+
+    if alphabet not in SAX_BREAKPOINTS:
+        raise ValueError(
+            f"alphabet must be one of {sorted(SAX_BREAKPOINTS)}, "
+            f"got {alphabet}"
+        )
+    bps = SAX_BREAKPOINTS[alphabet]
+    keys = list(key_cols)
+    seg_n = int(segments)
+    pts = df.where(F.col(value_col).isNotNull())
+    wseq = Window.partitionBy(*keys).orderBy(axis_col)
+    pts = pts.withColumn("_ci", F.row_number().over(wseq) - 1)
+    stats = pts.groupBy(*keys).agg(
+        F.avg(value_col).alias("_mu"),
+        F.stddev_pop(value_col).alias("_sd"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    z = F.when(
+        (F.col("_sd").isNull()) | (F.col("_sd") == 0.0), F.lit(0.0)
+    ).otherwise((F.col(value_col) - F.col("_mu")) / F.col("_sd"))
+    seg = F.floor(
+        F.col("_ci") * F.lit(seg_n) / F.col("_n")
+    ).cast("long")
+    paa = (
+        pts.join(stats, keys)
+        .select(*keys, seg.alias("_seg"), z.alias("_z"))
+        .groupBy(*keys, "_seg")
+        .agg(F.avg("_z").alias("_paa"))
+    )
+    sym = F.lit(0)
+    for bp in bps:
+        sym = sym + F.when(F.col("_paa") > F.lit(float(bp)), 1).otherwise(0)
+    sid = F.concat_ws("|", *[F.col(k).cast("string") for k in keys])
+    members = (
+        paa.withColumn("_letter", F.char(sym + F.lit(97)))
+        .groupBy(*keys)
+        .agg(
+            F.array_sort(
+                F.collect_list(F.struct(F.col("_seg"), F.col("_letter"),
+                                        F.col("_paa")))
+            ).alias("_a")
+        )
+        .where(F.size("_a") == seg_n)
+        .select(
+            sid.alias("sid"),
+            F.array_join(
+                F.transform(F.col("_a"), lambda s: s["_letter"]), ""
+            ).alias("word"),
+            F.transform(F.col("_a"), lambda s: s["_paa"]).alias("va"),
+        )
+    )
+    buckets = members.groupBy("word").agg(
+        F.count(F.lit(1)).cast("long").alias("n_series"),
+        F.min("sid").alias("_anchor"),
+    ).where(F.col("n_series") >= 2)
+    tagged = members.join(buckets, "word")
+    full = tagged.where(F.col("n_series") <= int(max_bucket))
+    hot = tagged.where(F.col("n_series") > int(max_bucket))
+    a = full.select(
+        "word", "n_series",
+        F.col("sid").alias("sid_a"), F.col("va").alias("_xa"),
+    )
+    b = full.select(
+        "word", F.col("sid").alias("sid_b"), F.col("va").alias("_yb"),
+    )
+    full_pairs = (
+        a.join(b, "word")
+        .where(F.col("sid_a") < F.col("sid_b"))
+        .withColumn("pair_kind", F.lit("full"))
+    )
+    hot_anchor = hot.where(F.col("sid") == F.col("_anchor")).select(
+        "word", F.col("sid").alias("sid_a"), F.col("va").alias("_xa"),
+    )
+    star_pairs = (
+        hot.where(F.col("sid") != F.col("_anchor"))
+        .select(
+            "word", "n_series",
+            F.col("sid").alias("sid_b"), F.col("va").alias("_yb"),
+        )
+        .join(hot_anchor, "word")
+        .withColumn("pair_kind", F.lit("star"))
+    )
+    cols = ["word", "n_series", "sid_a", "sid_b", "pair_kind",
+            "_xa", "_yb"]
+    pairs = full_pairs.select(*cols).unionByName(star_pairs.select(*cols))
+    cost = _dtw_cost(F.col("_xa"), F.col("_yb"), seg_n, radius)
+    return pairs.select(
+        "word", "n_series", "sid_a", "sid_b", "pair_kind",
+        cost.alias("dtw"),
     )
 
 

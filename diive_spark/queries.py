@@ -6339,6 +6339,113 @@ FROM arr a LEFT JOIN
 """
 
 
+_SDM_SEG, _SDM_ALPHA, _SDM_R, _SDM_MB = 4, 4, 2, 6
+
+_SDM_BPS = __import__(
+    "diive_spark.operators.analyses", fromlist=["SAX_BREAKPOINTS"]
+).SAX_BREAKPOINTS[_SDM_ALPHA]
+
+_SDM_SYM = " + ".join(
+    f"CASE WHEN paa > {bp!r} THEN 1 ELSE 0 END" for bp in _SDM_BPS
+)
+
+
+def q_sax_dtw_motifs(spark, sf_dir):
+    """Cross-series motif verification: SAX-word bucket first, exact
+    banded DTW only within buckets (Lin et al. DMKD 2003 §5 + Sakoe &
+    Chiba 1978).  A coarse 4-letter word over a 4-symbol alphabet
+    gives the sf0.01 corpus a rich bucket structure (35 full pairs +
+    one hot bucket that trips the max_bucket=6 star-link guard, so the
+    driver hashes BOTH pair regimes).  Spark side: single-exchange SAX
+    pipeline, one equi-shuffle on the word, row-local JVM DTW fold.
+    DuckDB twin: identical SAX arithmetic, identical pair formation,
+    and the recursive-CTE diagonal DTW sweep — DP values are
+    order-independent, so both engines produce identical doubles."""
+    out = spectral.sax_dtw_motifs(
+        series(spark, sf_dir),
+        segments=_SDM_SEG, alphabet=_SDM_ALPHA, radius=_SDM_R,
+        max_bucket=_SDM_MB, key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "word", "n_series", "sid_a", "sid_b", "pair_kind",
+        _r(F.col("dtw")).alias("dtw"),
+    )
+
+
+SQL_SAX_DTW_MOTIFS = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+ix AS (SELECT source, doc_id, value,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY pos) - 1 AS ci
+       FROM pts),
+st AS (SELECT source, doc_id, avg(value) AS mu,
+              stddev_pop(value) AS sd, count(*) AS n
+       FROM ix GROUP BY 1, 2),
+zp AS (SELECT ix.source, ix.doc_id,
+              CAST(floor(ix.ci * {_SDM_SEG} / st.n) AS BIGINT) AS seg,
+              CASE WHEN st.sd IS NULL OR st.sd = 0 THEN 0.0
+                   ELSE (ix.value - st.mu) / st.sd END AS z
+       FROM ix JOIN st USING (source, doc_id)),
+pa AS (SELECT source, doc_id, seg, avg(z) AS paa
+       FROM zp GROUP BY 1, 2, 3),
+sym AS (SELECT source, doc_id, seg, paa,
+               chr(97 + ({_SDM_SYM})) AS letter
+        FROM pa),
+mem AS (SELECT source || '|' || doc_id AS sid,
+               string_agg(letter, '' ORDER BY seg) AS word,
+               array_agg(paa ORDER BY seg) AS va
+        FROM sym GROUP BY source, doc_id
+        HAVING count(*) = {_SDM_SEG}),
+bk AS (SELECT word, CAST(count(*) AS BIGINT) AS n_series,
+              min(sid) AS anchor
+       FROM mem GROUP BY word HAVING count(*) >= 2),
+tg AS (SELECT m.sid, m.word, m.va, b.n_series, b.anchor
+       FROM mem m JOIN bk b USING (word)),
+pairs AS (
+  SELECT a.word, a.n_series, a.sid AS sid_a, b.sid AS sid_b,
+         'full' AS pair_kind, a.va AS xa, b.va AS yb
+  FROM tg a JOIN tg b USING (word)
+  WHERE a.n_series <= {_SDM_MB} AND a.sid < b.sid
+  UNION ALL
+  SELECT m.word, m.n_series, m.anchor AS sid_a, m.sid AS sid_b,
+         'star' AS pair_kind, an.va AS xa, m.va AS yb
+  FROM tg m JOIN tg an ON an.word = m.word AND an.sid = m.anchor
+  WHERE m.n_series > {_SDM_MB} AND m.sid <> m.anchor),
+cells AS (
+  SELECT sid_a, sid_b, 2 AS d, 1 AS i, 1 AS j,
+         abs(xa[1] - yb[1]) AS cost
+  FROM pairs
+  UNION ALL
+  SELECT sid_a, sid_b, d, i, j, cost FROM (
+    -- anti-diagonal sweep: working set holds diag d plus the carried
+    -- diag d-1, so td = c.d + 1 selects the legal predecessors
+    SELECT c.sid_a, c.sid_b, c.d + 1 AS d, t.ni AS i, t.nj AS j,
+           abs(p.xa[t.ni] - p.yb[t.nj]) + min(c.cost) AS cost
+    FROM cells c
+    JOIN pairs p USING (sid_a, sid_b),
+    LATERAL (VALUES (c.i + 1, c.j,     c.i + c.j + 1),
+                    (c.i,     c.j + 1, c.i + c.j + 1),
+                    (c.i + 1, c.j + 1, c.i + c.j + 2)) t(ni, nj, td)
+    WHERE t.td = c.d + 1
+      AND t.ni <= {_SDM_SEG} AND t.nj <= {_SDM_SEG}
+      AND abs(t.ni - t.nj) <= {_SDM_R}
+    GROUP BY c.sid_a, c.sid_b, c.d, t.ni, t.nj, p.xa, p.yb
+    UNION ALL
+    SELECT sid_a, sid_b, d + 1, i, j, cost FROM cells
+    WHERE i + j = d AND d + 1 < {2 * _SDM_SEG}
+  )
+)
+SELECT p.word, p.n_series, p.sid_a, p.sid_b, p.pair_kind,
+       round(f.cost, 6) AS dtw
+FROM pairs p JOIN
+  (SELECT sid_a, sid_b, min(cost) AS cost FROM cells
+   WHERE i = {_SDM_SEG} AND j = {_SDM_SEG} GROUP BY 1, 2) f
+  USING (sid_a, sid_b)
+"""
+
+
 _VR_Q = 4
 
 
@@ -6570,6 +6677,7 @@ FROM rk WHERE rank <= 5
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "sax_dtw_motifs": (q_sax_dtw_motifs, SQL_SAX_DTW_MOTIFS),
     "top_correlated_pairs": (q_top_correlated_pairs,
                              SQL_TOP_CORRELATED_PAIRS),
     "zipf_slope": (q_zipf_slope, SQL_ZIPF_SLOPE),

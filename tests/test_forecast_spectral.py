@@ -814,3 +814,127 @@ def test_top_correlated_pairs_min_overlap_and_constant_guard(spark):
     ).toPandas()
     # constant side -> null r dropped; short overlap dropped -> no rows
     assert len(got) == 0
+
+
+# ---------------------------------------------------- sax_dtw_motifs
+
+def _sax_word(v, seg_n, bps):
+    sk = _zpaa(v, seg_n)
+    if len(sk) < seg_n:
+        return None, sk
+    return "".join(chr(97 + int((p > np.asarray(bps)).sum())) for p in sk), sk
+
+
+def test_sax_dtw_motifs_matches_reference(spark):
+    # three shape families at different scales/offsets; SAX buckets by
+    # shape (z-norm kills scale), then exact banded DTW within buckets
+    from diive_spark.operators.analyses import SAX_BREAKPOINTS
+    from diive_spark.operators.spectral import sax_dtw_motifs
+
+    rng = np.random.default_rng(7)
+    n, seg_n, alpha, radius = 96, 4, 4, 2
+    t = np.arange(n)
+    shapes = {
+        "up": t * 1.0,
+        "hat": np.minimum(t, n - 1 - t).astype(float),
+        "sin": np.sin(2 * np.pi * t / n),
+    }
+    series, rows = {}, []
+    d = 0
+    for fam, base in shapes.items():
+        for k in range(3):
+            v = base * (1.0 + 3.0 * k) + 100.0 * k + rng.normal(0, 1e-3, n)
+            series[str(d)] = v
+            rows += [("s", str(d), p, float(x)) for p, x in enumerate(v)]
+            d += 1
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    got = (
+        sax_dtw_motifs(
+            spark.createDataFrame(pdf), segments=seg_n, alphabet=alpha,
+            radius=radius, max_bucket=32,
+        )
+        .toPandas()
+        .sort_values(["sid_a", "sid_b"])
+        .reset_index(drop=True)
+    )
+    bps = SAX_BREAKPOINTS[alpha]
+    words, sketches = {}, {}
+    for doc, v in series.items():
+        w, sk = _sax_word(v, seg_n, bps)
+        words[doc] = w
+        sketches[doc] = sk
+    buckets = {}
+    for doc, w in words.items():
+        buckets.setdefault(w, []).append(f"s|{doc}")
+    want = {}
+    for w, sids in buckets.items():
+        if len(sids) < 2:
+            continue
+        sids = sorted(sids)
+        for i in range(len(sids)):
+            for j in range(i + 1, len(sids)):
+                da, db = sids[i].split("|")[1], sids[j].split("|")[1]
+                want[(sids[i], sids[j])] = (
+                    w, len(sids),
+                    _dtw_band_ref(sketches[da], sketches[db], radius),
+                )
+    assert len(got) == len(want) > 0
+    for _, r in got.iterrows():
+        w, nb, dist = want[(r["sid_a"], r["sid_b"])]
+        assert r["word"] == w and r["n_series"] == nb
+        assert r["pair_kind"] == "full"
+        assert abs(r["dtw"] - dist) < 1e-9
+    # same-family pairs must be near-zero, and every cross-family pair
+    # (if bucketed together at this coarse word) strictly larger
+    same = got[got.apply(
+        lambda r: int(r["sid_a"].split("|")[1]) // 3
+        == int(r["sid_b"].split("|")[1]) // 3, axis=1)]
+    assert (same["dtw"] < 1e-2).all()
+
+
+def test_sax_dtw_motifs_star_guard(spark):
+    # one degenerate bucket (12 near-identical series) over max_bucket=5
+    # degrades to 11 star rows against the min-sid anchor; a small
+    # bucket stays full-pairs
+    from diive_spark.operators.spectral import sax_dtw_motifs
+
+    rng = np.random.default_rng(11)
+    n = 64
+    t = np.arange(n, dtype=float)
+    rows = []
+    for d in range(12):  # hot: all same up-ramp shape
+        v = t + rng.normal(0, 1e-6, n)
+        rows += [("hot", f"{d:02d}", p, float(x)) for p, x in enumerate(v)]
+    for d in range(3):   # cold: hat shape
+        v = np.minimum(t, n - 1 - t)
+        rows += [("cold", f"{d:02d}", p, float(x)) for p, x in enumerate(v)]
+    pdf = pd.DataFrame(rows, columns=["source", "doc_id", "pos", "value"])
+    got = sax_dtw_motifs(
+        spark.createDataFrame(pdf), segments=4, alphabet=4, radius=2,
+        max_bucket=5,
+    ).toPandas()
+    hot = got[got["sid_a"].str.startswith("hot")]
+    cold = got[got["sid_a"].str.startswith("cold")]
+    assert (hot["pair_kind"] == "star").all() and len(hot) == 11
+    assert (hot["sid_a"] == "hot|00").all()          # min-sid anchor
+    assert set(hot["sid_b"]) == {f"hot|{d:02d}" for d in range(1, 12)}
+    assert (hot["dtw"] < 1e-3).all()
+    assert (cold["pair_kind"] == "full").all() and len(cold) == 3
+
+
+def test_sax_dtw_motifs_validation(spark):
+    import pytest as _pt
+    from diive_spark.operators.spectral import sax_dtw_motifs
+
+    pdf = pd.DataFrame(
+        [("s", "0", 0, 1.0)], columns=["source", "doc_id", "pos", "value"]
+    )
+    df = spark.createDataFrame(pdf)
+    with _pt.raises(ValueError):
+        sax_dtw_motifs(df, segments=1)
+    with _pt.raises(ValueError):
+        sax_dtw_motifs(df, radius=0)
+    with _pt.raises(ValueError):
+        sax_dtw_motifs(df, max_bucket=1)
+    with _pt.raises(ValueError):
+        sax_dtw_motifs(df, alphabet=9)
