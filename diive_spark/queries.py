@@ -6670,6 +6670,180 @@ FROM rk WHERE rank <= 5
 """
 
 
+_FUN_STEPS = ["view", "click", "purchase"]
+_FUN_WIN = 86400.0
+
+
+def q_funnel_conversion(spark, sf_dir):
+    """Ordered-funnel conversion per user (ClickHouse windowFunnel
+    semantics re-expressed as one grouped array fold): anchor at the
+    earliest 'view', then the first 'click' at-or-after it and the
+    first 'purchase' at-or-after that, all within 24 h of the anchor.
+    One shuffle on user_id; the step chain is filter/transform/
+    array_min expressions.  Epochs are exact micros/1e6 doubles, the
+    chain is min/compare arithmetic only, so the DuckDB twin (a chain
+    of correlated min-aggregates) reproduces every value exactly."""
+    from .operators.eventflow import funnel_conversion
+
+    out = funnel_conversion(
+        _load(spark, sf_dir, "events"),
+        _FUN_STEPS,
+        window_seconds=_FUN_WIN,
+    )
+    return out.select(
+        "user_id",
+        "level",
+        _r(F.col("t_anchor")).alias("t_anchor"),
+        _r(F.col("dur_s")).alias("dur_s"),
+    )
+
+
+SQL_FUNNEL_CONVERSION = """
+WITH f AS (SELECT user_id, epoch(ts) AS t, event_type AS y FROM events
+           WHERE event_type IN ('view', 'click', 'purchase')),
+a AS (SELECT user_id, min(CASE WHEN y = 'view' THEN t END) AS t0
+      FROM f GROUP BY 1),
+s1 AS (SELECT f.user_id, min(t) AS t1
+       FROM f JOIN a USING (user_id)
+       WHERE y = 'click' AND t >= a.t0 AND t <= a.t0 + 86400.0
+       GROUP BY 1),
+s2 AS (SELECT f.user_id, min(t) AS t2
+       FROM f JOIN s1 USING (user_id) JOIN a USING (user_id)
+       WHERE y = 'purchase' AND t >= s1.t1 AND t <= a.t0 + 86400.0
+       GROUP BY 1)
+SELECT a.user_id,
+       CAST(CASE WHEN t0 IS NULL THEN 0
+                 WHEN t1 IS NULL THEN 1
+                 WHEN t2 IS NULL THEN 2 ELSE 3 END AS INT) AS level,
+       round(t0, 6) AS t_anchor,
+       round(CASE WHEN t2 IS NOT NULL THEN t2 - t0
+                  WHEN t1 IS NOT NULL THEN t1 - t0 END, 6) AS dur_s
+FROM a LEFT JOIN s1 USING (user_id) LEFT JOIN s2 USING (user_id)
+"""
+
+
+def q_retention_cohorts(spark, sf_dir):
+    """Cohort-retention matrix: users cohorted by first-event day,
+    distinct-active counts at each day offset.  ONE shuffle on user_id
+    yields cohort AND the active-day set in the same aggregate; the
+    final matrix is cohorts x offsets."""
+    from .operators.eventflow import retention_cohorts
+
+    return retention_cohorts(
+        _load(spark, sf_dir, "events"), max_offset=30
+    )
+
+
+SQL_RETENTION_COHORTS = """
+WITH d AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+u AS (SELECT user_id, min(day) AS cohort FROM d GROUP BY 1),
+ud AS (SELECT DISTINCT d.user_id, day, cohort
+       FROM d JOIN u USING (user_id)),
+m AS (SELECT cohort, day - cohort AS off,
+             CAST(count(*) AS BIGINT) AS n_active
+      FROM ud WHERE day - cohort <= 30 GROUP BY 1, 2)
+SELECT strftime(cohort, '%Y-%m-%d') AS cohort,
+       CAST(off AS BIGINT) AS "offset",
+       n_active,
+       max(CASE WHEN off = 0 THEN n_active END)
+         OVER (PARTITION BY cohort) AS n_cohort,
+       round(CAST(n_active AS DOUBLE)
+             / (max(CASE WHEN off = 0 THEN n_active END)
+                OVER (PARTITION BY cohort)), 6) AS retention
+FROM m
+"""
+
+
+_KB_BIN, _KB_S, _KB_G = 3600, 2.0, 2.0
+
+
+def q_kleinberg_bursts(spark, sf_dir):
+    """Two-state burst detection on hourly event counts per type
+    (Kleinberg KDD 2002 structure, Gaussian emission cost so the
+    Viterbi DP is exact IEEE arithmetic — no transcendental whose
+    1-ULP cross-engine difference could flip an argmin).  The DuckDB
+    twin replays the forward DP and the traceback with recursive CTEs
+    carrying the same decision lists, bit-for-bit."""
+    from .operators.eventflow import kleinberg_bursts
+
+    return kleinberg_bursts(
+        _load(spark, sf_dir, "events"),
+        bin_seconds=_KB_BIN,
+        s=_KB_S,
+        gamma=_KB_G,
+    )
+
+
+SQL_KLEINBERG_BURSTS = f"""
+WITH RECURSIVE
+c AS (SELECT event_type AS key,
+             CAST(floor(epoch(ts) / {_KB_BIN}) * {_KB_BIN} AS BIGINT)
+               AS bin,
+             CAST(count(*) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2),
+sp AS (SELECT key, min(bin) AS b0, max(bin) AS b1, sum(x) AS total,
+              CAST((max(bin) - min(bin)) // {_KB_BIN} + 1 AS BIGINT) AS n
+       FROM c GROUP BY 1),
+rt AS (SELECT key, b0, n, total / CAST(n AS DOUBLE) AS r0,
+              total / CAST(n AS DOUBLE) * {_KB_S!r} AS r1
+       FROM sp),
+gx AS (SELECT rt.key, rt.b0, rt.n, rt.r0, rt.r1,
+              {_KB_G!r} * (rt.r1 - rt.r0) * (rt.r1 - rt.r0) AS trans,
+              i.i, coalesce(c.x, 0.0) AS x
+       FROM rt
+       CROSS JOIN LATERAL (SELECT unnest(range(rt.n)) AS i) i
+       LEFT JOIN c ON c.key = rt.key
+                  AND c.bin = rt.b0 + i.i * {_KB_BIN}),
+dp AS (
+  SELECT key, CAST(0 AS BIGINT) AS t,
+         (x - r0) * (x - r0) AS c0,
+         (x - r1) * (x - r1) + 1.0e30 AS c1,
+         [0] AS d0, [0] AS d1
+  FROM gx WHERE i = 0
+  UNION ALL
+  SELECT gx.key, dp.t + 1,
+         (gx.x - gx.r0) * (gx.x - gx.r0)
+           + (CASE WHEN dp.c0 <= dp.c1 THEN dp.c0 ELSE dp.c1 END),
+         (gx.x - gx.r1) * (gx.x - gx.r1)
+           + (CASE WHEN dp.c0 + gx.trans <= dp.c1
+                   THEN dp.c0 + gx.trans ELSE dp.c1 END),
+         list_append(dp.d0, CASE WHEN dp.c0 <= dp.c1 THEN 0 ELSE 1 END),
+         list_append(dp.d1, CASE WHEN dp.c0 + gx.trans <= dp.c1
+                                 THEN 0 ELSE 1 END)
+  FROM dp JOIN gx ON gx.key = dp.key AND gx.i = dp.t + 1),
+fin AS (SELECT dp.key, dp.t, dp.c0, dp.c1, dp.d0, dp.d1
+        FROM dp JOIN sp ON sp.key = dp.key AND dp.t = sp.n - 1),
+tb AS (
+  SELECT key, t, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS st, d0, d1
+  FROM fin
+  UNION ALL
+  SELECT key, t - 1,
+         CASE WHEN st = 0 THEN d0[CAST(t AS INT) + 1]
+              ELSE d1[CAST(t AS INT) + 1] END,
+         d0, d1
+  FROM tb WHERE t > 0),
+mk AS (SELECT key, t, st,
+              CASE WHEN lag(st) OVER w IS NULL
+                     OR lag(st) OVER w <> st THEN 1 ELSE 0 END AS brk
+       FROM tb WINDOW w AS (PARTITION BY key ORDER BY t)),
+isl AS (SELECT key, t, st,
+               sum(brk) OVER (PARTITION BY key ORDER BY t) AS grp
+        FROM mk),
+runs AS (SELECT key, grp, min(t) AS ti, max(t) AS tj
+         FROM isl WHERE st = 1 GROUP BY 1, 2)
+SELECT runs.key AS event_type,
+       CAST(rt.b0 + ti * {_KB_BIN} AS BIGINT) AS burst_start,
+       CAST(rt.b0 + tj * {_KB_BIN} AS BIGINT) AS burst_end,
+       CAST(tj - ti + 1 AS BIGINT) AS n_bins,
+       CAST(sum(gx.x) AS BIGINT) AS total_count,
+       CAST(max(gx.x) AS BIGINT) AS peak_count
+FROM runs
+JOIN rt ON rt.key = runs.key
+JOIN gx ON gx.key = runs.key AND gx.i BETWEEN ti AND tj
+GROUP BY 1, 2, 3, 4
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -6677,6 +6851,9 @@ FROM rk WHERE rank <= 5
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
+    "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
+    "kleinberg_bursts": (q_kleinberg_bursts, SQL_KLEINBERG_BURSTS),
     "sax_dtw_motifs": (q_sax_dtw_motifs, SQL_SAX_DTW_MOTIFS),
     "top_correlated_pairs": (q_top_correlated_pairs,
                              SQL_TOP_CORRELATED_PAIRS),
