@@ -30,6 +30,15 @@ from ..conventions import KEY_COLS
 _TWO_PI = 2.0 * math.pi
 
 
+def _let(expr, body):
+    """Let-binding via a single-element transform: the lambda argument
+    is evaluated ONCE per row, so a reused subexpression is not
+    re-inlined (and re-computed) at every mention — Catalyst's
+    projection collapse otherwise turns nested array folds into
+    O(n^2) work per row."""
+    return F.element_at(F.transform(F.array(expr), body), 1)
+
+
 def dft_power_peak(
     df: DataFrame,
     max_k: int = 24,
@@ -818,4 +827,296 @@ def top_correlated_pairs(
             F.col("n_overlap").cast("long").alias("n_overlap"),
             "r",
         )
+    )
+
+
+def lomb_scargle_peak(
+    df: DataFrame,
+    max_k: int = 24,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Lomb-Scargle periodogram peak for IRREGULARLY sampled series
+    (Lomb 1976, Scargle 1982; the tau-corrected normalized form of
+    Horne & Baliunas 1986).  Where :func:`dft_power_peak` assumes the
+    readings are equally spaced (it indexes them 0..n-1 and ignores
+    the axis), Lomb-Scargle evaluates the fit at the TRUE sample
+    positions, so gaps and uneven spacing do not alias the estimate —
+    the natural spectral tool for a gappy sensor stream.  The
+    reference has no spectral tooling at all (its periodicity checks
+    are visual heatmaps, diive/core/plotting); this is target-side
+    capability.
+
+    For the non-null readings (t_i, y_i), candidate angular
+    frequencies w_k = 2*pi*k / P for k = 1..max_k with P = span of the
+    axis (t_max - t_min + 1):
+
+        tau_k = atan2(sum sin(2 w t_i), sum cos(2 w t_i)) / (2 w)
+        P_k   = [ (sum dy cos(w (t_i - tau)))^2 / sum cos^2(w (t_i - tau))
+                + (sum dy sin(w (t_i - tau)))^2 / sum sin^2(w (t_i - tau)) ]
+                / (2 * sigma^2)                 with dy = y_i - mean
+
+    Emits per series: ``n``, ``k_peak`` (argmax of P_k on ROUND-6
+    values with smallest-k tie-break — the dft_power_peak comparator,
+    stable across engines and summation orders), ``freq`` (= k/P,
+    cycles per axis unit) and the normalized ``power`` at the peak.
+    Series with < 8 readings, zero variance, or a degenerate
+    cos/sin column (CC or SS = 0) at every k yield nulls.
+
+    Scale shape: one groupBy collect per series, then O(n * max_k)
+    row-local folds (two per frequency: the tau sums, then the four
+    projection sums) — all JVM expressions, no explode of the
+    (reading x frequency) cross product, no second shuffle.
+    """
+    if max_k < 1:
+        raise ValueError(f"max_k must be >= 1, got {max_k}")
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("double").alias("t"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    g = pts.groupBy(*keys).agg(arr.alias("_arr"))
+    g = g.withColumn("_n", F.size("_arr"))
+    n_d = F.col("_n").cast("double")
+    mean = (
+        F.aggregate(F.col("_arr"), F.lit(0.0), lambda a, s: a + s["x"]) / n_d
+    )
+    g = g.withColumn("_mu", mean)
+    var = (
+        F.aggregate(
+            F.col("_arr"),
+            F.lit(0.0),
+            lambda a, s: a + (s["x"] - F.col("_mu")) * (s["x"] - F.col("_mu")),
+        )
+        / n_d
+    )
+    g = g.withColumn("_var", var)
+    span = (
+        F.element_at(F.col("_arr"), -1)["t"]
+        - F.element_at(F.col("_arr"), 1)["t"]
+        + F.lit(1.0)
+    )
+    g = g.withColumn("_p", span)
+
+    ks = F.when(
+        (F.col("_n") >= 8) & (F.col("_var") > 0),
+        F.sequence(F.lit(1), F.lit(int(max_k))),
+    )
+
+    _bind = _let  # tau/cos/sin reuse: see _let — without the binding
+    # the nested folds degrade to O(n^2 * max_k) per series
+
+    def _power_struct(k):
+        w = F.lit(_TWO_PI) * k.cast("double") / F.col("_p")
+        # pass 1: tau from the doubled-angle sums
+        t2 = F.aggregate(
+            F.col("_arr"),
+            F.struct(F.lit(0.0).alias("c"), F.lit(0.0).alias("s")),
+            lambda a, sx: _bind(
+                F.lit(2.0) * w * sx["t"],
+                lambda ang: F.struct(
+                    (a["c"] + F.cos(ang)).alias("c"),
+                    (a["s"] + F.sin(ang)).alias("s"),
+                ),
+            ),
+        )
+        tau = F.atan2(t2["s"], t2["c"]) / (F.lit(2.0) * w)
+
+        def projections(tau_v):
+            # pass 2: projections at the tau-shifted phase
+            return F.aggregate(
+                F.col("_arr"),
+                F.struct(
+                    F.lit(0.0).alias("cy"),
+                    F.lit(0.0).alias("sy"),
+                    F.lit(0.0).alias("cc"),
+                    F.lit(0.0).alias("ss"),
+                ),
+                lambda a, sx: _bind(
+                    F.struct(
+                        F.cos(w * (sx["t"] - tau_v)).alias("c"),
+                        F.sin(w * (sx["t"] - tau_v)).alias("s"),
+                        (sx["x"] - F.col("_mu")).alias("d"),
+                    ),
+                    lambda v: F.struct(
+                        (a["cy"] + v["d"] * v["c"]).alias("cy"),
+                        (a["sy"] + v["d"] * v["s"]).alias("sy"),
+                        (a["cc"] + v["c"] * v["c"]).alias("cc"),
+                        (a["ss"] + v["s"] * v["s"]).alias("ss"),
+                    ),
+                ),
+            )
+
+        def power_of(pr):
+            return F.when(
+                (pr["cc"] > 0) & (pr["ss"] > 0),
+                (
+                    pr["cy"] * pr["cy"] / pr["cc"]
+                    + pr["sy"] * pr["sy"] / pr["ss"]
+                )
+                / (F.lit(2.0) * F.col("_var")),
+            )
+
+        return _bind(
+            tau,
+            lambda tau_v: F.struct(
+                k.cast("long").alias("k"),
+                _bind(projections(tau_v), power_of).alias("p"),
+            ),
+        )
+
+    g = g.withColumn(
+        "_pk",
+        F.filter(
+            F.transform(ks, _power_struct),
+            lambda s: s["p"].isNotNull(),
+        ),
+    )
+    # _pk can be EMPTY (every k degenerate) — element_at would raise
+    # under ANSI, so gate on size
+    best = F.when(
+        F.size("_pk") > 0,
+        F.element_at(
+            F.expr(
+                "array_sort(_pk, (a, b) -> CASE "
+                "WHEN round(a.p, 6) > round(b.p, 6) THEN -1 "
+                "WHEN round(a.p, 6) < round(b.p, 6) THEN 1 "
+                "WHEN a.k < b.k THEN -1 WHEN a.k > b.k THEN 1 ELSE 0 END)"
+            ),
+            1,
+        ),
+    )
+    return g.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        best["k"].alias("k_peak"),
+        F.when(best["k"].isNotNull(), best["k"].cast("double") / F.col("_p"))
+        .alias("freq"),
+        best["p"].alias("power"),
+    )
+
+
+def allan_variance(
+    df: DataFrame,
+    taus: Sequence[int] = (2, 4, 8, 16),
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Non-overlapped Allan variance per series at averaging factors
+    ``taus`` (Allan 1966, the clock-stability statistic; IEEE 1139):
+    the axis is cut into consecutive buckets of ``tau`` readings, each
+    bucket's mean is taken only when ALL tau slots are present and
+    non-null (a gapped bucket would bias the estimate), and
+
+        AVAR(tau) = 0.5 * mean( (m_{b+1} - m_b)^2 )
+
+    over ADJACENT defined bucket pairs.  Emits one row per
+    (series, tau): ``tau``, ``n_pairs``, ``avar``, ``adev`` (sqrt).
+    The reference's stability checks stop at rolling SD
+    (diive/core/dfun/stats.py); Allan variance separates white noise
+    (slope -1 in log-log) from random walk (+1), which a single-window
+    SD cannot — target-side capability.
+
+    Requires a DENSE integer axis per series (the series view's pos is
+    a row_number, dense by construction); missing readings are
+    represented as null values, which simply void their bucket.
+
+    Scale shape: one groupBy shuffle builds a (pos -> value) map per
+    series; every tau is then a row-local fold over the bucket grid —
+    no per-tau shuffle, no explode.
+    """
+    taus = sorted(set(int(t) for t in taus))
+    if not taus or taus[0] < 2:
+        raise ValueError(f"taus must all be >= 2, got {taus!r}")
+    keys = list(key_cols)
+    g = df.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(
+                F.struct(
+                    F.col(axis_col).cast("long").alias("p"),
+                    F.col(value_col).cast("double").alias("x"),
+                )
+            )
+        ).alias("_m"),
+        F.max(F.col(axis_col).cast("long")).alias("_pmax"),
+    )
+    npos = (F.col("_pmax") + 1).cast("int")
+
+    def _stats(tau: int):
+        nb = F.floor(npos / tau).cast("int")
+        # bucket mean, null unless all tau slots are present+non-null
+        def bucket_mean(b):
+            tot = F.aggregate(
+                F.sequence(F.lit(0), F.lit(tau - 1)),
+                F.lit(0.0).alias("a"),
+                lambda a, j: a
+                + F.coalesce(
+                    F.element_at(
+                        F.col("_m"), (b * tau + j).cast("long")
+                    ),
+                    F.lit(float("nan")),
+                ),
+            )
+            return F.when(~F.isnan(tot), tot / F.lit(float(tau)))
+
+        # sequence(0, n) flips to a DESCENDING range when n < 0 — guard
+        # short series explicitly so bucket/pair grids are empty, not
+        # bogus negative indices.  _let-bind ms and d2 so each is
+        # computed once, not re-inlined at every mention (see _let).
+        empty = F.array().cast("array<int>")
+        ms_expr = F.transform(
+            F.when(nb >= 1, F.sequence(F.lit(0), nb - 1)).otherwise(empty),
+            bucket_mean,
+        )
+
+        def with_ms(ms):
+            d2_expr = F.filter(
+                F.transform(
+                    F.when(nb >= 2, F.sequence(F.lit(0), nb - 2)).otherwise(
+                        empty
+                    ),
+                    lambda b: _let(
+                        F.element_at(ms, b + 2) - F.element_at(ms, b + 1),
+                        lambda d: d * d,
+                    ),
+                ),
+                lambda x: x.isNotNull(),
+            )
+
+            def with_d2(d2):
+                n_pairs = F.size(d2)
+                avar = F.when(
+                    n_pairs > 0,
+                    F.lit(0.5)
+                    * F.aggregate(d2, F.lit(0.0), lambda a, x: a + x)
+                    / n_pairs.cast("double"),
+                )
+                return F.struct(
+                    F.lit(tau).cast("long").alias("tau"),
+                    n_pairs.cast("long").alias("n_pairs"),
+                    avar.alias("avar"),
+                )
+
+            return _let(d2_expr, with_d2)
+
+        return _let(ms_expr, with_ms)
+
+    stacked = F.filter(
+        F.array(*[_stats(t) for t in taus]),
+        lambda s: s["n_pairs"] > 0,
+    )
+    out = g.select(*keys, F.explode(stacked).alias("_s"))
+    return out.select(
+        *keys,
+        F.col("_s.tau").alias("tau"),
+        F.col("_s.n_pairs").alias("n_pairs"),
+        F.col("_s.avar").alias("avar"),
+        F.sqrt(F.col("_s.avar")).alias("adev"),
     )

@@ -6670,6 +6670,117 @@ FROM rk WHERE rank <= 5
 """
 
 
+_LS_K = 12
+
+
+def q_lomb_scargle(spark, sf_dir):
+    """Lomb-Scargle periodogram peak for irregularly sampled series
+    (Lomb 1976 / Scargle 1982, tau-corrected Horne & Baliunas form) —
+    evaluated at the TRUE sample positions of the gappy series view,
+    where dft_power_peak's equal-spacing assumption would alias.  One
+    collect shuffle, O(n*max_k) row-local folds; argmax on round-6
+    power with smallest-k tie-break (the dft comparator) so the winner
+    is stable across engines and summation orders."""
+    out = spectral.lomb_scargle_peak(
+        series(spark, sf_dir), max_k=_LS_K, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n", "k_peak",
+        _r(F.col("freq")).alias("freq"),
+        _r(F.col("power")).alias("power"),
+    )
+
+
+SQL_LOMB_SCARGLE = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, CAST(pos AS DOUBLE) AS t, value AS y
+        FROM series WHERE value IS NOT NULL),
+nn AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n,
+              sum(y) / count(*) AS mu, max(t) - min(t) + 1.0 AS p
+       FROM pts GROUP BY 1, 2),
+vv AS (SELECT pts.source, pts.doc_id,
+              sum((y - mu) * (y - mu)) / nn.n AS var
+       FROM pts JOIN nn USING (source, doc_id) GROUP BY 1, 2, nn.n),
+ks AS (SELECT nn.source, nn.doc_id, nn.n, nn.mu, nn.p, vv.var,
+              unnest(range(1, {_LS_K} + 1)) AS k
+       FROM nn JOIN vv USING (source, doc_id)
+       WHERE nn.n >= 8 AND vv.var > 0),
+t1 AS (SELECT ks.source, ks.doc_id, ks.k, ks.mu, ks.p, ks.var,
+              2 * pi() * ks.k / ks.p AS w,
+              sum(sin(2 * (2 * pi() * ks.k / ks.p) * pts.t)) AS s2,
+              sum(cos(2 * (2 * pi() * ks.k / ks.p) * pts.t)) AS c2
+       FROM ks JOIN pts USING (source, doc_id)
+       GROUP BY 1, 2, 3, 4, 5, 6, 7),
+tu AS (SELECT *, atan2(s2, c2) / (2 * w) AS tau FROM t1),
+t2 AS (SELECT tu.source, tu.doc_id, tu.k, tu.p, tu.var,
+              sum((y - tu.mu) * cos(tu.w * (t - tu.tau))) AS cy,
+              sum((y - tu.mu) * sin(tu.w * (t - tu.tau))) AS sy,
+              sum(cos(tu.w * (t - tu.tau)) * cos(tu.w * (t - tu.tau)))
+                AS cc,
+              sum(sin(tu.w * (t - tu.tau)) * sin(tu.w * (t - tu.tau)))
+                AS ss
+       FROM tu JOIN pts USING (source, doc_id)
+       GROUP BY 1, 2, 3, 4, 5),
+pw AS (SELECT source, doc_id, k, p,
+              CASE WHEN cc > 0 AND ss > 0
+                   THEN (cy * cy / cc + sy * sy / ss) / (2 * var) END
+                AS pwr
+       FROM t2),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY round(pwr, 6) DESC, k ASC)
+                AS rn
+       FROM pw WHERE pwr IS NOT NULL)
+SELECT nn.source, nn.doc_id, nn.n,
+       b.k AS k_peak,
+       round(b.k / b.p, 6) AS freq,
+       round(b.pwr, 6) AS power
+FROM nn LEFT JOIN (SELECT * FROM rk WHERE rn = 1) b
+  USING (source, doc_id)
+"""
+
+
+_AV_TAUS = (2, 4, 8, 16)
+
+
+def q_allan_variance(spark, sf_dir):
+    """Non-overlapped Allan variance ladder (Allan 1966 / IEEE 1139)
+    per series at tau in {2,4,8,16} grid units: bucket means only when
+    all tau slots are present+non-null, 0.5*mean of adjacent-pair
+    squared diffs.  One map-building shuffle; every tau is a row-local
+    fold (no per-tau pass over the table)."""
+    out = spectral.allan_variance(
+        series(spark, sf_dir), taus=_AV_TAUS, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "tau", "n_pairs",
+        _r(F.col("avar")).alias("avar"),
+        _r(F.col("adev")).alias("adev"),
+    )
+
+
+SQL_ALLAN_VARIANCE = f"""
+WITH series AS ({SERIES_SQL}),
+tt AS (SELECT unnest([{", ".join(str(t) for t in _AV_TAUS)}]) AS tau),
+b AS (SELECT source, doc_id, tau, pos // tau AS bkt, value
+      FROM series CROSS JOIN tt),
+bm AS (SELECT source, doc_id, tau, bkt,
+              CASE WHEN count(*) = tau AND count(value) = tau
+                   THEN sum(value) / tau END AS m
+       FROM b GROUP BY 1, 2, 3, 4),
+pr AS (SELECT source, doc_id, tau, m,
+              lag(m) OVER (PARTITION BY source, doc_id, tau
+                           ORDER BY bkt) AS pm
+       FROM bm)
+SELECT source, doc_id, CAST(tau AS BIGINT) AS tau,
+       CAST(count(*) AS BIGINT) AS n_pairs,
+       round(0.5 * sum((m - pm) * (m - pm)) / count(*), 6) AS avar,
+       round(sqrt(0.5 * sum((m - pm) * (m - pm)) / count(*)), 6) AS adev
+FROM pr WHERE m IS NOT NULL AND pm IS NOT NULL
+GROUP BY 1, 2, 3
+"""
+
+
 _FUN_STEPS = ["view", "click", "purchase"]
 _FUN_WIN = 86400.0
 
@@ -6851,6 +6962,8 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "lomb_scargle_peak": (q_lomb_scargle, SQL_LOMB_SCARGLE),
+    "allan_variance": (q_allan_variance, SQL_ALLAN_VARIANCE),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),
     "retention_cohorts": (q_retention_cohorts, SQL_RETENTION_COHORTS),
     "kleinberg_bursts": (q_kleinberg_bursts, SQL_KLEINBERG_BURSTS),

@@ -14,6 +14,7 @@ import math
 
 import numpy as np
 import pandas as pd
+import pytest
 
 from tests.conftest import seeded_series
 
@@ -938,3 +939,192 @@ def test_sax_dtw_motifs_validation(spark):
         sax_dtw_motifs(df, max_bucket=1)
     with _pt.raises(ValueError):
         sax_dtw_motifs(df, alphabet=9)
+
+
+# ---------------------------------------------------- lomb_scargle_peak
+def _lomb_np(t, y, max_k):
+    """Definitional tau-corrected normalized Lomb-Scargle twin."""
+    import numpy as np
+
+    t = np.asarray(t, float)
+    y = np.asarray(y, float)
+    n = len(y)
+    mu = y.sum() / n
+    var = ((y - mu) ** 2).sum() / n
+    span = t.max() - t.min() + 1.0
+    best = None
+    for k in range(1, max_k + 1):
+        w = 2.0 * np.pi * k / span
+        tau = np.arctan2(np.sin(2 * w * t).sum(), np.cos(2 * w * t).sum()) / (
+            2 * w
+        )
+        c = np.cos(w * (t - tau))
+        s = np.sin(w * (t - tau))
+        cc, ss = (c * c).sum(), (s * s).sum()
+        if cc <= 0 or ss <= 0:
+            continue
+        p = (((y - mu) * c).sum() ** 2 / cc + ((y - mu) * s).sum() ** 2 / ss) / (
+            2 * var
+        )
+        if best is None or round(p, 6) > round(best[1], 6):
+            best = (k, p)
+    return best
+
+
+def test_lomb_scargle_matches_numpy(spark, tiny_series, tiny_series_pd):
+    from diive_spark.operators.spectral import lomb_scargle_peak
+
+    got = (
+        lomb_scargle_peak(tiny_series, max_k=12)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    pdf = tiny_series_pd.dropna(subset=["value"])
+    n_checked = 0
+    for _, row in got.iterrows():
+        g = pdf[(pdf["source"] == row["source"]) & (pdf["doc_id"] == row["doc_id"])]
+        if len(g) < 8 or g["value"].std() == 0:
+            assert row["k_peak"] is None or np.isnan(row["k_peak"])
+            continue
+        k, p = _lomb_np(g["pos"].to_numpy(), g["value"].to_numpy(), 12)
+        assert int(row["k_peak"]) == k, (row["source"], row["doc_id"])
+        np.testing.assert_allclose(row["power"], p, rtol=1e-9)
+        n_checked += 1
+    assert n_checked >= 5
+
+
+def test_lomb_scargle_finds_planted_freq_in_gappy_series(spark):
+    """An irregularly-sampled sinusoid: 45% of samples removed in a
+    deterministic non-uniform pattern.  Lomb-Scargle evaluates at the
+    TRUE positions and must still nail the planted frequency."""
+    from diive_spark.operators.spectral import lomb_scargle_peak
+
+    n, k_true = 240, 6
+    rows = []
+    for i in range(n):
+        if (i * 2654435761) % 100 < 45:  # deterministic 45% drop
+            continue
+        v = 10.0 * np.sin(2 * np.pi * k_true * i / n) + 0.01 * ((i * 7) % 13)
+        rows.append(("s", "0", i, float(v)))
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    got = lomb_scargle_peak(df, max_k=12).collect()[0]
+    assert got["k_peak"] == k_true
+    assert got["power"] > 10  # strongly significant vs noise
+
+
+def test_lomb_scargle_short_and_degenerate_null(spark):
+    from diive_spark.operators.spectral import lomb_scargle_peak
+
+    rows = [("a", "0", i, 1.0) for i in range(20)]  # zero variance
+    rows += [("b", "0", i, float(i % 3)) for i in range(5)]  # n < 8
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = {(r["source"]): r for r in lomb_scargle_peak(df, max_k=4).collect()}
+    assert out["a"]["k_peak"] is None and out["b"]["k_peak"] is None
+    with pytest.raises(ValueError):
+        lomb_scargle_peak(df, max_k=0)
+
+
+# ------------------------------------------------------- allan_variance
+def _allan_np(vals, tau):
+    """Definitional non-overlapped AVAR twin; vals is the dense grid
+    with NaN for missing."""
+    import numpy as np
+
+    v = np.asarray(vals, float)
+    nb = len(v) // tau
+    ms = []
+    for b in range(nb):
+        w = v[b * tau : (b + 1) * tau]
+        ms.append(w.mean() if not np.isnan(w).any() else np.nan)
+    d2 = [
+        (ms[b + 1] - ms[b]) ** 2
+        for b in range(nb - 1)
+        if not (np.isnan(ms[b]) or np.isnan(ms[b + 1]))
+    ]
+    if not d2:
+        return None
+    return len(d2), 0.5 * sum(d2) / len(d2)
+
+
+def test_allan_variance_matches_numpy(spark, tiny_series, tiny_series_pd):
+    from diive_spark.operators.spectral import allan_variance
+
+    got = (
+        allan_variance(tiny_series, taus=(2, 4, 8))
+        .orderBy("source", "doc_id", "tau")
+        .toPandas()
+    )
+    assert len(got) > 0
+    n_checked = 0
+    for _, row in got.iterrows():
+        g = tiny_series_pd[
+            (tiny_series_pd["source"] == row["source"])
+            & (tiny_series_pd["doc_id"] == row["doc_id"])
+        ].sort_values("pos")
+        grid = np.full(int(g["pos"].max()) + 1, np.nan)
+        sub = g.dropna(subset=["value"])
+        grid[sub["pos"].to_numpy()] = sub["value"].to_numpy()
+        res = _allan_np(grid, int(row["tau"]))
+        assert res is not None
+        np_pairs, np_avar = res
+        assert int(row["n_pairs"]) == np_pairs
+        np.testing.assert_allclose(row["avar"], np_avar, rtol=1e-9)
+        np.testing.assert_allclose(row["adev"], np.sqrt(np_avar), rtol=1e-9)
+        n_checked += 1
+    assert n_checked >= 10
+
+
+def test_allan_variance_separates_noise_regimes(spark):
+    """White noise: AVAR falls ~1/tau.  Random walk: AVAR grows with
+    tau.  The log-log slope direction is the whole point of the
+    statistic."""
+    from diive_spark.operators.spectral import allan_variance
+
+    rng = np.random.RandomState(7)
+    wn = rng.randn(512)
+    rw = np.cumsum(rng.randn(512))
+    rows = [("wn", "0", i, float(wn[i])) for i in range(512)]
+    rows += [("rw", "0", i, float(rw[i])) for i in range(512)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = allan_variance(df, taus=(2, 4, 8, 16, 32)).toPandas()
+    wn_av = out[out["source"] == "wn"].sort_values("tau")["avar"].to_numpy()
+    rw_av = out[out["source"] == "rw"].sort_values("tau")["avar"].to_numpy()
+    assert wn_av[0] > wn_av[-1] * 4  # white noise decays
+    assert rw_av[-1] > rw_av[0] * 4  # random walk grows
+
+
+def test_allan_variance_gap_voids_bucket(spark):
+    from diive_spark.operators.spectral import allan_variance
+
+    # 8 points, null at pos 2 -> tau=2 buckets: [0,1] ok, [2,3] void,
+    # [4,5] ok, [6,7] ok -> adjacent defined pairs: (2,3) only
+    vals = [1.0, 3.0, None, 5.0, 2.0, 4.0, 6.0, 8.0]
+    rows = [("a", "0", i, vals[i]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = allan_variance(df, taus=(2,)).collect()
+    assert len(out) == 1
+    r = out[0]
+    # bucket means: 2.0, nan, 3.0, 7.0 -> one defined adjacent pair (3,7)
+    assert r["n_pairs"] == 1
+    np.testing.assert_allclose(r["avar"], 0.5 * (7.0 - 3.0) ** 2)
+    with pytest.raises(ValueError):
+        allan_variance(df, taus=(1,))
+
+
+def test_lomb_allan_plan_single_exchange(spark, tiny_series):
+    from diive_spark.operators.spectral import allan_variance, lomb_scargle_peak
+
+    for op in (
+        lomb_scargle_peak(tiny_series, max_k=4),
+        allan_variance(tiny_series, taus=(2, 4)),
+    ):
+        plan = op._jdf.queryExecution().executedPlan().toString()
+        assert plan.count("Exchange hashpartitioning") == 1
