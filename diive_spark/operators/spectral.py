@@ -1120,3 +1120,139 @@ def allan_variance(
         F.col("_s.avar").alias("avar"),
         F.sqrt(F.col("_s.avar")).alias("adev"),
     )
+
+
+def granger_lag1(
+    df: DataFrame,
+    pairs: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    min_overlap: int = 30,
+) -> DataFrame:
+    """Lag-1 Granger causality F-test for chosen series pairs (Granger
+    1969, Econometrica): does knowing x at t-1 improve a one-step
+    forecast of y beyond y's own history?  For each directed pair the
+    restricted model ``y_t = a + b*y_{t-1}`` is compared against the
+    unrestricted ``y_t = a + b*y_{t-1} + c*x_{t-1}`` via
+
+        F = (RSS_r - RSS_u) / (RSS_u / (n - 3))
+
+    on the position-aligned rows where y_t, y_{t-1}, x_{t-1} are all
+    non-null (a null reading breaks the lag chain for that row, it
+    does not shift it).  Both OLS fits are CLOSED FORMS over centered
+    component sums — no iterative solver, no UDF.  The reference's
+    correlation battery stops at symmetric Pearson r
+    (diive/pkgs/analyses/correlation.py:8-55); this adds the
+    DIRECTION, completing discovery (:func:`top_correlated_pairs`) ->
+    causality ordering.
+
+    ``pairs`` carries one row per UNDIRECTED pair (group cols +
+    ``doc_a`` < ``doc_b``, e.g. the output of
+    :func:`top_correlated_pairs`); both directions are tested and
+    emitted as (``doc_cause``, ``doc_effect``) rows with ``n``,
+    ``f_stat`` and ``r2_gain`` (= (RSS_r - RSS_u)/RSS_r).  Degenerate
+    fits (n < max(min_overlap, 4), near-singular normal matrix,
+    RSS_u <= 0) yield null statistics.
+
+    Scale shape: the pair list is a broadcast (it is the bounded
+    output of a discovery pass, top-k per group); readings meet their
+    partner co-partitioned on (group, pos) — one equi-shuffle, no
+    cartesian.  The quadratic all-pairs risk lives in the DISCOVERY
+    operator, not here.
+    """
+    if min_overlap < 4:
+        raise ValueError(f"min_overlap must be >= 4, got {min_overlap}")
+    keys = list(key_cols)
+    group_cols, doc_col = keys[:-1], keys[-1]
+    w = Window.partitionBy(*keys).orderBy(axis_col)
+    base = df.select(
+        *group_cols,
+        F.col(doc_col).alias("_doc"),
+        F.col(axis_col).alias("_pos"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).withColumn("_v1", F.lag("_v").over(
+        Window.partitionBy(*group_cols, "_doc").orderBy("_pos")
+    ))
+
+    directed = pairs.select(
+        *group_cols,
+        F.col("doc_a").alias("_cause"),
+        F.col("doc_b").alias("_effect"),
+    ).unionByName(
+        pairs.select(
+            *group_cols,
+            F.col("doc_b").alias("_cause"),
+            F.col("doc_a").alias("_effect"),
+        )
+    )
+
+    eff = base.select(
+        *group_cols,
+        F.col("_doc").alias("_effect"),
+        "_pos",
+        F.col("_v").alias("_y"),
+        F.col("_v1").alias("_y1"),
+    )
+    cau = base.select(
+        *group_cols,
+        F.col("_doc").alias("_cause"),
+        "_pos",
+        F.col("_v1").alias("_x1"),
+    )
+    j = (
+        eff.join(F.broadcast(directed), on=[*group_cols, "_effect"])
+        .join(cau, on=[*group_cols, "_cause", "_pos"])
+        .where(
+            F.col("_y").isNotNull()
+            & F.col("_y1").isNotNull()
+            & F.col("_x1").isNotNull()
+        )
+    )
+    a = j.groupBy(*group_cols, "_cause", "_effect").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_y").alias("_sy"),
+        F.sum("_y1").alias("_s1"),
+        F.sum("_x1").alias("_s2"),
+        F.sum(F.col("_y") * F.col("_y")).alias("_syy"),
+        F.sum(F.col("_y") * F.col("_y1")).alias("_sy1"),
+        F.sum(F.col("_y") * F.col("_x1")).alias("_sy2"),
+        F.sum(F.col("_y1") * F.col("_y1")).alias("_s11"),
+        F.sum(F.col("_x1") * F.col("_x1")).alias("_s22"),
+        F.sum(F.col("_y1") * F.col("_x1")).alias("_s12"),
+    )
+    n_d = F.col("n").cast("double")
+    cyy = F.col("_syy") - F.col("_sy") * F.col("_sy") / n_d
+    c11 = F.col("_s11") - F.col("_s1") * F.col("_s1") / n_d
+    c22 = F.col("_s22") - F.col("_s2") * F.col("_s2") / n_d
+    c12 = F.col("_s12") - F.col("_s1") * F.col("_s2") / n_d
+    c1y = F.col("_sy1") - F.col("_s1") * F.col("_sy") / n_d
+    c2y = F.col("_sy2") - F.col("_s2") * F.col("_sy") / n_d
+    # restricted: y ~ 1 + y_lag
+    rss_r = F.when(c11 > 0, cyy - c1y * c1y / c11)
+    # unrestricted: y ~ 1 + y_lag + x_lag via the centered 2x2 solve
+    det = c11 * c22 - c12 * c12
+    ok = (
+        (F.col("n") >= max(int(min_overlap), 4))
+        & (c11 > 0)
+        & (c22 > 0)
+        & (det > F.lit(1e-12) * c11 * c22)
+    )
+    b_hat = (c1y * c22 - c2y * c12) / det
+    c_hat = (c2y * c11 - c1y * c12) / det
+    rss_u = cyy - b_hat * c1y - c_hat * c2y
+    f_stat = F.when(
+        ok & (rss_u > 0),
+        (rss_r - rss_u) / (rss_u / (n_d - F.lit(3.0))),
+    )
+    r2_gain = F.when(
+        ok & (rss_r > 0), (rss_r - rss_u) / rss_r
+    )
+    return a.select(
+        *group_cols,
+        F.col("_cause").alias("doc_cause"),
+        F.col("_effect").alias("doc_effect"),
+        F.col("n").cast("long").alias("n"),
+        f_stat.alias("f_stat"),
+        r2_gain.alias("r2_gain"),
+    )

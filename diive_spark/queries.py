@@ -6670,6 +6670,114 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_granger_pairs(spark, sf_dir):
+    """Discovery -> direction: the top-3 most-correlated doc pairs per
+    source (top_correlated_pairs, round-6 |r| rank) are tested BOTH
+    ways with the lag-1 Granger F-test (Granger 1969): restricted
+    y~y_lag vs unrestricted y~y_lag+x_lag, closed-form OLS over
+    centered sums — no solver, no UDF.  Pair list is broadcast;
+    readings meet co-partitioned on (source, pos)."""
+    tc = spectral.top_correlated_pairs(
+        series(spark, sf_dir), top_k=3, min_overlap=30,
+        key_cols=["source", "doc_id"],
+    )
+    out = spectral.granger_lag1(
+        series(spark, sf_dir),
+        tc.select("source", "doc_a", "doc_b"),
+        key_cols=["source", "doc_id"],
+        min_overlap=30,
+    )
+    return out.select(
+        "source", "doc_cause", "doc_effect", "n",
+        _r(F.col("f_stat")).alias("f_stat"),
+        _r(F.col("r2_gain")).alias("r2_gain"),
+    )
+
+
+SQL_GRANGER_PAIRS = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+pr AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              sum(a.value) AS sa, sum(b.value) AS sb,
+              sum(a.value * b.value) AS sab,
+              sum(a.value * a.value) AS saa,
+              sum(b.value * b.value) AS sbb
+       FROM pts a JOIN pts b
+         ON a.source = b.source AND a.pos = b.pos
+        AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3),
+rr AS (SELECT *,
+              CASE WHEN n_overlap >= 30
+                    AND n_overlap * saa - sa * sa > 0
+                    AND n_overlap * sbb - sb * sb > 0
+                   THEN (n_overlap * sab - sa * sb)
+                        / sqrt((n_overlap * saa - sa * sa)
+                               * (n_overlap * sbb - sb * sb)) END AS r
+       FROM pr),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          doc_a ASC, doc_b ASC) AS rank
+       FROM rr WHERE r IS NOT NULL),
+pairs AS (SELECT source, doc_a, doc_b FROM rk WHERE rank <= 3),
+dirp AS (SELECT source, doc_a AS cause, doc_b AS eff FROM pairs
+         UNION ALL
+         SELECT source, doc_b AS cause, doc_a AS eff FROM pairs),
+lagd AS (SELECT source, doc_id, pos, value,
+                lag(value) OVER (PARTITION BY source, doc_id
+                                 ORDER BY pos) AS v1
+         FROM series),
+j AS (SELECT d.source, d.cause, d.eff,
+             e.value AS y, e.v1 AS y1, c.v1 AS x1
+      FROM dirp d
+      JOIN lagd e ON e.source = d.source AND e.doc_id = d.eff
+      JOIN lagd c ON c.source = d.source AND c.doc_id = d.cause
+                 AND c.pos = e.pos
+      WHERE e.value IS NOT NULL AND e.v1 IS NOT NULL
+        AND c.v1 IS NOT NULL),
+ag AS (SELECT source, cause, eff, CAST(count(*) AS BIGINT) AS n,
+              sum(y) AS sy, sum(y1) AS s1, sum(x1) AS s2,
+              sum(y * y) AS syy, sum(y * y1) AS sy1,
+              sum(y * x1) AS sy2, sum(y1 * y1) AS s11,
+              sum(x1 * x1) AS s22, sum(y1 * x1) AS s12
+       FROM j GROUP BY 1, 2, 3),
+cm AS (SELECT *,
+              syy - sy * sy / CAST(n AS DOUBLE) AS cyy,
+              s11 - s1 * s1 / CAST(n AS DOUBLE) AS c11,
+              s22 - s2 * s2 / CAST(n AS DOUBLE) AS c22,
+              s12 - s1 * s2 / CAST(n AS DOUBLE) AS c12,
+              sy1 - s1 * sy / CAST(n AS DOUBLE) AS c1y,
+              sy2 - s2 * sy / CAST(n AS DOUBLE) AS c2y
+       FROM ag),
+fm AS (SELECT *,
+              CASE WHEN c11 > 0 THEN cyy - c1y * c1y / c11 END AS rss_r,
+              c11 * c22 - c12 * c12 AS det,
+              (n >= 30 AND c11 > 0 AND c22 > 0
+               AND c11 * c22 - c12 * c12 > 1e-12 * c11 * c22) AS ok
+       FROM cm),
+um AS (SELECT *,
+              cyy - ((c1y * c22 - c2y * c12) / det) * c1y
+                  - ((c2y * c11 - c1y * c12) / det) * c2y AS rss_u
+       FROM fm WHERE ok),
+res AS (SELECT source, cause, eff, n,
+               CASE WHEN rss_u > 0
+                    THEN (rss_r - rss_u)
+                         / (rss_u / (CAST(n AS DOUBLE) - 3.0)) END
+                 AS f_stat,
+               CASE WHEN rss_r > 0
+                    THEN (rss_r - rss_u) / rss_r END AS r2_gain
+        FROM um)
+SELECT ag.source, ag.cause AS doc_cause, ag.eff AS doc_effect, ag.n,
+       round(res.f_stat, 6) AS f_stat,
+       round(res.r2_gain, 6) AS r2_gain
+FROM ag LEFT JOIN res
+  ON res.source = ag.source AND res.cause = ag.cause
+ AND res.eff = ag.eff
+"""
+
+
 _LS_K = 12
 
 
@@ -6962,6 +7070,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "granger_pairs": (q_granger_pairs, SQL_GRANGER_PAIRS),
     "lomb_scargle_peak": (q_lomb_scargle, SQL_LOMB_SCARGLE),
     "allan_variance": (q_allan_variance, SQL_ALLAN_VARIANCE),
     "funnel_conversion": (q_funnel_conversion, SQL_FUNNEL_CONVERSION),

@@ -1128,3 +1128,137 @@ def test_lomb_allan_plan_single_exchange(spark, tiny_series):
     ):
         plan = op._jdf.queryExecution().executedPlan().toString()
         assert plan.count("Exchange hashpartitioning") == 1
+
+
+# ---------------------------------------------------------- granger_lag1
+def _granger_np(y, x):
+    """Definitional lag-1 Granger twin via numpy lstsq."""
+    import numpy as np
+
+    yt, y1, x1 = [], [], []
+    for t in range(1, len(y)):
+        if not (np.isnan(y[t]) or np.isnan(y[t - 1]) or np.isnan(x[t - 1])):
+            yt.append(y[t]); y1.append(y[t - 1]); x1.append(x[t - 1])
+    yt, y1, x1 = map(np.asarray, (yt, y1, x1))
+    n = len(yt)
+    if n < 4:
+        return n, None, None
+    Ar = np.column_stack([np.ones(n), y1])
+    Au = np.column_stack([np.ones(n), y1, x1])
+    rr = yt - Ar @ np.linalg.lstsq(Ar, yt, rcond=None)[0]
+    ru = yt - Au @ np.linalg.lstsq(Au, yt, rcond=None)[0]
+    rss_r, rss_u = (rr ** 2).sum(), (ru ** 2).sum()
+    f = (rss_r - rss_u) / (rss_u / (n - 3))
+    return n, f, (rss_r - rss_u) / rss_r
+
+
+def _granger_frame(spark):
+    import numpy as np
+
+    rng = np.random.RandomState(11)
+    n = 200
+    x = rng.randn(n).cumsum() * 0.2 + rng.randn(n)
+    y = np.empty(n)
+    y[0] = 0.0
+    for t in range(1, n):  # y is driven by x at lag 1
+        y[t] = 0.4 * y[t - 1] + 0.8 * x[t - 1] + 0.3 * rng.randn()
+    z = rng.randn(n)  # independent
+    rows = []
+    for i in range(n):
+        rows += [("s", "x", i, float(x[i])), ("s", "y", i, float(y[i])),
+                 ("s", "z", i, float(z[i]))]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    return df, x, y, z
+
+
+def test_granger_matches_numpy_and_finds_direction(spark):
+    from diive_spark.operators.spectral import granger_lag1
+
+    df, x, y, z = _granger_frame(spark)
+    pairs = spark.createDataFrame(
+        [("s", "x", "y"), ("s", "y", "z")],
+        "source string, doc_a string, doc_b string",
+    )
+    got = {
+        (r["doc_cause"], r["doc_effect"]): r
+        for r in granger_lag1(df, pairs, min_overlap=30).collect()
+    }
+    assert len(got) == 4
+    series = {"x": x, "y": y, "z": z}
+    for (c, e), r in got.items():
+        n, f, gain = _granger_np(series[e], series[c])
+        assert r["n"] == n
+        np.testing.assert_allclose(r["f_stat"], f, rtol=1e-7)
+        np.testing.assert_allclose(r["r2_gain"], gain, rtol=1e-7)
+    # direction: x->y must dominate y->x; independent z uninformative
+    assert got[("x", "y")]["f_stat"] > 100
+    assert got[("x", "y")]["f_stat"] > 10 * got[("y", "x")]["f_stat"]
+    assert got[("y", "z")]["f_stat"] < 10
+
+
+def test_granger_null_breaks_lag_chain(spark):
+    """A null reading voids rows that need it, it does not shift the
+    alignment."""
+    from diive_spark.operators.spectral import granger_lag1
+
+    vals_y = [1.0, 2.0, None, 4.0, 9.0, 3.0, 7.0, 5.0]
+    vals_x = [2.0, 1.0, 3.0, 2.0, 4.0, 3.0, 5.0, 4.0]
+    rows = [("s", "y", i, vals_y[i]) for i in range(8)]
+    rows += [("s", "x", i, vals_x[i]) for i in range(8)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    pairs = spark.createDataFrame(
+        [("s", "x", "y")], "source string, doc_a string, doc_b string"
+    )
+    out = {
+        (r["doc_cause"], r["doc_effect"]): r
+        for r in granger_lag1(df, pairs, min_overlap=4).collect()
+    }
+    # y_t usable at t in {1,4,5,6,7} minus t in {2,3} (y null at 2):
+    # t=1 (y1=1), t=4..7 -> n=5
+    assert out[("x", "y")]["n"] == 5
+    np_n, np_f, _ = _granger_np(
+        np.array([v if v is not None else np.nan for v in vals_y]),
+        np.array(vals_x, dtype=float),
+    )
+    assert np_n == 5
+    np.testing.assert_allclose(out[("x", "y")]["f_stat"], np_f, rtol=1e-7)
+
+
+def test_granger_degenerate_and_validation(spark):
+    from diive_spark.operators.spectral import granger_lag1
+
+    # constant cause series -> c22 = 0 -> null stats
+    rows = [("s", "y", i, float(i % 5)) for i in range(40)]
+    rows += [("s", "c", i, 3.0) for i in range(40)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    pairs = spark.createDataFrame(
+        [("s", "c", "y")], "source string, doc_a string, doc_b string"
+    )
+    out = {
+        (r["doc_cause"], r["doc_effect"]): r
+        for r in granger_lag1(df, pairs, min_overlap=4).collect()
+    }
+    assert out[("c", "y")]["f_stat"] is None
+    with pytest.raises(ValueError):
+        granger_lag1(df, pairs, min_overlap=3)
+
+
+def test_granger_plan_broadcasts_pairs_no_cartesian(spark):
+    from diive_spark.operators.spectral import granger_lag1
+
+    df, *_ = _granger_frame(spark)
+    pairs = spark.createDataFrame(
+        [("s", "x", "y")], "source string, doc_a string, doc_b string"
+    )
+    plan = (
+        granger_lag1(df, pairs)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
