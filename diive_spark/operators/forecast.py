@@ -269,3 +269,98 @@ def seasonal_naive_backtest(
         "mae_naive",
         skill.alias("skill"),
     )
+
+
+def croston_forecast(
+    df: DataFrame,
+    alpha: float = 0.1,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Croston's method for INTERMITTENT series (Croston 1972, Oper.
+    Res. Q. 23; the Syntetos-Boylan 2005 bias-corrected variant is
+    emitted alongside): separate exponential smoothing of the demand
+    SIZES and the inter-demand INTERVALS.  A gappy series — exactly
+    the series view's shape, where sub-threshold readings are null —
+    is the native input: SES of the non-null values, SES of the gaps
+    between them.
+
+        at the first demand x at 1-based step q:  z = x, p = q
+        at each later demand x after interval q:  z += alpha*(x - z)
+                                                  p += alpha*(q - p)
+        forecast     = z / p          (Croston)
+        forecast_sba = (1 - alpha/2) * z / p   (Syntetos-Boylan)
+
+    The reference never forecasts (see module docstring); plain SES /
+    Holt (``holt_smooth``) is badly biased on intermittent streams —
+    this is the standard fix (FPP3 §13.2).  Emits per series: ``n``
+    (grid length), ``n_demands``, ``z``, ``p``, ``forecast``,
+    ``forecast_sba``; series with no demand yield nulls.
+
+    Determinism: the update chain is mult/add/divide on the readings
+    and the literal alpha — every op correctly rounded, evaluated in
+    the same sequential order by a recursive-CTE SQL twin, so the
+    result matches bit-for-bit.  Scale shape: one groupBy collect per
+    series, one row-local fold (the streaming stateful.py partials
+    are the unbounded-series path for the tier family; Croston state
+    is 3 scalars and composes the same way if ever needed there).
+    """
+    if not 0.0 < alpha < 1.0:
+        raise ValueError(f"alpha must be in (0, 1), got {alpha}")
+    keys = list(key_cols)
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("long").alias("p"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    g = df.groupBy(*keys).agg(arr.alias("_arr"))
+    a = F.lit(float(alpha))
+    # state: z, p (smoothed size/interval), q (steps since last
+    # demand), k (demand count)
+    init = F.struct(
+        F.lit(None).cast("double").alias("z"),
+        F.lit(None).cast("double").alias("p"),
+        F.lit(0.0).alias("q"),
+        F.lit(0).cast("long").alias("k"),
+    )
+
+    def step(acc, sx):
+        q1 = acc["q"] + F.lit(1.0)
+        is_demand = sx["x"].isNotNull()
+        first = acc["k"] == 0
+        z_new = (
+            F.when(~is_demand, acc["z"])
+            .when(first, sx["x"])
+            .otherwise(acc["z"] + a * (sx["x"] - acc["z"]))
+        )
+        p_new = (
+            F.when(~is_demand, acc["p"])
+            .when(first, q1)
+            .otherwise(acc["p"] + a * (q1 - acc["p"]))
+        )
+        return F.struct(
+            z_new.alias("z"),
+            p_new.alias("p"),
+            F.when(is_demand, F.lit(0.0)).otherwise(q1).alias("q"),
+            (acc["k"] + F.when(is_demand, 1).otherwise(0))
+            .cast("long")
+            .alias("k"),
+        )
+
+    st = F.aggregate(F.col("_arr"), init, step)
+    g = g.withColumn("_st", st)
+    z, p = F.col("_st.z"), F.col("_st.p")
+    fc = F.when(p > 0, z / p)
+    return g.select(
+        *keys,
+        F.size("_arr").cast("long").alias("n"),
+        F.col("_st.k").alias("n_demands"),
+        z.alias("z"),
+        p.alias("p"),
+        fc.alias("forecast"),
+        (F.lit(1.0 - float(alpha) / 2.0) * fc).alias("forecast_sba"),
+    )

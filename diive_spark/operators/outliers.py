@@ -696,3 +696,92 @@ def robust_zscore_flag(
     return _finalize_flag(scored, F.abs(m) > thres, value_col, flag_col).drop(
         "_rb_med", "_rb_mad"
     )
+
+
+def page_hinkley(
+    df: DataFrame,
+    delta: float = 0.005,
+    lam: float = 50.0,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = None,
+) -> DataFrame:
+    """Page-Hinkley sequential drift test (Page 1954 Biometrika;
+    Hinkley 1971; the standard streaming-drift detector, e.g. Gama et
+    al. 2014 §3.1) for an upward mean shift, with restart-on-alarm:
+
+        over the non-null readings in axis order:
+          cnt += 1; sum += x; mean = sum/cnt
+          m += x - mean - delta;  M = min(M, m)
+          if m - M > lam:  alarm (count it, remember the first axis),
+                           reset cnt/sum/m/M to zero (test restarts)
+
+    Complements :func:`cusum_chart` (known target mean, two-sided
+    per-point flags) with the UNKNOWN-mean sequential form whose
+    statistic self-centers on the running mean — the right shape for
+    unsupervised corpus-drift monitoring.  Emits per series: ``n``,
+    ``n_alarms``, ``first_alarm`` (axis value, null if never),
+    ``ph_stat`` (final m - M, the residual drift evidence).
+
+    Determinism: add/divide/min on readings and literals only — every
+    op correctly rounded, same sequential order in the recursive-CTE
+    SQL twin, bit-identical across engines.  Scale: one groupBy
+    collect per series, one row-local fold; state is 4 scalars, so
+    the streaming stateful.py pattern applies unchanged if the series
+    outgrows a row.
+    """
+    from ..conventions import KEY_COLS
+
+    if delta < 0:
+        raise ValueError(f"delta must be >= 0, got {delta}")
+    if lam <= 0:
+        raise ValueError(f"lam must be > 0, got {lam}")
+    keys = list(key_cols) if key_cols is not None else list(KEY_COLS)
+    pts = df.where(F.col(value_col).isNotNull())
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("long").alias("p"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    g = pts.groupBy(*keys).agg(arr.alias("_arr"))
+    d, l = F.lit(float(delta)), F.lit(float(lam))
+    init = F.struct(
+        F.lit(0.0).alias("cnt"),
+        F.lit(0.0).alias("sum"),
+        F.lit(0.0).alias("m"),
+        F.lit(0.0).alias("mm"),
+        F.lit(0).cast("long").alias("alarms"),
+        F.lit(None).cast("long").alias("first"),
+    )
+
+    def step(acc, sx):
+        cnt = acc["cnt"] + F.lit(1.0)
+        s = acc["sum"] + sx["x"]
+        m = acc["m"] + sx["x"] - s / cnt - d
+        mm = F.when(m < acc["mm"], m).otherwise(acc["mm"])
+        fired = (m - mm) > l
+        return F.struct(
+            F.when(fired, F.lit(0.0)).otherwise(cnt).alias("cnt"),
+            F.when(fired, F.lit(0.0)).otherwise(s).alias("sum"),
+            F.when(fired, F.lit(0.0)).otherwise(m).alias("m"),
+            F.when(fired, F.lit(0.0)).otherwise(mm).alias("mm"),
+            (acc["alarms"] + F.when(fired, 1).otherwise(0))
+            .cast("long")
+            .alias("alarms"),
+            F.coalesce(
+                acc["first"], F.when(fired, sx["p"])
+            ).alias("first"),
+        )
+
+    st = F.aggregate(F.col("_arr"), init, step)
+    g = g.withColumn("_st", st)
+    return g.select(
+        *keys,
+        F.size("_arr").cast("long").alias("n"),
+        F.col("_st.alarms").alias("n_alarms"),
+        F.col("_st.first").alias("first_alarm"),
+        (F.col("_st.m") - F.col("_st.mm")).alias("ph_stat"),
+    )

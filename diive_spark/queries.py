@@ -6670,6 +6670,145 @@ FROM rk WHERE rank <= 5
 """
 
 
+_CR_A = 0.1
+
+
+def q_croston_forecast(spark, sf_dir):
+    """Croston intermittent-demand forecast (Croston 1972 + the
+    Syntetos-Boylan 2005 bias correction) over the gappy series view:
+    SES of non-null demand sizes, SES of inter-demand intervals.  The
+    update chain is mult/add/divide only, so the recursive-CTE twin
+    replays it bit-for-bit."""
+    out = forecast.croston_forecast(
+        series(spark, sf_dir), alpha=_CR_A, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n", "n_demands",
+        _r(F.col("z")).alias("z"),
+        _r(F.col("p")).alias("p"),
+        _r(F.col("forecast")).alias("forecast"),
+        _r(F.col("forecast_sba")).alias("forecast_sba"),
+    )
+
+
+SQL_CROSTON_FORECAST = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, max(pos) AS pmax FROM series GROUP BY 1, 2),
+dp AS (
+  SELECT s.source, s.doc_id, CAST(0 AS BIGINT) AS t,
+         CAST(CASE WHEN s.value IS NOT NULL THEN s.value END AS DOUBLE)
+           AS z,
+         CAST(CASE WHEN s.value IS NOT NULL THEN 1.0 END AS DOUBLE) AS p,
+         CAST(CASE WHEN s.value IS NOT NULL THEN 0.0 ELSE 1.0 END
+              AS DOUBLE) AS q,
+         CAST(CASE WHEN s.value IS NOT NULL THEN 1 ELSE 0 END AS BIGINT)
+           AS k
+  FROM series s WHERE s.pos = 0
+  UNION ALL
+  SELECT s.source, s.doc_id, dp.t + 1,
+         CASE WHEN s.value IS NULL THEN dp.z
+              WHEN dp.k = 0 THEN s.value
+              ELSE dp.z + {_CR_A!r} * (s.value - dp.z) END,
+         CASE WHEN s.value IS NULL THEN dp.p
+              WHEN dp.k = 0 THEN dp.q + 1.0
+              ELSE dp.p + {_CR_A!r} * ((dp.q + 1.0) - dp.p) END,
+         CASE WHEN s.value IS NULL THEN dp.q + 1.0 ELSE 0.0 END,
+         dp.k + CASE WHEN s.value IS NULL THEN 0 ELSE 1 END
+  FROM dp JOIN series s
+    ON s.source = dp.source AND s.doc_id = dp.doc_id
+   AND s.pos = dp.t + 1)
+SELECT dp.source, dp.doc_id,
+       CAST(nn.pmax + 1 AS BIGINT) AS n,
+       CAST(dp.k AS BIGINT) AS n_demands,
+       round(dp.z, 6) AS z,
+       round(dp.p, 6) AS p,
+       round(CASE WHEN dp.p > 0 THEN dp.z / dp.p END, 6) AS forecast,
+       round(CASE WHEN dp.p > 0
+                  THEN {1.0 - _CR_A / 2.0!r} * (dp.z / dp.p) END, 6)
+         AS forecast_sba
+FROM dp JOIN nn ON nn.source = dp.source AND nn.doc_id = dp.doc_id
+              AND dp.t = nn.pmax
+"""
+
+
+_PH_D, _PH_L = 0.005, 60.0
+
+
+def q_page_hinkley(spark, sf_dir):
+    """Page-Hinkley sequential upward-drift test (Page 1954 / Hinkley
+    1971, restart-on-alarm) per series: running-mean-centered CUSUM
+    with a min anchor.  Exact IEEE arithmetic only, so the
+    recursive-CTE twin replays alarms and the residual statistic
+    bit-for-bit."""
+    out = outliers.page_hinkley(
+        series(spark, sf_dir), delta=_PH_D, lam=_PH_L,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n", "n_alarms", "first_alarm",
+        _r(F.col("ph_stat")).alias("ph_stat"),
+    )
+
+
+SQL_PAGE_HINKLEY = f"""
+WITH RECURSIVE series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value,
+               CAST(row_number() OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) AS BIGINT) AS i
+        FROM series WHERE value IS NOT NULL),
+nn AS (SELECT source, doc_id, max(i) AS ni FROM pts GROUP BY 1, 2),
+dp AS (
+  SELECT p.source, p.doc_id, p.i,
+         CAST(CASE WHEN t3.fired THEN 0.0 ELSE t1.c2 END AS DOUBLE)
+           AS cnt,
+         CAST(CASE WHEN t3.fired THEN 0.0 ELSE t1.s2 END AS DOUBLE) AS s,
+         CAST(CASE WHEN t3.fired THEN 0.0 ELSE t2.m2 END AS DOUBLE) AS m,
+         CAST(CASE WHEN t3.fired THEN 0.0 ELSE t3.mm2 END AS DOUBLE)
+           AS mm,
+         CAST(CASE WHEN t3.fired THEN 1 ELSE 0 END AS BIGINT) AS alarms,
+         CAST(CASE WHEN t3.fired THEN p.pos END AS BIGINT) AS first
+  FROM pts p
+  CROSS JOIN LATERAL (
+    SELECT CAST(1.0 AS DOUBLE) AS c2,
+           CAST(0.0 + p.value AS DOUBLE) AS s2) t1
+  CROSS JOIN LATERAL (
+    SELECT 0.0 + p.value - t1.s2 / t1.c2 - CAST({_PH_D!r} AS DOUBLE)
+      AS m2) t2
+  CROSS JOIN LATERAL (
+    SELECT least(CAST(0.0 AS DOUBLE), t2.m2) AS mm2,
+           (t2.m2 - least(CAST(0.0 AS DOUBLE), t2.m2))
+             > CAST({_PH_L!r} AS DOUBLE) AS fired) t3
+  WHERE p.i = 1
+  UNION ALL
+  SELECT p.source, p.doc_id, p.i,
+         CASE WHEN t3.fired THEN 0.0 ELSE t1.c2 END,
+         CASE WHEN t3.fired THEN 0.0 ELSE t1.s2 END,
+         CASE WHEN t3.fired THEN 0.0 ELSE t2.m2 END,
+         CASE WHEN t3.fired THEN 0.0 ELSE t3.mm2 END,
+         dp.alarms + CASE WHEN t3.fired THEN 1 ELSE 0 END,
+         coalesce(dp.first, CASE WHEN t3.fired THEN p.pos END)
+  FROM dp
+  JOIN pts p ON p.source = dp.source AND p.doc_id = dp.doc_id
+            AND p.i = dp.i + 1
+  CROSS JOIN LATERAL (
+    SELECT dp.cnt + 1.0 AS c2, dp.s + p.value AS s2) t1
+  CROSS JOIN LATERAL (
+    SELECT dp.m + p.value - t1.s2 / t1.c2 - CAST({_PH_D!r} AS DOUBLE)
+      AS m2) t2
+  CROSS JOIN LATERAL (
+    SELECT least(dp.mm, t2.m2) AS mm2,
+           (t2.m2 - least(dp.mm, t2.m2)) > CAST({_PH_L!r} AS DOUBLE)
+             AS fired) t3)
+SELECT dp.source, dp.doc_id,
+       CAST(nn.ni AS BIGINT) AS n,
+       CAST(dp.alarms AS BIGINT) AS n_alarms,
+       CAST(dp.first AS BIGINT) AS first_alarm,
+       round(dp.m - dp.mm, 6) AS ph_stat
+FROM dp JOIN nn ON nn.source = dp.source AND nn.doc_id = dp.doc_id
+              AND dp.i = nn.ni
+"""
+
+
 def q_granger_pairs(spark, sf_dir):
     """Discovery -> direction: the top-3 most-correlated doc pairs per
     source (top_correlated_pairs, round-6 |r| rank) are tested BOTH
@@ -7070,6 +7209,8 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "croston_forecast": (q_croston_forecast, SQL_CROSTON_FORECAST),
+    "page_hinkley_drift": (q_page_hinkley, SQL_PAGE_HINKLEY),
     "granger_pairs": (q_granger_pairs, SQL_GRANGER_PAIRS),
     "lomb_scargle_peak": (q_lomb_scargle, SQL_LOMB_SCARGLE),
     "allan_variance": (q_allan_variance, SQL_ALLAN_VARIANCE),

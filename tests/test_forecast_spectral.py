@@ -1262,3 +1262,151 @@ def test_granger_plan_broadcasts_pairs_no_cartesian(spark):
     )
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan
+
+
+# -------------------------------------------------------- croston_forecast
+def _croston_np(vals, alpha):
+    z = p = None
+    q = 0.0
+    k = 0
+    for x in vals:
+        q += 1.0
+        if x is None or (isinstance(x, float) and np.isnan(x)):
+            continue
+        if k == 0:
+            z, p = x, q
+        else:
+            z = z + alpha * (x - z)
+            p = p + alpha * (q - p)
+        k += 1
+        q = 0.0
+    fc = z / p if (p or 0) > 0 else None
+    return k, z, p, fc
+
+
+def test_croston_matches_python_twin(spark, tiny_series, tiny_series_pd):
+    from diive_spark.operators.forecast import croston_forecast
+
+    got = (
+        croston_forecast(tiny_series, alpha=0.1)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    n_checked = 0
+    for _, row in got.iterrows():
+        g = tiny_series_pd[
+            (tiny_series_pd["source"] == row["source"])
+            & (tiny_series_pd["doc_id"] == row["doc_id"])
+        ].sort_values("pos")
+        vals = [None if pd.isna(v) else float(v) for v in g["value"]]
+        k, z, p, fc = _croston_np(vals, 0.1)
+        assert int(row["n_demands"]) == k
+        np.testing.assert_allclose(row["z"], z, rtol=0, atol=0)
+        np.testing.assert_allclose(row["p"], p, rtol=0, atol=0)
+        np.testing.assert_allclose(row["forecast"], fc, rtol=0, atol=0)
+        np.testing.assert_allclose(
+            row["forecast_sba"], 0.95 * fc, rtol=0, atol=0
+        )
+        n_checked += 1
+    assert n_checked >= 10
+
+
+def test_croston_hand_case_and_edges(spark):
+    from diive_spark.operators.forecast import croston_forecast
+
+    # demands 4 at step 2, 6 after interval 3, 5 after interval 1
+    vals = [None, 4.0, None, None, 6.0, 5.0]
+    rows = [("s", "0", i, vals[i]) for i in range(6)]
+    rows += [("e", "0", i, None) for i in range(4)]  # no demand at all
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = {r["source"]: r for r in croston_forecast(df, alpha=0.2).collect()}
+    r = out["s"]
+    z = 4.0
+    z = z + 0.2 * (6.0 - z)   # 4.4
+    z = z + 0.2 * (5.0 - z)   # 4.52
+    p = 2.0
+    p = p + 0.2 * (3.0 - p)   # 2.2
+    p = p + 0.2 * (1.0 - p)   # 1.96
+    assert r["n_demands"] == 3
+    np.testing.assert_allclose(r["z"], z)
+    np.testing.assert_allclose(r["p"], p)
+    np.testing.assert_allclose(r["forecast"], z / p)
+    e = out["e"]
+    assert e["n_demands"] == 0 and e["forecast"] is None
+    with pytest.raises(ValueError):
+        croston_forecast(df, alpha=0.0)
+    with pytest.raises(ValueError):
+        croston_forecast(df, alpha=1.0)
+
+
+# ---------------------------------------------------------- page_hinkley
+def _ph_np(pairs, delta, lam):
+    cnt = s = m = mm = 0.0
+    alarms, first = 0, None
+    for pos, x in pairs:
+        cnt += 1.0
+        s += x
+        m += x - s / cnt - delta
+        mm = min(mm, m)
+        if m - mm > lam:
+            alarms += 1
+            if first is None:
+                first = pos
+            cnt = s = m = mm = 0.0
+    return alarms, first, m - mm
+
+
+def test_page_hinkley_matches_python_twin(spark, tiny_series, tiny_series_pd):
+    from diive_spark.operators.outliers import page_hinkley
+
+    got = (
+        page_hinkley(tiny_series, delta=0.005, lam=30.0)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    n_checked = 0
+    for _, row in got.iterrows():
+        g = (
+            tiny_series_pd[
+                (tiny_series_pd["source"] == row["source"])
+                & (tiny_series_pd["doc_id"] == row["doc_id"])
+            ]
+            .dropna(subset=["value"])
+            .sort_values("pos")
+        )
+        alarms, first, stat = _ph_np(
+            list(zip(g["pos"], g["value"].astype(float))), 0.005, 30.0
+        )
+        assert int(row["n_alarms"]) == alarms
+        assert (row["first_alarm"] is None and first is None) or int(
+            row["first_alarm"]
+        ) == first
+        np.testing.assert_allclose(row["ph_stat"], stat, rtol=0, atol=0)
+        n_checked += 1
+    assert n_checked >= 10
+
+
+def test_page_hinkley_detects_planted_shift(spark):
+    from diive_spark.operators.outliers import page_hinkley
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(300)
+    shifted = base.copy()
+    shifted[150:] += 3.0  # strong upward shift at pos 150
+    rows = [("flat", "0", i, float(base[i])) for i in range(300)]
+    rows += [("drift", "0", i, float(shifted[i])) for i in range(300)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = {r["source"]: r for r in page_hinkley(df, delta=0.1, lam=35.0).collect()}
+    assert out["flat"]["n_alarms"] == 0
+    assert out["drift"]["n_alarms"] >= 1
+    assert 150 <= out["drift"]["first_alarm"] <= 200
+    with pytest.raises(ValueError):
+        page_hinkley(df, delta=-1)
+    with pytest.raises(ValueError):
+        page_hinkley(df, lam=0)
