@@ -1349,7 +1349,8 @@ def _ph_np(pairs, delta, lam):
     for pos, x in pairs:
         cnt += 1.0
         s += x
-        m += x - s / cnt - delta
+        # left-assoc like the Spark fold: ((m + x) - s/cnt) - delta
+        m = m + x - s / cnt - delta
         mm = min(mm, m)
         if m - mm > lam:
             alarms += 1

@@ -575,3 +575,182 @@ def test_hurst_matches_definition(spark, n, seed, shape):
             assert abs(got.loc[i, "avg_rs"] - np.mean(rss)) < 1e-9
         else:
             assert pd.isna(got.loc[i, "avg_rs"])
+
+
+# ------------------------------------------------- round-5 fold kernels
+# Seeded randomized batteries (numpy RandomState, pinned) for the new
+# sequential-fold operators: every series shape is checked against the
+# definitional python twin EXACTLY (0 tolerance — the folds are pure
+# IEEE arithmetic and must match the twin bit-for-bit).  One Spark job
+# per kernel, many series per job.
+
+
+def _random_series_rows(rng, n_series=24):
+    """Adversarial per-series shapes: single, all-null, all-equal,
+    null runs, spikes, negatives, long/short."""
+    rows = []
+    for sid in range(n_series):
+        kind = sid % 6
+        n = int(rng.randint(1, 40)) if kind else 1
+        vals = []
+        for i in range(n):
+            if kind == 1:
+                vals.append(None)                      # all-null
+            elif kind == 2:
+                vals.append(7.5)                       # all-equal
+            elif kind == 3:
+                vals.append(None if rng.rand() < 0.4   # gappy
+                            else float(rng.randn()))
+            elif kind == 4:                            # spikes
+                vals.append(100.0 if i == n // 2 else 1.0)
+            else:
+                vals.append(float(rng.randn() * 10))
+        rows += [("p", str(sid), i, v) for i, v in enumerate(vals)]
+    return rows
+
+
+def _rand_series_df(spark, rows):
+    return spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+
+
+def test_property_croston_fold(spark):
+    from diive_spark.operators.forecast import croston_forecast
+    from tests.test_forecast_spectral import _croston_np
+
+    rng = np.random.RandomState(123)
+    rows = _random_series_rows(rng)
+    by_doc = {}
+    for _, d, i, v in rows:
+        by_doc.setdefault(d, []).append(v)
+    got = {r["doc_id"]: r
+           for r in croston_forecast(_rand_series_df(spark, rows), alpha=0.3)
+           .collect()}
+    assert set(got) == set(by_doc)
+    for d, vals in by_doc.items():
+        k, z, p, fc = _croston_np(vals, 0.3)
+        r = got[d]
+        assert r["n_demands"] == k, d
+        if k == 0:
+            assert r["z"] is None and r["forecast"] is None
+        else:
+            assert r["z"] == z and r["p"] == p and r["forecast"] == fc, d
+
+
+def test_property_page_hinkley_fold(spark):
+    from diive_spark.operators.outliers import page_hinkley
+    from tests.test_forecast_spectral import _ph_np
+
+    rng = np.random.RandomState(321)
+    rows = _random_series_rows(rng)
+    got = {r["doc_id"]: r
+           for r in page_hinkley(_rand_series_df(spark, rows),
+                                 delta=0.01, lam=5.0).collect()}
+    by_doc = {}
+    for _, d, i, v in rows:
+        by_doc.setdefault(d, []).append((i, v))
+    for d, pairs in by_doc.items():
+        pairs = [(i, v) for i, v in pairs if v is not None]
+        if not pairs:
+            assert d not in got  # all-null series drop out
+            continue
+        alarms, first, stat = _ph_np(pairs, 0.01, 5.0)
+        r = got[d]
+        assert r["n_alarms"] == alarms, d
+        assert (r["first_alarm"] is None) == (first is None)
+        if first is not None:
+            assert r["first_alarm"] == first, d
+        assert r["ph_stat"] == stat, d
+
+
+def test_property_kleinberg_viterbi_fold(spark):
+    from diive_spark.operators.eventflow import kleinberg_bursts
+    from tests.test_eventflow import _bursts_pd
+
+    rng = np.random.RandomState(77)
+    rows = []
+    base = pd.Timestamp("2024-01-01")
+    for k in range(8):
+        kind = k % 4
+        n = int(rng.randint(1, 120)) if kind else 1
+        for _ in range(n):
+            if kind == 2:  # bursty: half the mass in one hour
+                h = 0 if rng.rand() < 0.5 else int(rng.randint(0, 48))
+            else:
+                h = int(rng.randint(0, 48))
+            m = int(rng.randint(0, 60))
+            rows.append(((base + pd.Timedelta(hours=h, minutes=m))
+                         .to_pydatetime(), f"k{k}"))
+    df = spark.createDataFrame(rows, "ts timestamp, event_type string")
+    got = (kleinberg_bursts(df, bin_seconds=3600, s=2.0, gamma=1.5)
+           .orderBy("event_type", "burst_start").toPandas())
+    pdf = pd.DataFrame(rows, columns=["ts", "event_type"])
+    exp = _bursts_pd(pdf, 3600, 2.0, 1.5)
+    if len(exp) == 0:
+        assert len(got) == 0
+        return
+    assert got[["event_type", "burst_start", "burst_end", "n_bins",
+                "total_count", "peak_count"]].values.tolist() == \
+        exp[["event_type", "burst_start", "burst_end", "n_bins",
+             "total_count", "peak_count"]].values.tolist()
+
+
+def test_property_funnel_fold(spark):
+    from diive_spark.operators.eventflow import funnel_conversion
+    from tests.test_eventflow import _funnel_pd
+
+    rng = np.random.RandomState(55)
+    base = pd.Timestamp("2024-01-01")
+    rows = []
+    types = ["a", "b", "c", "x"]
+    for u in range(30):
+        n = int(rng.randint(1, 25))
+        for _ in range(n):
+            # coarse timestamps force duplicate-ts ties
+            t = base + pd.Timedelta(minutes=int(rng.randint(0, 300)))
+            rows.append((u, t.to_pydatetime(),
+                         types[int(rng.randint(0, 4))]))
+    df = spark.createDataFrame(
+        rows, "user_id long, ts timestamp, event_type string"
+    )
+    got = (funnel_conversion(df, ["a", "b", "c"], window_seconds=7200.0)
+           .orderBy("user_id").toPandas())
+    pdf = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    pdf["ts"] = pd.to_datetime(pdf["ts"])
+    exp = _funnel_pd(pdf, ["a", "b", "c"], 7200.0)
+    assert got["user_id"].tolist() == exp["user_id"].tolist()
+    assert got["level"].tolist() == exp["level"].tolist()
+    ga = got["t_anchor"].astype(float).to_numpy()
+    ea = exp["t_anchor"].astype(float).to_numpy()
+    assert ((ga == ea) | (np.isnan(ga) & np.isnan(ea))).all()
+
+
+def test_property_allan_fold(spark):
+    from diive_spark.operators.spectral import allan_variance
+    from tests.test_forecast_spectral import _allan_np
+
+    rng = np.random.RandomState(99)
+    rows = _random_series_rows(rng)
+    got = (allan_variance(_rand_series_df(spark, rows), taus=(2, 3, 5))
+           .toPandas())
+    by_doc = {}
+    for _, d, i, v in rows:
+        by_doc.setdefault(d, []).append(v)
+    seen = set()
+    for _, r in got.iterrows():
+        vals = np.array([np.nan if v is None else v
+                         for v in by_doc[r["doc_id"]]])
+        res = _allan_np(vals, int(r["tau"]))
+        assert res is not None, (r["doc_id"], r["tau"])
+        np_pairs, np_avar = res
+        assert int(r["n_pairs"]) == np_pairs
+        np.testing.assert_allclose(r["avar"], np_avar, rtol=1e-12)
+        seen.add((r["doc_id"], int(r["tau"])))
+    # every twin-computable cell must have been emitted (no silent drop)
+    for d, vals in by_doc.items():
+        arr = np.array([np.nan if v is None else v for v in vals])
+        for tau in (2, 3, 5):
+            res = _allan_np(arr, tau)
+            if res is not None:
+                assert (d, tau) in seen, (d, tau)
