@@ -475,3 +475,89 @@ def stream_gauge_partials(stream_df: DataFrame) -> DataFrame:
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+PH_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("alarm_pos", T.LongType()),
+        T.StructField("alarm_no", T.LongType()),
+        T.StructField("ph_peak", T.DoubleType()),
+    ]
+)
+
+PH_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("cnt", T.DoubleType()),
+        T.StructField("sum", T.DoubleType()),
+        T.StructField("m", T.DoubleType()),
+        T.StructField("mm", T.DoubleType()),
+        T.StructField("alarms", T.LongType()),
+    ]
+)
+
+
+def _ph_partials(delta: float, lam: float):
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_pos, cnt, s, m, mm, alarms = state.get
+        else:
+            last_pos, cnt, s, m, mm, alarms = None, 0.0, 0.0, 0.0, 0.0, 0
+        pts = []
+        for pdf in pdfs:
+            sub = pdf.dropna(subset=["value"])
+            pts.extend(
+                zip((int(p) for p in sub["pos"]), sub["value"].tolist())
+            )
+        out = []
+        for pos, raw in sorted(pts, key=lambda t: t[0]):
+            if last_pos is not None and pos <= last_pos:
+                continue  # replay / duplicate: idempotent skip
+            last_pos = pos
+            x = float(raw)
+            # EXACT batch arithmetic order (outliers.page_hinkley):
+            # ((m + x) - s/cnt) - delta
+            cnt = cnt + 1.0
+            s = s + x
+            m = m + x - s / cnt - delta
+            mm = m if m < mm else mm
+            if (m - mm) > lam:
+                alarms += 1
+                out.append((key[0], key[1], pos, alarms, m - mm))
+                cnt, s, m, mm = 0.0, 0.0, 0.0, 0.0
+        state.update((last_pos, cnt, s, m, mm, alarms))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["source", "doc_id", "alarm_pos", "alarm_no",
+                         "ph_peak"],
+            )
+
+    return fn
+
+
+def stream_ph_partials(
+    stream_df: DataFrame, delta: float = 0.005, lam: float = 60.0
+) -> DataFrame:
+    """Streaming Page-Hinkley drift alarms (Page 1954 / Hinkley 1971,
+    restart-on-alarm — the batch :func:`...operators.outliers.
+    page_hinkley` semantics on an unbounded stream): per-key state is
+    SIX scalars (last_pos watermark for idempotent replay skip + the
+    4-scalar PH state + the alarm counter), emitted rows are the alarm
+    EVENTS as they fire.  The update chain replays the batch fold's
+    exact IEEE grouping, so across any micro-batch slicing the alarm
+    positions, count, and the running statistic match the batch
+    operator bit-for-bit; state persists in the checkpoint and the
+    query resumes after a restart (north rule).
+    """
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _ph_partials(float(delta), float(lam)),
+        outputStructType=PH_SCHEMA,
+        stateStructType=PH_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

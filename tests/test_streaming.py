@@ -1215,3 +1215,89 @@ def test_stream_kalman_bit_parity_with_batch_fold(spark, tmp_path):
     assert last["p_var"] == b["p_var"]
     assert got.loc[60, "flag_innov"] == 2              # jump caught
     assert (got.loc[5:59, "flag_innov"] == 0).all()    # quiet in-control run
+
+
+def test_stream_page_hinkley_matches_batch_across_restarts(spark, tmp_path):
+    """Page-Hinkley alarms streamed over three drains (with restarts
+    and a replayed slice) equal the batch operator bit-for-bit:
+    same alarm count, same first alarm, and the streamed peak
+    statistics replay the batch fold's exact arithmetic."""
+    import numpy as np
+
+    from diive_spark.operators.outliers import page_hinkley
+    from diive_spark.streaming.stateful import stream_ph_partials
+
+    rng = np.random.RandomState(13)
+    vals = rng.randn(240).cumsum()  # drifting walk -> several alarms
+    rows = [("s", "0", i, float(vals[i])) for i in range(240)]
+    # gappy sibling series: nulls interleaved
+    rows += [
+        ("s", "1", i, None if i % 3 == 0 else float(vals[i] * 0.5))
+        for i in range(240)
+    ]
+    schema = "source string, doc_id string, pos long, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_ph_partials(stream, delta=0.05, lam=8.0)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    df = spark.createDataFrame(rows, schema)
+    df.where("pos < 80").write.mode("append").parquet(src)
+    drain()
+    # second batch REPLAYS a slice (60-79) plus new arrivals
+    df.where("pos >= 60 and pos < 170").write.mode("append").parquet(src)
+    drain()
+    df.where("pos >= 170").write.mode("append").parquet(src)
+    drain()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("doc_id", "alarm_pos")
+        .toPandas()
+    )
+    batch = {
+        r["doc_id"]: r
+        for r in page_hinkley(
+            df, delta=0.05, lam=8.0, key_cols=["source", "doc_id"]
+        ).collect()
+    }
+    assert batch["0"]["n_alarms"] >= 2  # the battery must be non-trivial
+    for doc in ("0", "1"):
+        sub = got[got["doc_id"] == doc]
+        assert len(sub) == batch[doc]["n_alarms"]
+        if len(sub):
+            assert int(sub["alarm_pos"].iloc[0]) == batch[doc]["first_alarm"]
+            assert sub["alarm_no"].tolist() == list(range(1, len(sub) + 1))
+    # python twin replay of the exact fold -> bit-identical peaks
+    def twin(doc):
+        cnt = s = m = mm = 0.0
+        peaks = []
+        for _, d, i, v in [r for r in rows if r[1] == doc]:
+            if v is None:
+                continue
+            cnt += 1.0
+            s += v
+            m = m + v - s / cnt - 0.05
+            mm = min(mm, m)
+            if m - mm > 8.0:
+                peaks.append((i, m - mm))
+                cnt = s = m = mm = 0.0
+        return peaks
+
+    for doc in ("0", "1"):
+        exp = twin(doc)
+        sub = got[got["doc_id"] == doc]
+        assert sub["alarm_pos"].tolist() == [p for p, _ in exp]
+        assert sub["ph_peak"].tolist() == [v for _, v in exp]
