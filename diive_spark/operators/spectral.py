@@ -1256,3 +1256,95 @@ def granger_lag1(
         f_stat.alias("f_stat"),
         r2_gain.alias("r2_gain"),
     )
+
+
+# ordinal patterns of order 3: stable-argsort permutations indexed
+# lexicographically; rank of element i = #strictly-smaller + #equal
+# with smaller index (Bandt-Pompe tie rule = stable sort)
+PE_ORDER = 3
+
+
+def permutation_entropy(
+    df: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Permutation entropy of order 3, delay 1 (Bandt & Pompe 2002,
+    PRL 88:174102) per series: the Shannon entropy of the ordinal
+    pattern distribution over consecutive-position triples, normalized
+    by ln(3!) to [0, 1].  Low PE = few ordinal shapes dominate (a
+    looping or monotone stream); PE ~ 1 = all 6 shapes equally likely
+    (white noise).  Complements :func:`hurst_rs` (memory) and
+    :func:`dft_power_peak` (frequency) with a COMPLEXITY axis that is
+    robust to monotone transforms — it sees only orderings, never
+    magnitudes.  The reference has no complexity measure; target-side
+    capability.
+
+    A triple participates only when positions t, t+1, t+2 all carry
+    non-null readings (grid holes void the window, the
+    seasonal_decompose full-window discipline).  Ties follow the
+    Bandt-Pompe stable rule: equal values keep their time order, so
+    the pattern id is pure INTEGER comparison logic — a SQL twin
+    reproduces the counts exactly; only the final ``p*ln p`` is
+    floating (round-6 stable, H is O(1)).
+
+    Emits per series: ``n_windows``, ``n_patterns`` (distinct ordinal
+    shapes seen, <= 6), ``pe`` (normalized, null when no window).
+
+    Scale shape: two ordered-window leads + two narrow groupBys
+    ((key, pattern) then key) with map-side combine — per-series state
+    is <= 6 pattern counts, series length unbounded, no collect.
+    """
+    keys = list(key_cols)
+    pos = F.col(axis_col).cast("long")
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy("_pos")
+    pts = (
+        df.select(*keys, pos.alias("_pos"), v.alias("_x0"))
+        .withColumn("_x1", F.lead("_x0", 1).over(w))
+        .withColumn("_x2", F.lead("_x0", 2).over(w))
+        .withColumn("_p1", F.lead("_pos", 1).over(w))
+        .withColumn("_p2", F.lead("_pos", 2).over(w))
+    )
+    ok = (
+        F.col("_x0").isNotNull()
+        & F.col("_x1").isNotNull()
+        & F.col("_x2").isNotNull()
+        & (F.col("_p1") == F.col("_pos") + 1)
+        & (F.col("_p2") == F.col("_pos") + 2)
+    )
+    x0, x1, x2 = F.col("_x0"), F.col("_x1"), F.col("_x2")
+    # stable ranks: strictly-smaller anywhere + equal at earlier index
+    r0 = (x1 < x0).cast("int") + (x2 < x0).cast("int")
+    r1 = (
+        (x0 < x1).cast("int")
+        + (x0 == x1).cast("int")
+        + (x2 < x1).cast("int")
+    )
+    r2 = (
+        (x0 < x2).cast("int")
+        + (x0 == x2).cast("int")
+        + (x1 < x2).cast("int")
+        + (x1 == x2).cast("int")
+    )
+    # (r0, r1, r2) is a permutation of (0,1,2): 2-digit base-3 encode
+    pat = r0 * 3 + r1  # r2 is determined by the other two
+    triples = pts.where(ok).select(*keys, pat.alias("_pat"))
+    pc = triples.groupBy(*keys, "_pat").agg(
+        F.count(F.lit(1)).cast("double").alias("_c")
+    )
+    agg = pc.groupBy(*keys).agg(
+        F.sum("_c").alias("_n"),
+        F.count(F.lit(1)).cast("long").alias("n_patterns"),
+        F.sum(F.col("_c") * F.log(F.col("_c"))).alias("_clc"),
+    )
+    h = (F.log(F.col("_n")) - F.col("_clc") / F.col("_n")) / F.lit(
+        math.log(6.0)
+    )
+    return agg.select(
+        *keys,
+        F.col("_n").cast("long").alias("n_windows"),
+        "n_patterns",
+        h.alias("pe"),
+    )

@@ -6670,6 +6670,49 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_permutation_entropy(spark, sf_dir):
+    """Order-3 permutation entropy (Bandt & Pompe 2002): normalized
+    Shannon entropy of the ordinal-pattern distribution over
+    consecutive triples; stable tie rule makes the pattern ids pure
+    integer logic, so the SQL twin reproduces the counts exactly."""
+    out = spectral.permutation_entropy(
+        series(spark, sf_dir), key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n_windows", "n_patterns",
+        _r(F.col("pe")).alias("pe"),
+    )
+
+
+SQL_PERMUTATION_ENTROPY = f"""
+WITH series AS ({SERIES_SQL}),
+st AS (SELECT source, doc_id, pos, value,
+              lead(value, 1) OVER w AS x1, lead(value, 2) OVER w AS x2,
+              lead(pos, 1) OVER w AS p1, lead(pos, 2) OVER w AS p2
+       FROM series
+       WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+tr AS (SELECT source, doc_id,
+              (CASE WHEN x1 < value THEN 1 ELSE 0 END
+               + CASE WHEN x2 < value THEN 1 ELSE 0 END) * 3
+              + (CASE WHEN value < x1 THEN 1 ELSE 0 END
+                 + CASE WHEN value = x1 THEN 1 ELSE 0 END
+                 + CASE WHEN x2 < x1 THEN 1 ELSE 0 END) AS pat
+       FROM st
+       WHERE value IS NOT NULL AND x1 IS NOT NULL AND x2 IS NOT NULL
+         AND p1 = pos + 1 AND p2 = pos + 2),
+pc AS (SELECT source, doc_id, pat, CAST(count(*) AS DOUBLE) AS c
+       FROM tr GROUP BY 1, 2, 3),
+ag AS (SELECT source, doc_id, sum(c) AS n,
+              CAST(count(*) AS BIGINT) AS np,
+              sum(c * ln(c)) AS clc
+       FROM pc GROUP BY 1, 2)
+SELECT source, doc_id, CAST(n AS BIGINT) AS n_windows,
+       np AS n_patterns,
+       round((ln(n) - clc / n) / ln(6.0), 6) AS pe
+FROM ag
+"""
+
+
 _CR_A = 0.1
 
 
@@ -7209,6 +7252,8 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "permutation_entropy": (q_permutation_entropy,
+                            SQL_PERMUTATION_ENTROPY),
     "croston_forecast": (q_croston_forecast, SQL_CROSTON_FORECAST),
     "page_hinkley_drift": (q_page_hinkley, SQL_PAGE_HINKLEY),
     "granger_pairs": (q_granger_pairs, SQL_GRANGER_PAIRS),

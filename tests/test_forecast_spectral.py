@@ -1411,3 +1411,91 @@ def test_page_hinkley_detects_planted_shift(spark):
         page_hinkley(df, delta=-1)
     with pytest.raises(ValueError):
         page_hinkley(df, lam=0)
+
+
+# ------------------------------------------------- permutation_entropy
+def _pe_np(vals):
+    """Definitional Bandt-Pompe order-3 twin (stable argsort ranks)."""
+    pats = {}
+    n = 0
+    for t in range(len(vals) - 2):
+        w = vals[t : t + 3]
+        if any(v is None or (isinstance(v, float) and np.isnan(v)) for v in w):
+            continue
+        ranks = []
+        for i, x in enumerate(w):
+            r = sum(
+                1 for j, y in enumerate(w)
+                if y < x or (y == x and j < i)
+            )
+            ranks.append(r)
+        pats[tuple(ranks)] = pats.get(tuple(ranks), 0) + 1
+        n += 1
+    if n == 0:
+        return None
+    h = math.log(n) - sum(c * math.log(c) for c in pats.values()) / n
+    return n, len(pats), h / math.log(6.0)
+
+
+def test_permutation_entropy_matches_python_twin(
+    spark, tiny_series, tiny_series_pd
+):
+    from diive_spark.operators.spectral import permutation_entropy
+
+    got = (
+        permutation_entropy(tiny_series)
+        .orderBy("source", "doc_id")
+        .toPandas()
+    )
+    assert len(got) > 0
+    n_checked = 0
+    for _, row in got.iterrows():
+        g = tiny_series_pd[
+            (tiny_series_pd["source"] == row["source"])
+            & (tiny_series_pd["doc_id"] == row["doc_id"])
+        ].sort_values("pos")
+        res = _pe_np([None if pd.isna(v) else float(v) for v in g["value"]])
+        assert res is not None
+        nw, np_, pe = res
+        assert int(row["n_windows"]) == nw
+        assert int(row["n_patterns"]) == np_
+        np.testing.assert_allclose(row["pe"], pe, rtol=1e-12)
+        n_checked += 1
+    assert n_checked >= 10
+
+
+def test_permutation_entropy_separates_regimes_and_ties(spark):
+    from diive_spark.operators.spectral import permutation_entropy
+
+    rng = np.random.RandomState(5)
+    rows = [("mono", "0", i, float(i)) for i in range(100)]  # 1 pattern
+    rows += [("wn", "0", i, float(rng.randn())) for i in range(400)]
+    rows += [("tie", "0", i, float([1, 1, 2][i % 3])) for i in range(60)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    out = {r["source"]: r for r in permutation_entropy(df).collect()}
+    assert out["mono"]["n_patterns"] == 1 and out["mono"]["pe"] == 0.0
+    assert out["wn"]["pe"] > 0.95 and out["wn"]["n_patterns"] == 6
+    # ties: patterns of (1,1,2),(1,2,1),(2,1,1) under the stable rule
+    res = _pe_np([float([1, 1, 2][i % 3]) for i in range(60)])
+    assert out["tie"]["n_patterns"] == res[1]
+    np.testing.assert_allclose(out["tie"]["pe"], res[2], rtol=1e-12)
+
+
+def test_permutation_entropy_gap_voids_window(spark):
+    from diive_spark.operators.spectral import permutation_entropy
+
+    # null at pos 3 voids windows starting at 1,2,3
+    vals = [1.0, 5.0, 2.0, None, 4.0, 3.0, 6.0]
+    rows = [("a", "0", i, vals[i]) for i in range(7)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    r = permutation_entropy(df).collect()[0]
+    exp = _pe_np(vals)
+    # valid starts: 0 (1,5,2) and 4 (4,3,6) -> twin agrees
+    assert exp[0] == 2
+    assert r["n_windows"] == 2
+    assert r["n_patterns"] == exp[1]
+    np.testing.assert_allclose(r["pe"], exp[2], rtol=1e-12)
