@@ -65,6 +65,10 @@ BENCH_QUERIES = [
     "corpus_pipeline",       # end-to-end preprocessing composition
     "ddsketch_tiers_engine", # sketch build+compose+collapse, engine half
     "pack_sequences",        # concat-and-chunk packing, 8 shards
+    # --- r5 continuation additions (event-flow + irregular sampling)
+    "funnel_conversion",     # one-shuffle ordered funnel over events
+    "kleinberg_bursts",      # per-key Viterbi burst DP, exact arithmetic
+    "lomb_scargle_peak",     # irregular-sampling periodogram, _let folds
 ]
 
 

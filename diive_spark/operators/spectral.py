@@ -1036,18 +1036,37 @@ def allan_variance(
     if not taus or taus[0] < 2:
         raise ValueError(f"taus must all be >= 2, got {taus!r}")
     keys = list(key_cols)
+    # pos-sorted struct array: with a dense axis, slot i of the array
+    # IS position i, so every lookup below is O(1) array indexing — a
+    # map column would linear-scan per lookup, degrading bucket means
+    # to O(npos^2) per series (measured 13s -> 1s at sf0.1).  Sparse
+    # axes are detected per slot (s.p != idx -> NaN voids the bucket).
     g = df.groupBy(*keys).agg(
-        F.map_from_entries(
+        F.array_sort(
             F.collect_list(
                 F.struct(
                     F.col(axis_col).cast("long").alias("p"),
                     F.col(value_col).cast("double").alias("x"),
                 )
             )
-        ).alias("_m"),
+        ).alias("_arr"),
         F.max(F.col(axis_col).cast("long")).alias("_pmax"),
     )
     npos = (F.col("_pmax") + 1).cast("int")
+    size = F.size("_arr")
+
+    def _slotval(idx):
+        # NaN when the slot is absent, misplaced (sparse axis), or null
+        return F.when(
+            idx < size,
+            _let(
+                F.element_at(F.col("_arr"), idx + 1),
+                lambda s: F.when(
+                    (s["p"] == idx.cast("long")) & s["x"].isNotNull(),
+                    s["x"],
+                ).otherwise(F.lit(float("nan"))),
+            ),
+        ).otherwise(F.lit(float("nan")))
 
     def _stats(tau: int):
         nb = F.floor(npos / tau).cast("int")
@@ -1056,13 +1075,7 @@ def allan_variance(
             tot = F.aggregate(
                 F.sequence(F.lit(0), F.lit(tau - 1)),
                 F.lit(0.0).alias("a"),
-                lambda a, j: a
-                + F.coalesce(
-                    F.element_at(
-                        F.col("_m"), (b * tau + j).cast("long")
-                    ),
-                    F.lit(float("nan")),
-                ),
+                lambda a, j: a + _slotval(b * tau + j),
             )
             return F.when(~F.isnan(tot), tot / F.lit(float(tau)))
 
