@@ -750,6 +750,7 @@ def top_correlated_pairs(
     value_col: str = "value",
     axis_col: str = "pos",
     key_cols: Sequence[str] = KEY_COLS,
+    method: str = "pearson",
 ) -> DataFrame:
     """Most-correlated series pairs within each group: exact Pearson r
     over position-aligned readings for every within-group doc pair,
@@ -765,6 +766,16 @@ def top_correlated_pairs(
     by zero on constant streams; the acf_agg precedent), null on
     zero-variance sides.
 
+    ``method="spearman"`` first replaces each series' values by their
+    fractional (average-tie) ranks WITHIN the series (Spearman 1904;
+    Kendall 1948 ch.3 tie handling), then runs the same Pearson
+    machinery — the rank-transform correlation.  Ranks are per-series
+    (not per-pair-overlap): identical to textbook Spearman whenever
+    the pair shares the full axis, and the only formulation that
+    scales (per-pair re-ranking would be O(pairs x n) extra passes).
+    Monotone-robust: outliers and nonlinear monotone warps that
+    break Pearson leave rho intact.
+
     Scale shape: ONE equi-join on (group, pos) — readings meet their
     pair partners co-partitioned by position, no cartesian — then one
     groupBy per pair and a per-group TOP-K window over the pair
@@ -778,6 +789,8 @@ def top_correlated_pairs(
         raise ValueError(f"top_k must be >= 1, got {top_k}")
     if min_overlap < 3:
         raise ValueError(f"min_overlap must be >= 3, got {min_overlap}")
+    if method not in ("pearson", "spearman"):
+        raise ValueError(f"method must be pearson|spearman, got {method!r}")
     keys = list(key_cols)
     group_cols, doc_col = keys[:-1], keys[-1]
     pts = df.where(F.col(value_col).isNotNull()).select(
@@ -786,6 +799,18 @@ def top_correlated_pairs(
         F.col(axis_col).alias("_pos"),
         F.col(value_col).cast("double").alias("_x"),
     )
+    if method == "spearman":
+        # fractional (average-tie) ranks per series: min-rank + half
+        # the tie-group size; Pearson over these ranks IS Spearman's
+        # rho (Spearman 1904; tie correction per Kendall 1948 ch.3).
+        # Two extra per-series window passes, still no collect.
+        wr = Window.partitionBy(*group_cols, "_doc").orderBy("_x")
+        wt = Window.partitionBy(*group_cols, "_doc", "_x")
+        pts = pts.withColumn(
+            "_x",
+            F.rank().over(wr).cast("double")
+            + (F.count(F.lit(1)).over(wt).cast("double") - 1) / 2,
+        )
     left = pts
     right = (
         pts.withColumnRenamed("_doc", "_doc_b")

@@ -6670,6 +6670,62 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_spearman_pairs(spark, sf_dir):
+    """Rank-transform (Spearman) top correlated pairs per source:
+    fractional average-tie ranks per series, then the exact Pearson
+    machinery — monotone-robust pair discovery.  Ranks are small
+    exact doubles, so the component sums are exact in ANY order and
+    rho is bit-identical across engines."""
+    out = spectral.top_correlated_pairs(
+        series(spark, sf_dir), top_k=5, min_overlap=30,
+        key_cols=["source", "doc_id"], method="spearman",
+    )
+    return out.select(
+        "source", "rank", "doc_a", "doc_b", "n_overlap",
+        _r(F.col("r")).alias("rho"),
+    )
+
+
+SQL_SPEARMAN_PAIRS = f"""
+WITH series AS ({SERIES_SQL}),
+pts0 AS (SELECT source, doc_id, pos, value FROM series
+         WHERE value IS NOT NULL),
+pts AS (SELECT source, doc_id, pos,
+               CAST(rank() OVER (PARTITION BY source, doc_id
+                                 ORDER BY value) AS DOUBLE)
+               + (CAST(count(*) OVER (PARTITION BY source, doc_id,
+                                      value) AS DOUBLE) - 1) / 2
+                 AS value
+        FROM pts0),
+pr AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              sum(a.value) AS sa, sum(b.value) AS sb,
+              sum(a.value * b.value) AS sab,
+              sum(a.value * a.value) AS saa,
+              sum(b.value * b.value) AS sbb
+       FROM pts a JOIN pts b
+         ON a.source = b.source AND a.pos = b.pos
+        AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3),
+rr AS (SELECT *,
+              CASE WHEN n_overlap >= 30
+                    AND n_overlap * saa - sa * sa > 0
+                    AND n_overlap * sbb - sb * sb > 0
+                   THEN (n_overlap * sab - sa * sb)
+                        / sqrt((n_overlap * saa - sa * sa)
+                               * (n_overlap * sbb - sb * sb)) END AS r
+       FROM pr),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          doc_a ASC, doc_b ASC) AS rank
+       FROM rr WHERE r IS NOT NULL)
+SELECT source, CAST(rank AS BIGINT) AS rank, doc_a, doc_b, n_overlap,
+       round(r, 6) AS rho
+FROM rk WHERE rank <= 5
+"""
+
+
 def q_permutation_entropy(spark, sf_dir):
     """Order-3 permutation entropy (Bandt & Pompe 2002): normalized
     Shannon entropy of the ordinal-pattern distribution over
@@ -7252,6 +7308,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "spearman_pairs": (q_spearman_pairs, SQL_SPEARMAN_PAIRS),
     "permutation_entropy": (q_permutation_entropy,
                             SQL_PERMUTATION_ENTROPY),
     "croston_forecast": (q_croston_forecast, SQL_CROSTON_FORECAST),

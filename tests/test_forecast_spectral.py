@@ -1499,3 +1499,63 @@ def test_permutation_entropy_gap_voids_window(spark):
     assert r["n_windows"] == 2
     assert r["n_patterns"] == exp[1]
     np.testing.assert_allclose(r["pe"], exp[2], rtol=1e-12)
+
+
+# --------------------------------------------------- spearman variant
+def test_spearman_pairs_matches_scipy_free_twin(spark):
+    """Rank-transform correlation == pandas' spearman when series
+    share the full axis (no nulls), including ties."""
+    from diive_spark.operators.spectral import top_correlated_pairs
+
+    rng = np.random.RandomState(21)
+    n = 120
+    base = rng.randn(n)
+    series_map = {
+        "0": base,
+        "1": np.exp(base * 2),            # monotone warp: rho == 1
+        "2": -base + 0.01 * rng.randn(n), # near-perfect negative
+        "3": np.round(rng.randn(n), 0),   # heavy ties
+        "4": rng.randn(n),                # independent
+    }
+    rows = []
+    for d, v in series_map.items():
+        rows += [("s", d, i, float(v[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    got = top_correlated_pairs(
+        df, top_k=10, min_overlap=30, method="spearman"
+    ).toPandas()
+    pdf = pd.DataFrame(series_map)
+    exp = pdf.corr(method="spearman")
+    for _, r in got.iterrows():
+        np.testing.assert_allclose(
+            r["r"], exp.loc[r["doc_a"], r["doc_b"]], atol=1e-12
+        )
+    # the monotone warp must rank at rho == 1 exactly
+    top = got[got["rank"] == 1].iloc[0]
+    assert {top["doc_a"], top["doc_b"]} == {"0", "1"}
+    np.testing.assert_allclose(top["r"], 1.0)
+
+
+def test_spearman_robust_where_pearson_is_not(spark):
+    from diive_spark.operators.spectral import top_correlated_pairs
+
+    rng = np.random.RandomState(8)
+    n = 100
+    a = rng.randn(n)
+    b = a.copy()
+    b[0] = 1000.0  # one gross outlier
+    a2 = a.copy()
+    a2[0] = -1000.0
+    rows = [("s", "0", i, float(a2[i])) for i in range(n)]
+    rows += [("s", "1", i, float(b[i])) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    pe = top_correlated_pairs(df, method="pearson").collect()[0]["r"]
+    sp = top_correlated_pairs(df, method="spearman").collect()[0]["r"]
+    assert pe < 0.3      # the outlier pair destroys Pearson
+    assert sp > 0.9      # ranks shrug it off
+    with pytest.raises(ValueError):
+        top_correlated_pairs(df, method="kendall")
