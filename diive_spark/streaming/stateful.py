@@ -561,3 +561,106 @@ def stream_ph_partials(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+FUNNEL_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("completed_ts", T.DoubleType()),
+        T.StructField("t_anchor", T.DoubleType()),
+        T.StructField("dur_s", T.DoubleType()),
+    ]
+)
+
+FUNNEL_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("level", T.LongType()),
+        T.StructField("t_anchor", T.DoubleType()),
+        T.StructField("t_prev", T.DoubleType()),
+        T.StructField("done", T.BooleanType()),
+    ]
+)
+
+
+def _funnel_partials(steps, window_seconds):
+    step_ix = {s: i for i, s in enumerate(steps)}
+    n_steps = len(steps)
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, level, t0, t_prev, done = state.get
+        else:
+            last_ts, level, t0, t_prev, done = None, 0, None, None, False
+        evs = []
+        for pdf in pdfs:
+            evs.extend(
+                zip(pdf["ts_epoch"].tolist(), pdf["event_type"].tolist())
+            )
+        out = []
+        for t, y in sorted(evs, key=lambda e: e[0]):
+            if last_ts is not None and t <= last_ts:
+                continue  # replay / duplicate: idempotent skip
+            last_ts = t
+            if done or y not in step_ix:
+                continue
+            i = step_ix[y]
+            if level == 0:
+                if i == 0:
+                    level, t0, t_prev = 1, t, t
+            elif i == level:  # the next step in order
+                if t >= t_prev and t <= t0 + window_seconds:
+                    level, t_prev = level + 1, t
+                    if level == n_steps:
+                        done = True
+                        out.append((key[0], t, t0, t - t0))
+        state.update((last_ts, level, t0, t_prev, done))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "completed_ts", "t_anchor", "dur_s"],
+            )
+
+    return fn
+
+
+def stream_funnel_partials(
+    stream_df: DataFrame,
+    steps,
+    window_seconds: float = 86400.0,
+) -> DataFrame:
+    """Streaming ordered-funnel completions: per-actor state machine
+    (5 scalars) advancing through ``steps``; emits ONE completion
+    event per actor the moment the final step lands inside the window
+    anchored at their first ``steps[0]``.  Input rows carry
+    ``user_id`` and a pre-computed ``ts_epoch`` double (exact
+    micros/1e6, matching the batch operator's epochs).
+
+    Ordering contract: events are processed in event-time order
+    WITHIN each micro-batch (sorted here) and the per-key ``last_ts``
+    watermark makes replays idempotent; when arrivals respect event
+    order across batches — the file-source / kafka-per-key-ordered
+    case — completions match the batch
+    :func:`...operators.eventflow.funnel_conversion` exactly (same
+    epochs, same min/compare arithmetic).  A late cross-batch
+    out-of-order step is DROPPED by the watermark, never mis-ordered:
+    the conservative failure mode for an alert stream.
+
+    Scale: state is 5 scalars per actor regardless of their event
+    volume — the unbounded-stream complement of the batch operator's
+    per-actor collected array.
+    """
+    steps = list(steps)
+    if len(steps) < 2 or len(set(steps)) != len(steps):
+        raise ValueError(f"need >= 2 distinct steps, got {steps!r}")
+    if window_seconds <= 0:
+        raise ValueError(f"window_seconds must be > 0, got {window_seconds}")
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _funnel_partials(steps, float(window_seconds)),
+        outputStructType=FUNNEL_SCHEMA,
+        stateStructType=FUNNEL_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

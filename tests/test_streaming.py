@@ -1301,3 +1301,68 @@ def test_stream_page_hinkley_matches_batch_across_restarts(spark, tmp_path):
         sub = got[got["doc_id"] == doc]
         assert sub["alarm_pos"].tolist() == [p for p, _ in exp]
         assert sub["ph_peak"].tolist() == [v for _, v in exp]
+
+
+def test_stream_funnel_matches_batch_completions(spark, tmp_path):
+    """Ordered-arrival streaming funnel over three drains (with
+    restarts and a replayed slice) emits exactly the batch operator's
+    completed actors, with identical anchors and durations."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.eventflow import funnel_conversion
+    from diive_spark.streaming.stateful import stream_funnel_partials
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    steps = ["view", "click", "purchase"]
+    win = 86400.0
+    feed = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "ts_epoch"
+        ),
+        "event_type",
+    ).cache()
+    lo, hi = feed.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    c1, c2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    schema = "user_id long, ts_epoch double, event_type string"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_funnel_partials(stream, steps, window_seconds=win)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed.where(F.col("ts_epoch") < c1).write.mode("append").parquet(src)
+    drain()
+    # replayed overlap + the middle slice
+    feed.where(
+        (F.col("ts_epoch") >= c1 - 3600) & (F.col("ts_epoch") < c2)
+    ).write.mode("append").parquet(src)
+    drain()
+    feed.where(F.col("ts_epoch") >= c2).write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out).toPandas().set_index("user_id")
+    batch = (
+        funnel_conversion(ev, steps, window_seconds=win)
+        .where(F.col("level") == 3)
+        .toPandas()
+        .set_index("user_id")
+    )
+    assert len(batch) >= 3  # corpus must exercise completions
+    assert set(got.index) == set(batch.index)
+    for uid in batch.index:
+        assert got.loc[uid, "t_anchor"] == batch.loc[uid, "t_anchor"]
+        assert got.loc[uid, "dur_s"] == batch.loc[uid, "dur_s"]
+    # exactly one completion event per actor despite the replay
+    assert got.index.is_unique
