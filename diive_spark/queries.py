@@ -6670,6 +6670,46 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_json_props_extract(spark, sf_dir):
+    """Schema-on-read JSON payload extraction (JVM from_json, never a
+    UDF): parse the events table's props column, then aggregate the
+    extracted field per event_type x value-band — the typed-payload
+    ingestion path the reference's YAML-only config reader lacks."""
+    from .sources.readers import parse_json_col
+
+    ev = parse_json_col(
+        _load(spark, sf_dir, "events"), "props", "k INT", prefix="p_"
+    )
+    band = (F.col("p_k") / 10).cast("long")
+    return (
+        ev.groupBy(F.col("event_type").alias("source"), band.alias("k_band"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("p_k").cast("long").alias("k_sum"),
+            F.min("p_k").cast("long").alias("k_min"),
+            F.max("p_k").cast("long").alias("k_max"),
+            _r(F.avg(F.col("value"))).alias("value_mean"),
+        )
+    )
+
+
+SQL_JSON_PROPS = """
+SELECT event_type AS source,
+       CAST(CAST(json_extract_string(props, '$.k') AS INT) // 10
+            AS BIGINT) AS k_band,
+       CAST(count(*) AS BIGINT) AS n,
+       CAST(sum(CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS k_sum,
+       CAST(min(CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS k_min,
+       CAST(max(CAST(json_extract_string(props, '$.k') AS INT))
+            AS BIGINT) AS k_max,
+       round(avg(value), 6) AS value_mean
+FROM events
+GROUP BY 1, 2
+"""
+
+
 def q_spearman_pairs(spark, sf_dir):
     """Rank-transform (Spearman) top correlated pairs per source:
     fractional average-tie ranks per series, then the exact Pearson
@@ -7308,6 +7348,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
     "spearman_pairs": (q_spearman_pairs, SQL_SPEARMAN_PAIRS),
     "permutation_entropy": (q_permutation_entropy,
                             SQL_PERMUTATION_ENTROPY),

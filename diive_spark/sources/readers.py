@@ -175,3 +175,35 @@ def load_pickle(spark: SparkSession, path: str):
         return spark.read.schema(schema).parquet(path)
     with open(path, "rb") as f:
         return pickle.load(f)
+
+
+def parse_json_col(
+    df: DataFrame,
+    json_col: str,
+    schema: str,
+    prefix: str = "",
+    keep: bool = False,
+) -> DataFrame:
+    """Schema-on-read JSON extraction: parse a string column of JSON
+    objects into typed top-level columns via the JVM ``from_json``
+    (vectorized Jackson parse — never a Python UDF).  ``schema`` is a
+    DDL fragment (``"k INT, tag STRING"``); malformed rows yield null
+    fields (PERMISSIVE), keeping ingestion total.  The reference's
+    config pipeline is YAML-side only (diive core/io/filereader.py);
+    event payloads like the events table's ``props`` need this
+    in-plan parse.  Columns come out as ``prefix + field``; the raw
+    JSON column is dropped unless ``keep``.
+
+    Scale: a per-row JVM projection — no shuffle, pushdown-neutral
+    (the parse happens after the scan; filters on extracted fields
+    still prune partitions/row-groups on the RAW columns feeding it).
+    """
+    import pyspark.sql.functions as F
+
+    parsed = F.from_json(F.col(json_col), schema)
+    out = df.withColumn("_j", parsed)
+    names = [f.strip().split()[0] for f in schema.split(",")]
+    for n in names:
+        out = out.withColumn(prefix + n, F.col("_j")[n])
+    out = out.drop("_j")
+    return out if keep else out.drop(json_col)

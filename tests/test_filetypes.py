@@ -239,3 +239,24 @@ def test_save_load_pickle_roundtrip(spark, tmp_path):
     p2 = str(tmp_path / "params.pkl")
     save_pickle(obj, p2)
     assert load_pickle(spark, p2) == obj
+
+
+def test_parse_json_col_typed_and_permissive(spark):
+    from diive_spark.sources.readers import parse_json_col
+
+    rows = [
+        (1, '{"k": 7, "tag": "a"}'),
+        (2, '{"k": 12}'),
+        (3, 'not json at all'),
+        (4, None),
+    ]
+    df = spark.createDataFrame(rows, "id long, props string")
+    out = parse_json_col(df, "props", "k INT, tag STRING", prefix="p_")
+    got = {r["id"]: (r["p_k"], r["p_tag"]) for r in out.collect()}
+    assert got[1] == (7, "a")
+    assert got[2] == (12, None)
+    assert got[3] == (None, None)  # malformed -> null fields, row kept
+    assert got[4] == (None, None)
+    assert "props" not in out.columns
+    kept = parse_json_col(df, "props", "k INT", keep=True)
+    assert "props" in kept.columns
