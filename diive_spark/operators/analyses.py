@@ -2982,3 +2982,127 @@ def ljung_box(
             .alias("white_noise_ok"),
         )
     )
+
+
+def binseg_changepoints(
+    df: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    quantized: float | None = 1000.0,
+    min_seg: int = 10,
+) -> DataFrame:
+    """Binary-segmentation MULTI-changepoint estimation (Scott &
+    Knott 1974; the standard recursive extension of the single CUSUM
+    split in :func:`cusum_changepoint`): find the level-1 split at the
+    CUSUM argmax over the whole series, then re-run the same argmax
+    INSIDE each half (its own mean), emitting up to three changepoints
+    per series.  Depth is fixed at 2 — each level is one window pass +
+    one aggregate, so the plan is static and the shuffles are the
+    same series-key exchanges the tier rollups use; a deeper
+    recursion would multiply passes, and past depth 2 the honest tool
+    is PELT on collected segments.
+
+    ``quantized`` (default 1e3) accumulates ``floor(x*q)`` as exact
+    longs — every cumulative sum and therefore every argmax decision
+    is bit-deterministic across partition counts and engines (the
+    cusum_changepoint discipline).  Level-2 splits are emitted only
+    for halves with at least ``2*min_seg`` readings, and a split must
+    leave ``min_seg`` on each side.
+
+    Emits one row per changepoint: ``level`` (1|2), ``seg`` (-1 for
+    the root, else 0/1 = left/right half), ``cp_pos`` (axis value of
+    the last point of the left part), ``n_seg``, ``s_max_norm``
+    (|S| / q / n_seg), ``mean_before`` / ``mean_after`` (segment-side
+    means, de-quantized).
+    """
+    if min_seg < 2:
+        raise ValueError(f"min_seg must be >= 2, got {min_seg}")
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    v = F.col(value_col).cast("double")
+    if quantized:
+        q = float(quantized)
+        vq = F.floor(v * F.lit(q)).cast("long")
+    else:
+        q = 1.0
+        vq = v
+
+    def level_pass(src, part_cols, level, seg_expr):
+        wfull = Window.partitionBy(*part_cols)
+        wrn = Window.partitionBy(*part_cols).orderBy(axis_col)
+        wcum = wrn.rowsBetween(Window.unboundedPreceding, 0)
+        e = (
+            src.withColumn("_n", F.count("_vq").over(wfull))
+            .withColumn("_tot", F.sum("_vq").over(wfull))
+            .withColumn("_k", F.row_number().over(wrn))
+            .withColumn("_cum", F.sum("_vq").over(wcum))
+            .withColumn(
+                "_s",
+                F.col("_cum").cast("double")
+                - F.col("_k") * F.col("_tot").cast("double") / F.col("_n"),
+            )
+        )
+        # candidate splits leave min_seg readings each side
+        cand = e.where(
+            (F.col("_k") >= min_seg) & (F.col("_k") <= F.col("_n") - min_seg)
+        )
+        pick = F.struct(
+            F.abs(F.col("_s")).alias("a"), (-F.col("_k")).alias("nk")
+        )
+        payload = F.struct(
+            F.col(axis_col).cast("long").alias("t_star"),
+            F.col("_k").alias("k"),
+            F.col("_cum").alias("cum"),
+            F.abs(F.col("_s")).alias("s_abs"),
+        )
+        agg = cand.groupBy(*part_cols).agg(
+            F.max("_n").alias("_nn"),
+            F.max("_tot").alias("_tt"),
+            F.max_by(payload, pick).alias("_p"),
+        )
+        k = F.col("_p.k").cast("double")
+        n = F.col("_nn").cast("double")
+        cum = F.col("_p.cum").cast("double")
+        tot = F.col("_tt").cast("double")
+        return agg.select(
+            *keys,
+            F.lit(level).cast("long").alias("level"),
+            seg_expr.cast("long").alias("seg"),
+            F.col("_p.t_star").alias("cp_pos"),
+            F.col("_nn").cast("long").alias("n_seg"),
+            (F.col("_p.s_abs") / F.lit(q) / n).alias("s_max_norm"),
+            (cum / k / F.lit(q)).alias("mean_before"),
+            ((tot - cum) / (n - k) / F.lit(q)).alias("mean_after"),
+        ), e
+
+    base = pts.withColumn("_vq", vq).select(
+        *keys, axis_col, "_vq"
+    )
+    lvl1, e1 = level_pass(base, keys, 1, F.lit(-1))
+    # assign halves from the level-1 winner via a window max of the
+    # SAME (pick, payload) comparator — no join back
+    pickw = F.struct(
+        F.abs(F.col("_s")).alias("a"), (-F.col("_k")).alias("nk"),
+        F.col("_k").alias("k"),
+    )
+    wfull = Window.partitionBy(*keys)
+    cand1 = F.when(
+        (F.col("_k") >= min_seg) & (F.col("_k") <= F.col("_n") - min_seg),
+        pickw,
+    )
+    halves = (
+        e1.withColumn("_best", F.max(cand1).over(wfull))
+        .where(F.col("_best").isNotNull())
+        .withColumn(
+            "_seg", F.when(F.col("_k") <= F.col("_best.k"), 0).otherwise(1)
+        )
+        .where(F.col("_n") >= 2 * min_seg)  # root must have been splittable
+        .select(*keys, axis_col, "_vq", "_seg")
+    )
+    lvl2, _ = level_pass(halves, [*keys, "_seg"], 2, F.col("_seg"))
+    out = lvl1.unionByName(lvl2)
+    return out.select(
+        *keys, "level", "seg", "cp_pos", "n_seg",
+        "s_max_norm", "mean_before", "mean_after",
+    )

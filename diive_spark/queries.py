@@ -6670,6 +6670,96 @@ FROM rk WHERE rank <= 5
 """
 
 
+_BS_Q, _BS_MIN = 1000.0, 10
+
+
+def q_binseg_changepoints(spark, sf_dir):
+    """Depth-2 binary segmentation (Scott & Knott 1974 recursion on
+    the CUSUM argmax): root split plus one split per half, quantized
+    longs so every argmax decision is bit-deterministic across
+    engines and partition counts."""
+    out = analyses.binseg_changepoints(
+        series(spark, sf_dir), quantized=_BS_Q, min_seg=_BS_MIN,
+        key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "level", "seg", "cp_pos", "n_seg",
+        _r(F.col("s_max_norm")).alias("s_max_norm"),
+        _r(F.col("mean_before")).alias("mean_before"),
+        _r(F.col("mean_after")).alias("mean_after"),
+    )
+
+
+SQL_BINSEG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos,
+               CAST(floor(value * {_BS_Q!r}) AS BIGINT) AS vq
+        FROM series WHERE value IS NOT NULL),
+e1 AS (SELECT source, doc_id, pos, vq,
+              count(*) OVER wf AS n,
+              sum(vq) OVER wf AS tot,
+              row_number() OVER wr AS k,
+              sum(vq) OVER wc AS cum
+       FROM pts
+       WINDOW wf AS (PARTITION BY source, doc_id),
+              wr AS (PARTITION BY source, doc_id ORDER BY pos),
+              wc AS (PARTITION BY source, doc_id ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING)),
+s1 AS (SELECT *,
+              CAST(cum AS DOUBLE)
+              - k * CAST(tot AS DOUBLE) / n AS s
+       FROM e1),
+c1 AS (SELECT *,
+              row_number() OVER (PARTITION BY source, doc_id
+                                 ORDER BY abs(s) DESC, k ASC) AS rn
+       FROM s1 WHERE k >= {_BS_MIN} AND k <= n - {_BS_MIN}),
+l1 AS (SELECT source, doc_id, pos AS cp_pos, k, n, tot, cum,
+              abs(s) AS s_abs
+       FROM c1 WHERE rn = 1),
+hv AS (SELECT s1.source, s1.doc_id, s1.pos, s1.vq,
+              CASE WHEN s1.k <= l1.k THEN 0 ELSE 1 END AS seg
+       FROM s1 JOIN l1 USING (source, doc_id)
+       WHERE s1.n >= 2 * {_BS_MIN}),
+e2 AS (SELECT source, doc_id, seg, pos, vq,
+              count(*) OVER wf AS n,
+              sum(vq) OVER wf AS tot,
+              row_number() OVER wr AS k,
+              sum(vq) OVER wc AS cum
+       FROM hv
+       WINDOW wf AS (PARTITION BY source, doc_id, seg),
+              wr AS (PARTITION BY source, doc_id, seg ORDER BY pos),
+              wc AS (PARTITION BY source, doc_id, seg ORDER BY pos
+                     ROWS UNBOUNDED PRECEDING)),
+s2 AS (SELECT *,
+              CAST(cum AS DOUBLE)
+              - k * CAST(tot AS DOUBLE) / n AS s
+       FROM e2),
+c2 AS (SELECT *,
+              row_number() OVER (PARTITION BY source, doc_id, seg
+                                 ORDER BY abs(s) DESC, k ASC) AS rn
+       FROM s2 WHERE k >= {_BS_MIN} AND k <= n - {_BS_MIN}),
+l2 AS (SELECT source, doc_id, seg, pos AS cp_pos, k, n, tot, cum,
+              abs(s) AS s_abs
+       FROM c2 WHERE rn = 1),
+uni AS (
+  SELECT source, doc_id, CAST(1 AS BIGINT) AS level,
+         CAST(-1 AS BIGINT) AS seg, cp_pos, k, n, tot, cum, s_abs
+  FROM l1
+  UNION ALL
+  SELECT source, doc_id, CAST(2 AS BIGINT),
+         CAST(seg AS BIGINT), cp_pos, k, n, tot, cum, s_abs
+  FROM l2)
+SELECT source, doc_id, level, seg,
+       CAST(cp_pos AS BIGINT) AS cp_pos,
+       CAST(n AS BIGINT) AS n_seg,
+       round(s_abs / {_BS_Q!r} / n, 6) AS s_max_norm,
+       round(CAST(cum AS DOUBLE) / k / {_BS_Q!r}, 6) AS mean_before,
+       round(CAST(tot - cum AS DOUBLE) / (n - k) / {_BS_Q!r}, 6)
+         AS mean_after
+FROM uni
+"""
+
+
 def q_json_props_extract(spark, sf_dir):
     """Schema-on-read JSON payload extraction (JVM from_json, never a
     UDF): parse the events table's props column, then aggregate the
@@ -7348,6 +7438,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "binseg_changepoints": (q_binseg_changepoints, SQL_BINSEG),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
     "spearman_pairs": (q_spearman_pairs, SQL_SPEARMAN_PAIRS),
     "permutation_entropy": (q_permutation_entropy,

@@ -1821,3 +1821,88 @@ def test_ljung_box_constant_and_short_series(spark):
     assert ljung_box(spark.createDataFrame(short), h=5).count() == 0
     with _pytest.raises(ValueError):
         ljung_box(spark.createDataFrame(short), h=30)
+
+
+# ---------------------------------------------------- binseg_changepoints
+def _binseg_np(vals, q, min_seg):
+    """Definitional depth-2 binary segmentation twin (quantized)."""
+    import math
+
+    vq = [math.floor(v * q) for v in vals]
+
+    def best(seg):
+        n = len(seg)
+        tot = sum(seg)
+        cum = 0
+        cands = []
+        for k in range(1, n + 1):
+            cum += seg[k - 1]
+            if min_seg <= k <= n - min_seg:
+                s = cum - k * tot / n
+                cands.append((abs(s), -k, k, cum))
+        if not cands:
+            return None
+        a, nk, k, cum = max(cands)
+        return dict(
+            k=k, n=n, s_norm=a / q / n,
+            mean_before=cum / k / q,
+            mean_after=(tot - cum) / (n - k) / q,
+        )
+
+    out = {}
+    root = best(vq)
+    if root is None:
+        return out
+    out[(1, -1)] = root
+    k = root["k"]
+    left, right = best(vq[:k]), best(vq[k:])
+    if left is not None:
+        out[(2, 0)] = left
+    if right is not None:
+        out[(2, 1)] = right
+    return out
+
+
+def test_binseg_matches_twin_and_finds_planted_shifts(spark):
+    import numpy as np
+
+    from diive_spark.operators.analyses import binseg_changepoints
+
+    rng = np.random.RandomState(17)
+    # three-level step: 0 (x80), 5 (x60), 2 (x60)
+    vals = np.concatenate([
+        rng.randn(80) * 0.3,
+        rng.randn(60) * 0.3 + 5.0,
+        rng.randn(60) * 0.3 + 2.0,
+    ])
+    rows = [("s", "0", i, float(vals[i])) for i in range(len(vals))]
+    # short series: no candidate splits -> no rows at all
+    rows += [("s", "tiny", i, float(i)) for i in range(5)]
+    df = spark.createDataFrame(
+        rows, "source string, doc_id string, pos long, value double"
+    )
+    got = {
+        (r["level"], r["seg"]): r
+        for r in binseg_changepoints(
+            df, quantized=1000.0, min_seg=10
+        ).where("doc_id = '0'").collect()
+    }
+    exp = _binseg_np([float(v) for v in vals], 1000.0, 10)
+    assert set(got) == set(exp) == {(1, -1), (2, 0), (2, 1)}
+    for key in exp:
+        g, e = got[key], exp[key]
+        assert g["cp_pos"] is not None
+        np.testing.assert_allclose(g["s_max_norm"], e["s_norm"], rtol=0)
+        np.testing.assert_allclose(g["mean_before"], e["mean_before"], rtol=0)
+        np.testing.assert_allclose(g["mean_after"], e["mean_after"], rtol=0)
+    # level-1 split at the 80-boundary; level-2 right at the 140-boundary
+    assert abs(got[(1, -1)]["cp_pos"] - 79) <= 2
+    assert abs(got[(2, 1)]["cp_pos"] - 139) <= 2
+    # the tiny series emitted nothing
+    assert binseg_changepoints(df, min_seg=10).where(
+        "doc_id = 'tiny'"
+    ).count() == 0
+    import pytest
+
+    with pytest.raises(ValueError):
+        binseg_changepoints(df, min_seg=1)
