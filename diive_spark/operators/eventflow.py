@@ -373,3 +373,83 @@ def kleinberg_bursts(
         )
         .drop("_grp")
     )
+
+
+def token_bucket_throttle(
+    df: DataFrame,
+    capacity: float = 5.0,
+    refill_per_s: float = 0.01,
+    cost: float = 1.0,
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Token-bucket rate-limit REPLAY (the classic traffic-shaping
+    automaton, e.g. RFC 2697's single-rate policer / Tanenbaum §5.4):
+    audit which of an actor's historical events WOULD have been
+    throttled under a (capacity, refill) policy — the capacity-planning
+    question behind every quota rollout.
+
+    Per actor, over events in time order (bucket starts full)::
+
+        level = min(capacity, level + (t - t_prev) * refill_per_s)
+        allowed: level >= cost  ->  level -= cost
+        else throttled (level keeps the refilled value)
+
+    Emits one row per actor: ``n_events``, ``n_throttled``,
+    ``first_throttled_t`` (epoch seconds, null if never) and
+    ``final_level``.  Exact IEEE arithmetic on exact micros/1e6
+    epochs — a recursive-CTE SQL twin replays every decision
+    bit-for-bit.
+
+    Scale: one shuffle on the actor key, one row-local fold; the
+    5-scalar state makes the streaming-partial port mechanical
+    (stream_ph_partials pattern) if the audit must run continuously.
+    """
+    if capacity <= 0 or refill_per_s < 0 or cost <= 0:
+        raise ValueError(
+            f"need capacity>0, refill_per_s>=0, cost>0; got "
+            f"{capacity}, {refill_per_s}, {cost}"
+        )
+    if cost > capacity:
+        raise ValueError("cost > capacity would throttle every event")
+    keys = list(key_cols)
+    ev = df.select(*keys, _epoch(ts_col).alias("_t"))
+    g = ev.groupBy(*keys).agg(
+        F.array_sort(F.collect_list("_t")).alias("_ts")
+    )
+    cap = F.lit(float(capacity))
+    rate = F.lit(float(refill_per_s))
+    c = F.lit(float(cost))
+    init = F.struct(
+        F.lit(None).cast("double").alias("tp"),
+        cap.alias("lvl"),
+        F.lit(0).cast("long").alias("thr"),
+        F.lit(None).cast("double").alias("first"),
+    )
+
+    def step(acc, t):
+        refill = F.when(
+            acc["tp"].isNotNull(), (t - acc["tp"]) * rate
+        ).otherwise(F.lit(0.0))
+        lvl = F.when(acc["lvl"] + refill < cap, acc["lvl"] + refill).otherwise(
+            cap
+        )
+        ok = lvl >= c
+        return F.struct(
+            t.alias("tp"),
+            F.when(ok, lvl - c).otherwise(lvl).alias("lvl"),
+            (acc["thr"] + F.when(ok, 0).otherwise(1)).cast("long").alias(
+                "thr"
+            ),
+            F.coalesce(acc["first"], F.when(~ok, t)).alias("first"),
+        )
+
+    st = F.aggregate(F.col("_ts"), init, step)
+    g = g.withColumn("_st", st)
+    return g.select(
+        *keys,
+        F.size("_ts").cast("long").alias("n_events"),
+        F.col("_st.thr").alias("n_throttled"),
+        F.col("_st.first").alias("first_throttled_t"),
+        F.col("_st.lvl").alias("final_level"),
+    )

@@ -6670,6 +6670,110 @@ FROM rk WHERE rank <= 5
 """
 
 
+_TB_CAP, _TB_RATE, _TB_COST = 3.0, 0.00001, 1.0
+
+
+def q_token_bucket(spark, sf_dir):
+    """Token-bucket rate-limit replay (RFC 2697-style policer): audit
+    which historical events each user would have lost under a
+    (capacity, refill) quota.  Exact IEEE fold on exact epochs; the
+    recursive-CTE twin replays every allow/throttle decision
+    bit-for-bit."""
+    from .operators.eventflow import token_bucket_throttle
+
+    out = token_bucket_throttle(
+        _load(spark, sf_dir, "events"),
+        capacity=_TB_CAP, refill_per_s=_TB_RATE, cost=_TB_COST,
+    )
+    return out.select(
+        "user_id", "n_events", "n_throttled",
+        _r(F.col("first_throttled_t")).alias("first_throttled_t"),
+        _r(F.col("final_level")).alias("final_level"),
+    )
+
+
+SQL_TOKEN_BUCKET = f"""
+WITH RECURSIVE
+pts AS (SELECT user_id, epoch(ts) AS t,
+               CAST(row_number() OVER (PARTITION BY user_id
+                                       ORDER BY epoch(ts)) AS BIGINT)
+                 AS i
+        FROM events),
+nn AS (SELECT user_id, max(i) AS ni FROM pts GROUP BY 1),
+dp AS (
+  SELECT user_id, i, t AS tp,
+         CAST({_TB_CAP!r} AS DOUBLE) - CAST({_TB_COST!r} AS DOUBLE)
+           AS lvl,
+         CAST(0 AS BIGINT) AS thr,
+         CAST(NULL AS DOUBLE) AS first
+  FROM pts WHERE i = 1
+  UNION ALL
+  SELECT p.user_id, p.i, p.t,
+         CASE WHEN l1.lvl >= CAST({_TB_COST!r} AS DOUBLE)
+              THEN l1.lvl - CAST({_TB_COST!r} AS DOUBLE)
+              ELSE l1.lvl END,
+         dp.thr + CASE WHEN l1.lvl >= CAST({_TB_COST!r} AS DOUBLE)
+                       THEN 0 ELSE 1 END,
+         coalesce(dp.first,
+                  CASE WHEN l1.lvl < CAST({_TB_COST!r} AS DOUBLE)
+                       THEN p.t END)
+  FROM dp JOIN pts p ON p.user_id = dp.user_id AND p.i = dp.i + 1
+  CROSS JOIN LATERAL (
+    SELECT CASE WHEN dp.lvl + (p.t - dp.tp)
+                         * CAST({_TB_RATE!r} AS DOUBLE)
+                     < CAST({_TB_CAP!r} AS DOUBLE)
+                THEN dp.lvl + (p.t - dp.tp)
+                         * CAST({_TB_RATE!r} AS DOUBLE)
+                ELSE CAST({_TB_CAP!r} AS DOUBLE) END AS lvl) l1)
+SELECT dp.user_id,
+       CAST(nn.ni AS BIGINT) AS n_events,
+       dp.thr AS n_throttled,
+       round(dp.first, 6) AS first_throttled_t,
+       round(dp.lvl, 6) AS final_level
+FROM dp JOIN nn ON nn.user_id = dp.user_id AND dp.i = nn.ni
+"""
+
+
+def q_cube_rollup(spark, sf_dir):
+    """Multi-dimensional CUBE aggregate (Gray et al. 1997, the data
+    cube operator): events by (event_type, day) with all four grouping
+    combinations in ONE pass — Catalyst's Expand node materializes the
+    grouping sets map-side, so the cube costs one shuffle, not four
+    scans.  grouping_id disambiguates the levels exactly as DuckDB's
+    GROUPING() does."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_format(F.to_date("ts"), "yyyy-MM-dd").alias("day"),
+        "value",
+    )
+    return (
+        ev.cube("event_type", "day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            _r(F.sum("value")).alias("value_sum"),
+            _r(F.avg("value")).alias("value_mean"),
+        )
+        .select(
+            F.coalesce(F.col("event_type"), F.lit("<all>")).alias(
+                "event_type"
+            ),
+            F.coalesce(F.col("day"), F.lit("<all>")).alias("day"),
+            "n", "value_sum", "value_mean",
+        )
+    )
+
+
+SQL_CUBE_ROLLUP = """
+SELECT coalesce(event_type, '<all>') AS event_type,
+       coalesce(strftime(CAST(ts AS DATE), '%Y-%m-%d'), '<all>') AS day,
+       CAST(count(*) AS BIGINT) AS n,
+       round(sum(value), 6) AS value_sum,
+       round(avg(value), 6) AS value_mean
+FROM events
+GROUP BY CUBE (event_type, strftime(CAST(ts AS DATE), '%Y-%m-%d'))
+"""
+
+
 _BS_Q, _BS_MIN = 1000.0, 10
 
 
@@ -7438,6 +7542,8 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "token_bucket_replay": (q_token_bucket, SQL_TOKEN_BUCKET),
+    "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
     "binseg_changepoints": (q_binseg_changepoints, SQL_BINSEG),
     "json_props_extract": (q_json_props_extract, SQL_JSON_PROPS),
     "spearman_pairs": (q_spearman_pairs, SQL_SPEARMAN_PAIRS),

@@ -313,3 +313,67 @@ def test_bursts_single_bin_key_and_validation(spark):
         kleinberg_bursts(df, gamma=-1)
     with pytest.raises(ValueError, match="max_bins"):
         kleinberg_bursts(df, bin_seconds=3600, max_bins=0).count()
+
+
+# ------------------------------------------------- token_bucket_throttle
+def _bucket_np(ts, cap, rate, cost):
+    tp, lvl, thr, first = None, cap, 0, None
+    for t in sorted(ts):
+        if tp is not None:
+            refill = (t - tp) * rate
+            lvl = lvl + refill if lvl + refill < cap else cap
+        tp = t
+        if lvl >= cost:
+            lvl -= cost
+        else:
+            thr += 1
+            if first is None:
+                first = t
+    return thr, first, lvl
+
+
+def test_token_bucket_matches_python_twin(spark, events, events_pd):
+    from diive_spark.operators.eventflow import token_bucket_throttle
+
+    got = {
+        r["user_id"]: r
+        for r in token_bucket_throttle(
+            events, capacity=3.0, refill_per_s=0.00001
+        ).collect()
+    }
+    n_throttled_total = 0
+    for uid, g in events_pd.groupby("user_id"):
+        ts = (g["ts"].astype("int64").to_numpy() // 1000).astype(float) / 1e6
+        thr, first, lvl = _bucket_np(ts, 3.0, 0.00001, 1.0)
+        r = got[uid]
+        assert r["n_events"] == len(ts)
+        assert r["n_throttled"] == thr
+        assert (r["first_throttled_t"] is None) == (first is None)
+        if first is not None:
+            assert r["first_throttled_t"] == first
+        assert r["final_level"] == lvl
+        n_throttled_total += thr
+    assert n_throttled_total > 0  # the policy must bite on this corpus
+
+
+def test_token_bucket_hand_case_and_validation(spark):
+    import datetime as dt
+
+    from diive_spark.operators.eventflow import token_bucket_throttle
+
+    base = dt.datetime(2024, 1, 1)
+    # capacity 2, refill 0.1/s: events at t=0,1,2 -> levels 2,1.1,0.2
+    # -> third event throttled; then t=100 refills to cap -> allowed
+    ts = [0.0, 1.0, 2.0, 100.0]
+    rows = [(1, base + dt.timedelta(seconds=s)) for s in ts]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp")
+    r = token_bucket_throttle(
+        df, capacity=2.0, refill_per_s=0.1
+    ).collect()[0]
+    assert r["n_events"] == 4 and r["n_throttled"] == 1
+    assert r["first_throttled_t"] == base.timestamp() + 2.0
+    np.testing.assert_allclose(r["final_level"], 1.0)  # cap 2 - cost 1
+    with pytest.raises(ValueError):
+        token_bucket_throttle(df, capacity=0)
+    with pytest.raises(ValueError):
+        token_bucket_throttle(df, cost=5.0, capacity=2.0)
