@@ -81,3 +81,58 @@ def session_stats(
         "n_events",
         *[c for c in (agg_cols or {})],
     )
+
+
+def rolling_distinct_actors(
+    df: DataFrame,
+    window_days: int = 7,
+    ts_col: str = "ts",
+    actor_col: str = "user_id",
+    key_cols: Sequence[str] = ("event_type",),
+) -> DataFrame:
+    """Trailing-N-day distinct-actor counts per key (the WAU/MAU
+    product metric): for every day a key has activity, how many
+    DISTINCT actors appeared in the trailing ``window_days`` window.
+
+    Two-level shape: one shuffle builds the per-(key, day) actor SET
+    (the day partial), then a day-RANGE window unions the trailing
+    partials and counts distinct — the window slides over per-day
+    summaries, never over raw events.  This is exact; at actor
+    cardinalities where a day's set no longer fits a row, swap the
+    collect_set partial for the tier family's HLL sketch column
+    (resample.distinct_col + hll_union_agg — same compose algebra,
+    documented 5% error) without changing the window shape.
+
+    Emits: key cols, ``day`` (yyyy-MM-dd), ``n_day`` (distinct that
+    day), ``n_window`` (distinct over the trailing window),
+    ``days_covered`` (how many active days the window actually holds,
+    <= window_days).
+    """
+    if window_days < 1:
+        raise ValueError(f"window_days must be >= 1, got {window_days}")
+    keys = list(key_cols)
+    d = df.select(
+        *keys,
+        F.to_date(F.col(ts_col)).alias("_day"),
+        F.col(actor_col).alias("_actor"),
+    )
+    daily = d.groupBy(*keys, "_day").agg(
+        F.collect_set("_actor").alias("_set")
+    )
+    daynum = F.datediff(F.col("_day"), F.lit("1970-01-01"))
+    w = (
+        Window.partitionBy(*keys)
+        .orderBy(daynum)
+        .rangeBetween(-(window_days - 1), 0)
+    )
+    return daily.select(
+        *keys,
+        F.date_format("_day", "yyyy-MM-dd").alias("day"),
+        F.size("_set").cast("long").alias("n_day"),
+        F.size(
+            F.array_distinct(F.flatten(F.collect_list("_set").over(w)))
+        )
+        .cast("long")
+        .alias("n_window"),
+        F.count(F.lit(1)).over(w).cast("long").alias("days_covered"),
+    )

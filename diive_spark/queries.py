@@ -6670,6 +6670,39 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_rolling_distinct(spark, sf_dir):
+    """Trailing-7-day distinct actors per event_type (WAU-style): the
+    day-RANGE window slides over per-day actor-set partials, never raw
+    events; exact here, HLL-sketch partial at scale (same algebra)."""
+    from .operators.sessions import rolling_distinct_actors
+
+    return rolling_distinct_actors(
+        _load(spark, sf_dir, "events"), window_days=7
+    ).withColumnRenamed("event_type", "source")
+
+
+SQL_ROLLING_DISTINCT = """
+WITH d AS (SELECT event_type AS source, CAST(ts AS DATE) AS day,
+                  user_id
+           FROM events),
+days AS (SELECT DISTINCT source, day FROM d)
+SELECT days.source,
+       strftime(days.day, '%Y-%m-%d') AS day,
+       CAST((SELECT count(DISTINCT user_id) FROM d
+             WHERE d.source = days.source AND d.day = days.day)
+            AS BIGINT) AS n_day,
+       CAST((SELECT count(DISTINCT user_id) FROM d
+             WHERE d.source = days.source
+               AND d.day BETWEEN days.day - 6 AND days.day)
+            AS BIGINT) AS n_window,
+       CAST((SELECT count(DISTINCT d.day) FROM d
+             WHERE d.source = days.source
+               AND d.day BETWEEN days.day - 6 AND days.day)
+            AS BIGINT) AS days_covered
+FROM days
+"""
+
+
 _TB_CAP, _TB_RATE, _TB_COST = 3.0, 0.00001, 1.0
 
 
@@ -7542,6 +7575,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "rolling_distinct_actors": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
     "token_bucket_replay": (q_token_bucket, SQL_TOKEN_BUCKET),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),
     "binseg_changepoints": (q_binseg_changepoints, SQL_BINSEG),
