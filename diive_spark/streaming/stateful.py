@@ -664,3 +664,87 @@ def stream_funnel_partials(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BUCKET_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("throttled_ts", T.DoubleType()),
+        T.StructField("throttle_no", T.LongType()),
+        T.StructField("level", T.DoubleType()),
+    ]
+)
+
+BUCKET_STATE = T.StructType(
+    [
+        T.StructField("last_ts", T.DoubleType()),
+        T.StructField("lvl", T.DoubleType()),
+        T.StructField("thr", T.LongType()),
+    ]
+)
+
+
+def _bucket_partials(capacity, refill_per_s, cost):
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_ts, lvl, thr = state.get
+        else:
+            last_ts, lvl, thr = None, capacity, 0
+        ts = []
+        for pdf in pdfs:
+            ts.extend(pdf["ts_epoch"].tolist())
+        out = []
+        for t in sorted(ts):
+            if last_ts is not None and t <= last_ts:
+                continue  # replay / duplicate: idempotent skip
+            # EXACT batch arithmetic order (eventflow.token_bucket_
+            # throttle): refill then cap-clamp then compare
+            if last_ts is not None:
+                refill = (t - last_ts) * refill_per_s
+                lvl = lvl + refill if lvl + refill < capacity else capacity
+            last_ts = t
+            if lvl >= cost:
+                lvl -= cost
+            else:
+                thr += 1
+                out.append((key[0], t, thr, lvl))
+        state.update((last_ts, lvl, thr))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["user_id", "throttled_ts", "throttle_no", "level"],
+            )
+
+    return fn
+
+
+def stream_bucket_partials(
+    stream_df: DataFrame,
+    capacity: float = 5.0,
+    refill_per_s: float = 0.01,
+    cost: float = 1.0,
+) -> DataFrame:
+    """Streaming token-bucket policer (the live form of the batch
+    :func:`...operators.eventflow.token_bucket_throttle` replay):
+    3-scalar keyed state, emits one row per THROTTLED event as it
+    happens.  Same exact-IEEE update chain as the batch fold, so the
+    throttle decisions, counts, and bucket levels match the batch
+    audit bit-for-bit under any micro-batch slicing of an ordered
+    arrival stream; replays are skipped idempotently via the last_ts
+    watermark.  Input rows carry ``user_id`` + ``ts_epoch`` (exact
+    micros/1e6 doubles).
+    """
+    if capacity <= 0 or refill_per_s < 0 or cost <= 0 or cost > capacity:
+        raise ValueError(
+            f"invalid policy: capacity={capacity}, "
+            f"refill_per_s={refill_per_s}, cost={cost}"
+        )
+    return stream_df.groupBy("user_id").applyInPandasWithState(
+        _bucket_partials(float(capacity), float(refill_per_s), float(cost)),
+        outputStructType=BUCKET_SCHEMA,
+        stateStructType=BUCKET_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

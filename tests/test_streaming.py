@@ -1366,3 +1366,62 @@ def test_stream_funnel_matches_batch_completions(spark, tmp_path):
         assert got.loc[uid, "dur_s"] == batch.loc[uid, "dur_s"]
     # exactly one completion event per actor despite the replay
     assert got.index.is_unique
+
+
+def test_stream_token_bucket_matches_batch_replay(spark, tmp_path):
+    """Streamed throttle events over three drains (restarts + replayed
+    slice) equal the batch token-bucket audit bit-for-bit."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.operators.eventflow import token_bucket_throttle
+    from diive_spark.streaming.stateful import stream_bucket_partials
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    cap, rate = 3.0, 0.00001
+    feed = ev.select(
+        "user_id",
+        (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(1e6)).alias(
+            "ts_epoch"
+        ),
+    ).cache()
+    lo, hi = feed.agg(F.min("ts_epoch"), F.max("ts_epoch")).collect()[0]
+    c1, c2 = lo + (hi - lo) / 3, lo + 2 * (hi - lo) / 3
+    schema = "user_id long, ts_epoch double"
+    src, out, ckpt = (str(tmp_path / p) for p in ("src", "out", "ckpt"))
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_bucket_partials(stream, capacity=cap, refill_per_s=rate)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    feed.where(F.col("ts_epoch") < c1).write.mode("append").parquet(src)
+    drain()
+    feed.where(
+        (F.col("ts_epoch") >= c1 - 7200) & (F.col("ts_epoch") < c2)
+    ).write.mode("append").parquet(src)
+    drain()
+    feed.where(F.col("ts_epoch") >= c2).write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out).toPandas()
+    batch = token_bucket_throttle(
+        ev, capacity=cap, refill_per_s=rate
+    ).toPandas().set_index("user_id")
+    assert batch["n_throttled"].sum() > 0
+    counts = got.groupby("user_id").size()
+    for uid, row in batch.iterrows():
+        assert counts.get(uid, 0) == row["n_throttled"], uid
+        if row["n_throttled"]:
+            sub = got[got["user_id"] == uid].sort_values("throttled_ts")
+            assert sub["throttled_ts"].iloc[0] == row["first_throttled_t"]
+            assert sub["throttle_no"].tolist() == list(
+                range(1, len(sub) + 1)
+            )
