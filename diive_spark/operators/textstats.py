@@ -696,3 +696,85 @@ def ngram_novelty(
         ),
         "novelty",
     )
+
+
+def heaps_law(
+    df: DataFrame,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+    group_col: str = "source",
+) -> DataFrame:
+    """Heaps'-law vocabulary-growth exponent per source (Heaps 1978;
+    Herdan 1960): OLS fit of ``ln V`` on ``ln N`` over the per-doc
+    cumulative (tokens seen N, distinct vocabulary V) curve, docs
+    ordered by ``doc_col``.  Natural corpora sit near beta 0.4-0.6;
+    beta near 0 is a closed template vocabulary, beta near 1 is
+    id-like unbounded vocab — the growth-side companion of
+    :func:`zipf_slope`'s static rank-frequency check, and together
+    the cheapest corpus-synthesis tell.
+
+    Same whitespace tokenizer as zipf_slope (consistency).  Emits per
+    source: ``n_docs``, ``tokens`` (final N), ``vocab`` (final V),
+    ``heaps_beta``, ``heaps_lnk`` (intercept), nulls when fewer than
+    3 curve points or zero slope-variance.
+
+    Scale shape: one explode, then (group, word) and (group, doc)
+    groupBys with map-side combine, a per-group ordered window over
+    PER-DOC summaries (docs-per-group rows, never tokens), and a
+    5-sum OLS fold.  The cumulative-vocab trick: a word contributes a
+    +1 exactly at its FIRST doc (min doc id), so V_i is a running sum
+    of per-doc first-occurrence counts — no quadratic doc x vocab
+    scan.
+    """
+    new_col = "_nw"
+    tok = df.select(
+        F.col(group_col),
+        F.col(doc_col).alias("_doc"),
+        F.explode(
+            F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+        ).alias("_w"),
+    )
+    per_doc = tok.groupBy(group_col, "_doc").agg(
+        F.count(F.lit(1)).alias("_nt")
+    )
+    firsts = (
+        tok.groupBy(group_col, "_w")
+        .agg(F.min("_doc").alias("_doc"))
+        .groupBy(group_col, "_doc")
+        .agg(F.count(F.lit(1)).alias(new_col))
+    )
+    w = (
+        Window.partitionBy(group_col)
+        .orderBy("_doc")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    curve = (
+        per_doc.join(firsts, on=[group_col, "_doc"], how="left")
+        .withColumn("_N", F.sum("_nt").over(w))
+        .withColumn("_V", F.sum(F.coalesce(F.col(new_col), F.lit(0))).over(w))
+    )
+    x = F.log(F.col("_N").cast("double"))
+    y = F.log(F.col("_V").cast("double"))
+    agg = curve.groupBy(group_col).agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.max("_N").cast("long").alias("tokens"),
+        F.max("_V").cast("long").alias("vocab"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+    )
+    n = F.col("n_docs").cast("double")
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    beta = F.when(
+        (F.col("n_docs") >= 3) & (F.abs(den) > 1e-12),
+        (n * F.col("_sxy") - F.col("_sx") * F.col("_sy")) / den,
+    )
+    lnk = F.when(
+        beta.isNotNull(), (F.col("_sy") - beta * F.col("_sx")) / n
+    )
+    return agg.select(
+        group_col, "n_docs", "tokens", "vocab",
+        beta.alias("heaps_beta"),
+        lnk.alias("heaps_lnk"),
+    )

@@ -6670,6 +6670,60 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_heaps_law(spark, sf_dir):
+    """Heaps'-law vocabulary-growth exponent per source (Heaps 1978):
+    OLS of ln V on ln N over the per-doc cumulative curve — the
+    growth-side companion of zipf_slope and the cheapest
+    template/synthetic-corpus tell.  Exact integer curve; only the
+    final log-OLS is floating (round-6)."""
+    out = textstats.heaps_law(_load(spark, sf_dir, "documents"))
+    return out.select(
+        "source", "n_docs", "tokens", "vocab",
+        _r(F.col("heaps_beta")).alias("heaps_beta"),
+        _r(F.col("heaps_lnk")).alias("heaps_lnk"),
+    )
+
+
+SQL_HEAPS_LAW = r"""
+WITH tok AS (
+  SELECT source, doc_id AS doc,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w
+  FROM documents),
+per_doc AS (SELECT source, doc, CAST(count(*) AS BIGINT) AS nt
+            FROM tok GROUP BY 1, 2),
+firsts AS (SELECT source, min(doc) AS doc, w
+           FROM tok GROUP BY source, w),
+nw AS (SELECT source, doc, CAST(count(*) AS BIGINT) AS nw
+       FROM firsts GROUP BY 1, 2),
+curve AS (SELECT p.source, p.doc,
+                 sum(p.nt) OVER wc AS N,
+                 sum(coalesce(nw.nw, 0)) OVER wc AS V
+          FROM per_doc p LEFT JOIN nw
+            ON nw.source = p.source AND nw.doc = p.doc
+          WINDOW wc AS (PARTITION BY p.source ORDER BY p.doc
+                        ROWS UNBOUNDED PRECEDING)),
+ag AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+              CAST(max(N) AS BIGINT) AS tokens,
+              CAST(max(V) AS BIGINT) AS vocab,
+              sum(ln(CAST(N AS DOUBLE))) AS sx,
+              sum(ln(CAST(V AS DOUBLE))) AS sy,
+              sum(ln(CAST(N AS DOUBLE)) * ln(CAST(V AS DOUBLE))) AS sxy,
+              sum(ln(CAST(N AS DOUBLE)) * ln(CAST(N AS DOUBLE))) AS sxx
+       FROM curve GROUP BY 1),
+sl AS (SELECT *,
+              CASE WHEN n_docs >= 3
+                    AND abs(n_docs * sxx - sx * sx) > 1e-12
+                   THEN (n_docs * sxy - sx * sy)
+                        / (n_docs * sxx - sx * sx) END AS beta
+       FROM ag)
+SELECT source, n_docs, tokens, vocab,
+       round(beta, 6) AS heaps_beta,
+       round(CASE WHEN beta IS NOT NULL
+                  THEN (sy - beta * sx) / n_docs END, 6) AS heaps_lnk
+FROM sl
+"""
+
+
 def q_rolling_distinct(spark, sf_dir):
     """Trailing-7-day distinct actors per event_type (WAU-style): the
     day-RANGE window slides over per-day actor-set partials, never raw
@@ -7575,6 +7629,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "rolling_distinct_actors": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
     "token_bucket_replay": (q_token_bucket, SQL_TOKEN_BUCKET),
     "cube_rollup": (q_cube_rollup, SQL_CUBE_ROLLUP),

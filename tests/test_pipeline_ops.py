@@ -970,3 +970,66 @@ def test_bpe_pair_counts(spark):
     plan = top._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "partial_count" in plan.lower() or "partial count" in plan.lower()
+
+
+# ---------------------------------------------------------- heaps_law
+def _heaps_np(docs):
+    """Definitional twin: docs = [(doc_id, text)] sorted by doc_id."""
+    import math
+
+    seen = set()
+    N = V = 0
+    xs, ys = [], []
+    for _, text in sorted(docs):
+        words = text.strip().lower().split()
+        N += len(words)
+        for w in words:
+            if w not in seen:
+                seen.add(w)
+                V += 1
+        xs.append(math.log(N))
+        ys.append(math.log(V))
+    n = len(xs)
+    sx, sy = sum(xs), sum(ys)
+    sxy = sum(a * b for a, b in zip(xs, ys))
+    sxx = sum(a * a for a in xs)
+    den = n * sxx - sx * sx
+    if n < 3 or abs(den) <= 1e-12:
+        return N, V, None, None
+    beta = (n * sxy - sx * sy) / den
+    return N, V, beta, (sy - beta * sx) / n
+
+
+def test_heaps_law_matches_python_twin(spark):
+    import numpy as np
+
+    from diive_spark.operators.textstats import heaps_law
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["source"]: r for r in heaps_law(docs).collect()}
+    pdf = docs.toPandas()
+    assert len(got) >= 2
+    for src, g in pdf.groupby("source"):
+        N, V, beta, lnk = _heaps_np(list(zip(g["doc_id"], g["text"])))
+        r = got[src]
+        assert r["tokens"] == N and r["vocab"] == V
+        np.testing.assert_allclose(r["heaps_beta"], beta, rtol=1e-9)
+        np.testing.assert_allclose(r["heaps_lnk"], lnk, rtol=1e-9)
+        # the synthetic docs table is a ~31-word closed template
+        # vocabulary: Heaps correctly reads it as beta ~ 0 — the
+        # template-detection regime the operator exists to flag
+        assert -0.01 < r["heaps_beta"] < 0.2
+
+
+def test_heaps_law_separates_vocab_regimes(spark):
+    from diive_spark.operators.textstats import heaps_law
+
+    closed = [("tmpl", i, "alpha beta gamma delta") for i in range(30)]
+    open_v = [("ids", i, " ".join(f"tok{i}_{j}" for j in range(10)))
+              for i in range(30)]
+    df = spark.createDataFrame(
+        closed + open_v, "source string, doc_id long, text string"
+    )
+    out = {r["source"]: r for r in heaps_law(df).collect()}
+    assert out["tmpl"]["heaps_beta"] < 0.1   # closed vocabulary
+    assert out["ids"]["heaps_beta"] > 0.9    # unbounded id-like vocab
