@@ -6670,6 +6670,81 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_tpch_q1(spark, sf_dir):
+    """TPC-H Q1 pricing summary (the canonical scan-heavy OLAP
+    aggregate) in idiomatic DataFrame API: one filtered scan, one
+    map-side-combinable groupBy — Catalyst pushes the shipdate filter
+    into the parquet scan (gated in test_plans)."""
+    li = _load(spark, sf_dir, "lineitem")
+    disc = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.where(F.col("l_shipdate") <= F.lit("1998-09-02"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _r(F.sum("l_quantity")).alias("sum_qty"),
+            _r(F.sum("l_extendedprice")).alias("sum_base_price"),
+            _r(F.sum(disc)).alias("sum_disc_price"),
+            _r(F.sum(disc * (1 + F.col("l_tax")))).alias("sum_charge"),
+            _r(F.avg("l_quantity")).alias("avg_qty"),
+            _r(F.avg("l_extendedprice")).alias("avg_price"),
+            _r(F.avg("l_discount")).alias("avg_disc"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+    )
+
+
+SQL_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       round(sum(l_quantity), 6) AS sum_qty,
+       round(sum(l_extendedprice), 6) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 6)
+         AS sum_disc_price,
+       round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 6)
+         AS sum_charge,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       CAST(count(*) AS BIGINT) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY 1, 2
+"""
+
+
+def q_tpch_q6(spark, sf_dir):
+    """TPC-H Q6 forecast-revenue filter: the pure pushdown benchmark —
+    every predicate reaches the parquet scan, the aggregate is a
+    single map-side-combined sum (plan gate: PushedFilters carries
+    the range predicates; no shuffle beyond the final 1-row agg)."""
+    li = _load(spark, sf_dir, "lineitem")
+    return (
+        li.where(
+            (F.col("l_shipdate") >= F.lit("1995-01-01"))
+            & (F.col("l_shipdate") < F.lit("1996-01-01"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            _r(F.sum(F.col("l_extendedprice") * F.col("l_discount"))).alias(
+                "revenue"
+            ),
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+        )
+    )
+
+
+SQL_TPCH_Q6 = """
+SELECT round(sum(l_extendedprice * l_discount), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_rows
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-01-01 00:00:00'
+  AND l_discount >= 0.03 AND l_discount <= 0.05
+  AND l_quantity < 24
+"""
+
+
 def q_heaps_law(spark, sf_dir):
     """Heaps'-law vocabulary-growth exponent per source (Heaps 1978):
     OLS of ln V on ln N over the per-doc cumulative curve — the
@@ -7629,6 +7704,8 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "rolling_distinct_actors": (q_rolling_distinct, SQL_ROLLING_DISTINCT),
     "token_bucket_replay": (q_token_bucket, SQL_TOKEN_BUCKET),

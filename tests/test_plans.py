@@ -669,3 +669,29 @@ def test_dtw_exemplar_side_is_broadcast(spark):
 
     plan = _physical_plan(q_dtw_exemplar(spark, SF))
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q6_predicates_reach_the_scan(spark):
+    """Q6 is the pushdown benchmark: the shipdate/discount/quantity
+    range predicates must appear as PushedFilters on the parquet scan
+    and the plan must hold ONE exchange (the 1-row final agg)."""
+    from diive_spark.queries import q_tpch_q6
+
+    df = q_tpch_q6(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters: [" in plan
+    pushed = plan.split("PushedFilters: [", 1)[1].split("]", 1)[0]
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pushed, (col, pushed)
+    assert plan.count("Exchange") == 1  # SinglePartition for the agg
+
+
+def test_tpch_q1_single_shuffle_and_pruned_schema(spark):
+    from diive_spark.queries import q_tpch_q1
+
+    df = q_tpch_q1(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1
+    # column pruning: the scan must NOT read the unused key columns
+    sch = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
+    assert "l_orderkey" not in sch and "l_partkey" not in sch
