@@ -6711,6 +6711,60 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q3(spark, sf_dir):
+    """TPC-H Q3 shipping priority: the canonical 3-table join.
+    DataFrame-API shape: the filtered customer dim BROADCASTS into
+    orders (no shuffle for the small side), lineitem joins on the
+    orderkey exchange, one aggregate, top-10 by revenue with a
+    deterministic tie-break."""
+    cust = _load(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _load(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit("1995-03-15")
+    )
+    li = _load(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit("1995-03-15")
+    )
+    j = (
+        orders.join(
+            F.broadcast(cust),
+            orders["o_custkey"] == cust["c_custkey"],
+        )
+        .join(li, li["l_orderkey"] == orders["o_orderkey"])
+    )
+    agg = j.groupBy(
+        "l_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        "o_orderpriority",
+    ).agg(
+        _r(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue")
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("l_orderkey").asc()
+    ).limit(10)
+
+
+SQL_TPCH_Q3 = """
+SELECT l_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       o_orderpriority,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer
+JOIN orders ON o_custkey = c_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 6) DESC,
+         l_orderkey ASC
+LIMIT 10
+"""
+
+
 def q_tpch_q6(spark, sf_dir):
     """TPC-H Q6 forecast-revenue filter: the pure pushdown benchmark —
     every predicate reaches the parquet scan, the aggregate is a
@@ -7705,6 +7759,7 @@ QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
+    "tpch_q3_shipping": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),
     "heaps_law": (q_heaps_law, SQL_HEAPS_LAW),
     "rolling_distinct_actors": (q_rolling_distinct, SQL_ROLLING_DISTINCT),

@@ -695,3 +695,14 @@ def test_tpch_q1_single_shuffle_and_pruned_schema(spark):
     # column pruning: the scan must NOT read the unused key columns
     sch = plan.split("ReadSchema: ", 1)[1].split("\n", 1)[0]
     assert "l_orderkey" not in sch and "l_partkey" not in sch
+
+
+def test_tpch_q3_broadcasts_customer_dim(spark):
+    from diive_spark.queries import q_tpch_q3
+
+    df = q_tpch_q3(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # the big join keys on orderkey -- a real hash exchange is expected
+    assert "Exchange hashpartitioning" in plan
