@@ -136,3 +136,65 @@ def rolling_distinct_actors(
         .alias("n_window"),
         F.count(F.lit(1)).over(w).cast("long").alias("days_covered"),
     )
+
+
+def scd2_history(
+    df: DataFrame,
+    attr_cols: Sequence[str],
+    ts_col: str = "ts",
+    key_cols: Sequence[str] = ("user_id",),
+    current_end: str = "9999-12-31 00:00:00",
+) -> DataFrame:
+    """Slowly-changing-dimension type-2 history build (Kimball, The
+    Data Warehouse Toolkit ch.5): collapse an UPDATE STREAM of
+    attribute observations into validity intervals — one row per
+    (key, attribute-state run) with ``valid_from`` / ``valid_to`` /
+    ``version`` / ``is_current``.  Consecutive observations with
+    identical attributes merge into one interval; each change closes
+    the previous interval at the new row's timestamp (end-exclusive
+    convention).
+
+    Null-safe change detection (``eqNullSafe``): a null attribute is a
+    VALUE, so null->x and x->null are changes while null->null is
+    not.  Ties on ``ts_col`` within a key are broken by the attribute
+    tuple (deterministic across engines); the run logic is
+    gaps-and-islands — one ordered window pass + one aggregate, both
+    on the key exchange, no join and no collect.
+
+    ``current_end`` stamps the open interval (the warehouse
+    convention of a far-future sentinel keeps BETWEEN point-in-time
+    lookups index-friendly — the as-of join in joins.py accepts
+    either form).
+    """
+    keys = list(key_cols)
+    attrs = list(attr_cols)
+    if not attrs:
+        raise ValueError("attr_cols must be non-empty")
+    w = Window.partitionBy(*keys).orderBy(ts_col, *attrs)
+    changed = F.lit(False)
+    for a in attrs:
+        changed = changed | ~F.col(a).eqNullSafe(F.lag(a).over(w))
+    first = F.row_number().over(w) == 1
+    marked = df.withColumn(
+        "_brk", F.when(first | changed, 1).otherwise(0)
+    ).withColumn(
+        "_run",
+        F.sum("_brk").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    runs = marked.groupBy(*keys, "_run", *attrs).agg(
+        F.min(ts_col).alias("valid_from"),
+        F.count(F.lit(1)).cast("long").alias("n_obs"),
+    )
+    w2 = Window.partitionBy(*keys).orderBy("_run")
+    nxt = F.lead("valid_from").over(w2)
+    return runs.select(
+        *keys,
+        *attrs,
+        "valid_from",
+        F.coalesce(nxt, F.lit(current_end).cast("timestamp")).alias(
+            "valid_to"
+        ),
+        F.col("_run").cast("long").alias("version"),
+        nxt.isNull().alias("is_current"),
+        "n_obs",
+    )

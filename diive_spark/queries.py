@@ -6670,6 +6670,55 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_scd2_history(spark, sf_dir):
+    """SCD type-2 dimension history (Kimball ch.5): collapse each
+    user's event_type observation stream into validity intervals —
+    null-safe change detection, end-exclusive intervals, far-future
+    sentinel on the open row.  Timestamps emitted as microsecond
+    strings (the 9999 sentinel overflows ns epochs in Arrow/pandas)."""
+    from .operators.sessions import scd2_history
+
+    out = scd2_history(_load(spark, sf_dir, "events"), ["event_type"])
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    return out.select(
+        "user_id", "event_type",
+        F.date_format("valid_from", fmt).alias("valid_from"),
+        F.date_format("valid_to", fmt).alias("valid_to"),
+        "version", "is_current", "n_obs",
+    )
+
+
+SQL_SCD2_HISTORY = """
+WITH m AS (
+  SELECT user_id, ts, event_type,
+         CASE WHEN row_number() OVER w = 1
+                OR event_type IS DISTINCT FROM lag(event_type) OVER w
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)),
+r AS (SELECT *,
+             sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                            ROWS UNBOUNDED PRECEDING) AS run
+      FROM m),
+runs AS (SELECT user_id, run, event_type,
+                min(ts) AS valid_from,
+                CAST(count(*) AS BIGINT) AS n_obs
+         FROM r GROUP BY 1, 2, 3),
+iv AS (SELECT *,
+              lead(valid_from) OVER (PARTITION BY user_id
+                                     ORDER BY run) AS nxt
+       FROM runs)
+SELECT user_id, event_type,
+       strftime(valid_from, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+       coalesce(strftime(nxt, '%Y-%m-%d %H:%M:%S.%f'),
+                '9999-12-31 00:00:00.000000') AS valid_to,
+       CAST(run AS BIGINT) AS version,
+       nxt IS NULL AS is_current,
+       n_obs
+FROM iv
+"""
+
+
 def q_tpch_q1(spark, sf_dir):
     """TPC-H Q1 pricing summary (the canonical scan-heavy OLAP
     aggregate) in idiomatic DataFrame API: one filtered scan, one
@@ -7758,6 +7807,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3, SQL_TPCH_Q3),
     "tpch_q6_revenue": (q_tpch_q6, SQL_TPCH_Q6),

@@ -286,3 +286,66 @@ def test_rolling_distinct_actors_matches_pandas(spark):
 
     with pytest.raises(ValueError):
         rolling_distinct_actors(ev, window_days=0)
+
+
+# ------------------------------------------------------- scd2_history
+def test_scd2_history_hand_case(spark):
+    import datetime as dt
+
+    import pytest
+
+    from diive_spark.operators.sessions import scd2_history
+
+    t = lambda s: dt.datetime(2024, 1, int(s))
+    rows = [
+        (1, t(1), "bronze"),
+        (1, t(3), "bronze"),   # no change -> same interval
+        (1, t(5), "gold"),     # change
+        (1, t(9), None),       # change to null (null is a value)
+        (1, t(11), None),      # null -> null: no change
+        (2, t(2), "silver"),   # single-run key
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, tier string")
+    got = {
+        (r["user_id"], r["version"]): r
+        for r in scd2_history(df, ["tier"]).collect()
+    }
+    assert len(got) == 4
+    r1 = got[(1, 1)]
+    assert r1["tier"] == "bronze" and r1["n_obs"] == 2
+    assert r1["valid_from"] == t(1) and r1["valid_to"] == t(5)
+    assert not r1["is_current"]
+    r2 = got[(1, 2)]
+    assert r2["tier"] == "gold" and r2["valid_to"] == t(9)
+    r3 = got[(1, 3)]
+    assert r3["tier"] is None and r3["n_obs"] == 2 and r3["is_current"]
+    assert r3["valid_to"].year == 9999
+    assert got[(2, 1)]["is_current"]
+    with pytest.raises(ValueError):
+        scd2_history(df, [])
+
+
+def test_scd2_intervals_partition_the_timeline(spark):
+    """On real events (event_type as the tracked attribute): intervals
+    per user are contiguous, non-overlapping, and cover first-ts ->
+    sentinel."""
+    from collections import defaultdict
+
+    from diive_spark.operators.sessions import scd2_history
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    rows = (
+        scd2_history(ev, ["event_type"])
+        .orderBy("user_id", "version")
+        .collect()  # NOT toPandas: the 9999 sentinel overflows ns
+    )
+    assert sum(r["n_obs"] for r in rows) == ev.count()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r["user_id"]].append(r)
+    for uid, g in by_user.items():
+        assert [r["version"] for r in g] == list(range(1, len(g) + 1))
+        for a, b in zip(g, g[1:]):
+            assert a["valid_to"] == b["valid_from"]
+        assert g[-1]["is_current"]
+        assert not any(r["is_current"] for r in g[:-1])
