@@ -198,3 +198,85 @@ def scd2_history(
         nxt.isNull().alias("is_current"),
         "n_obs",
     )
+
+
+def session_type_affinity(
+    df: DataFrame,
+    gap_seconds: float = 1800.0,
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+    key_cols: Sequence[str] = ("user_id",),
+) -> DataFrame:
+    """Session-level co-occurrence affinity between event types
+    (market-basket lift / pointwise mutual information, Church & Hanks
+    1990; baskets = inactivity-gap sessions from :func:`sessionize`):
+    which behaviours travel together within a visit, beyond what their
+    base rates predict.
+
+        lift(a,b) = P(a,b) / (P(a) P(b))
+                  = n_ab * S / (n_a * n_b)     over S sessions
+        pmi(a,b)  = ln lift(a,b)
+
+    Emits one row per unordered type pair observed together at least
+    once: ``type_a < type_b``, ``n_a``, ``n_b``, ``n_ab``, ``n_sessions``,
+    ``lift``, ``pmi``.  Counts are exact integers (distinct
+    session-type presence), so everything but the final ``ln`` is
+    order-independent-exact across engines.
+
+    Scale shape: sessionization's one ordered window, then the pair
+    explode runs over PER-SESSION TYPE SETS (<= distinct-types-squared
+    per session, never events), and the count tables are bounded by
+    the type vocabulary squared — KBs at any event volume.
+    """
+    keys = list(key_cols)
+    s = sessionize(df, ts_col=ts_col, key_cols=keys, gap_seconds=gap_seconds)
+    sess = s.select(*keys, "session_id", F.col(type_col).alias("_y"))
+    per = sess.groupBy(*keys, "session_id").agg(
+        F.array_sort(F.collect_set("_y")).alias("_ys")
+    )
+    n_sessions = per.count()
+    singles = {
+        r["_y"]: r["c"]
+        for r in per.select(F.explode("_ys").alias("_y"))
+        .groupBy("_y")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    }
+    pairs = per.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    F.col("_ys"),
+                    lambda a, i: F.transform(
+                        F.slice(
+                            F.col("_ys"), i + 2,
+                            F.greatest(
+                                F.size("_ys") - i - 1, F.lit(1)
+                            ),
+                        ),
+                        lambda b: F.struct(
+                            a.alias("ta"), b.alias("tb")
+                        ),
+                    ),
+                )
+            )
+        ).alias("_p")
+    )
+    ab = pairs.groupBy(
+        F.col("_p.ta").alias("type_a"), F.col("_p.tb").alias("type_b")
+    ).agg(F.count(F.lit(1)).cast("long").alias("n_ab"))
+    sm = F.create_map(
+        *[x for k, v in sorted(singles.items()) for x in (F.lit(k), F.lit(v))]
+    )
+    n_a = F.element_at(sm, F.col("type_a")).cast("long")
+    n_b = F.element_at(sm, F.col("type_b")).cast("long")
+    lift = (
+        F.col("n_ab").cast("double") * F.lit(float(n_sessions))
+    ) / (n_a.cast("double") * n_b.cast("double"))
+    return ab.select(
+        "type_a", "type_b",
+        n_a.alias("n_a"), n_b.alias("n_b"), "n_ab",
+        F.lit(int(n_sessions)).cast("long").alias("n_sessions"),
+        lift.alias("lift"),
+        F.log(lift).alias("pmi"),
+    )

@@ -6670,6 +6670,63 @@ FROM rk WHERE rank <= 5
 """
 
 
+_AFF_GAP = 21600.0
+
+
+def q_session_affinity(spark, sf_dir):
+    """Session-basket event-type affinity (market-basket lift / PMI,
+    Church & Hanks 1990) over 6-h inactivity sessions: which
+    behaviours travel together within a visit beyond base rates.
+    Exact integer presence counts; only the final ln is floating."""
+    from .operators.sessions import session_type_affinity
+
+    out = session_type_affinity(
+        _load(spark, sf_dir, "events"), gap_seconds=_AFF_GAP
+    )
+    return out.select(
+        "type_a", "type_b", "n_a", "n_b", "n_ab", "n_sessions",
+        _r(F.col("lift")).alias("lift"),
+        _r(F.col("pmi")).alias("pmi"),
+    )
+
+
+SQL_SESSION_AFFINITY = f"""
+WITH e AS (SELECT user_id, ts, epoch(ts) AS ep, event_type FROM events),
+m AS (SELECT *,
+             CASE WHEN lag(ep) OVER w IS NULL
+                    OR ep - lag(ep) OVER w >= {_AFF_GAP!r}
+                  THEN 1 ELSE 0 END AS b
+      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (SELECT user_id, event_type,
+             sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+      FROM m),
+pres AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+tot AS (SELECT count(DISTINCT (user_id, sid)) AS S FROM s),
+singles AS (SELECT event_type, CAST(count(*) AS BIGINT) AS c
+            FROM pres GROUP BY 1),
+pairs AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+                 CAST(count(*) AS BIGINT) AS n_ab
+          FROM pres a JOIN pres b
+            ON a.user_id = b.user_id AND a.sid = b.sid
+           AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+SELECT p.type_a, p.type_b,
+       sa.c AS n_a, sb.c AS n_b, p.n_ab,
+       CAST(tot.S AS BIGINT) AS n_sessions,
+       round(CAST(p.n_ab AS DOUBLE) * CAST(tot.S AS DOUBLE)
+             / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE)), 6)
+         AS lift,
+       round(ln(CAST(p.n_ab AS DOUBLE) * CAST(tot.S AS DOUBLE)
+                / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))), 6)
+         AS pmi
+FROM pairs p
+JOIN singles sa ON sa.event_type = p.type_a
+JOIN singles sb ON sb.event_type = p.type_b
+CROSS JOIN tot
+"""
+
+
 def q_scd2_history(spark, sf_dir):
     """SCD type-2 dimension history (Kimball ch.5): collapse each
     user's event_type observation stream into validity intervals —
@@ -7807,6 +7864,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "session_type_affinity": (q_session_affinity, SQL_SESSION_AFFINITY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),
     "tpch_q3_shipping": (q_tpch_q3, SQL_TPCH_Q3),

@@ -349,3 +349,84 @@ def test_scd2_intervals_partition_the_timeline(spark):
             assert a["valid_to"] == b["valid_from"]
         assert g[-1]["is_current"]
         assert not any(r["is_current"] for r in g[:-1])
+
+
+# ----------------------------------------------- session_type_affinity
+def _affinity_pd(pdf, gap_s):
+    import itertools
+    import math
+
+    out = {}
+    sessions = []
+    for uid, g in pdf.sort_values("ts").groupby("user_id"):
+        ep = g["ts"].astype("int64").to_numpy() // 1000 / 1e6
+        types = g["event_type"].tolist()
+        cur = set()
+        last = None
+        for t, y in zip(ep, types):
+            if last is not None and t - last >= gap_s:
+                sessions.append(cur)
+                cur = set()
+            cur.add(y)
+            last = t
+        if cur:
+            sessions.append(cur)
+    S = len(sessions)
+    singles = {}
+    pairs = {}
+    for s in sessions:
+        for y in s:
+            singles[y] = singles.get(y, 0) + 1
+        for a, b in itertools.combinations(sorted(s), 2):
+            pairs[(a, b)] = pairs.get((a, b), 0) + 1
+    res = {}
+    for (a, b), nab in pairs.items():
+        lift = nab * S / (singles[a] * singles[b])
+        res[(a, b)] = (singles[a], singles[b], nab, S, lift, math.log(lift))
+    return res
+
+
+def test_session_affinity_matches_pandas(spark):
+    import numpy as np
+
+    from diive_spark.operators.sessions import session_type_affinity
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    gap = 21600.0
+    got = {
+        (r["type_a"], r["type_b"]): r
+        for r in session_type_affinity(ev, gap_seconds=gap).collect()
+    }
+    exp = _affinity_pd(ev.toPandas(), gap)
+    assert set(got) == set(exp)
+    assert len(got) >= 6
+    for k, (na, nb, nab, S, lift, pmi) in exp.items():
+        r = got[k]
+        assert (r["n_a"], r["n_b"], r["n_ab"], r["n_sessions"]) == (
+            na, nb, nab, S
+        )
+        np.testing.assert_allclose(r["lift"], lift, rtol=1e-12)
+        np.testing.assert_allclose(r["pmi"], pmi, rtol=1e-9)
+
+
+def test_session_affinity_planted_association(spark):
+    import datetime as dt
+
+    from diive_spark.operators.sessions import session_type_affinity
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(20):
+        base = t0 + dt.timedelta(hours=3 * u)
+        # "a" and "b" ALWAYS co-occur; "c" appears alone
+        rows += [(u, base, "a"), (u, base + dt.timedelta(minutes=1), "b")]
+        rows += [(u, base + dt.timedelta(hours=2), "c")]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, event_type string")
+    out = {
+        (r["type_a"], r["type_b"]): r
+        for r in session_type_affinity(df, gap_seconds=1800.0).collect()
+    }
+    assert ("a", "b") in out
+    r = out[("a", "b")]
+    assert r["n_ab"] == 20 and r["lift"] > 1.5 and r["pmi"] > 0
+    assert ("a", "c") not in out  # never share a session
