@@ -778,3 +778,120 @@ def heaps_law(
         beta.alias("heaps_beta"),
         lnk.alias("heaps_lnk"),
     )
+
+
+def textrank_keywords(
+    df: DataFrame,
+    iters: int = 10,
+    damping_num: int = 17,
+    damping_den: int = 20,
+    min_cooc: int = 2,
+    scale: int = 1_000_000_000,
+    text_col: str = "text",
+    doc_col: str = "doc_id",
+) -> DataFrame:
+    """TextRank keyword scoring (Mihalcea & Tarau, EMNLP 2004):
+    PageRank (Page et al. 1999) over the word co-occurrence graph —
+    an undirected edge links words adjacent at least ``min_cooc``
+    times in the corpus — run for a FIXED ``iters`` iterations in
+    INTEGER fixed-point arithmetic:
+
+        pr_0[v]   = scale // N
+        share[u]  = pr_i[u] // outdeg[u]
+        pr_{i+1}[v] = (scale - scale*d_num//d_den) // N
+                      + (d_num * sum_{u->v} share[u]) // d_den
+
+    Every operation is exact long arithmetic (floor division, no
+    floats anywhere), so the iteration — unlike a floating PageRank,
+    whose per-iteration double sums are partition-order dependent —
+    is bit-identical across engines, partition counts, and replays;
+    an unrolled SQL twin reproduces each pr vector exactly.  The
+    damping factor is the rational d_num/d_den (default 17/20 =
+    0.85).
+
+    Emits per word: ``pr`` (the final fixed-point long; divide by
+    ``scale`` for the probability-like score), ``outdeg``.
+
+    Scale shape: one explode + one (word_a, word_b) bigram groupBy
+    builds the graph (bounded by vocab²); each iteration is one
+    narrow join + groupBy on the word key.  Plans are built by a
+    driver loop — at web vocab sizes checkpoint every few iterations
+    (tiers.py snapshot seam) to cut lineage, exactly as documented in
+    DESIGN_SCALE for iterative fixpoints (connected components).
+    """
+    if iters < 1 or min_cooc < 1 or scale < 1000:
+        raise ValueError("need iters>=1, min_cooc>=1, scale>=1000")
+    if not (0 < damping_num < damping_den):
+        raise ValueError("damping must satisfy 0 < num < den")
+    w = F.split(F.lower(F.trim(F.col(text_col))), r"\s+")
+    tok = df.select(
+        F.col(doc_col).alias("_doc"), F.posexplode(w).alias("_i", "_w")
+    )
+    # adjacent pairs WITHIN a doc: self-join on (_doc, _i+1)
+    a = tok.select("_doc", "_i", F.col("_w").alias("_wa"))
+    b = tok.select(
+        "_doc", (F.col("_i") - 1).alias("_i"), F.col("_w").alias("_wb")
+    )
+    big = (
+        a.join(b, on=["_doc", "_i"])
+        .where(F.col("_wa") != F.col("_wb"))
+        .select(
+            F.least("_wa", "_wb").alias("wa"),
+            F.greatest("_wa", "_wb").alias("wb"),
+        )
+        .groupBy("wa", "wb")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_cooc)
+    )
+    edges = big.select("wa", "wb").unionByName(
+        big.select(F.col("wb").alias("wa"), F.col("wa").alias("wb"))
+    )
+    deg = edges.groupBy("wa").agg(
+        F.count(F.lit(1)).cast("long").alias("outdeg")
+    )
+    n_nodes = deg.count()
+    if n_nodes == 0:
+        return deg.select(
+            F.col("wa").alias("word"), F.lit(0).cast("long").alias("pr"),
+            "outdeg",
+        )
+    base = int((scale - scale * damping_num // damping_den) // n_nodes)
+    pr = deg.select(
+        "wa", F.lit(int(scale // n_nodes)).cast("long").alias("pr")
+    )
+    for _ in range(int(iters)):
+        contrib = (
+            pr.join(deg, on="wa")
+            .join(edges, on="wa")
+            .select(
+                F.col("wb").alias("wa"),
+                # true integer division (`div`), NOT double-divide+cast:
+                # exactness is the whole point of the fixed-point form
+                F.expr("pr div outdeg").alias("_sh"),
+            )
+            .groupBy("wa")
+            .agg(F.sum("_sh").alias("_in"))
+        )
+        pr = (
+            deg.select("wa")
+            .join(contrib, on="wa", how="left")
+            .withColumn("_in", F.coalesce(F.col("_in"), F.lit(0)))
+            .select(
+                "wa",
+                (
+                    F.lit(base)
+                    + F.expr(
+                        f"({int(damping_num)} * _in) div "
+                        f"{int(damping_den)}"
+                    )
+                ).cast("long").alias("pr"),
+            )
+        )
+        # cut lineage each iteration: without this the 10-iteration
+        # plan stacks ~40 joins and Catalyst analysis dominates wall
+        # (16.8s -> 4.5s at sf0.001); values are already exact longs,
+        # so materializing changes nothing
+        pr = pr.localCheckpoint(eager=True)
+    return pr.join(deg, on="wa").select(
+        F.col("wa").alias("word"), "pr", "outdeg"
+    )

@@ -6670,6 +6670,67 @@ FROM rk WHERE rank <= 5
 """
 
 
+def q_textrank_keywords(spark, sf_dir):
+    """TextRank keyword scores (Mihalcea & Tarau 2004): PageRank over
+    the word co-occurrence graph, 10 fixed iterations in INTEGER
+    fixed-point arithmetic (floor div, rational damping 17/20) — the
+    iterative-fixpoint showcase whose every iteration is
+    bit-identical across engines; the oracle unrolls the 10
+    iterations as chained CTEs."""
+    out = textstats.textrank_keywords(
+        _load(spark, sf_dir, "documents")
+    )
+    return out.select("word", "pr", "outdeg")
+
+
+def _textrank_sql(iters=10, dn=17, dd=20, min_cooc=2, scale=10**9):
+    steps = []
+    for k in range(1, iters + 1):
+        steps.append(f"""
+pr{k} AS (
+  SELECT d.wa,
+         bs.base + ({dn} * coalesce(s.inc, 0)) // {dd} AS pr
+  FROM deg d CROSS JOIN bs
+  LEFT JOIN (
+    SELECT e.wb AS wa, sum(p.pr // d2.outdeg) AS inc
+    FROM pr{k - 1} p
+    JOIN deg d2 ON d2.wa = p.wa
+    JOIN edges e ON e.wa = p.wa
+    GROUP BY 1) s ON s.wa = d.wa)""")
+    return rf"""
+WITH tok AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w,
+         generate_subscripts(
+           regexp_split_to_array(lower(trim(text)), '\s+'), 1) AS i
+  FROM documents),
+nx AS (SELECT doc_id, w,
+              lead(w) OVER (PARTITION BY doc_id ORDER BY i) AS nw
+       FROM tok),
+big AS (SELECT least(w, nw) AS wa, greatest(w, nw) AS wb,
+               count(*) AS c
+        FROM nx WHERE nw IS NOT NULL AND w <> nw
+        GROUP BY 1, 2),
+e0 AS (SELECT wa, wb FROM big WHERE c >= {min_cooc}),
+edges AS (SELECT wa, wb FROM e0
+          UNION ALL SELECT wb AS wa, wa AS wb FROM e0),
+deg AS (SELECT wa, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY 1),
+nn AS (SELECT count(*) AS n FROM deg),
+bs AS (SELECT (CAST({scale} AS BIGINT)
+               - CAST({scale} AS BIGINT) * {dn} // {dd}) // n AS base, n
+       FROM nn),
+pr0 AS (SELECT wa, CAST(CAST({scale} AS BIGINT) // bs.n AS BIGINT) AS pr
+        FROM deg CROSS JOIN bs),{",".join(steps)}
+SELECT pr{iters}.wa AS word, CAST(pr{iters}.pr AS BIGINT) AS pr,
+       deg.outdeg
+FROM pr{iters} JOIN deg ON deg.wa = pr{iters}.wa
+"""
+
+
+SQL_TEXTRANK = _textrank_sql()
+
+
 _AFF_GAP = 21600.0
 
 
@@ -7864,6 +7925,7 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
     "session_type_affinity": (q_session_affinity, SQL_SESSION_AFFINITY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),
     "tpch_q1_pricing": (q_tpch_q1, SQL_TPCH_Q1),

@@ -1033,3 +1033,71 @@ def test_heaps_law_separates_vocab_regimes(spark):
     out = {r["source"]: r for r in heaps_law(df).collect()}
     assert out["tmpl"]["heaps_beta"] < 0.1   # closed vocabulary
     assert out["ids"]["heaps_beta"] > 0.9    # unbounded id-like vocab
+
+
+# ----------------------------------------------------- textrank_keywords
+def _textrank_np(docs, iters=10, dn=17, dd=20, min_cooc=2,
+                 scale=1_000_000_000):
+    from collections import defaultdict
+
+    big = defaultdict(int)
+    for text in docs:
+        ws = text.strip().lower().split()
+        for a, b in zip(ws, ws[1:]):
+            if a != b:
+                big[(min(a, b), max(a, b))] += 1
+    edges = defaultdict(set)
+    for (a, b), c in big.items():
+        if c >= min_cooc:
+            edges[a].add(b)
+            edges[b].add(a)
+    nodes = sorted(edges)
+    n = len(nodes)
+    if n == 0:
+        return {}
+    base = (scale - scale * dn // dd) // n
+    pr = {v: scale // n for v in nodes}
+    for _ in range(iters):
+        inc = defaultdict(int)
+        for u in nodes:
+            share = pr[u] // len(edges[u])
+            for v in edges[u]:
+                inc[v] += share
+        pr = {v: base + (dn * inc[v]) // dd for v in nodes}
+    return {v: (pr[v], len(edges[v])) for v in nodes}
+
+
+def test_textrank_matches_integer_twin(spark):
+    from diive_spark.operators.textstats import textrank_keywords
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = {r["word"]: (r["pr"], r["outdeg"])
+           for r in textrank_keywords(docs).collect()}
+    exp = _textrank_np([r["text"] for r in docs.select("text").collect()])
+    assert got == exp  # exact long equality, every word
+    assert len(got) >= 10
+
+
+def test_textrank_hub_ranks_first(spark):
+    from diive_spark.operators.textstats import textrank_keywords
+
+    # star graph: 'hub' adjacent to 8 spokes (each twice -> min_cooc);
+    # spokes never touch each other
+    docs = []
+    for i in range(8):
+        docs += [f"hub spoke{i}", f"spoke{i} hub"]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(docs)], "doc_id long, text string"
+    )
+    out = sorted(
+        textrank_keywords(df, min_cooc=2).collect(),
+        key=lambda r: -r["pr"],
+    )
+    assert out[0]["word"] == "hub" and out[0]["outdeg"] == 8
+    assert out[0]["pr"] > 3 * out[1]["pr"]
+    import pytest
+
+    with pytest.raises(ValueError):
+        textrank_keywords(df, iters=0)
+    with pytest.raises(ValueError):
+        textrank_keywords(df, damping_num=20, damping_den=20)
