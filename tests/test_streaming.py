@@ -1425,3 +1425,79 @@ def test_stream_token_bucket_matches_batch_replay(spark, tmp_path):
             assert sub["throttle_no"].tolist() == list(
                 range(1, len(sub) + 1)
             )
+
+
+def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
+    """Watermarked stream-stream interval join (clicks -> purchases
+    within 1 h) over incremental drains equals the batch range join
+    exactly."""
+    import pyspark.sql.functions as F
+
+    from diive_spark.streaming.joins import stream_attribution
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    clicks = ev.where("event_type = 'click'").select("user_id", "ts")
+    buys = ev.where("event_type = 'purchase'").select("user_id", "ts")
+    win = 86400.0
+
+    src_c = str(tmp_path / "clicks")
+    src_p = str(tmp_path / "buys")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    schema = "user_id long, ts timestamp"
+
+    def drain():
+        st = spark.readStream.schema(schema).parquet(src_c)
+        sp = spark.readStream.schema(schema).parquet(src_p)
+        q = (
+            stream_attribution(st, sp, window_seconds=win)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    # two incremental loads (time-split) with a drain between
+    cut = "2024-01-16"
+    clicks.where(F.col("ts") < cut).write.mode("append").parquet(src_c)
+    buys.where(F.col("ts") < cut).write.mode("append").parquet(src_p)
+    drain()
+    clicks.where(F.col("ts") >= cut).write.mode("append").parquet(src_c)
+    buys.where(F.col("ts") >= cut).write.mode("append").parquet(src_p)
+    drain()
+
+    got = (
+        spark.read.parquet(out)
+        .orderBy("user_id", "t_trig", "t_conv")
+        .toPandas()
+    )
+    batch = (
+        clicks.alias("c")
+        .join(
+            buys.alias("b"),
+            (F.col("c.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") >= F.col("c.ts"))
+            & (F.col("b.ts") <= F.col("c.ts") + F.expr("INTERVAL 86400 SECONDS")),
+        )
+        .select(
+            F.col("c.user_id").alias("user_id"),
+            F.col("c.ts").alias("t_trig"),
+            F.col("b.ts").alias("t_conv"),
+        )
+        .orderBy("user_id", "t_trig", "t_conv")
+        .toPandas()
+    )
+    assert len(batch) >= 20  # the corpus must exercise the join
+    assert len(got) == len(batch)
+    for col in ("user_id", "t_trig", "t_conv"):
+        assert got[col].tolist() == batch[col].tolist(), col
+    # lag is the exact micros difference
+    lags = (
+        got["t_conv"].astype("int64") // 1000 - got["t_trig"].astype("int64") // 1000
+    ).astype(float) / 1e6
+    import numpy as np
+
+    np.testing.assert_allclose(got["lag_s"], lags, rtol=0, atol=0)
