@@ -7918,6 +7918,449 @@ GROUP BY 1, 2, 3, 4
 """
 
 
+# ---- round-5 fourth-continuation additions --------------------------
+
+
+def q_mann_kendall(spark, sf_dir):
+    """Mann-Kendall monotonic-trend test per 60-wide bin: S statistic
+    via merge-counted inversions (never an O(m^2) pair set), tie-
+    corrected variance, continuity-corrected z, and the 5% two-sided
+    verdict.  The nonparametric companion to theil_sen_trend's slope;
+    one narrow row per bin, one shuffle."""
+    out = analyses.mann_kendall_bins(
+        series(spark, sf_dir), every=60, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "bin_start", "n", "s_stat", "tie_pairs",
+        _r(F.col("var_s")).alias("var_s"),
+        _r(F.col("z")).alias("z"),
+        "trend",
+    )
+
+
+SQL_MANN_KENDALL = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id,
+               CAST(floor(pos / 60) AS BIGINT) * 60 AS bin_start,
+               CAST(pos AS BIGINT) AS x, value AS v
+        FROM series WHERE value IS NOT NULL),
+s AS (
+  SELECT a.source, a.doc_id, a.bin_start,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM pts a JOIN pts b
+    ON a.source = b.source AND a.doc_id = b.doc_id
+   AND a.bin_start = b.bin_start AND a.x < b.x
+  GROUP BY 1, 2, 3),
+tg AS (SELECT source, doc_id, bin_start, v, CAST(count(*) AS BIGINT) AS t
+       FROM pts GROUP BY 1, 2, 3, 4),
+tt AS (SELECT source, doc_id, bin_start,
+              CAST(sum(t) AS BIGINT) AS n,
+              CAST(sum(t * (t - 1) / 2) AS BIGINT) AS tie_pairs,
+              sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tie_term
+       FROM tg GROUP BY 1, 2, 3),
+z AS (
+  SELECT tt.source, tt.doc_id, tt.bin_start, tt.n, s.s_stat, tt.tie_pairs,
+         (CAST(tt.n AS DOUBLE) * (tt.n - 1) * (2 * tt.n + 5) - tt.tie_term)
+           / 18.0 AS var_s
+  FROM tt JOIN s USING (source, doc_id, bin_start)
+  WHERE tt.n >= 2),
+zz AS (
+  SELECT *,
+         CASE WHEN s_stat > 0 AND var_s > 0
+                THEN (s_stat - 1) / sqrt(var_s)
+              WHEN s_stat < 0 AND var_s > 0
+                THEN (s_stat + 1) / sqrt(var_s)
+              ELSE 0.0 END AS zval
+  FROM z)
+SELECT source, doc_id, bin_start, n, s_stat, tie_pairs,
+       round(var_s, 6) AS var_s, round(zval, 6) AS z,
+       CASE WHEN zval > 1.959964 THEN 'increasing'
+            WHEN zval < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zz
+"""
+
+
+def q_psi_drift(spark, sf_dir):
+    """Population Stability Index per source (the standard production
+    drift monitor for ML feature pipelines): split every series at its
+    midpoint (reference = first half by pos, current = second half),
+    bin the reference min..max into 10 equal-width bins, clamp current
+    values into them, smooth proportions additively (+0.5 per bin) and
+    sum (pc - pr) * ln(pc / pr).  Plan: one per-series window max (no
+    extra shuffle beyond the key partition), a tiny per-source
+    edges aggregate broadcast back, one groupBy count on
+    (source, half, bin), and a 10-bin dense frame so empty bins
+    contribute their smoothed mass — scale-safe at any row count
+    because everything after the first groupBy is O(sources x 20)."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("source", "doc_id")
+    s = s.withColumn(
+        "_half", F.floor((F.max("pos").over(w) + 1) / 2)
+    ).withColumn(
+        "half", F.when(F.col("pos") < F.col("_half"), "ref").otherwise("cur")
+    )
+    edges = (
+        s.where(F.col("half") == "ref")
+        .groupBy("source")
+        .agg(F.min("value").alias("mn"), F.max("value").alias("mx"))
+        .withColumn("w", (F.col("mx") - F.col("mn")) / 10.0)
+    )
+    binned = (
+        s.join(F.broadcast(edges), "source")
+        .withColumn(
+            "bin",
+            F.when(F.col("w") <= 0, F.lit(0)).otherwise(
+                F.least(
+                    F.lit(9),
+                    F.greatest(
+                        F.lit(0),
+                        F.floor((F.col("value") - F.col("mn")) / F.col("w"))
+                        .cast("int"),
+                    ),
+                )
+            ),
+        )
+        .groupBy("source", "half", "bin")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    dense = (
+        edges.select("source")
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
+        .crossJoin(spark.range(1).select(F.explode(F.array(F.lit("ref"), F.lit("cur"))).alias("half")))
+    )
+    full = dense.join(binned, ["source", "half", "bin"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    tot = full.groupBy("source", "half").agg(F.sum("cnt").alias("n_half"))
+    pr = (
+        full.join(tot, ["source", "half"])
+        .withColumn(
+            "p", (F.col("cnt") + 0.5) / (F.col("n_half") + 5.0)
+        )
+        .groupBy("source", "bin")
+        .pivot("half", ["ref", "cur"])
+        .agg(F.first("p"))
+    )
+    psi = pr.groupBy("source").agg(
+        F.sum(
+            (F.col("cur") - F.col("ref")) * F.log(F.col("cur") / F.col("ref"))
+        ).alias("psi")
+    )
+    nn = tot.groupBy("source").pivot("half", ["ref", "cur"]).agg(
+        F.first("n_half")
+    )
+    out = psi.join(nn, "source").select(
+        "source",
+        F.col("ref").cast("long").alias("n_ref"),
+        F.col("cur").cast("long").alias("n_cur"),
+        _r(F.col("psi")).alias("psi"),
+        F.when(F.col("psi") < 0.1, "stable")
+        .when(F.col("psi") < 0.25, "moderate")
+        .otherwise("shifted")
+        .alias("verdict"),
+    )
+    return out
+
+
+SQL_PSI_DRIFT = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value,
+              CAST(floor((max(pos) OVER (PARTITION BY source, doc_id) + 1)
+                         / 2) AS BIGINT) AS half_at
+       FROM series WHERE value IS NOT NULL),
+lab AS (SELECT source, value,
+               CASE WHEN pos < half_at THEN 'ref' ELSE 'cur' END AS half
+        FROM nn),
+edges AS (SELECT source, min(value) AS mn, max(value) AS mx,
+                 (max(value) - min(value)) / 10.0 AS w
+          FROM lab WHERE half = 'ref' GROUP BY 1),
+counts AS (
+  SELECT l.source, l.half,
+         CASE WHEN e.w <= 0 THEN 0
+              ELSE least(9, greatest(0,
+                   CAST(floor((l.value - e.mn) / e.w) AS INTEGER)))
+         END AS bin,
+         count(*) AS cnt
+  FROM lab l JOIN edges e USING (source)
+  GROUP BY 1, 2, 3),
+dense AS (
+  SELECT e.source, h.half, b.bin
+  FROM edges e
+  CROSS JOIN (SELECT unnest(['ref', 'cur']) AS half) h
+  CROSS JOIN (SELECT unnest(range(0, 10)) AS bin) b),
+full_ AS (
+  SELECT d.source, d.half, d.bin, coalesce(c.cnt, 0) AS cnt
+  FROM dense d LEFT JOIN counts c
+    ON d.source = c.source AND d.half = c.half AND d.bin = c.bin),
+tot AS (SELECT source, half, sum(cnt) AS n_half
+        FROM full_ GROUP BY 1, 2),
+p AS (SELECT f.source, f.bin, f.half,
+             (f.cnt + 0.5) / (t.n_half + 5.0) AS p
+      FROM full_ f JOIN tot t ON f.source = t.source AND f.half = t.half),
+pv AS (SELECT source, bin,
+              max(CASE WHEN half = 'ref' THEN p END) AS pref,
+              max(CASE WHEN half = 'cur' THEN p END) AS pcur
+       FROM p GROUP BY 1, 2),
+psi AS (SELECT source, sum((pcur - pref) * ln(pcur / pref)) AS psi
+        FROM pv GROUP BY 1)
+SELECT s.source,
+       CAST((SELECT n_half FROM tot t
+             WHERE t.source = s.source AND t.half = 'ref') AS BIGINT)
+         AS n_ref,
+       CAST((SELECT n_half FROM tot t
+             WHERE t.source = s.source AND t.half = 'cur') AS BIGINT)
+         AS n_cur,
+       round(s.psi, 6) AS psi,
+       CASE WHEN s.psi < 0.1 THEN 'stable'
+            WHEN s.psi < 0.25 THEN 'moderate'
+            ELSE 'shifted' END AS verdict
+FROM psi s
+"""
+
+
+_SEQ_PATTERNS = [
+    # RE2-portable (no lookaround): identical semantics in Java regex
+    # (Spark rlike) and RE2 (DuckDB regexp_matches); substring match.
+    ("view_then_purchase", "(^|;)view;(.*;)?purchase(;|$)"),
+    ("signup_first", "^signup(;|$)"),
+    ("error_then_purchase", "(^|;)error;(.*;)?purchase(;|$)"),
+    ("double_click", "(^|;)click;click(;|$)"),
+]
+
+
+def q_seq_pattern_match(spark, sf_dir):
+    """MATCH_RECOGNIZE-style event-sequence pattern matching: per-user
+    30-min sessions (the sessionize_users convention), each session's
+    event types concatenated in (ts, event_id) order into one bounded
+    string, then counted against a fixed battery of RE2-portable
+    regexes.  The per-session string is bounded by session length, so
+    the regex scan is row-local and embarrassingly parallel; the only
+    shuffles are the sessionize window partition and the final tiny
+    aggregate."""
+    from .operators.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0)
+    seqs = (
+        s.groupBy("user_id", "session_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda r: r["event_type"],
+                ),
+                ";",
+            ).alias("seq")
+        )
+    )
+    aggs = [F.count(F.lit(1)).alias("n_sessions")]
+    for name, pat in _SEQ_PATTERNS:
+        aggs.append(
+            F.sum(
+                F.when(F.col("seq").rlike(pat), 1).otherwise(0)
+            ).cast("long").alias(name)
+        )
+    wide = seqs.agg(*aggs)
+    stack_expr = ", ".join(f"'{n}', {n}" for n, _ in _SEQ_PATTERNS)
+    out = wide.selectExpr(
+        "n_sessions",
+        f"stack({len(_SEQ_PATTERNS)}, {stack_expr}) AS (pattern, n_matched)",
+    )
+    return out.select(
+        "pattern",
+        "n_matched",
+        F.col("n_sessions").cast("long").alias("n_sessions"),
+        _r(F.col("n_matched") / F.col("n_sessions")).alias("share"),
+    )
+
+
+SQL_SEQ_PATTERN = """
+WITH e AS (SELECT user_id, ts, event_id, event_type, epoch(ts) AS ep
+           FROM events),
+m AS (
+  SELECT user_id, ts, event_id, event_type, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w >= 1800
+              THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, event_id, event_type, ts,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m),
+seqs AS (
+  SELECT user_id, sid,
+         string_agg(event_type, ';' ORDER BY ts, event_id) AS seq
+  FROM s GROUP BY 1, 2),
+pats AS (
+  SELECT * FROM (VALUES
+    ('view_then_purchase', '(^|;)view;(.*;)?purchase(;|$)'),
+    ('signup_first', '^signup(;|$)'),
+    ('error_then_purchase', '(^|;)error;(.*;)?purchase(;|$)'),
+    ('double_click', '(^|;)click;click(;|$)')) AS t(pattern, pat))
+SELECT p.pattern,
+       CAST(sum(CASE WHEN regexp_matches(q.seq, p.pat) THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched,
+       CAST(count(*) AS BIGINT) AS n_sessions,
+       round(sum(CASE WHEN regexp_matches(q.seq, p.pat) THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS share
+FROM pats p CROSS JOIN seqs q
+GROUP BY 1
+"""
+
+
+def q_tpch_q5(spark, sf_dir):
+    """TPC-H Q5 local-supplier revenue: the canonical snowflake join.
+    Spark shape for the 100-TB plan: region->nation->supplier collapse
+    into ONE broadcast dim (tiny), lineitem picks up s_nationkey
+    map-side with no shuffle; orders joins customer on the custkey
+    exchange; the only big-big exchange is lineitem-orders on
+    orderkey; the local-supplier predicate (c_nationkey =
+    s_nationkey) filters after that join; one small aggregate."""
+    region = _load(spark, sf_dir, "region").where(F.col("r_name") == "ASIA")
+    nation = _load(spark, sf_dir, "nation").join(
+        F.broadcast(region),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    )
+    supp = _load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", "s_nationkey", "n_name")
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    oc = orders.join(cust, orders["o_custkey"] == cust["c_custkey"]).select(
+        "o_orderkey", "c_nationkey"
+    )
+    li = _load(spark, sf_dir, "lineitem").join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    )
+    j = li.join(oc, li["l_orderkey"] == oc["o_orderkey"]).where(
+        F.col("c_nationkey") == F.col("s_nationkey")
+    )
+    return (
+        j.groupBy("n_name")
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc(), F.col("n_name").asc())
+    )
+
+
+SQL_TPCH_Q5 = """
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1
+ORDER BY 2 DESC, 1 ASC
+"""
+
+
+def q_tpch_q14(spark, sf_dir):
+    """TPC-H Q14 promotion-revenue share for one shipping month: the
+    classic broadcast-dim scan — lineitem (big, filter pushed to the
+    parquet scan) joins part (small dim, broadcast), one global
+    aggregate, a single output row.  At 100 TB the part side stays
+    broadcastable and the lineitem scan prunes on l_shipdate."""
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-09-01"))
+        & (F.col("l_shipdate") < F.lit("1996-10-01"))
+    )
+    part = _load(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return j.agg(
+        _r(
+            F.lit(100.0)
+            * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+            / F.sum(rev)
+        ).alias("promo_revenue_pct"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+
+
+SQL_TPCH_Q14 = """
+SELECT round(100.0 * sum(CASE WHEN p_type = 'PROMO'
+                              THEN l_extendedprice * (1 - l_discount)
+                              ELSE 0.0 END)
+             / sum(l_extendedprice * (1 - l_discount)), 6)
+         AS promo_revenue_pct,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'
+"""
+
+
+def q_tpch_q10(spark, sf_dir):
+    """TPC-H Q10 returned-item reporting (trimmed to this corpus's
+    columns): customers who returned items in a quarter, ranked by
+    lost revenue, top 20 with a deterministic tie-break.  Spark shape:
+    orders filters on the quarter (scan pushdown), lineitem filters on
+    returnflag, the two exchange on orderkey; customer joins on the
+    custkey exchange and the nation name arrives via broadcast."""
+    orders = _load(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1996-10-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _load(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    cust = _load(spark, sf_dir, "customer")
+    nation = _load(spark, sf_dir, "nation")
+    j = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .join(
+            F.broadcast(nation),
+            cust["c_nationkey"] == nation["n_nationkey"],
+        )
+    )
+    agg = j.groupBy("c_custkey", "c_name", "n_name").agg(
+        _r(
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+        ).alias("revenue"),
+        _r(F.max("c_acctbal")).alias("c_acctbal"),
+    )
+    return agg.orderBy(
+        F.col("revenue").desc(), F.col("c_custkey").asc()
+    ).limit(20)
+
+
+SQL_TPCH_Q10 = """
+SELECT c_custkey, c_name, n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       round(max(c_acctbal), 6) AS c_acctbal
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+GROUP BY 1, 2, 3
+ORDER BY round(sum(l_extendedprice * (1 - l_discount)), 6) DESC,
+         c_custkey ASC
+LIMIT 20
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -7925,6 +8368,12 @@ GROUP BY 1, 2, 3, 4
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "mann_kendall_trend": (q_mann_kendall, SQL_MANN_KENDALL),
+    "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
+    "seq_pattern_match": (q_seq_pattern_match, SQL_SEQ_PATTERN),
+    "tpch_q5_local_supplier": (q_tpch_q5, SQL_TPCH_Q5),
+    "tpch_q14_promo": (q_tpch_q14, SQL_TPCH_Q14),
+    "tpch_q10_returns": (q_tpch_q10, SQL_TPCH_Q10),
     "textrank_keywords": (q_textrank_keywords, SQL_TEXTRANK),
     "session_type_affinity": (q_session_affinity, SQL_SESSION_AFFINITY),
     "scd2_history": (q_scd2_history, SQL_SCD2_HISTORY),

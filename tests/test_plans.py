@@ -706,3 +706,61 @@ def test_tpch_q3_broadcasts_customer_dim(spark):
     assert "CartesianProduct" not in plan
     # the big join keys on orderkey -- a real hash exchange is expected
     assert "Exchange hashpartitioning" in plan
+
+
+def test_tpch_q5_broadcasts_dims_no_cartesian(spark):
+    from diive_spark.queries import q_tpch_q5
+
+    df = q_tpch_q5(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # supplier+nation+region dim
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange hashpartitioning" in plan  # the orderkey exchange
+
+
+def test_tpch_q14_pushdown_and_broadcast(spark):
+    from diive_spark.queries import q_tpch_q14
+
+    df = q_tpch_q14(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # part dim broadcasts
+    assert "CartesianProduct" not in plan
+    # the shipdate month filter must reach the lineitem parquet scan
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan.split(
+        "PushedFilters"
+    )[1][:300]
+
+
+def test_tpch_q10_broadcast_nation_and_pruned_scan(spark):
+    from diive_spark.queries import q_tpch_q10
+
+    df = q_tpch_q10(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan          # nation dim broadcasts
+    assert "CartesianProduct" not in plan
+    # returnflag equality reaches the lineitem scan as a pushed filter
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_seq_pattern_match_no_join_after_sessionize(spark):
+    """The regex battery is evaluated row-local on bounded session
+    strings: no join appears anywhere in the plan (sessionize is a
+    window + groupBy; the pattern counts are conditional aggregates)."""
+    from diive_spark.queries import q_seq_pattern_match
+
+    df = q_seq_pattern_match(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_psi_drift_broadcasts_edges(spark):
+    """The per-source bin-edge dim joins back via broadcast — the big
+    series scan is never shuffled for the edge lookup."""
+    from diive_spark.queries import q_psi_drift
+
+    df = q_psi_drift(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan

@@ -754,3 +754,65 @@ def test_property_allan_fold(spark):
             res = _allan_np(arr, tau)
             if res is not None:
                 assert (d, tau) in seen, (d, tau)
+
+
+def test_property_mann_kendall_kernel(spark):
+    """Merge-counted inversion S (plus tie-corrected var/z/verdict)
+    must equal the definitional O(m^2) pair sum on adversarial
+    shapes — including all-equal bins (S=0, var=0) and gappy series."""
+    from diive_spark.operators.analyses import mann_kendall_bins
+
+    rng = np.random.RandomState(777)
+    rows = _random_series_rows(rng)
+    every = 16
+    got = {
+        (r["doc_id"], r["bin_start"]): r
+        for r in mann_kendall_bins(
+            _rand_series_df(spark, rows), every=every
+        ).collect()
+    }
+
+    by_bin = {}
+    for _, d, i, v in rows:
+        if v is None:
+            continue
+        by_bin.setdefault((d, (i // every) * every), []).append((i, v))
+
+    expected_bins = {k for k, pts in by_bin.items() if len(pts) >= 2}
+    assert set(got) == expected_bins
+
+    for key, pts in by_bin.items():
+        vals = [v for _, v in sorted(pts)]
+        m = len(vals)
+        if m < 2:
+            continue
+        s = 0
+        for i in range(m):
+            for j in range(i + 1, m):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        from collections import Counter
+
+        cnt = Counter(vals)
+        tie_pairs = sum(t * (t - 1) // 2 for t in cnt.values())
+        tie_term = float(
+            sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+        )
+        var_s = (m * (m - 1) * (2 * m + 5) - tie_term) / 18.0
+        if s > 0 and var_s > 0:
+            z = (s - 1) / math.sqrt(var_s)
+        elif s < 0 and var_s > 0:
+            z = (s + 1) / math.sqrt(var_s)
+        else:
+            z = 0.0
+        r = got[key]
+        assert r["n"] == m, key
+        assert r["s_stat"] == s, key
+        assert r["tie_pairs"] == tie_pairs, key
+        assert r["var_s"] == var_s, key
+        assert r["z"] == z, key
+        want = (
+            "increasing" if z > 1.959964
+            else "decreasing" if z < -1.959964
+            else "no trend"
+        )
+        assert r["trend"] == want, key
