@@ -3230,3 +3230,64 @@ def mann_kendall_bins(
     return in_schema.groupBy(*keys, "bin_start").applyInPandas(
         _kernel, schema=out_schema
     )
+
+
+def seasonal_mann_kendall(
+    df: DataFrame,
+    period: int,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    z_crit: float = 1.959964,
+) -> DataFrame:
+    """Seasonal Mann-Kendall test (Hirsch & Slack 1984): the MK S
+    statistic and tie-corrected variance are computed INDEPENDENTLY
+    per season (axis position mod ``period``) — so a strong diel/
+    seasonal cycle cannot masquerade as a monotonic trend — and summed
+    per series:  S* = Σ_s S_s,  var* = Σ_s var_s,  with the usual
+    continuity-corrected z on the totals.
+
+    Seasons with < 2 readings contribute nothing (standard).  Built on
+    :func:`mann_kendall_bins`' merge-count kernel with the season as
+    an extra group key, so the per-season work stays O(m log² m) and
+    seasons parallelize like any other group; the combine is one tiny
+    aggregate per series.
+    """
+    keys = list(key_cols)
+    p = int(period)
+    s = df.withColumn(
+        "_season", F.pmod(F.col(axis_col).cast("long"), F.lit(p))
+    )
+    per_season = mann_kendall_bins(
+        s,
+        every=1 << 40,  # one bin spans the whole series
+        value_col=value_col,
+        axis_col=axis_col,
+        key_cols=[*keys, "_season"],
+        z_crit=z_crit,
+    )
+    comb = per_season.groupBy(*keys).agg(
+        F.sum("n").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_seasons"),
+        F.sum("s_stat").cast("long").alias("s_total"),
+        F.sum("var_s").alias("var_total"),
+    )
+    z = (
+        F.when(
+            (F.col("s_total") > 0) & (F.col("var_total") > 0),
+            (F.col("s_total") - 1) / F.sqrt(F.col("var_total")),
+        )
+        .when(
+            (F.col("s_total") < 0) & (F.col("var_total") > 0),
+            (F.col("s_total") + 1) / F.sqrt(F.col("var_total")),
+        )
+        .otherwise(F.lit(0.0))
+    )
+    return comb.select(
+        *keys, "n", "n_seasons", "s_total", "var_total",
+        z.alias("z"),
+        F.when(z > z_crit, "increasing")
+        .when(z < -z_crit, "decreasing")
+        .otherwise("no trend")
+        .alias("trend"),
+    )

@@ -399,3 +399,86 @@ def semantic_dedup(
         .withColumn("is_semdup", F.coalesce(F.col("_dup"), F.lit(False)))
         .drop("_dup")
     )
+
+
+def rrf_fusion_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    k: int = 10,
+    rrf_k: int = 60,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Buettcher, SIGIR 2009)
+    of two exact rankings per query — cosine similarity and Euclidean
+    distance — into one fused top-k:
+
+        rrf(d) = 1/(rrf_k + rank_cos(d)) + 1/(rrf_k + rank_l2(d))
+
+    The standard retrieval-pipeline combiner when two scorers disagree
+    (here the angle-based and magnitude-sensitive views of the same
+    embedding space).  Ranks are taken over the ROUNDED (6 dp) scores
+    with an id tie-break, so the fused ranking is bit-deterministic
+    and engine-portable; rrf itself is a sum of exact reciprocals of
+    small integers.
+
+    ``corpus`` may be the full table (the brute-force baseline shape,
+    bounded query batch broadcast) or — the 100x path — a pre-bucketed
+    candidate set from :func:`cosine_topk_lsh` / :func:`ivf_topk`:
+    fusion itself is rank-local per query either way, two window
+    passes partitioned by query_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_q"),
+    )
+    c = corpus.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("_e")
+    )
+    pairs = c.crossJoin(F.broadcast(q)).where(
+        F.col(id_col) != F.col("query_id")
+    )
+    cos = _dot(F.col("_e"), F.col("_q")) / (
+        _norm(F.col("_e")) * _norm(F.col("_q"))
+    )
+    l2 = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                F.col("_e"), F.col("_q"),
+                lambda x, y: (x - y) * (x - y),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    scored = pairs.select(
+        "query_id",
+        id_col,
+        F.round(cos, 6).alias("_cos"),
+        F.round(l2, 6).alias("_l2"),
+    )
+    wq = Window.partitionBy("query_id")
+    ranked = scored.withColumn(
+        "r_cos",
+        F.row_number().over(
+            wq.orderBy(F.col("_cos").desc(), F.col(id_col).asc())
+        ),
+    ).withColumn(
+        "r_l2",
+        F.row_number().over(
+            wq.orderBy(F.col("_l2").asc(), F.col(id_col).asc())
+        ),
+    )
+    fused = ranked.withColumn(
+        "rrf",
+        1.0 / (F.lit(int(rrf_k)) + F.col("r_cos"))
+        + 1.0 / (F.lit(int(rrf_k)) + F.col("r_l2")),
+    ).withColumn(
+        "fused_rank",
+        F.row_number().over(
+            wq.orderBy(F.col("rrf").desc(), F.col(id_col).asc())
+        ),
+    )
+    return fused.where(F.col("fused_rank") <= int(k)).select(
+        "query_id", id_col, "fused_rank", "r_cos", "r_l2", "rrf"
+    )

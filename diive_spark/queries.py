@@ -8361,6 +8361,303 @@ LIMIT 20
 """
 
 
+def q_seasonal_mann_kendall(spark, sf_dir):
+    """Hirsch-Slack seasonal Mann-Kendall: MK S and tie-corrected
+    variance computed independently per season (pos mod 24, the diel
+    analog), summed per series — a strong periodic cycle cannot fake a
+    monotonic trend.  Built on the merge-count MK kernel with season
+    as an extra group key."""
+    out = analyses.seasonal_mann_kendall(
+        series(spark, sf_dir), period=24, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n", "n_seasons", "s_total",
+        _r(F.col("var_total")).alias("var_total"),
+        _r(F.col("z")).alias("z"),
+        "trend",
+    )
+
+
+SQL_SEASONAL_MK = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, CAST(pos AS BIGINT) % 24 AS season,
+               CAST(pos AS BIGINT) AS x, value AS v
+        FROM series WHERE value IS NOT NULL),
+s AS (
+  SELECT a.source, a.doc_id, a.season,
+         CAST(sum(CASE WHEN b.v > a.v THEN 1
+                       WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+           AS s_stat
+  FROM pts a JOIN pts b
+    ON a.source = b.source AND a.doc_id = b.doc_id
+   AND a.season = b.season AND a.x < b.x
+  GROUP BY 1, 2, 3),
+tg AS (SELECT source, doc_id, season, v, CAST(count(*) AS BIGINT) AS t
+       FROM pts GROUP BY 1, 2, 3, 4),
+tt AS (SELECT source, doc_id, season,
+              CAST(sum(t) AS BIGINT) AS n,
+              sum(CAST(t AS DOUBLE) * (t - 1) * (2 * t + 5)) AS tie_term
+       FROM tg GROUP BY 1, 2, 3),
+per AS (
+  SELECT tt.source, tt.doc_id, tt.n, s.s_stat,
+         (CAST(tt.n AS DOUBLE) * (tt.n - 1) * (2 * tt.n + 5) - tt.tie_term)
+           / 18.0 AS var_s
+  FROM tt JOIN s USING (source, doc_id, season)
+  WHERE tt.n >= 2),
+comb AS (
+  SELECT source, doc_id, CAST(sum(n) AS BIGINT) AS n,
+         CAST(count(*) AS BIGINT) AS n_seasons,
+         CAST(sum(s_stat) AS BIGINT) AS s_total,
+         sum(var_s) AS var_total
+  FROM per GROUP BY 1, 2),
+zz AS (
+  SELECT *,
+         CASE WHEN s_total > 0 AND var_total > 0
+                THEN (s_total - 1) / sqrt(var_total)
+              WHEN s_total < 0 AND var_total > 0
+                THEN (s_total + 1) / sqrt(var_total)
+              ELSE 0.0 END AS zval
+  FROM comb)
+SELECT source, doc_id, n, n_seasons, s_total,
+       round(var_total, 6) AS var_total, round(zval, 6) AS z,
+       CASE WHEN zval > 1.959964 THEN 'increasing'
+            WHEN zval < -1.959964 THEN 'decreasing'
+            ELSE 'no trend' END AS trend
+FROM zz
+"""
+
+
+def q_table_profile(spark, sf_dir):
+    """Data-quality profiler over the events table: per column, row
+    count, null count, exact distinct count, and the modal value with
+    a deterministic (count desc, value asc) tie-break.  Each column's
+    profile is a tiny independent aggregate (top-1 via a global
+    TakeOrdered on the grouped counts, never a full sort); the double
+    column skips the mode (cross-engine float formatting is not part
+    of the contract).  At 100 TB you would swap the exact distinct for
+    approx_count_distinct — same plan shape, sketch instead of the
+    distinct shuffle."""
+    ev = _load(spark, sf_dir, "events")
+
+    def prof(colname, with_top=True):
+        c = F.col(colname)
+        base = ev.agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.when(c.isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_null"),
+            F.countDistinct(c).alias("n_distinct"),
+        ).select(F.lit(colname).alias("col_name"), "*")
+        if not with_top:
+            return base.select(
+                "*",
+                F.lit(None).cast("string").alias("top_value"),
+                F.lit(None).cast("long").alias("top_count"),
+            )
+        top = (
+            ev.where(c.isNotNull())
+            .groupBy(c.cast("string").alias("top_value"))
+            .agg(F.count(F.lit(1)).alias("top_count"))
+            .orderBy(F.col("top_count").desc(), F.col("top_value").asc())
+            .limit(1)
+        )
+        return base.crossJoin(top)
+
+    out = (
+        prof("event_type")
+        .unionByName(prof("user_id"))
+        .unionByName(prof("props"))
+        .unionByName(prof("value", with_top=False))
+    )
+    return out
+
+
+SQL_TABLE_PROFILE = """
+WITH
+t_et AS (SELECT event_type AS v FROM events WHERE event_type IS NOT NULL
+         ),
+top_et AS (SELECT v, count(*) AS c FROM t_et GROUP BY 1
+           ORDER BY c DESC, v ASC LIMIT 1),
+t_uid AS (SELECT CAST(user_id AS VARCHAR) AS v FROM events
+          WHERE user_id IS NOT NULL),
+top_uid AS (SELECT v, count(*) AS c FROM t_uid GROUP BY 1
+            ORDER BY c DESC, v ASC LIMIT 1),
+t_pr AS (SELECT props AS v FROM events WHERE props IS NOT NULL),
+top_pr AS (SELECT v, count(*) AS c FROM t_pr GROUP BY 1
+           ORDER BY c DESC, v ASC LIMIT 1)
+SELECT 'event_type' AS col_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_null,
+       CAST(count(DISTINCT event_type) AS BIGINT) AS n_distinct,
+       (SELECT v FROM top_et) AS top_value,
+       CAST((SELECT c FROM top_et) AS BIGINT) AS top_count
+FROM events
+UNION ALL
+SELECT 'user_id', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT user_id) AS BIGINT),
+       (SELECT v FROM top_uid),
+       CAST((SELECT c FROM top_uid) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'props', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN props IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT props) AS BIGINT),
+       (SELECT v FROM top_pr),
+       CAST((SELECT c FROM top_pr) AS BIGINT)
+FROM events
+UNION ALL
+SELECT 'value', CAST(count(*) AS BIGINT),
+       CAST(sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(count(DISTINCT value) AS BIGINT),
+       NULL, CAST(NULL AS BIGINT)
+FROM events
+"""
+
+
+def q_key_skew_gini(spark, sf_dir):
+    """Partition-skew diagnostic per event_type: the Gini coefficient
+    of per-user row counts plus the hottest key's share — the number
+    you check BEFORE keying a shuffle on a column (the engine's salted
+    paths exist exactly because this can approach 1).  Gini over the
+    ascending count ranking:  G = 2·Σ i·x_i / (n·Σx) - (n+1)/n;
+    equal counts make the formula order-invariant, so the (count, key)
+    tie-break is deterministic AND immaterial.  One count aggregate,
+    one per-source window, one tiny final aggregate."""
+    ev = _load(spark, sf_dir, "events")
+    counts = ev.groupBy("event_type", "user_id").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("cnt").asc(), F.col("user_id").asc()
+    )
+    ranked = counts.withColumn("i", F.row_number().over(w))
+    return (
+        ranked.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_keys"),
+            F.sum("cnt").cast("long").alias("n_rows"),
+            _r(F.max("cnt") / F.sum("cnt")).alias("top_share"),
+            _r(
+                F.lit(2.0) * F.sum(F.col("i") * F.col("cnt"))
+                / (F.count(F.lit(1)) * F.sum("cnt"))
+                - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1))
+            ).alias("gini"),
+        )
+    )
+
+
+SQL_KEY_SKEW_GINI = """
+WITH counts AS (
+  SELECT event_type, user_id, count(*) AS cnt
+  FROM events GROUP BY 1, 2),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type
+                               ORDER BY cnt ASC, user_id ASC) AS i
+  FROM counts)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(sum(cnt) AS BIGINT) AS n_rows,
+       round(max(cnt) / CAST(sum(cnt) AS DOUBLE), 6) AS top_share,
+       round(2.0 * sum(i * cnt) / (count(*) * CAST(sum(cnt) AS DOUBLE))
+             - (count(*) + 1.0) / count(*), 6) AS gini
+FROM ranked GROUP BY 1
+"""
+
+
+def q_tpch_q18(spark, sf_dir):
+    """TPC-H Q18 large-volume customers: orders whose total quantity
+    exceeds a threshold.  Spark shape: the lineitem self-aggregate
+    (map-side partials on orderkey) filters FIRST, and the surviving
+    tiny set of big orders BROADCASTS into orders and customer — the
+    canonical aggregate-then-semi-join plan; no row of orders ever
+    shuffles for an order that fails the HAVING."""
+    li = _load(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("total_qty"))
+        .where(F.col("total_qty") > 250.0)
+    )
+    orders = _load(spark, sf_dir, "orders")
+    cust = _load(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    j = orders.join(
+        F.broadcast(big), orders["o_orderkey"] == big["l_orderkey"]
+    ).join(cust, orders["o_custkey"] == cust["c_custkey"])
+    return (
+        j.select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _r(F.col("o_totalprice")).alias("o_totalprice"),
+            _r(F.col("total_qty")).alias("total_qty"),
+        )
+        .orderBy(
+            F.col("o_totalprice").desc(), F.col("o_orderkey").asc()
+        )
+        .limit(100)
+    )
+
+
+SQL_TPCH_Q18 = """
+WITH big AS (
+  SELECT l_orderkey, sum(l_quantity) AS total_qty
+  FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 250)
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(CAST(o_orderdate AS DATE), '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 6) AS o_totalprice,
+       round(b.total_qty, 6) AS total_qty
+FROM big b
+JOIN orders ON o_orderkey = b.l_orderkey
+JOIN customer ON c_custkey = o_custkey
+ORDER BY round(o_totalprice, 6) DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+
+def q_rrf_fusion(spark, sf_dir):
+    """Reciprocal-rank fusion of two exact rankings (cosine and
+    Euclidean) per query vector — the standard retrieval combiner when
+    two scorers disagree.  Ranks are over 6-dp-rounded scores with an
+    id tie-break, so the fused top-10 is engine-portable; rrf is a sum
+    of exact reciprocals of small integers."""
+    emb = _load(spark, sf_dir, "embeddings")
+    out = similarity.rrf_fusion_topk(
+        emb, emb.where(F.col("vec_id").isin([0, 7, 13])), k=10
+    )
+    return out.select(
+        "query_id", "vec_id", "fused_rank", "r_cos", "r_l2",
+        _r(F.col("rrf")).alias("rrf_score"),
+    )
+
+
+SQL_RRF_FUSION = """
+WITH q AS (SELECT vec_id AS query_id, CAST(embedding AS DOUBLE[]) AS qe
+           FROM embeddings WHERE vec_id IN (0, 7, 13)),
+sc AS (
+  SELECT q.query_id, e.vec_id,
+         round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe),
+               6) AS cos,
+         round(list_distance(CAST(e.embedding AS DOUBLE[]), q.qe), 6) AS l2
+  FROM embeddings e, q WHERE e.vec_id <> q.query_id),
+rk AS (
+  SELECT *,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos DESC, vec_id ASC) AS r_cos,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY l2 ASC, vec_id ASC) AS r_l2
+  FROM sc),
+f AS (SELECT *, 1.0 / (60 + r_cos) + 1.0 / (60 + r_l2) AS rrf FROM rk),
+fr AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY rrf DESC, vec_id ASC) AS fused_rank
+  FROM f)
+SELECT query_id, vec_id, fused_rank, r_cos, r_l2,
+       round(rrf, 6) AS rrf_score
+FROM fr WHERE fused_rank <= 10
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -8368,6 +8665,11 @@ LIMIT 20
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "seasonal_mann_kendall": (q_seasonal_mann_kendall, SQL_SEASONAL_MK),
+    "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
+    "key_skew_gini": (q_key_skew_gini, SQL_KEY_SKEW_GINI),
+    "tpch_q18_big_orders": (q_tpch_q18, SQL_TPCH_Q18),
+    "rrf_fusion_topk": (q_rrf_fusion, SQL_RRF_FUSION),
     "mann_kendall_trend": (q_mann_kendall, SQL_MANN_KENDALL),
     "psi_drift": (q_psi_drift, SQL_PSI_DRIFT),
     "seq_pattern_match": (q_seq_pattern_match, SQL_SEQ_PATTERN),

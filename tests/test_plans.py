@@ -764,3 +764,38 @@ def test_psi_drift_broadcasts_edges(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_tpch_q18_broadcasts_filtered_agg(spark):
+    """The HAVING-filtered big-order set must broadcast into orders —
+    the aggregate-then-semi-join plan, never a full orders shuffle."""
+    from diive_spark.queries import q_tpch_q18
+
+    df = q_tpch_q18(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-100, never a full sort
+
+
+def test_rrf_fusion_broadcast_queries_no_cartesian(spark):
+    """The bounded query batch rides a BROADCAST nested-loop (the
+    declared brute-force baseline shape, cosine_topk precedent); a
+    CartesianProduct (both sides shuffled) must never appear."""
+    from diive_spark.queries import q_rrf_fusion
+
+    df = q_rrf_fusion(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_table_profile_topk_never_full_sort(spark):
+    """Each column's modal value is a TakeOrdered over the grouped
+    counts — a global sort of the count table must not appear."""
+    from diive_spark.queries import q_table_profile
+
+    df = q_table_profile(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan

@@ -816,3 +816,59 @@ def test_property_mann_kendall_kernel(spark):
             else "no trend"
         )
         assert r["trend"] == want, key
+
+
+def test_property_seasonal_mann_kendall_combine(spark):
+    """The Hirsch-Slack combine (sum S and var over seasons, z on the
+    totals) must equal the definitional per-season pair sums."""
+    from diive_spark.operators.analyses import seasonal_mann_kendall
+
+    rng = np.random.RandomState(4242)
+    rows = _random_series_rows(rng)
+    period = 5
+    got = {
+        r["doc_id"]: r
+        for r in seasonal_mann_kendall(
+            _rand_series_df(spark, rows), period=period
+        ).collect()
+    }
+
+    from collections import Counter
+
+    by_season = {}
+    for _, d, i, v in rows:
+        if v is None:
+            continue
+        by_season.setdefault((d, i % period), []).append((i, v))
+
+    expect = {}
+    for (d, _), pts in by_season.items():
+        vals = [v for _, v in sorted(pts)]
+        m = len(vals)
+        if m < 2:
+            continue
+        s = 0
+        for i in range(m):
+            for j in range(i + 1, m):
+                s += (vals[j] > vals[i]) - (vals[j] < vals[i])
+        cnt = Counter(vals)
+        tie_term = float(
+            sum(t * (t - 1) * (2 * t + 5) for t in cnt.values())
+        )
+        var_s = (m * (m - 1) * (2 * m + 5) - tie_term) / 18.0
+        n, ns, st, vt = expect.get(d, (0, 0, 0, 0.0))
+        expect[d] = (n + m, ns + 1, st + s, vt + var_s)
+
+    assert set(got) == set(expect)
+    for d, (n, ns, st, vt) in expect.items():
+        r = got[d]
+        assert r["n"] == n and r["n_seasons"] == ns, d
+        assert r["s_total"] == st, d
+        assert abs(r["var_total"] - vt) < 1e-9 * max(1.0, vt), d
+        if st > 0 and vt > 0:
+            z = (st - 1) / math.sqrt(vt)
+        elif st < 0 and vt > 0:
+            z = (st + 1) / math.sqrt(vt)
+        else:
+            z = 0.0
+        assert abs(r["z"] - z) < 1e-12, d
