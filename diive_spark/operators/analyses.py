@@ -3291,3 +3291,93 @@ def seasonal_mann_kendall(
         .otherwise("no trend")
         .alias("trend"),
     )
+
+
+def dgim_window_count(
+    df: DataFrame,
+    window: int = 128,
+    check_every: int = 60,
+    threshold: float = 10.0,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """DGIM sliding-window count of above-threshold readings
+    (functions/dgim.py — Datar et al. 2002), evaluated as a batch
+    kernel against the exact windowed count: per series, fold the bit
+    stream (1 = value >= threshold; null reads as 0) through the
+    O(log² W) sketch and, at every ``check_every``-th position, compare
+    the estimate with the exact count over (pos - window, pos] under
+    the sketch's own deterministic error bound floor(oldest/2).
+
+    Output is one row per series with integer totals (``n_checks``,
+    ``sum_exact`` — recomputable by any SQL engine from the raw rows)
+    and two invariant booleans (every check within its bound; bucket
+    count never above the O(log W) cap) — the self-verifying-oracle
+    shape.  The per-series fold is sequential but series parallelize
+    across the cluster, and state is O(log² W) — this is the operator
+    you deploy when W is too wide to buffer (the streaming twin,
+    stream_dgim_partials, shares the fold bit-for-bit).
+    """
+    keys = list(key_cols)
+    import numpy as np
+    import pandas as pd
+
+    from ..functions.dgim import dgim_add, dgim_estimate, max_buckets
+
+    w = int(window)
+    ce = int(check_every)
+    thr = float(threshold)
+    cap = max_buckets(w)
+
+    from pyspark.sql.types import (
+        BooleanType, LongType, StructField, StructType)
+
+    in_df = df.select(
+        *keys,
+        F.col(axis_col).cast("long").alias("_x"),
+        F.col(value_col).cast("double").alias("_v"),
+    )
+    key_schema = in_df.select(*keys).schema
+    out_schema = StructType(
+        list(key_schema.fields)
+        + [
+            StructField("n_checks", LongType()),
+            StructField("sum_exact", LongType()),
+            StructField("all_within_bound", BooleanType()),
+            StructField("buckets_bounded", BooleanType()),
+        ]
+    )
+
+    def _kernel(key, pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("_x")
+        xs = pdf["_x"].to_numpy(dtype=np.int64)
+        vs = pdf["_v"].to_numpy(dtype=np.float64)
+        bits = (~np.isnan(vs)) & (vs >= thr)
+        ones = xs[bits]
+        bpos: list = []
+        bsiz: list = []
+        n_checks = 0
+        sum_exact = 0
+        ok_bound = True
+        ok_cap = True
+        for x, b in zip(xs.tolist(), bits.tolist()):
+            dgim_add(x, 1 if b else 0, bpos, bsiz, w)
+            if len(bpos) > cap:
+                ok_cap = False
+            if x % ce == 0:
+                est, bound = dgim_estimate(bpos, bsiz)
+                exact = int(
+                    np.searchsorted(ones, x, side="right")
+                    - np.searchsorted(ones, x - w, side="right")
+                )
+                n_checks += 1
+                sum_exact += exact
+                if abs(est - exact) > bound:
+                    ok_bound = False
+        row = list(key) + [n_checks, sum_exact, ok_bound, ok_cap]
+        return pd.DataFrame(
+            [row], columns=[f.name for f in out_schema.fields]
+        )
+
+    return in_df.groupBy(*keys).applyInPandas(_kernel, schema=out_schema)

@@ -8658,6 +8658,42 @@ FROM fr WHERE fused_rank <= 10
 """
 
 
+def q_dgim_window_count(spark, sf_dir):
+    """DGIM O(log^2 W) sliding-window count of above-threshold
+    readings (Datar et al. 2002) as a self-verifying oracle: per
+    series the sketch folds the bit stream and, at every 60th
+    position, its estimate is checked against the exact count over
+    the trailing 128 positions under the sketch's own deterministic
+    bound floor(oldest_bucket/2).  Integer totals (the DuckDB twin
+    recomputes sum_exact from the raw rows) + invariant booleans."""
+    out = analyses.dgim_window_count(
+        series(spark, sf_dir), window=128, check_every=60,
+        threshold=10.0, key_cols=["source", "doc_id"],
+    )
+    return out.select(
+        "source", "doc_id", "n_checks", "sum_exact",
+        "all_within_bound", "buckets_bounded",
+    )
+
+
+SQL_DGIM_WINDOW = f"""
+WITH series AS ({SERIES_SQL}),
+bits AS (SELECT source, doc_id, CAST(pos AS BIGINT) AS pos,
+                CASE WHEN value IS NOT NULL AND value >= 10.0
+                     THEN 1 ELSE 0 END AS b
+         FROM series),
+wc AS (SELECT source, doc_id, pos,
+              sum(b) OVER (PARTITION BY source, doc_id ORDER BY pos
+                           RANGE BETWEEN 127 PRECEDING
+                                     AND CURRENT ROW) AS ex
+       FROM bits)
+SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n_checks,
+       CAST(sum(ex) AS BIGINT) AS sum_exact,
+       TRUE AS all_within_bound, TRUE AS buckets_bounded
+FROM wc WHERE pos % 60 = 0 GROUP BY 1, 2
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -8665,6 +8701,7 @@ FROM fr WHERE fused_rank <= 10
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "dgim_window_count": (q_dgim_window_count, SQL_DGIM_WINDOW),
     "seasonal_mann_kendall": (q_seasonal_mann_kendall, SQL_SEASONAL_MK),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),
     "key_skew_gini": (q_key_skew_gini, SQL_KEY_SKEW_GINI),

@@ -748,3 +748,88 @@ def stream_bucket_partials(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+DGIM_SCHEMA = T.StructType(
+    [
+        T.StructField("source", T.StringType()),
+        T.StructField("doc_id", T.StringType()),
+        T.StructField("pos", T.LongType()),
+        T.StructField("est", T.LongType()),
+        T.StructField("bound", T.LongType()),
+        T.StructField("n_buckets", T.LongType()),
+    ]
+)
+
+DGIM_STATE = T.StructType(
+    [
+        T.StructField("last_pos", T.LongType()),
+        T.StructField("bpos", T.ArrayType(T.LongType())),
+        T.StructField("bsiz", T.ArrayType(T.LongType())),
+    ]
+)
+
+
+def _dgim_partials(window: int, check_every: int, threshold: float):
+    from ..functions.dgim import dgim_add, dgim_estimate
+
+    def fn(key, pdfs, state):
+        import pandas as pd
+
+        if state.exists:
+            last_pos, bpos, bsiz = state.get
+            bpos, bsiz = list(bpos), list(bsiz)
+        else:
+            last_pos, bpos, bsiz = None, [], []
+        pts = []
+        for pdf in pdfs:
+            pts.extend(zip((int(p) for p in pdf["pos"]), pdf["value"]))
+        out = []
+        for pos, raw in sorted(pts, key=lambda t: t[0]):
+            if last_pos is not None and pos <= last_pos:
+                continue  # replay / duplicate: idempotent skip
+            last_pos = pos
+            # null reads as bit 0 — same convention as the batch kernel
+            bit = 1 if (raw == raw and raw is not None
+                        and float(raw) >= threshold) else 0
+            dgim_add(pos, bit, bpos, bsiz, window)
+            if pos % check_every == 0:
+                est, bound = dgim_estimate(bpos, bsiz)
+                out.append(
+                    (key[0], key[1], pos, est, bound, len(bpos))
+                )
+        state.update((last_pos, bpos, bsiz))
+        if out:
+            yield pd.DataFrame(
+                out,
+                columns=["source", "doc_id", "pos", "est", "bound",
+                         "n_buckets"],
+            )
+
+    return fn
+
+
+def stream_dgim_partials(
+    stream_df: DataFrame,
+    window: int = 128,
+    check_every: int = 60,
+    threshold: float = 10.0,
+) -> DataFrame:
+    """Streaming DGIM sliding-window count of above-threshold readings
+    (functions/dgim.py; batch twin: analyses.dgim_window_count): per
+    key the state is the O(log² W) bucket list plus a last_pos
+    watermark — NEVER the window itself — so a window of a billion
+    positions costs ~2·log2(W) longs of state per series.  The fold is
+    pure integer arithmetic shared bit-for-bit with the batch kernel,
+    so estimates, error bounds, and bucket counts match the batch
+    answer under any micro-batch slicing, and the checkpointed state
+    resumes exactly after a restart (north rule).  Emits one row per
+    ``check_every``-th position.
+    """
+    return stream_df.groupBy("source", "doc_id").applyInPandasWithState(
+        _dgim_partials(int(window), int(check_every), float(threshold)),
+        outputStructType=DGIM_SCHEMA,
+        stateStructType=DGIM_STATE,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -872,3 +872,60 @@ def test_property_seasonal_mann_kendall_combine(spark):
         else:
             z = 0.0
         assert abs(r["z"] - z) < 1e-12, d
+
+
+def test_property_dgim_fold_invariants():
+    """Pure-fold DGIM battery over adversarial bit patterns: at EVERY
+    position the estimate must sit within the sketch's own
+    deterministic bound of the true windowed count, the bucket list
+    must stay under the O(log W) cap, sizes must be powers of two with
+    at most MAX_PER_SIZE of each, and timestamps strictly decreasing."""
+    from diive_spark.functions.dgim import (
+        MAX_PER_SIZE, dgim_add, dgim_estimate, max_buckets)
+
+    rng = np.random.RandomState(20260821)
+    patterns = []
+    n = 400
+    patterns.append(("all_ones", [1] * n))
+    patterns.append(("all_zeros", [0] * n))
+    patterns.append(("alternating", [i % 2 for i in range(n)]))
+    patterns.append(
+        ("burst_then_quiet", [1] * 100 + [0] * 200 + [1] * 100)
+    )
+    for dens in (0.05, 0.5, 0.95):
+        patterns.append(
+            (f"random_{dens}", (rng.rand(n) < dens).astype(int).tolist())
+        )
+    # sparse arrivals: positions jump (stream with missing rows)
+    jump_pos = sorted(rng.choice(5000, size=n, replace=False).tolist())
+
+    for window in (1, 2, 7, 64, 333):
+        cap = max_buckets(window)
+        for name, bits in patterns:
+            for positions in (list(range(n)), jump_pos):
+                bpos, bsiz = [], []
+                ones = []
+                for p, b in zip(positions, bits):
+                    if b:
+                        ones.append(p)
+                    dgim_add(p, b, bpos, bsiz, window)
+                    est, bound = dgim_estimate(bpos, bsiz)
+                    exact = sum(
+                        1 for o in ones if p - window < o <= p
+                    )
+                    ctx = (name, window, p)
+                    assert abs(est - exact) <= bound, ctx
+                    assert len(bpos) <= cap, ctx
+                    assert all(
+                        s & (s - 1) == 0 and s >= 1 for s in bsiz
+                    ), ctx
+                    from collections import Counter
+
+                    assert all(
+                        c <= MAX_PER_SIZE
+                        for c in Counter(bsiz).values()
+                    ), ctx
+                    assert all(
+                        bpos[i] > bpos[i + 1]
+                        for i in range(len(bpos) - 1)
+                    ), ctx

@@ -1501,3 +1501,81 @@ def test_stream_stream_attribution_matches_batch_range_join(spark, tmp_path):
     import numpy as np
 
     np.testing.assert_allclose(got["lag_s"], lags, rtol=0, atol=0)
+
+
+def test_stream_dgim_matches_batch_across_restarts(spark, tmp_path):
+    """DGIM sliding-window counts streamed over three drains (with a
+    restart and a replayed slice) must equal the shared integer fold
+    exactly: same estimates, bounds, and bucket counts at every
+    checkpoint position, with the estimate within its own
+    deterministic bound of the true windowed count."""
+    import numpy as np
+
+    from diive_spark.functions.dgim import (
+        dgim_add, dgim_estimate, max_buckets)
+    from diive_spark.streaming.stateful import stream_dgim_partials
+
+    rng = np.random.RandomState(99)
+    n = 300
+    window, ce, thr = 64, 20, 0.0
+    vals = rng.randn(n) * 10
+    rows = [("s", "0", i, float(vals[i])) for i in range(n)]
+    rows += [  # gappy sibling: nulls read as bit 0
+        ("s", "1", i, None if i % 4 == 0 else float(vals[i]))
+        for i in range(n)
+    ]
+    schema = "source string, doc_id string, pos long, value double"
+    src = str(tmp_path / "src")
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dgim_partials(
+                stream, window=window, check_every=ce, threshold=thr
+            )
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    df = spark.createDataFrame(rows, schema)
+    df.where("pos < 100").write.mode("append").parquet(src)
+    drain()
+    df.where("pos >= 80 and pos < 210").write.mode("append").parquet(src)
+    drain()  # fresh query object, same checkpoint: replay idempotent
+    df.where("pos >= 210").write.mode("append").parquet(src)
+    drain()
+
+    got = spark.read.parquet(out).toPandas()
+
+    for doc in ("0", "1"):
+        sub = (
+            got[got["doc_id"] == doc]
+            .sort_values("pos")
+            .reset_index(drop=True)
+        )
+        # python twin of the shared fold
+        bpos, bsiz = [], []
+        ones = []
+        expect = []
+        for _, d, i, v in [r for r in rows if r[1] == doc]:
+            bit = 1 if (v is not None and v >= thr) else 0
+            if bit:
+                ones.append(i)
+            dgim_add(i, bit, bpos, bsiz, window)
+            assert len(bpos) <= max_buckets(window)
+            if i % ce == 0:
+                est, bound = dgim_estimate(bpos, bsiz)
+                exact = sum(1 for o in ones if i - window < o <= i)
+                assert abs(est - exact) <= bound  # DGIM guarantee
+                expect.append((i, est, bound, len(bpos)))
+        assert len(sub) == len(expect), doc
+        for row, (i, est, bound, nb) in zip(sub.itertuples(), expect):
+            assert row.pos == i and row.est == est, (doc, i)
+            assert row.bound == bound and row.n_buckets == nb, (doc, i)
