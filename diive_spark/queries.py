@@ -8694,6 +8694,296 @@ FROM wc WHERE pos % 60 = 0 GROUP BY 1, 2
 """
 
 
+def q_arch_lm(spark, sf_dir):
+    """Engle's ARCH-LM test at lag 1 (Engle 1982): volatility
+    clustering shows up as autocorrelation in SQUARED deviations, so
+    LM = n_pairs * corr(a_t, a_{t-1})^2 with a_t = (x_t - mean)^2
+    against the chi-square(1) 5% critical value.  One window pass for
+    the centering mean and the lag, one aggregate — running sums only,
+    no kernel."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    wk = Window.partitionBy("source", "doc_id")
+    wo = wk.orderBy("pos")
+    a = s.withColumn(
+        "a", F.pow(F.col("value") - F.avg("value").over(wk), 2)
+    ).withColumn("a_prev", F.lag("a").over(wo))
+    out = (
+        a.where(F.col("a_prev").isNotNull())
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_pairs"),
+            (F.count(F.lit(1)) * F.pow(F.corr("a", "a_prev"), 2)).alias(
+                "_lm"
+            ),
+        )
+    )
+    return out.select(
+        "source", "doc_id", "n_pairs",
+        _r(F.col("_lm")).alias("lm"),
+        F.when(F.col("_lm") > 3.841459, "arch")
+        .otherwise("homoskedastic")
+        .alias("verdict"),
+    )
+
+
+SQL_ARCH_LM = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value FROM series
+       WHERE value IS NOT NULL),
+a AS (SELECT source, doc_id, pos,
+             pow(value - avg(value) OVER (PARTITION BY source, doc_id), 2)
+               AS a
+      FROM nn),
+p AS (SELECT source, doc_id, a,
+             lag(a) OVER (PARTITION BY source, doc_id ORDER BY pos)
+               AS a_prev
+      FROM a),
+lm AS (SELECT source, doc_id,
+              CAST(count(*) AS BIGINT) AS n_pairs,
+              count(*) * pow(corr(a, a_prev), 2) AS lm
+       FROM p WHERE a_prev IS NOT NULL GROUP BY 1, 2)
+SELECT source, doc_id, n_pairs, round(lm, 6) AS lm,
+       CASE WHEN lm > 3.841459 THEN 'arch'
+            ELSE 'homoskedastic' END AS verdict
+FROM lm
+"""
+
+
+def q_runs_test(spark, sf_dir):
+    """Wald-Wolfowitz runs test per series: readings are signed
+    against the exact series median (ties with the median are
+    excluded, the standard convention), runs of constant sign are
+    counted with one lag, and the normal approximation
+    z = (R - mean) / sd flags non-randomness.  Exact percentile for
+    the median, one ordered window, one aggregate."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    wk = Window.partitionBy("source", "doc_id")
+    med = s.withColumn(
+        "_med", F.percentile("value", F.lit(0.5)).over(wk)
+    ).where(F.col("value") != F.col("_med"))
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    signed = med.withColumn(
+        "s", (F.col("value") > F.col("_med")).cast("int")
+    ).withColumn("s_prev", F.lag("s").over(wo))
+    agg = signed.groupBy("source", "doc_id").agg(
+        F.sum("s").cast("long").alias("n1"),
+        F.sum(1 - F.col("s")).cast("long").alias("n2"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("s_prev").isNotNull()
+                    & (F.col("s") != F.col("s_prev")),
+                    1,
+                ).otherwise(0)
+            )
+        ).cast("long").alias("runs"),
+    )
+    n1, n2 = F.col("n1").cast("double"), F.col("n2").cast("double")
+    nn = n1 + n2
+    mean_r = 2.0 * n1 * n2 / nn + 1.0
+    var_r = (
+        2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+        / (nn * nn * (nn - 1.0))
+    )
+    z = F.when(var_r > 0, (F.col("runs") - mean_r) / F.sqrt(var_r)).otherwise(
+        F.lit(0.0)
+    )
+    return agg.where((F.col("n1") > 0) & (F.col("n2") > 0)).select(
+        "source", "doc_id", "n1", "n2", "runs",
+        _r(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, "non-random")
+        .otherwise("random")
+        .alias("verdict"),
+    )
+
+
+SQL_RUNS_TEST = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value FROM series
+       WHERE value IS NOT NULL),
+m AS (SELECT source, doc_id, pos, value,
+             quantile_cont(value, 0.5)
+               OVER (PARTITION BY source, doc_id) AS med
+      FROM nn),
+sgn AS (SELECT source, doc_id, pos,
+               CASE WHEN value > med THEN 1 ELSE 0 END AS s
+        FROM m WHERE value <> med),
+lagd AS (SELECT source, doc_id, s,
+                lag(s) OVER (PARTITION BY source, doc_id ORDER BY pos)
+                  AS s_prev
+         FROM sgn),
+agg AS (SELECT source, doc_id,
+               CAST(sum(s) AS BIGINT) AS n1,
+               CAST(sum(1 - s) AS BIGINT) AS n2,
+               CAST(1 + sum(CASE WHEN s_prev IS NOT NULL AND s <> s_prev
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS runs
+        FROM lagd GROUP BY 1, 2),
+zz AS (
+  SELECT *,
+         2.0 * n1 * n2 / (n1 + n2) + 1.0 AS mean_r,
+         2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+           / (CAST(n1 + n2 AS DOUBLE) * (n1 + n2) * (n1 + n2 - 1.0))
+           AS var_r
+  FROM agg WHERE n1 > 0 AND n2 > 0)
+SELECT source, doc_id, n1, n2, runs,
+       round(CASE WHEN var_r > 0 THEN (runs - mean_r) / sqrt(var_r)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN abs(CASE WHEN var_r > 0 THEN (runs - mean_r) / sqrt(var_r)
+                          ELSE 0.0 END) > 1.959964
+            THEN 'non-random' ELSE 'random' END AS verdict
+FROM zz
+"""
+
+
+def q_turning_points(spark, sf_dir):
+    """Turning-points randomness test: count strict local extrema
+    (prev < v > next or prev > v < next) over the non-null readings;
+    under i.i.d. randomness E[T] = 2(n-2)/3 and Var[T] = (16n-29)/90
+    (Kendall & Stuart), z-scored.  One lag + one lead on a single
+    ordered window, one aggregate."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    t = s.withColumn("prev", F.lag("value").over(wo)).withColumn(
+        "next", F.lead("value").over(wo)
+    )
+    is_tp = (
+        F.col("prev").isNotNull()
+        & F.col("next").isNotNull()
+        & (
+            ((F.col("prev") < F.col("value")) & (F.col("value") > F.col("next")))
+            | ((F.col("prev") > F.col("value")) & (F.col("value") < F.col("next")))
+        )
+    ).cast("int")
+    agg = t.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_tp).cast("long").alias("tp"),
+    )
+    n = F.col("n").cast("double")
+    mean_t = 2.0 * (n - 2.0) / 3.0
+    var_t = (16.0 * n - 29.0) / 90.0
+    z = F.when(
+        (F.col("n") >= 3) & (var_t > 0),
+        (F.col("tp") - mean_t) / F.sqrt(var_t),
+    ).otherwise(F.lit(0.0))
+    return agg.where(F.col("n") >= 3).select(
+        "source", "doc_id", "n", "tp",
+        _r(z).alias("z"),
+        F.when(F.abs(z) > 1.959964, "non-random")
+        .otherwise("random")
+        .alias("verdict"),
+    )
+
+
+SQL_TURNING_POINTS = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value FROM series
+       WHERE value IS NOT NULL),
+t AS (SELECT source, doc_id, value,
+             lag(value) OVER w AS prev, lead(value) OVER w AS next
+      FROM nn WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+agg AS (SELECT source, doc_id,
+               CAST(count(*) AS BIGINT) AS n,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND next IS NOT NULL
+                              AND ((prev < value AND value > next)
+                                OR (prev > value AND value < next))
+                             THEN 1 ELSE 0 END) AS BIGINT) AS tp
+        FROM t GROUP BY 1, 2),
+zz AS (
+  SELECT *, 2.0 * (n - 2.0) / 3.0 AS mean_t,
+         (16.0 * n - 29.0) / 90.0 AS var_t
+  FROM agg WHERE n >= 3)
+SELECT source, doc_id, n, tp,
+       round(CASE WHEN var_t > 0 THEN (tp - mean_t) / sqrt(var_t)
+                  ELSE 0.0 END, 6) AS z,
+       CASE WHEN abs(CASE WHEN var_t > 0 THEN (tp - mean_t) / sqrt(var_t)
+                          ELSE 0.0 END) > 1.959964
+            THEN 'non-random' ELSE 'random' END AS verdict
+FROM zz
+"""
+
+
+def q_benford_digits(spark, sf_dir):
+    """Benford first-digit conformance per order priority: the classic
+    fabricated-data screen.  First digits come from the INTEGER part
+    of o_totalprice via string math (identical across engines — no
+    float log10 edge cases), observed counts chi-square against
+    n * log10(1 + 1/d) over a dense 1..9 digit frame, df = 8.  One
+    narrow groupBy and a 9-row-per-group combine."""
+    orders = _load(spark, sf_dir, "orders").where(F.col("o_totalprice") >= 1.0)
+    digits = orders.select(
+        "o_orderpriority",
+        F.substring(
+            F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d"),
+    )
+    counts = digits.groupBy("o_orderpriority", "d").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    dense = (
+        counts.select("o_orderpriority")
+        .distinct()
+        .select(
+            "o_orderpriority",
+            F.explode(F.sequence(F.lit(1), F.lit(9))).alias("d"),
+        )
+    )
+    full = dense.join(counts, ["o_orderpriority", "d"], "left").fillna(
+        0, subset=["cnt"]
+    )
+    wt = Window.partitionBy("o_orderpriority")
+    chi = full.withColumn("n", F.sum("cnt").over(wt)).withColumn(
+        "exp",
+        F.col("n") * F.log10(1.0 + 1.0 / F.col("d")),
+    )
+    out = chi.groupBy("o_orderpriority").agg(
+        F.max("n").cast("long").alias("n"),
+        F.sum(
+            F.pow(F.col("cnt") - F.col("exp"), 2) / F.col("exp")
+        ).alias("_chi2"),
+    )
+    return out.select(
+        F.col("o_orderpriority"),
+        "n",
+        _r(F.col("_chi2")).alias("chi2"),
+        F.when(F.col("_chi2") > 15.507313, "non-benford")
+        .otherwise("benford")
+        .alias("verdict"),
+    )
+
+
+SQL_BENFORD = """
+WITH digits AS (
+  SELECT o_orderpriority,
+         CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+                     1, 1) AS INTEGER) AS d
+  FROM orders WHERE o_totalprice >= 1.0),
+counts AS (SELECT o_orderpriority, d, count(*) AS cnt
+           FROM digits GROUP BY 1, 2),
+dense AS (
+  SELECT p.o_orderpriority, b.d
+  FROM (SELECT DISTINCT o_orderpriority FROM counts) p
+  CROSS JOIN (SELECT unnest(range(1, 10)) AS d) b),
+full_ AS (
+  SELECT de.o_orderpriority, de.d, coalesce(c.cnt, 0) AS cnt
+  FROM dense de LEFT JOIN counts c
+    ON de.o_orderpriority = c.o_orderpriority AND de.d = c.d),
+chi AS (
+  SELECT o_orderpriority, d, cnt,
+         sum(cnt) OVER (PARTITION BY o_orderpriority) AS n,
+         sum(cnt) OVER (PARTITION BY o_orderpriority)
+           * log10(1.0 + 1.0 / d) AS exp
+  FROM full_)
+SELECT o_orderpriority, CAST(max(n) AS BIGINT) AS n,
+       round(sum(pow(cnt - exp, 2) / exp), 6) AS chi2,
+       CASE WHEN sum(pow(cnt - exp, 2) / exp) > 15.507313
+            THEN 'non-benford' ELSE 'benford' END AS verdict
+FROM chi GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -8701,6 +8991,10 @@ FROM wc WHERE pos % 60 = 0 GROUP BY 1, 2
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "arch_lm_test": (q_arch_lm, SQL_ARCH_LM),
+    "runs_test": (q_runs_test, SQL_RUNS_TEST),
+    "turning_points_test": (q_turning_points, SQL_TURNING_POINTS),
+    "benford_digits": (q_benford_digits, SQL_BENFORD),
     "dgim_window_count": (q_dgim_window_count, SQL_DGIM_WINDOW),
     "seasonal_mann_kendall": (q_seasonal_mann_kendall, SQL_SEASONAL_MK),
     "table_profile": (q_table_profile, SQL_TABLE_PROFILE),

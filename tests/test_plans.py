@@ -799,3 +799,17 @@ def test_table_profile_topk_never_full_sort(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_diagnostics_battery_no_joins(spark):
+    """ARCH-LM, runs test, and turning points are window+aggregate
+    plans over the series scan — no join may appear (the runs-test
+    median is a window percentile, not a join-back)."""
+    from diive_spark.queries import (
+        q_arch_lm, q_runs_test, q_turning_points)
+
+    for q in (q_arch_lm, q_runs_test, q_turning_points):
+        df = q(spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "Join" not in plan, q.__name__
+        assert "CartesianProduct" not in plan, q.__name__

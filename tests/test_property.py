@@ -929,3 +929,81 @@ def test_property_dgim_fold_invariants():
                         bpos[i] > bpos[i + 1]
                         for i in range(len(bpos) - 1)
                     ), ctx
+
+
+def test_property_runs_and_turning_points_twins(spark):
+    """Runs-test and turning-points counts must equal definitional
+    python loops on adversarial series shapes."""
+    from diive_spark.queries import (
+        SQL_RUNS_TEST, SQL_TURNING_POINTS)  # noqa: F401 (twin is below)
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    rng = np.random.RandomState(31337)
+    rows = _random_series_rows(rng)
+    df = _rand_series_df(spark, rows)
+
+    # engine shapes (mirror the query bodies on the library surface)
+    s = df.where(F.col("value").isNotNull())
+    wk = Window.partitionBy("source", "doc_id")
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    med = s.withColumn(
+        "_med", F.percentile("value", F.lit(0.5)).over(wk)
+    ).where(F.col("value") != F.col("_med"))
+    signed = med.withColumn(
+        "s", (F.col("value") > F.col("_med")).cast("int")
+    ).withColumn("s_prev", F.lag("s").over(wo))
+    runs = {
+        (r["source"], r["doc_id"]): r
+        for r in signed.groupBy("source", "doc_id")
+        .agg(
+            F.sum("s").alias("n1"),
+            F.sum(1 - F.col("s")).alias("n2"),
+            (1 + F.sum(
+                F.when(F.col("s_prev").isNotNull()
+                       & (F.col("s") != F.col("s_prev")), 1).otherwise(0)
+            )).alias("runs"),
+        )
+        .collect()
+    }
+
+    t = s.withColumn("prev", F.lag("value").over(wo)).withColumn(
+        "next", F.lead("value").over(wo)
+    )
+    is_tp = (
+        F.col("prev").isNotNull() & F.col("next").isNotNull()
+        & (((F.col("prev") < F.col("value"))
+            & (F.col("value") > F.col("next")))
+           | ((F.col("prev") > F.col("value"))
+              & (F.col("value") < F.col("next"))))
+    ).cast("int")
+    tps = {
+        (r["source"], r["doc_id"]): r["tp"]
+        for r in t.groupBy("source", "doc_id")
+        .agg(F.sum(is_tp).alias("tp"))
+        .collect()
+    }
+
+    by_doc = {}
+    for src_, d, i, v in rows:
+        if v is not None:
+            by_doc.setdefault((src_, d), []).append((i, v))
+    for key, pts in by_doc.items():
+        vals = [v for _, v in sorted(pts)]
+        # definitional runs count over median-signed sequence
+        med_v = float(np.percentile(vals, 50))
+        sgn = [1 if v > med_v else 0 for v in vals if v != med_v]
+        if sgn:
+            r_def = 1 + sum(
+                1 for a, b in zip(sgn, sgn[1:]) if a != b
+            )
+            assert key in runs, key
+            assert runs[key]["runs"] == r_def, key
+            assert runs[key]["n1"] == sum(sgn), key
+            assert runs[key]["n2"] == len(sgn) - sum(sgn), key
+        # definitional turning points
+        tp_def = sum(
+            1 for a, b, c in zip(vals, vals[1:], vals[2:])
+            if (a < b > c) or (a > b < c)
+        )
+        assert tps.get(key, 0) == tp_def, key
