@@ -529,3 +529,64 @@ def linear_predict(
     return joined.withColumn(
         "y_fit", F.col("intercept") + F.col("slope") * F.col(x).cast("double")
     )
+
+
+def isotonic_fit(
+    df: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = ("source", "doc_id"),
+) -> DataFrame:
+    """Isotonic (monotone non-decreasing) regression per series via
+    Pool-Adjacent-Violators (Ayer et al. 1955 / Barlow et al. 1972):
+    the unique least-squares fit under the ordering constraint — the
+    shape-constrained complement of this module's parametric fits
+    (reference fits are unconstrained least squares,
+    diive/core/dfun/fits.py:74-260).
+
+    The PAVA stack pass is inherently sequential along a series, so it
+    runs as a numpy kernel per series (the lttb/LOF contract: series
+    are independent and parallelize across the cluster; one series
+    must fit a worker, which n_tok bounds by construction).  Merging
+    on ``>=`` yields MAXIMAL blocks, giving the standard uniqueness
+    characterization the caller can verify in-query:
+
+    1. fitted is non-decreasing;
+    2. each maximal constant block's fitted value is the block mean;
+    3. within every block each proper prefix's mean is >= the block
+       mean (no split improves the fit).
+
+    Returns one row per non-null reading: keys, axis, value, fitted.
+    """
+    keys = list(key_cols)
+    import numpy as np
+    import pandas as pd
+
+    in_df = df.select(
+        *keys,
+        F.col(axis_col).cast("long").alias(axis_col),
+        F.col(value_col).cast("double").alias(value_col),
+    ).where(F.col(value_col).isNotNull())
+    out_schema = in_df.withColumn(
+        "fitted", F.lit(0.0).cast("double")
+    ).schema
+
+    def _kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(axis_col).reset_index(drop=True)
+        v = pdf[value_col].to_numpy(dtype=np.float64)
+        sums: list = []
+        cnts: list = []
+        for x in v:
+            s, c = float(x), 1
+            while sums and sums[-1] / cnts[-1] >= s / c:
+                s += sums.pop()
+                c += cnts.pop()
+            sums.append(s)
+            cnts.append(c)
+        fitted = np.concatenate(
+            [np.full(c, s / c) for s, c in zip(sums, cnts)]
+        ) if len(v) else np.empty(0)
+        pdf["fitted"] = fitted
+        return pdf
+
+    return in_df.groupBy(*keys).applyInPandas(_kernel, schema=out_schema)

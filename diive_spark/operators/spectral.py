@@ -1386,3 +1386,215 @@ def permutation_entropy(
         "n_patterns",
         h.alias("pe"),
     )
+
+
+def spectral_entropy(
+    df: DataFrame,
+    max_k: int = 24,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+) -> DataFrame:
+    """Normalized spectral entropy (the tsfeatures/forecastability
+    classic — Goerg 2013's ForeCA omega is 1 minus this): Shannon
+    entropy of the normalized periodogram over Fourier k = 1..max_k,
+
+        H = -sum p_k ln p_k / ln(K),   p_k = P_k / sum P
+
+    so 0 = a single dominant cycle (perfectly forecastable band) and
+    1 = flat white-noise spectrum.  Same direct-DFT row-local array
+    fold as :func:`dft_power_peak` (no (reading x frequency) explode,
+    one shuffle); series with < 4 readings or zero band power yield
+    null entropy.
+    """
+    if max_k < 2:
+        raise ValueError(f"max_k must be >= 2, got {max_k}")
+    keys = list(key_cols)
+    pts = df.where(F.col(value_col).isNotNull())
+    arr = F.array_sort(
+        F.collect_list(
+            F.struct(
+                F.col(axis_col).cast("long").alias("p"),
+                F.col(value_col).cast("double").alias("x"),
+            )
+        )
+    )
+    g = pts.groupBy(*keys).agg(arr.alias("_arr"))
+    g = (
+        g.withColumn("_v", F.transform(F.col("_arr"), lambda s: s["x"]))
+        .withColumn("_n", F.size("_v"))
+        .drop("_arr")
+    )
+    n_d = F.col("_n").cast("double")
+    g = g.withColumn(
+        "_mu",
+        F.aggregate(F.col("_v"), F.lit(0.0), lambda acc, x: acc + x) / n_d,
+    )
+    ks = F.when(
+        F.col("_n") >= 4,
+        F.sequence(
+            F.lit(1), F.least(F.lit(int(max_k)), (F.col("_n") / 2).cast("int"))
+        ),
+    )
+
+    def _power(k):
+        w = F.lit(_TWO_PI) * k.cast("double") / n_d
+        init = F.struct(
+            F.lit(0).cast("long").alias("i"),
+            F.lit(0.0).alias("c"),
+            F.lit(0.0).alias("s"),
+        )
+
+        def step(acc, x):
+            ang = w * acc["i"].cast("double")
+            xd = x - F.col("_mu")
+            return F.struct(
+                (acc["i"] + 1).alias("i"),
+                (acc["c"] + xd * F.cos(ang)).alias("c"),
+                (acc["s"] + xd * F.sin(ang)).alias("s"),
+            )
+
+        st = F.aggregate(F.col("_v"), init, step)
+        return st["c"] * st["c"] + st["s"] * st["s"]
+
+    g = g.withColumn("_pw", F.transform(ks, _power))
+    total = F.aggregate(F.col("_pw"), F.lit(0.0), lambda a, p: a + p)
+    g = g.withColumn("_tot", total).withColumn(
+        "_kk", F.size("_pw")
+    )
+    ent = F.when(
+        (F.col("_tot") > 0) & (F.col("_kk") >= 2),
+        -F.aggregate(
+            F.col("_pw"),
+            F.lit(0.0),
+            lambda a, p: a
+            + F.when(
+                p > 0,
+                (p / F.col("_tot")) * F.log(p / F.col("_tot")),
+            ).otherwise(0.0),
+        )
+        / F.log(F.col("_kk").cast("double")),
+    )
+    return g.select(
+        *keys,
+        F.col("_n").cast("long").alias("n"),
+        F.col("_kk").cast("long").alias("k_used"),
+        ent.alias("entropy"),
+    )
+
+
+def cointegration_pairs(
+    df: DataFrame,
+    pairs: DataFrame,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    min_overlap: int = 30,
+) -> DataFrame:
+    """Engle-Granger two-step cointegration test for chosen series
+    pairs (Engle & Granger 1987): two trending series are cointegrated
+    when some linear combination is stationary — the mean-reversion
+    complement of :func:`granger_lag1`'s direction test.
+
+    Step 1: closed-form OLS ``y = alpha + beta*x`` on the
+    position-aligned non-null rows of each (doc_a -> y, doc_b -> x)
+    pair; residual e_t attaches back as a plain expression (the tiny
+    per-pair coefficient relation re-joins broadcast).
+    Step 2: Dickey-Fuller regression WITHOUT drift on the residuals,
+    ``delta e_t = rho * e_{t-1}``, over consecutive kept rows (one lag
+    window per pair):  t = rho_hat / se(rho_hat), and a verdict at the
+    Engle-Granger 5% critical value -3.34 (MacKinnon 1991 surface,
+    two-variable case with constant in step 1).
+
+    Everything is moment sums + closed forms — no solver, no UDF; the
+    pair list is the bounded output of a discovery pass and broadcasts
+    (the granger_lag1 scale contract).  Degenerate fits (n below
+    ``min_overlap``, zero x-variance, zero residual lag energy) yield
+    null statistics.
+    """
+    if min_overlap < 4:
+        raise ValueError(f"min_overlap must be >= 4, got {min_overlap}")
+    keys = list(key_cols)
+    group_cols, doc_col = keys[:-1], keys[-1]
+    base = df.select(
+        *group_cols,
+        F.col(doc_col).alias("_doc"),
+        F.col(axis_col).alias("_pos"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+
+    p = pairs.select(
+        *group_cols,
+        F.col("doc_a").alias("_da"),
+        F.col("doc_b").alias("_db"),
+    )
+    ya = base.select(
+        *group_cols, F.col("_doc").alias("_da"), "_pos",
+        F.col("_v").alias("_y"),
+    )
+    xb = base.select(
+        *group_cols, F.col("_doc").alias("_db"), "_pos",
+        F.col("_v").alias("_x"),
+    )
+    j = ya.join(F.broadcast(p), on=[*group_cols, "_da"]).join(
+        xb, on=[*group_cols, "_db", "_pos"]
+    )
+    mom = j.groupBy(*group_cols, "_da", "_db").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_x").alias("_sx"),
+        F.sum("_y").alias("_sy"),
+        F.sum(F.col("_x") * F.col("_x")).alias("_sxx"),
+        F.sum(F.col("_x") * F.col("_y")).alias("_sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    varx = F.col("_sxx") - F.col("_sx") * F.col("_sx") / n_d
+    covxy = F.col("_sxy") - F.col("_sx") * F.col("_sy") / n_d
+    coef = mom.select(
+        *group_cols, "_da", "_db", "n",
+        F.when(varx > 0, covxy / varx).alias("beta"),
+        F.when(
+            varx > 0,
+            (F.col("_sy") - (covxy / varx) * F.col("_sx")) / n_d,
+        ).alias("alpha"),
+    ).where(
+        (F.col("n") >= int(min_overlap)) & F.col("beta").isNotNull()
+    )
+    r = j.join(F.broadcast(coef), on=[*group_cols, "_da", "_db"]).select(
+        *group_cols, "_da", "_db", "_pos", "n",
+        (F.col("_y") - F.col("alpha") - F.col("beta") * F.col("_x")).alias(
+            "_e"
+        ),
+    )
+    wo = Window.partitionBy(*group_cols, "_da", "_db").orderBy("_pos")
+    r = r.withColumn("_e1", F.lag("_e").over(wo)).where(
+        F.col("_e1").isNotNull()
+    )
+    d = r.withColumn("_de", F.col("_e") - F.col("_e1"))
+    a = d.groupBy(*group_cols, "_da", "_db").agg(
+        F.max("n").alias("n"),
+        F.count(F.lit(1)).alias("m"),
+        F.sum(F.col("_e1") * F.col("_de")).alias("_s1d"),
+        F.sum(F.col("_e1") * F.col("_e1")).alias("_s11"),
+        F.sum(F.col("_de") * F.col("_de")).alias("_sdd"),
+    )
+    m_d = F.col("m").cast("double")
+    rho = F.when(F.col("_s11") > 0, F.col("_s1d") / F.col("_s11"))
+    rss = F.col("_sdd") - rho * rho * F.col("_s11")
+    se = F.sqrt(
+        F.when(
+            (F.col("_s11") > 0) & (m_d > 1) & (rss > 0),
+            (rss / (m_d - 1.0)) / F.col("_s11"),
+        )
+    )
+    t = rho / se
+    return a.select(
+        *group_cols,
+        F.col("_da").alias("doc_a"),
+        F.col("_db").alias("doc_b"),
+        F.col("n").cast("long").alias("n"),
+        rho.alias("rho"),
+        t.alias("df_t"),
+        F.when(t < -3.34, "cointegrated")
+        .otherwise("no-cointegration")
+        .alias("verdict"),
+    )

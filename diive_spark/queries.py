@@ -8984,6 +8984,234 @@ FROM chi GROUP BY 1
 """
 
 
+def q_spectral_entropy(spark, sf_dir):
+    """Normalized spectral entropy over the first 24 Fourier
+    frequencies (tsfeatures' forecastability measure): 0 = one
+    dominant cycle, 1 = flat white-noise band.  Same explode-free
+    direct-DFT array fold as dft_power_peak; verdict at 0.5."""
+    out = spectral.spectral_entropy(
+        series(spark, sf_dir), max_k=_DFT_K, key_cols=["source", "doc_id"]
+    )
+    return out.select(
+        "source", "doc_id", "n", "k_used",
+        _r(F.col("entropy")).alias("entropy"),
+        F.when(F.col("entropy") < 0.5, "periodic")
+        .when(F.col("entropy").isNotNull(), "noisy")
+        .alias("verdict"),
+    )
+
+
+SQL_SPECTRAL_ENTROPY = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+idx AS (SELECT source, doc_id,
+               CAST(row_number() OVER (PARTITION BY source, doc_id
+                                       ORDER BY pos) AS BIGINT) - 1 AS i,
+               value
+        FROM pts),
+nn AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS n,
+              avg(value) AS mu
+       FROM idx GROUP BY 1, 2),
+ks AS (SELECT source, doc_id, n, mu,
+              unnest(range(1, least({_DFT_K}, n // 2) + 1)) AS k
+       FROM nn WHERE n >= 4),
+sums AS (
+  SELECT ks.source, ks.doc_id, ks.n, ks.k,
+         sum((idx.value - ks.mu)
+             * cos((({_TWO_PI_LIT!r} * CAST(ks.k AS DOUBLE)) / ks.n)
+                   * CAST(idx.i AS DOUBLE))) AS cs,
+         sum((idx.value - ks.mu)
+             * sin((({_TWO_PI_LIT!r} * CAST(ks.k AS DOUBLE)) / ks.n)
+                   * CAST(idx.i AS DOUBLE))) AS sn
+  FROM ks JOIN idx USING (source, doc_id)
+  GROUP BY 1, 2, 3, 4),
+pk AS (SELECT source, doc_id, k, cs * cs + sn * sn AS p FROM sums),
+tot AS (SELECT source, doc_id, CAST(count(*) AS BIGINT) AS k_used,
+               sum(p) AS total
+        FROM pk GROUP BY 1, 2),
+ent AS (
+  SELECT pk.source, pk.doc_id,
+         CASE WHEN t.total > 0 AND t.k_used >= 2 THEN
+           -sum(CASE WHEN pk.p > 0
+                     THEN (pk.p / t.total) * ln(pk.p / t.total)
+                     ELSE 0.0 END) / ln(CAST(t.k_used AS DOUBLE))
+         END AS h
+  FROM pk JOIN tot t USING (source, doc_id)
+  GROUP BY 1, 2, t.total, t.k_used)
+SELECT nn.source, nn.doc_id, nn.n, t.k_used,
+       round(e.h, 6) AS entropy,
+       CASE WHEN e.h < 0.5 THEN 'periodic'
+            WHEN e.h IS NOT NULL THEN 'noisy' END AS verdict
+FROM nn
+LEFT JOIN tot t USING (source, doc_id)
+LEFT JOIN ent e USING (source, doc_id)
+"""
+
+
+def q_cointegration_pairs(spark, sf_dir):
+    """Discovery -> mean reversion: the top-3 most-correlated doc
+    pairs per source get the Engle-Granger two-step — closed-form OLS
+    residuals, then a driftless Dickey-Fuller t on consecutive
+    residuals — flagging pairs whose spread is stationary.  Moment
+    sums and broadcast coefficient joins only; no solver, no UDF."""
+    tc = spectral.top_correlated_pairs(
+        series(spark, sf_dir), top_k=3, min_overlap=30,
+        key_cols=["source", "doc_id"],
+    )
+    out = spectral.cointegration_pairs(
+        series(spark, sf_dir),
+        tc.select("source", "doc_a", "doc_b"),
+        key_cols=["source", "doc_id"],
+        min_overlap=30,
+    )
+    return out.select(
+        "source", "doc_a", "doc_b", "n",
+        _r(F.col("rho")).alias("rho"),
+        _r(F.col("df_t")).alias("df_t"),
+        "verdict",
+    )
+
+
+SQL_COINTEGRATION = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+pr AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              sum(a.value) AS sa, sum(b.value) AS sb,
+              sum(a.value * b.value) AS sab,
+              sum(a.value * a.value) AS saa,
+              sum(b.value * b.value) AS sbb
+       FROM pts a JOIN pts b
+         ON a.source = b.source AND a.pos = b.pos
+        AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3),
+rr AS (SELECT *,
+              CASE WHEN n_overlap >= 30
+                    AND n_overlap * saa - sa * sa > 0
+                    AND n_overlap * sbb - sb * sb > 0
+                   THEN (n_overlap * sab - sa * sb)
+                        / sqrt((n_overlap * saa - sa * sa)
+                               * (n_overlap * sbb - sb * sb)) END AS r
+       FROM pr),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          doc_a ASC, doc_b ASC) AS rank
+       FROM rr WHERE r IS NOT NULL),
+pairs AS (SELECT source, doc_a, doc_b FROM rk WHERE rank <= 3),
+al AS (SELECT p.source, p.doc_a, p.doc_b, a.pos,
+              a.value AS y, b.value AS x
+       FROM pairs p
+       JOIN pts a ON a.source = p.source AND a.doc_id = p.doc_a
+       JOIN pts b ON b.source = p.source AND b.doc_id = p.doc_b
+                 AND b.pos = a.pos),
+mom AS (SELECT source, doc_a, doc_b, CAST(count(*) AS BIGINT) AS n,
+               sum(x) AS sx, sum(y) AS sy,
+               sum(x * x) AS sxx, sum(x * y) AS sxy
+        FROM al GROUP BY 1, 2, 3),
+coef AS (
+  SELECT source, doc_a, doc_b, n,
+         (sxy - sx * sy / CAST(n AS DOUBLE))
+           / (sxx - sx * sx / CAST(n AS DOUBLE)) AS beta,
+         (sy - ((sxy - sx * sy / CAST(n AS DOUBLE))
+                / (sxx - sx * sx / CAST(n AS DOUBLE))) * sx)
+           / CAST(n AS DOUBLE) AS alpha
+  FROM mom
+  WHERE n >= 30 AND sxx - sx * sx / CAST(n AS DOUBLE) > 0),
+res AS (SELECT al.source, al.doc_a, al.doc_b, al.pos, c.n,
+               al.y - c.alpha - c.beta * al.x AS e
+        FROM al JOIN coef c USING (source, doc_a, doc_b)),
+lg AS (SELECT *, lag(e) OVER (PARTITION BY source, doc_a, doc_b
+                              ORDER BY pos) AS e1
+       FROM res),
+dd AS (SELECT source, doc_a, doc_b, n, e - e1 AS de, e1
+       FROM lg WHERE e1 IS NOT NULL),
+ag AS (SELECT source, doc_a, doc_b, max(n) AS n,
+              CAST(count(*) AS BIGINT) AS m,
+              sum(e1 * de) AS s1d, sum(e1 * e1) AS s11,
+              sum(de * de) AS sdd
+       FROM dd GROUP BY 1, 2, 3),
+zz AS (SELECT *, CASE WHEN s11 > 0 THEN s1d / s11 END AS rho FROM ag),
+tt AS (SELECT *,
+              CASE WHEN s11 > 0 AND m > 1
+                    AND sdd - rho * rho * s11 > 0
+                   THEN rho / sqrt(((sdd - rho * rho * s11)
+                                    / (CAST(m AS DOUBLE) - 1.0)) / s11)
+              END AS t
+       FROM zz)
+SELECT source, doc_a, doc_b, n, round(rho, 6) AS rho,
+       round(t, 6) AS df_t,
+       CASE WHEN t < -3.34 THEN 'cointegrated'
+            ELSE 'no-cointegration' END AS verdict
+FROM tt
+"""
+
+
+def q_isotonic_fit(spark, sf_dir):
+    """Isotonic regression per series via Pool-Adjacent-Violators as a
+    self-verifying oracle: the PAVA kernel's output is checked
+    IN-QUERY against the three-part uniqueness characterization of the
+    isotonic least-squares fit — (1) fitted non-decreasing, (2) every
+    maximal constant block's value equals its block mean, (3) no block
+    split improves the fit (every proper prefix mean >= block mean).
+    The DuckDB twin recomputes the engine-independent totals (n and
+    the sum, which PAVA preserves) and hashes the expected booleans."""
+    from .operators.fits import isotonic_fit
+
+    fit = isotonic_fit(series(spark, sf_dir), key_cols=["source", "doc_id"])
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    f = fit.withColumn("_pf", F.lag("fitted").over(wo))
+    f = f.withColumn(
+        "_chg", F.when(F.col("_pf").isNull()
+                       | (F.col("fitted") != F.col("_pf")), 1).otherwise(0)
+    ).withColumn(
+        "_mono",
+        F.when(F.col("_pf").isNull()
+               | (F.col("fitted") >= F.col("_pf") - 1e-9), 1).otherwise(0),
+    ).withColumn("_blk", F.sum("_chg").over(wo))
+    wb = Window.partitionBy("source", "doc_id", "_blk").orderBy("pos")
+    f = f.withColumn("_rs", F.sum("value").over(wb)).withColumn(
+        "_rc", F.count(F.lit(1)).over(wb)
+    ).withColumn(
+        "_prefix_ok",
+        F.when(
+            F.col("_rs") / F.col("_rc") >= F.col("fitted") - 1e-6, 1
+        ).otherwise(0),
+    )
+    blocks = f.groupBy("source", "doc_id", "_blk").agg(
+        F.sum("value").alias("_bsum"),
+        F.count(F.lit(1)).alias("_bcnt"),
+        F.max("fitted").alias("_bfit"),
+        F.min("_prefix_ok").alias("_pok"),
+        F.min("_mono").alias("_mok"),
+    )
+    per = blocks.groupBy("source", "doc_id").agg(
+        F.sum("_bcnt").cast("long").alias("n"),
+        _r(F.sum("_bsum")).alias("sum_v"),
+        (F.min("_mok") == 1).alias("monotone_ok"),
+        (
+            F.max(
+                F.abs(F.col("_bfit") * F.col("_bcnt") - F.col("_bsum"))
+            ) <= 1e-6
+        ).alias("block_means_ok"),
+        (F.min("_pok") == 1).alias("no_split_improves"),
+    )
+    return per
+
+
+SQL_ISOTONIC = f"""
+WITH series AS ({SERIES_SQL})
+SELECT source, doc_id, CAST(count(value) AS BIGINT) AS n,
+       round(sum(value), 6) AS sum_v,
+       TRUE AS monotone_ok, TRUE AS block_means_ok,
+       TRUE AS no_split_improves
+FROM series WHERE value IS NOT NULL
+GROUP BY 1, 2
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -8991,6 +9219,9 @@ FROM chi GROUP BY 1
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "spectral_entropy": (q_spectral_entropy, SQL_SPECTRAL_ENTROPY),
+    "cointegration_pairs": (q_cointegration_pairs, SQL_COINTEGRATION),
+    "isotonic_fit": (q_isotonic_fit, SQL_ISOTONIC),
     "arch_lm_test": (q_arch_lm, SQL_ARCH_LM),
     "runs_test": (q_runs_test, SQL_RUNS_TEST),
     "turning_points_test": (q_turning_points, SQL_TURNING_POINTS),

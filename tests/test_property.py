@@ -1007,3 +1007,52 @@ def test_property_runs_and_turning_points_twins(spark):
             if (a < b > c) or (a > b < c)
         )
         assert tps.get(key, 0) == tp_def, key
+
+
+def test_property_isotonic_pava_minimax(spark):
+    """PAVA output must equal the minimax characterization of the
+    isotonic regression, fitted_i = max_{j<=i} min_{k>=i}
+    mean(v[j..k]) (Barlow et al. 1972, Thm 1.4.4), on adversarial
+    shapes — strictly decreasing input (one pooled block), sorted
+    input (identity), constants, spikes."""
+    from diive_spark.operators.fits import isotonic_fit
+
+    rng = np.random.RandomState(2468)
+    rows = _random_series_rows(rng)
+    # add a strictly decreasing and a strictly increasing series
+    rows += [("p", "dec", i, float(50 - i)) for i in range(30)]
+    rows += [("p", "inc", i, float(i)) for i in range(30)]
+    got = (
+        isotonic_fit(_rand_series_df(spark, rows))
+        .toPandas()
+        .sort_values(["doc_id", "pos"])
+    )
+
+    by_doc = {}
+    for _, d, i, v in rows:
+        if v is not None:
+            by_doc.setdefault(d, []).append((i, v))
+    for d, pts in by_doc.items():
+        v = np.array([x for _, x in sorted(pts)], dtype=np.float64)
+        n = len(v)
+        csum = np.concatenate([[0.0], np.cumsum(v)])
+        # mean(v[j..k]) inclusive = (csum[k+1]-csum[j])/(k-j+1)
+        fitted = np.empty(n)
+        for i in range(n):
+            best = -np.inf
+            for j in range(i + 1):
+                mn = np.inf
+                for k in range(i, n):
+                    mn = min(
+                        mn, (csum[k + 1] - csum[j]) / (k - j + 1)
+                    )
+                best = max(best, mn)
+            fitted[i] = best
+        sub = got[got["doc_id"] == d]["fitted"].to_numpy()
+        assert len(sub) == n, d
+        assert np.allclose(sub, fitted, rtol=0, atol=1e-9), d
+    # shape sanity: decreasing input pools to one constant block
+    dec = got[got["doc_id"] == "dec"]["fitted"].to_numpy()
+    assert np.allclose(dec, dec[0])
+    inc = got[got["doc_id"] == "inc"]["fitted"].to_numpy()
+    assert np.allclose(inc, np.arange(30, dtype=float))
