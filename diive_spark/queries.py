@@ -9212,6 +9212,178 @@ GROUP BY 1, 2
 """
 
 
+def q_tpch_q7(spark, sf_dir):
+    """TPC-H Q7 volume shipping between two nations (trimmed to this
+    corpus's columns): lineitem revenue flowing supplier-nation ->
+    customer-nation for a nation pair, by ship year.  Spark shape: the
+    supplier and customer nation names arrive via TWO tiny broadcast
+    dims; the only big-big exchanges are lineitem-orders on orderkey
+    and orders-customer on custkey; the pair predicate filters after
+    the dims attach."""
+    nation = _load(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    supp = _load(spark, sf_dir, "supplier").join(
+        F.broadcast(nation),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey", F.col("n_name").alias("supp_nation"))
+    cust = _load(spark, sf_dir, "customer").join(
+        F.broadcast(nation),
+        F.col("c_nationkey") == F.col("n_nationkey"),
+    ).select("c_custkey", F.col("n_name").alias("cust_nation"))
+    li = _load(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01"))
+    )
+    orders = _load(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    j = (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(cust, orders["o_custkey"] == cust["c_custkey"])
+        .where(
+            (
+                (F.col("supp_nation") == "NATION_1")
+                & (F.col("cust_nation") == "NATION_2")
+            )
+            | (
+                (F.col("supp_nation") == "NATION_2")
+                & (F.col("cust_nation") == "NATION_1")
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(
+            _r(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")))
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+SQL_TPCH_Q7 = """
+SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+       CAST(year(l_shipdate) AS BIGINT) AS l_year,
+       round(sum(l_extendedprice * (1 - l_discount)), 6) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation sn ON s_nationkey = sn.n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation cn ON c_nationkey = cn.n_nationkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND ((sn.n_name = 'NATION_1' AND cn.n_name = 'NATION_2')
+    OR (sn.n_name = 'NATION_2' AND cn.n_name = 'NATION_1'))
+GROUP BY 1, 2, 3
+ORDER BY 1, 2, 3
+"""
+
+
+def q_tpch_q13(spark, sf_dir):
+    """TPC-H Q13 customer order-count distribution: how many
+    customers placed exactly k orders, INCLUDING the zero-order
+    customers (the left join nobody's aggregate can skip).  Spark
+    shape: count orders per customer, LEFT join customer -> null
+    counts become 0, then a second tiny groupBy on the count — two
+    shuffles total, the second over at most max-orders-per-customer
+    distinct keys."""
+    orders = _load(spark, sf_dir, "orders")
+    per = orders.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("c_count")
+    )
+    cust = _load(spark, sf_dir, "customer").select("c_custkey")
+    j = cust.join(per, cust["c_custkey"] == per["o_custkey"], "left").select(
+        F.coalesce(F.col("c_count"), F.lit(0)).cast("long").alias("c_count")
+    )
+    return (
+        j.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+SQL_TPCH_Q13 = """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c.c_custkey,
+         CAST(coalesce(o.cnt, 0) AS BIGINT) AS c_count
+  FROM customer c
+  LEFT JOIN (SELECT o_custkey, count(*) AS cnt
+             FROM orders GROUP BY 1) o
+    ON c.c_custkey = o.o_custkey) t
+GROUP BY 1
+ORDER BY 2 DESC, 1 DESC
+"""
+
+
+def q_markov_transitions(spark, sf_dir):
+    """First-order Markov transition matrix over session event
+    streams: P(next = b | current = a) within per-user 30-min
+    sessions (the sessionize_users convention, (ts, event_id)
+    ordering), with transition counts and each row-stochastic
+    probability.  One lead window inside the session partition, one
+    pair groupBy, and the per-state totals attach via a window — no
+    join.  The event-path analytics primitive behind funnel mining."""
+    from .operators.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0)
+    wo = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    t = s.withColumn("next_type", F.lead("event_type").over(wo)).where(
+        F.col("next_type").isNotNull()
+    )
+    pairs = t.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count(F.lit(1)).cast("long").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return pairs.withColumn(
+        "row_total", F.sum("n").over(wrow).cast("long")
+    ).select(
+        "from_type", "to_type", "n", "row_total",
+        _r(F.col("n") / F.col("row_total")).alias("p"),
+    )
+
+
+SQL_MARKOV_TRANSITIONS = """
+WITH e AS (SELECT user_id, ts, event_id, event_type, epoch(ts) AS ep
+           FROM events),
+m AS (
+  SELECT user_id, ts, event_id, event_type, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w >= 1800
+              THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m),
+t AS (
+  SELECT event_type AS from_type,
+         lead(event_type) OVER (PARTITION BY user_id, sid
+                                ORDER BY ts, event_id) AS to_type
+  FROM s),
+pairs AS (
+  SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+  FROM t WHERE to_type IS NOT NULL GROUP BY 1, 2)
+SELECT from_type, to_type, n,
+       CAST(sum(n) OVER (PARTITION BY from_type) AS BIGINT) AS row_total,
+       round(n / CAST(sum(n) OVER (PARTITION BY from_type) AS DOUBLE), 6)
+         AS p
+FROM pairs
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -9219,6 +9391,9 @@ GROUP BY 1, 2
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "tpch_q7_two_nation": (q_tpch_q7, SQL_TPCH_Q7),
+    "tpch_q13_custdist": (q_tpch_q13, SQL_TPCH_Q13),
+    "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),
     "spectral_entropy": (q_spectral_entropy, SQL_SPECTRAL_ENTROPY),
     "cointegration_pairs": (q_cointegration_pairs, SQL_COINTEGRATION),
     "isotonic_fit": (q_isotonic_fit, SQL_ISOTONIC),

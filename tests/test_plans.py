@@ -813,3 +813,27 @@ def test_diagnostics_battery_no_joins(spark):
         plan = df._jdf.queryExecution().executedPlan().toString()
         assert "Join" not in plan, q.__name__
         assert "CartesianProduct" not in plan, q.__name__
+
+
+def test_tpch_q7_broadcast_nations_no_cartesian(spark):
+    from diive_spark.queries import q_tpch_q7
+
+    df = q_tpch_q7(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan       # both nation-dim attaches
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the ship-window range predicates reach the lineitem scan
+    assert "l_shipdate" in plan.split("PushedFilters")[1][:300]
+
+
+def test_markov_transitions_single_window_no_join(spark):
+    """Transition pairs come from one lead window inside the session
+    partition and the row totals from a window over the grouped
+    pairs — no join anywhere."""
+    from diive_spark.queries import q_markov_transitions
+
+    df = q_markov_transitions(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan
+    assert "CartesianProduct" not in plan
