@@ -1598,3 +1598,98 @@ def cointegration_pairs(
         .otherwise("no-cointegration")
         .alias("verdict"),
     )
+
+
+def ccf_peak_lag(
+    df: DataFrame,
+    pairs: DataFrame,
+    max_lag: int = 5,
+    value_col: str = "value",
+    axis_col: str = "pos",
+    key_cols: Sequence[str] = KEY_COLS,
+    min_overlap: int = 30,
+) -> DataFrame:
+    """Cross-correlation function peak lag for chosen series pairs:
+    Pearson r between a_t and b_{t+k} for k in [-max_lag, max_lag],
+    reporting the lag with the strongest |r| (round-6, smallest-k
+    tie-break — deterministic across engines).  Where
+    :func:`granger_lag1` answers "does a help predict b one step
+    ahead", the CCF peak estimates BY HOW MANY steps one series leads
+    the other — the alignment primitive for sensor clock-skew and
+    cause-propagation-delay questions.
+
+    Shape: the bounded pair list broadcasts; each pair's readings
+    meet on a (group, doc, pos+k) equi-join after a (2·max_lag+1)-way
+    lag explode of the left side — rows scale as (2K+1)·n per pair
+    with K a small constant, never quadratically; per-(pair, k)
+    moments reduce in one aggregate."""
+    if max_lag < 1:
+        raise ValueError(f"max_lag must be >= 1, got {max_lag}")
+    if min_overlap < 3:
+        raise ValueError(f"min_overlap must be >= 3, got {min_overlap}")
+    keys = list(key_cols)
+    group_cols, doc_col = keys[:-1], keys[-1]
+    base = df.select(
+        *group_cols,
+        F.col(doc_col).alias("_doc"),
+        F.col(axis_col).cast("long").alias("_pos"),
+        F.col(value_col).cast("double").alias("_v"),
+    ).where(F.col("_v").isNotNull())
+    p = pairs.select(
+        *group_cols,
+        F.col("doc_a").alias("_da"),
+        F.col("doc_b").alias("_db"),
+    )
+    K = int(max_lag)
+    a = (
+        base.withColumnRenamed("_doc", "_da")
+        .join(
+            F.broadcast(p.select(*group_cols, "_da").distinct()),
+            on=[*group_cols, "_da"],
+        )
+        .select(*group_cols, "_da", "_pos", F.col("_v").alias("_va"))
+        .withColumn("_k", F.explode(F.sequence(F.lit(-K), F.lit(K))))
+        .withColumn("_bpos", F.col("_pos") + F.col("_k"))
+    )
+    b = base.select(
+        *group_cols,
+        F.col("_doc").alias("_db"),
+        F.col("_pos").alias("_bpos"),
+        F.col("_v").alias("_vb"),
+    )
+    j = a.join(F.broadcast(p), on=[*group_cols, "_da"]).join(
+        b, on=[*group_cols, "_db", "_bpos"]
+    )
+    mom = j.groupBy(*group_cols, "_da", "_db", "_k").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("_va").alias("_sa"),
+        F.sum("_vb").alias("_sb"),
+        F.sum(F.col("_va") * F.col("_vb")).alias("_sab"),
+        F.sum(F.col("_va") * F.col("_va")).alias("_saa"),
+        F.sum(F.col("_vb") * F.col("_vb")).alias("_sbb"),
+    )
+    n_d = F.col("n").cast("double")
+    va = n_d * F.col("_saa") - F.col("_sa") * F.col("_sa")
+    vb = n_d * F.col("_sbb") - F.col("_sb") * F.col("_sb")
+    r = F.when(
+        (F.col("n") >= int(min_overlap)) & (va > 0) & (vb > 0),
+        (n_d * F.col("_sab") - F.col("_sa") * F.col("_sb"))
+        / F.sqrt(va * vb),
+    )
+    scored = mom.select(
+        *group_cols, "_da", "_db", "_k", "n", r.alias("_r")
+    ).where(F.col("_r").isNotNull())
+    w = Window.partitionBy(*group_cols, "_da", "_db").orderBy(
+        F.round(F.abs(F.col("_r")), 6).desc(), F.col("_k").asc()
+    )
+    best = scored.withColumn("_rn", F.row_number().over(w)).where(
+        F.col("_rn") == 1
+    )
+    return best.select(
+        *group_cols,
+        F.col("_da").alias("doc_a"),
+        F.col("_db").alias("doc_b"),
+        F.col("_k").alias("best_lag"),
+        F.col("n").cast("long").alias("n"),
+        F.col("_r").alias("r"),
+    )

@@ -9384,6 +9384,224 @@ FROM pairs
 """
 
 
+def q_good_turing(spark, sf_dir):
+    """Good-Turing frequency spectrum per source (Good 1953 — the
+    count-of-counts N_r behind every smoothed LM): for each observed
+    term frequency r, the number of distinct terms N_r seen exactly r
+    times and the Turing-smoothed count r* = (r+1)·N_{r+1}/N_r (null
+    at spectrum holes).  Two narrow groupBys over the token relation
+    plus one ordered-window lookup of N_{r+1} — never a term×term
+    product; emitted for r <= 10 (the smoothing region)."""
+    docs = _load(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    )
+    tf = toks.groupBy("source", "term").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    spec = tf.groupBy("source", "r").agg(
+        F.count(F.lit(1)).cast("long").alias("n_r")
+    )
+    wo = Window.partitionBy("source").orderBy("r")
+    spec = spec.withColumn("_next_r", F.lead("r").over(wo)).withColumn(
+        "_next_n", F.lead("n_r").over(wo)
+    )
+    out = spec.withColumn(
+        "r_star",
+        F.when(
+            F.col("_next_r") == F.col("r") + 1,
+            (F.col("r") + 1.0) * F.col("_next_n") / F.col("n_r"),
+        ),
+    )
+    return out.where(F.col("r") <= 10).select(
+        "source",
+        F.col("r").cast("long").alias("r"),
+        "n_r",
+        _r(F.col("r_star")).alias("r_star"),
+    )
+
+
+SQL_GOOD_TURING = r"""
+WITH tok AS (
+  SELECT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+tf AS (SELECT source, term, CAST(count(*) AS BIGINT) AS r
+       FROM tok GROUP BY 1, 2),
+spec AS (SELECT source, r, CAST(count(*) AS BIGINT) AS n_r
+         FROM tf GROUP BY 1, 2),
+nxt AS (SELECT *,
+               lead(r) OVER w AS next_r,
+               lead(n_r) OVER w AS next_n
+        FROM spec WINDOW w AS (PARTITION BY source ORDER BY r))
+SELECT source, r, n_r,
+       round(CASE WHEN next_r = r + 1
+                  THEN (r + 1.0) * next_n / n_r END, 6) AS r_star
+FROM nxt WHERE r <= 10
+"""
+
+
+def q_vocab_overlap(spark, sf_dir):
+    """Cross-source vocabulary Jaccard: |V_a ∩ V_b| / |V_a ∪ V_b|
+    over distinct terms, for every source pair — the corpus-mixing
+    diagnostic (how much does source A's vocabulary already cover
+    B?).  Intersection counts come from a term-key self-join of the
+    DISTINCT (source, term) relation (per-term fanout bounded by
+    sources², never by corpus size); union by inclusion-exclusion
+    from broadcast per-source vocabulary sizes."""
+    docs = _load(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source",
+        F.explode(
+            F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+        ).alias("term"),
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("v")
+    )
+    a = vocab.alias("a")
+    b = vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_common"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("source_a"), F.col("v").alias("v_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("source_b"), F.col("v").alias("v_b")
+    )
+    j = inter.join(F.broadcast(sa), "source_a").join(
+        F.broadcast(sb), "source_b"
+    )
+    return j.select(
+        "source_a", "source_b", "n_common", "v_a", "v_b",
+        _r(
+            F.col("n_common")
+            / (F.col("v_a") + F.col("v_b") - F.col("n_common"))
+        ).alias("jaccard"),
+    )
+
+
+SQL_VOCAB_OVERLAP = r"""
+WITH tok AS (
+  SELECT DISTINCT source,
+         unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS term
+  FROM documents),
+sizes AS (SELECT source, CAST(count(*) AS BIGINT) AS v
+          FROM tok GROUP BY 1),
+inter AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         CAST(count(*) AS BIGINT) AS n_common
+  FROM tok a JOIN tok b
+    ON a.term = b.term AND a.source < b.source
+  GROUP BY 1, 2)
+SELECT i.source_a, i.source_b, i.n_common,
+       sa.v AS v_a, sb.v AS v_b,
+       round(i.n_common
+             / CAST(sa.v + sb.v - i.n_common AS DOUBLE), 6) AS jaccard
+FROM inter i
+JOIN sizes sa ON sa.source = i.source_a
+JOIN sizes sb ON sb.source = i.source_b
+"""
+
+
+def q_ccf_peak_lag(spark, sf_dir):
+    """Discovery -> alignment: the top-3 most-correlated doc pairs per
+    source get the cross-correlation peak-lag scan (r between a_t and
+    b_{t+k}, k in ±5) — BY HOW MANY steps one series leads the other,
+    completing the pairs battery (Pearson strength -> Granger
+    direction -> EG mean reversion -> CCF delay).  Deterministic
+    round-6 |r| argmax with smallest-k tie-break."""
+    tc = spectral.top_correlated_pairs(
+        series(spark, sf_dir), top_k=3, min_overlap=30,
+        key_cols=["source", "doc_id"],
+    )
+    out = spectral.ccf_peak_lag(
+        series(spark, sf_dir),
+        tc.select("source", "doc_a", "doc_b"),
+        max_lag=5,
+        key_cols=["source", "doc_id"],
+        min_overlap=30,
+    )
+    return out.select(
+        "source", "doc_a", "doc_b", "best_lag", "n",
+        _r(F.col("r")).alias("r"),
+    )
+
+
+SQL_CCF_PEAK_LAG = f"""
+WITH series AS ({SERIES_SQL}),
+pts AS (SELECT source, doc_id, pos, value FROM series
+        WHERE value IS NOT NULL),
+pr AS (SELECT a.source, a.doc_id AS doc_a, b.doc_id AS doc_b,
+              CAST(count(*) AS BIGINT) AS n_overlap,
+              sum(a.value) AS sa, sum(b.value) AS sb,
+              sum(a.value * b.value) AS sab,
+              sum(a.value * a.value) AS saa,
+              sum(b.value * b.value) AS sbb
+       FROM pts a JOIN pts b
+         ON a.source = b.source AND a.pos = b.pos
+        AND a.doc_id < b.doc_id
+       GROUP BY 1, 2, 3),
+rr AS (SELECT *,
+              CASE WHEN n_overlap >= 30
+                    AND n_overlap * saa - sa * sa > 0
+                    AND n_overlap * sbb - sb * sb > 0
+                   THEN (n_overlap * sab - sa * sb)
+                        / sqrt((n_overlap * saa - sa * sa)
+                               * (n_overlap * sbb - sb * sb)) END AS r
+       FROM pr),
+rk AS (SELECT *,
+              row_number() OVER (PARTITION BY source
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          doc_a ASC, doc_b ASC) AS rank
+       FROM rr WHERE r IS NOT NULL),
+pairs AS (SELECT source, doc_a, doc_b FROM rk WHERE rank <= 3),
+lags AS (SELECT unnest(range(-5, 6)) AS k),
+al AS (
+  SELECT p.source, p.doc_a, p.doc_b, l.k,
+         a.value AS va, b.value AS vb
+  FROM pairs p
+  CROSS JOIN lags l
+  JOIN pts a ON a.source = p.source AND a.doc_id = p.doc_a
+  JOIN pts b ON b.source = p.source AND b.doc_id = p.doc_b
+            AND b.pos = a.pos + l.k),
+mom AS (SELECT source, doc_a, doc_b, k,
+               CAST(count(*) AS BIGINT) AS n,
+               sum(va) AS sa, sum(vb) AS sb, sum(va * vb) AS sab,
+               sum(va * va) AS saa, sum(vb * vb) AS sbb
+        FROM al GROUP BY 1, 2, 3, 4),
+rl AS (SELECT *,
+              CASE WHEN n >= 30
+                    AND n * saa - sa * sa > 0
+                    AND n * sbb - sb * sb > 0
+                   THEN (n * sab - sa * sb)
+                        / sqrt((CAST(n AS DOUBLE) * saa - sa * sa)
+                               * (n * sbb - sb * sb)) END AS r
+       FROM mom),
+bk AS (SELECT *,
+              row_number() OVER (PARTITION BY source, doc_a, doc_b
+                                 ORDER BY round(abs(r), 6) DESC,
+                                          k ASC) AS rn
+       FROM rl WHERE r IS NOT NULL)
+SELECT source, doc_a, doc_b, CAST(k AS BIGINT) AS best_lag, n,
+       round(r, 6) AS r
+FROM bk WHERE rn = 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -9391,6 +9609,9 @@ FROM pairs
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "good_turing_spectrum": (q_good_turing, SQL_GOOD_TURING),
+    "vocab_overlap_jaccard": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
+    "ccf_peak_lag": (q_ccf_peak_lag, SQL_CCF_PEAK_LAG),
     "tpch_q7_two_nation": (q_tpch_q7, SQL_TPCH_Q7),
     "tpch_q13_custdist": (q_tpch_q13, SQL_TPCH_Q13),
     "markov_transitions": (q_markov_transitions, SQL_MARKOV_TRANSITIONS),

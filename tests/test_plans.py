@@ -837,3 +837,28 @@ def test_markov_transitions_single_window_no_join(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "Join" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_ccf_peak_lag_broadcast_pairs_no_cartesian(spark):
+    """The lag explode happens on the bounded pair-filtered left side
+    and both pair attaches broadcast — no cartesian, no
+    BroadcastNestedLoop; the b-side meets on a plain equi-join."""
+    from diive_spark.queries import q_ccf_peak_lag
+
+    df = q_ccf_peak_lag(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_vocab_overlap_no_doc_pair_product(spark):
+    """The intersection joins the DISTINCT (source, term) relation on
+    the term key — per-term fanout is bounded by sources², and no
+    cartesian appears."""
+    from diive_spark.queries import q_vocab_overlap
+
+    df = q_vocab_overlap(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
