@@ -9602,6 +9602,303 @@ FROM bk WHERE rn = 1
 """
 
 
+def q_boxplot_stats(spark, sf_dir):
+    """Tukey boxplot battery per 600-wide bin: exact quartiles, IQR,
+    1.5-IQR fences, whisker ends (most extreme readings INSIDE the
+    fences) and the outlier count — the per-bin distribution summary
+    behind every monitoring boxplot.  Exact percentiles + conditional
+    aggregates in ONE groupBy pass; no second scan for the whiskers."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    b = s.withColumn(
+        "bin_start",
+        (F.floor(F.col("pos").cast("long") / 600) * 600).cast("long"),
+    )
+    agg = b.groupBy("source", "doc_id", "bin_start").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.percentile("value", F.lit(0.25)).alias("_q1"),
+        F.percentile("value", F.lit(0.5)).alias("_med"),
+        F.percentile("value", F.lit(0.75)).alias("_q3"),
+        F.collect_list("value").alias("_vals"),
+    )
+    iqr = F.col("_q3") - F.col("_q1")
+    lo = F.col("_q1") - 1.5 * iqr
+    hi = F.col("_q3") + 1.5 * iqr
+    inside = F.filter(
+        F.col("_vals"), lambda v: (v >= lo) & (v <= hi)
+    )
+    n_out = F.size("_vals") - F.size(inside)
+    return agg.select(
+        "source", "doc_id", "bin_start", "n",
+        _r(F.col("_q1")).alias("q1"),
+        _r(F.col("_med")).alias("median"),
+        _r(F.col("_q3")).alias("q3"),
+        _r(iqr).alias("iqr"),
+        _r(F.array_min(inside)).alias("whisker_lo"),
+        _r(F.array_max(inside)).alias("whisker_hi"),
+        n_out.cast("long").alias("n_outliers"),
+    )
+
+
+SQL_BOXPLOT_STATS = f"""
+WITH series AS ({SERIES_SQL}),
+b AS (SELECT source, doc_id,
+             CAST(floor(pos / 600) AS BIGINT) * 600 AS bin_start,
+             value
+      FROM series WHERE value IS NOT NULL),
+q AS (SELECT source, doc_id, bin_start,
+             CAST(count(*) AS BIGINT) AS n,
+             quantile_cont(value, 0.25) AS q1,
+             quantile_cont(value, 0.5) AS med,
+             quantile_cont(value, 0.75) AS q3
+      FROM b GROUP BY 1, 2, 3),
+w AS (SELECT b.source, b.doc_id, b.bin_start, q.n,
+             q.q1, q.med, q.q3, q.q3 - q.q1 AS iqr,
+             min(CASE WHEN b.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+                       AND b.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN b.value END) AS wlo,
+             max(CASE WHEN b.value >= q.q1 - 1.5 * (q.q3 - q.q1)
+                       AND b.value <= q.q3 + 1.5 * (q.q3 - q.q1)
+                      THEN b.value END) AS whi,
+             CAST(sum(CASE WHEN b.value < q.q1 - 1.5 * (q.q3 - q.q1)
+                            OR b.value > q.q3 + 1.5 * (q.q3 - q.q1)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_out
+      FROM b JOIN q USING (source, doc_id, bin_start)
+      GROUP BY 1, 2, 3, 4, 5, 6, 7)
+SELECT source, doc_id, bin_start, n,
+       round(q1, 6) AS q1, round(med, 6) AS median,
+       round(q3, 6) AS q3, round(iqr, 6) AS iqr,
+       round(wlo, 6) AS whisker_lo, round(whi, 6) AS whisker_hi,
+       n_out AS n_outliers
+FROM w
+"""
+
+
+def q_welch_ab_test(spark, sf_dir):
+    """Welch's unequal-variance t-test per source between the series
+    halves (the PSI query's split convention): did the MEAN shift,
+    with Satterthwaite degrees of freedom and a |t| > 1.96 verdict —
+    the parametric sibling of psi_drift's distributional screen.
+    Closed-form moment sums in one aggregate; no UDF."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("source", "doc_id")
+    s = s.withColumn(
+        "_half_at", F.floor((F.max("pos").over(w) + 1) / 2)
+    ).withColumn(
+        "half",
+        F.when(F.col("pos") < F.col("_half_at"), "ref").otherwise("cur"),
+    )
+    agg = s.groupBy("source", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.avg("value").alias("mean"),
+        F.var_samp("value").alias("var"),
+    )
+    pv = agg.groupBy("source").pivot("half", ["ref", "cur"]).agg(
+        F.first("n").alias("n"),
+        F.first("mean").alias("mean"),
+        F.first("var").alias("var"),
+    )
+    n1 = F.col("ref_n").cast("double")
+    n2 = F.col("cur_n").cast("double")
+    se2 = F.col("ref_var") / n1 + F.col("cur_var") / n2
+    t = (F.col("cur_mean") - F.col("ref_mean")) / F.sqrt(se2)
+    dof = (se2 * se2) / (
+        F.pow(F.col("ref_var") / n1, 2) / (n1 - 1.0)
+        + F.pow(F.col("cur_var") / n2, 2) / (n2 - 1.0)
+    )
+    return pv.where((F.col("ref_n") >= 2) & (F.col("cur_n") >= 2)).select(
+        "source",
+        F.col("ref_n").alias("n_ref"),
+        F.col("cur_n").alias("n_cur"),
+        _r(F.col("cur_mean") - F.col("ref_mean")).alias("mean_shift"),
+        _r(t).alias("t"),
+        _r(dof).alias("dof"),
+        F.when(F.abs(t) > 1.959964, "shifted")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+SQL_WELCH_AB = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value,
+              CAST(floor((max(pos) OVER (PARTITION BY source, doc_id) + 1)
+                         / 2) AS BIGINT) AS half_at
+       FROM series WHERE value IS NOT NULL),
+lab AS (SELECT source, value,
+               CASE WHEN pos < half_at THEN 'ref' ELSE 'cur' END AS half
+        FROM nn),
+agg AS (SELECT source, half, CAST(count(*) AS BIGINT) AS n,
+               avg(value) AS mean, var_samp(value) AS var
+        FROM lab GROUP BY 1, 2),
+pv AS (SELECT source,
+              max(CASE WHEN half = 'ref' THEN n END) AS n_ref,
+              max(CASE WHEN half = 'cur' THEN n END) AS n_cur,
+              max(CASE WHEN half = 'ref' THEN mean END) AS m_ref,
+              max(CASE WHEN half = 'cur' THEN mean END) AS m_cur,
+              max(CASE WHEN half = 'ref' THEN var END) AS v_ref,
+              max(CASE WHEN half = 'cur' THEN var END) AS v_cur
+       FROM agg GROUP BY 1),
+zz AS (SELECT *,
+              v_ref / n_ref + v_cur / n_cur AS se2
+       FROM pv WHERE n_ref >= 2 AND n_cur >= 2)
+SELECT source, n_ref, n_cur,
+       round(m_cur - m_ref, 6) AS mean_shift,
+       round((m_cur - m_ref) / sqrt(se2), 6) AS t,
+       round(se2 * se2
+             / (pow(v_ref / n_ref, 2) / (n_ref - 1.0)
+                + pow(v_cur / n_cur, 2) / (n_cur - 1.0)), 6) AS dof,
+       CASE WHEN abs((m_cur - m_ref) / sqrt(se2)) > 1.959964
+            THEN 'shifted' ELSE 'stable' END AS verdict
+FROM zz
+"""
+
+
+def q_ks_two_sample(spark, sf_dir):
+    """Two-sample Kolmogorov-Smirnov per source between the series
+    halves: D = sup |F_ref - F_cur| computed EXACTLY — per-half
+    counts grouped per distinct value first (tie-safe: both ECDFs
+    advance together at tied values), then one cumulative window over
+    the distinct-value relation — with the
+    asymptotic 5% threshold 1.358·sqrt((n+m)/(n·m)).  The
+    distribution-shape sibling of welch_ab_test's mean screen."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("source", "doc_id")
+    s = s.withColumn(
+        "_half_at", F.floor((F.max("pos").over(w) + 1) / 2)
+    ).withColumn(
+        "_is_ref",
+        F.when(F.col("pos") < F.col("_half_at"), 1).otherwise(0),
+    )
+    byv = s.groupBy("source", "value").agg(
+        F.sum("_is_ref").alias("_r"),
+        F.sum(1 - F.col("_is_ref")).alias("_c"),
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    c = (
+        byv.withColumn("_cr", F.sum("_r").over(wo))
+        .withColumn("_cc", F.sum("_c").over(wo))
+        .withColumn("_nr", F.sum("_r").over(wall))
+        .withColumn("_nc", F.sum("_c").over(wall))
+    )
+    d = F.abs(
+        F.col("_cr") / F.col("_nr") - F.col("_cc") / F.col("_nc")
+    )
+    agg = c.groupBy("source").agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.max(d).alias("_d"),
+    )
+    crit = 1.358 * F.sqrt(
+        (F.col("n_ref") + F.col("n_cur"))
+        / (F.col("n_ref").cast("double") * F.col("n_cur"))
+    )
+    return agg.select(
+        "source", "n_ref", "n_cur",
+        _r(F.col("_d")).alias("ks_d"),
+        _r(crit).alias("crit_05"),
+        F.when(F.col("_d") > crit, "shifted")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+SQL_KS_TWO_SAMPLE = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value,
+              CAST(floor((max(pos) OVER (PARTITION BY source, doc_id) + 1)
+                         / 2) AS BIGINT) AS half_at
+       FROM series WHERE value IS NOT NULL),
+lab AS (SELECT source, value,
+               CASE WHEN pos < half_at THEN 1 ELSE 0 END AS is_ref
+        FROM nn),
+byv AS (SELECT source, value,
+               sum(is_ref) AS r, sum(1 - is_ref) AS c
+        FROM lab GROUP BY 1, 2),
+c AS (SELECT source, value,
+             sum(r) OVER w AS cr,
+             sum(c) OVER w AS cc,
+             sum(r) OVER (PARTITION BY source) AS nr,
+             sum(c) OVER (PARTITION BY source) AS nc
+      FROM byv
+      WINDOW w AS (PARTITION BY source ORDER BY value ASC
+                   ROWS UNBOUNDED PRECEDING)),
+agg AS (SELECT source,
+               CAST(max(nr) AS BIGINT) AS n_ref,
+               CAST(max(nc) AS BIGINT) AS n_cur,
+               max(abs(cr / CAST(nr AS DOUBLE)
+                       - cc / CAST(nc AS DOUBLE))) AS d
+        FROM c GROUP BY 1)
+SELECT source, n_ref, n_cur, round(d, 6) AS ks_d,
+       round(1.358 * sqrt((n_ref + n_cur)
+                          / (CAST(n_ref AS DOUBLE) * n_cur)), 6)
+         AS crit_05,
+       CASE WHEN d > 1.358 * sqrt((n_ref + n_cur)
+                                  / (CAST(n_ref AS DOUBLE) * n_cur))
+            THEN 'shifted' ELSE 'stable' END AS verdict
+FROM agg
+"""
+
+
+def q_interarrival_burstiness(spark, sf_dir):
+    """Burstiness of per-user event arrivals (Goh & Barabási 2008):
+    B = (σ - μ)/(σ + μ) over inter-event gaps — -1 = metronome,
+    0 = Poisson, +1 = maximally bursty — plus the coefficient of
+    variation, pooled per event type.  One lag window for the gaps,
+    one aggregate."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", "user_id", "ts", "event_id"
+    )
+    from .operators.sessions import _epoch
+
+    wo = Window.partitionBy("event_type", "user_id").orderBy(
+        "ts", "event_id"
+    )
+    g = ev.withColumn(
+        "_gap", _epoch("ts") - F.lag(_epoch("ts")).over(wo)
+    ).where(F.col("_gap").isNotNull())
+    agg = g.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_gaps"),
+        F.avg("_gap").alias("_mu"),
+        F.stddev_samp("_gap").alias("_sd"),
+    )
+    b = (F.col("_sd") - F.col("_mu")) / (F.col("_sd") + F.col("_mu"))
+    return agg.where(F.col("n_gaps") >= 2).select(
+        "event_type", "n_gaps",
+        _r(F.col("_mu")).alias("mean_gap_s"),
+        _r(F.col("_sd") / F.col("_mu")).alias("cv"),
+        _r(b).alias("burstiness"),
+        F.when(b > 0.2, "bursty")
+        .when(b < -0.2, "regular")
+        .otherwise("poisson-like")
+        .alias("verdict"),
+    )
+
+
+SQL_INTERARRIVAL_BURSTINESS = """
+WITH g AS (
+  SELECT event_type,
+         epoch(ts) - lag(epoch(ts)) OVER (PARTITION BY event_type, user_id
+                                          ORDER BY ts, event_id) AS gap
+  FROM events),
+agg AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_gaps,
+               avg(gap) AS mu, stddev_samp(gap) AS sd
+        FROM g WHERE gap IS NOT NULL GROUP BY 1)
+SELECT event_type, n_gaps,
+       round(mu, 6) AS mean_gap_s,
+       round(sd / mu, 6) AS cv,
+       round((sd - mu) / (sd + mu), 6) AS burstiness,
+       CASE WHEN (sd - mu) / (sd + mu) > 0.2 THEN 'bursty'
+            WHEN (sd - mu) / (sd + mu) < -0.2 THEN 'regular'
+            ELSE 'poisson-like' END AS verdict
+FROM agg WHERE n_gaps >= 2
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -9609,6 +9906,11 @@ FROM bk WHERE rn = 1
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "boxplot_stats_bins": (q_boxplot_stats, SQL_BOXPLOT_STATS),
+    "welch_ab_test": (q_welch_ab_test, SQL_WELCH_AB),
+    "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
+    "interarrival_burstiness": (q_interarrival_burstiness,
+                                SQL_INTERARRIVAL_BURSTINESS),
     "good_turing_spectrum": (q_good_turing, SQL_GOOD_TURING),
     "vocab_overlap_jaccard": (q_vocab_overlap, SQL_VOCAB_OVERLAP),
     "ccf_peak_lag": (q_ccf_peak_lag, SQL_CCF_PEAK_LAG),
