@@ -1579,3 +1579,65 @@ def test_stream_dgim_matches_batch_across_restarts(spark, tmp_path):
         for row, (i, est, bound, nb) in zip(sub.itertuples(), expect):
             assert row.pos == i and row.est == est, (doc, i)
             assert row.bound == bound and row.n_buckets == nb, (doc, i)
+
+
+def test_stream_dgim_state_bounded_at_20k_keys(spark, tmp_path):
+    """DGIM keyed state is the bucket list, never the window: at 20k
+    series with a 1024-position window the store must hold one row per
+    key at bounded bytes/key (two ≤~2·log2(W)-long arrays + watermark
+    + overhead), and a second batch over the SAME keys must not grow
+    it — window width must never appear in the state size."""
+    import json
+
+    from diive_spark.streaming.stateful import stream_dgim_partials
+
+    n_keys = 20_000
+    window = 1024
+    base = spark.range(n_keys).select(
+        F.concat(F.lit("s"), (F.col("id") % 16).cast("string"))
+        .alias("source"),
+        F.concat(F.lit("d"), F.col("id").cast("string")).alias("doc_id"),
+        (F.col("id") % 97).cast("double").alias("value"),
+    )
+    src = str(tmp_path / "dgim_in")
+    out = str(tmp_path / "dgim_out")
+    ckpt = str(tmp_path / "dgim_ckpt")
+    schema = "source string, doc_id string, value double, pos long"
+
+    def drain():
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            stream_dgim_partials(
+                stream, window=window, check_every=1, threshold=40.0
+            )
+            .writeStream.format("parquet")
+            .option("path", out).option("checkpointLocation", ckpt)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(300)
+        states = [
+            so
+            for p in q.recentProgress
+            for so in p.get("stateOperators", [])
+            if so.get("numRowsTotal")
+        ]
+        assert states
+        return states[-1]
+
+    sizes = []
+    for rep in (0, 1):
+        batch = base.withColumn("pos", F.lit(rep).cast("long"))
+        batch.select("source", "doc_id", "value", "pos").repartition(
+            8
+        ).write.mode("append").parquet(src)
+        so = drain()
+        assert so["numRowsTotal"] == n_keys
+        nbytes = so["customMetrics"]["stateOnCurrentVersionSizeBytes"]
+        per_key = nbytes / n_keys
+        assert per_key < 1024, f"rep{rep}: {per_key:.0f} B/key"
+        sizes.append(nbytes)
+    assert sizes[1] <= sizes[0] * 1.25, "same-key batch grew the store"
+    print(
+        "DGIM_STATE_BYTES_PER_KEY "
+        + json.dumps({"per_key": round(sizes[0] / n_keys, 1)})
+    )
