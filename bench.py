@@ -69,6 +69,9 @@ BENCH_QUERIES = [
     "funnel_conversion",     # one-shuffle ordered funnel over events
     "kleinberg_bursts",      # per-key Viterbi burst DP, exact arithmetic
     "lomb_scargle_peak",     # irregular-sampling periodogram, _let folds
+    # --- r5 fourth-continuation additions (distinct plan shapes)
+    "dgim_window_count",     # O(log^2 W) sliding-window sketch kernel
+    "tpch_q5_local_supplier",  # snowflake broadcast-collapse join
 ]
 
 

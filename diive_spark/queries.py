@@ -9899,6 +9899,245 @@ FROM agg WHERE n_gaps >= 2
 """
 
 
+def q_brown_forsythe(spark, sf_dir):
+    """Brown-Forsythe robust variance-drift test per source between
+    the series halves (the welch/KS split convention): one-way ANOVA
+    on absolute deviations from each half's MEDIAN — the
+    outlier-tolerant Levene variant — so the drift screen now covers
+    mean (welch_ab_test), shape (ks_two_sample), and variance.  With
+    two groups the F statistic is exact from closed-form group sums;
+    verdict at the F(1, n-2) 5% critical value 3.841459 (the chi²(1)
+    limit is used, exact for the large-n halves here)."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("source", "doc_id")
+    s = s.withColumn(
+        "_half_at", F.floor((F.max("pos").over(w) + 1) / 2)
+    ).withColumn(
+        "half",
+        F.when(F.col("pos") < F.col("_half_at"), "ref").otherwise("cur"),
+    )
+    wm = Window.partitionBy("source", "half")
+    z = s.withColumn(
+        "_z", F.abs(F.col("value") - F.percentile("value", F.lit(0.5)).over(wm))
+    )
+    g = z.groupBy("source", "half").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("_z").alias("_sz"),
+        F.sum(F.col("_z") * F.col("_z")).alias("_szz"),
+    )
+    pv = g.groupBy("source").agg(
+        F.sum("n").cast("long").alias("n_total"),
+        F.count(F.lit(1)).alias("_k"),
+        F.sum("_sz").alias("_tz"),
+        F.sum("_szz").alias("_tzz"),
+        F.sum(F.col("_sz") * F.col("_sz") / F.col("n")).alias("_between_raw"),
+    )
+    nt = F.col("n_total").cast("double")
+    ssb = F.col("_between_raw") - F.col("_tz") * F.col("_tz") / nt
+    ssw = F.col("_tzz") - F.col("_between_raw")
+    fstat = F.when(
+        (F.col("_k") == 2) & (ssw > 0),
+        ssb / (ssw / (nt - 2.0)),
+    )
+    return pv.select(
+        "source", "n_total",
+        _r(fstat).alias("f_stat"),
+        F.when(fstat > 3.841459, "variance-shifted")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+SQL_BROWN_FORSYTHE = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value,
+              CAST(floor((max(pos) OVER (PARTITION BY source, doc_id) + 1)
+                         / 2) AS BIGINT) AS half_at
+       FROM series WHERE value IS NOT NULL),
+lab AS (SELECT source, value,
+               CASE WHEN pos < half_at THEN 'ref' ELSE 'cur' END AS half
+        FROM nn),
+med AS (SELECT source, half, value,
+               abs(value - quantile_cont(value, 0.5)
+                     OVER (PARTITION BY source, half)) AS z
+        FROM lab),
+g AS (SELECT source, half, CAST(count(*) AS BIGINT) AS n,
+             sum(z) AS sz, sum(z * z) AS szz
+      FROM med GROUP BY 1, 2),
+pv AS (SELECT source,
+              CAST(sum(n) AS BIGINT) AS n_total,
+              count(*) AS k,
+              sum(sz) AS tz, sum(szz) AS tzz,
+              sum(sz * sz / n) AS between_raw
+       FROM g GROUP BY 1),
+zz AS (SELECT *,
+              between_raw - tz * tz / CAST(n_total AS DOUBLE) AS ssb,
+              tzz - between_raw AS ssw
+       FROM pv)
+SELECT source, n_total,
+       round(CASE WHEN k = 2 AND ssw > 0
+                  THEN ssb / (ssw / (CAST(n_total AS DOUBLE) - 2.0)) END,
+             6) AS f_stat,
+       CASE WHEN (CASE WHEN k = 2 AND ssw > 0
+                       THEN ssb / (ssw / (CAST(n_total AS DOUBLE) - 2.0))
+                  END) > 3.841459
+            THEN 'variance-shifted' ELSE 'stable' END AS verdict
+FROM zz
+"""
+
+
+def q_chi2_independence(spark, sf_dir):
+    """Chi-square independence of event type × hour-of-day with
+    Cramér's V effect size — is activity mix time-of-day dependent?
+    Exact expected counts from broadcastable margins over the dense
+    (type, hour) grid (zero cells included, the Benford pattern);
+    V = sqrt(chi2 / (n·(min(r,c)-1))) normalizes to [0,1]."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type", F.hour("ts").cast("int").alias("hh")
+    )
+    obs = ev.groupBy("event_type", "hh").agg(
+        F.count(F.lit(1)).alias("o")
+    )
+    rows = obs.groupBy("event_type").agg(F.sum("o").alias("row_n"))
+    cols = obs.groupBy("hh").agg(F.sum("o").alias("col_n"))
+    tot = obs.agg(F.sum("o").cast("double").alias("_n"))
+    dense = rows.crossJoin(cols).crossJoin(F.broadcast(tot))
+    fullg = dense.join(obs, ["event_type", "hh"], "left").fillna(
+        0, subset=["o"]
+    )
+    exp = F.col("row_n") * F.col("col_n") / F.col("_n")
+    cells = fullg.select(
+        "event_type", "hh", "o", "_n",
+        (F.pow(F.col("o") - exp, 2) / exp).alias("_term"),
+    )
+    agg = cells.agg(
+        F.max("_n").alias("_nn"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("event_type").alias("_r"),
+        F.countDistinct("hh").alias("_c"),
+        F.sum("_term").alias("_chi2"),
+    )
+    dof = (F.col("_r") - 1) * (F.col("_c") - 1)
+    v = F.sqrt(
+        F.col("_chi2")
+        / (F.col("_nn") * (F.least(F.col("_r"), F.col("_c")) - 1.0))
+    )
+    return agg.select(
+        F.col("_nn").cast("long").alias("n_events"),
+        "n_cells",
+        dof.cast("long").alias("dof"),
+        _r(F.col("_chi2")).alias("chi2"),
+        _r(v).alias("cramers_v"),
+        F.when(v >= 0.1, "associated")
+        .otherwise("independent-ish")
+        .alias("verdict"),
+    )
+
+
+SQL_CHI2_INDEPENDENCE = """
+WITH e AS (SELECT event_type, CAST(hour(ts) AS INTEGER) AS hh
+           FROM events),
+obs AS (SELECT event_type, hh, count(*) AS o FROM e GROUP BY 1, 2),
+rows_ AS (SELECT event_type, sum(o) AS row_n FROM obs GROUP BY 1),
+cols_ AS (SELECT hh, sum(o) AS col_n FROM obs GROUP BY 1),
+tot AS (SELECT sum(o) AS n FROM obs),
+dense AS (SELECT r.event_type, c.hh, r.row_n, c.col_n
+          FROM rows_ r CROSS JOIN cols_ c),
+fullg AS (
+  SELECT d.event_type, d.hh, d.row_n, d.col_n, coalesce(o.o, 0) AS o
+  FROM dense d LEFT JOIN obs o
+    ON d.event_type = o.event_type AND d.hh = o.hh),
+cells AS (
+  SELECT f.*, t.n,
+         f.row_n * f.col_n / CAST(t.n AS DOUBLE) AS e,
+         pow(f.o - f.row_n * f.col_n / CAST(t.n AS DOUBLE), 2)
+           / (f.row_n * f.col_n / CAST(t.n AS DOUBLE)) AS term
+  FROM fullg f CROSS JOIN tot t),
+agg AS (
+  SELECT CAST(max(n) AS BIGINT) AS n_events,
+         CAST(count(*) AS BIGINT) AS n_cells,
+         CAST((count(DISTINCT event_type) - 1)
+              * (count(DISTINCT hh) - 1) AS BIGINT) AS dof,
+         sum(term) AS chi2,
+         sqrt(sum(term)
+              / (max(n) * (least(count(DISTINCT event_type),
+                                 count(DISTINCT hh)) - 1.0))) AS v
+  FROM cells)
+SELECT n_events, n_cells, dof, round(chi2, 6) AS chi2,
+       round(v, 6) AS cramers_v,
+       CASE WHEN v >= 0.1 THEN 'associated'
+            ELSE 'independent-ish' END AS verdict
+FROM agg
+"""
+
+
+def q_record_breaks(spark, sf_dir):
+    """Record statistics per series: how many times the running
+    maximum was broken (first reading counts as record #1), the last
+    record position, and the i.i.d.-expected count — the harmonic
+    number H_n (Rényi 1962: record counts are distribution-free) —
+    with a surplus ratio flagging trending series.  One running-max
+    window + one aggregate; H_n via a per-row 1/rank sum, no UDF."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    r = s.withColumn("_rn", F.row_number().over(wo)).withColumn(
+        "_runmax",
+        F.max("value").over(
+            Window.partitionBy("source", "doc_id")
+            .orderBy("pos")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        ),
+    )
+    is_rec = F.when(
+        F.col("_runmax").isNull() | (F.col("value") > F.col("_runmax")), 1
+    ).otherwise(0)
+    agg = r.groupBy("source", "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(is_rec).cast("long").alias("n_records"),
+        F.max(F.when(is_rec == 1, F.col("pos"))).cast("long").alias(
+            "last_record_pos"
+        ),
+        F.sum(1.0 / F.col("_rn")).alias("_hn"),
+    )
+    ratio = F.col("n_records") / F.col("_hn")
+    return agg.select(
+        "source", "doc_id", "n", "n_records", "last_record_pos",
+        _r(F.col("_hn")).alias("expected_iid"),
+        _r(ratio).alias("surplus_ratio"),
+        F.when(ratio > 2.0, "trending")
+        .otherwise("stationary-ish")
+        .alias("verdict"),
+    )
+
+
+SQL_RECORD_BREAKS = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value FROM series
+       WHERE value IS NOT NULL),
+r AS (SELECT source, doc_id, pos, value,
+             row_number() OVER w AS rn,
+             max(value) OVER (PARTITION BY source, doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND 1 PRECEDING) AS runmax
+      FROM nn WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+agg AS (
+  SELECT source, doc_id,
+         CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN runmax IS NULL OR value > runmax
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+         CAST(max(CASE WHEN runmax IS NULL OR value > runmax
+                       THEN pos END) AS BIGINT) AS last_record_pos,
+         sum(1.0 / rn) AS hn
+  FROM r GROUP BY 1, 2)
+SELECT source, doc_id, n, n_records, last_record_pos,
+       round(hn, 6) AS expected_iid,
+       round(n_records / hn, 6) AS surplus_ratio,
+       CASE WHEN n_records / hn > 2.0 THEN 'trending'
+            ELSE 'stationary-ish' END AS verdict
+FROM agg
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -9906,6 +10145,9 @@ FROM agg WHERE n_gaps >= 2
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "brown_forsythe_var": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
+    "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
+    "record_breaks": (q_record_breaks, SQL_RECORD_BREAKS),
     "boxplot_stats_bins": (q_boxplot_stats, SQL_BOXPLOT_STATS),
     "welch_ab_test": (q_welch_ab_test, SQL_WELCH_AB),
     "ks_two_sample": (q_ks_two_sample, SQL_KS_TWO_SAMPLE),
