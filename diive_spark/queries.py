@@ -10138,6 +10138,70 @@ FROM agg
 """
 
 
+def q_neyman_allocation(spark, sf_dir):
+    """Neyman optimal stratified-sample allocation (Neyman 1934): for
+    a labeling/eval budget of 1000 rows, allocate per-source quotas
+    proportional to N_h * S_h (stratum size x stddev) — the minimum-
+    variance design the uniform split wastes budget against.  Integer
+    quotas via the largest-remainder method (floor, then +1 to the
+    largest fractional remainders with a deterministic source
+    tie-break), so quotas sum EXACTLY to the budget.  One stats
+    aggregate over the strata plus window arithmetic on the
+    stratum-count relation; pairs with stratified_sample /
+    perplexity_bucket_sample as the design step before the hash
+    sampler runs."""
+    budget = 1000
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    st = s.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.coalesce(F.stddev_samp("value"), F.lit(0.0)).alias("sd"),
+    )
+    wall = Window.partitionBy()
+    st = st.withColumn("_w", F.col("n_rows") * F.col("sd")).withColumn(
+        "_tot", F.sum("_w").over(wall)
+    )
+    share = F.lit(float(budget)) * F.col("_w") / F.col("_tot")
+    st = st.withColumn("_floor", F.floor(share).cast("long")).withColumn(
+        "_rem", share - F.col("_floor")
+    ).withColumn("_short", F.lit(budget) - F.sum("_floor").over(wall))
+    wr = Window.partitionBy().orderBy(
+        F.col("_rem").desc(), F.col("source").asc()
+    )
+    st = st.withColumn("_rk", F.row_number().over(wr))
+    quota = F.col("_floor") + F.when(
+        F.col("_rk") <= F.col("_short"), 1
+    ).otherwise(0)
+    return st.select(
+        "source", "n_rows",
+        _r(F.col("sd")).alias("sd"),
+        _r(share).alias("exact_share"),
+        quota.cast("long").alias("quota"),
+    )
+
+
+SQL_NEYMAN_ALLOCATION = f"""
+WITH series AS ({SERIES_SQL}),
+st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_rows,
+              coalesce(stddev_samp(value), 0.0) AS sd
+       FROM series WHERE value IS NOT NULL GROUP BY 1),
+w AS (SELECT *, n_rows * sd AS wgt,
+             sum(n_rows * sd) OVER () AS tot
+      FROM st),
+sh AS (SELECT *, 1000.0 * wgt / tot AS share FROM w),
+fl AS (SELECT *, CAST(floor(share) AS BIGINT) AS fl,
+              share - floor(share) AS rem,
+              1000 - sum(CAST(floor(share) AS BIGINT)) OVER () AS short
+       FROM sh),
+rk AS (SELECT *, row_number() OVER (ORDER BY rem DESC, source ASC) AS rk
+       FROM fl)
+SELECT source, n_rows, round(sd, 6) AS sd,
+       round(share, 6) AS exact_share,
+       CAST(fl + CASE WHEN rk <= short THEN 1 ELSE 0 END AS BIGINT)
+         AS quota
+FROM rk
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -10145,6 +10209,7 @@ FROM agg
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "brown_forsythe_var": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
     "record_breaks": (q_record_breaks, SQL_RECORD_BREAKS),
