@@ -10202,6 +10202,102 @@ FROM rk
 """
 
 
+def q_wasserstein_drift(spark, sf_dir):
+    """Exact 1-Wasserstein (earth-mover) distance per source between
+    the series halves: W1 = ∫|F_ref - F_cur| dx, computed CLOSED-FORM
+    on the merged distinct-value grid — the ECDF gap at each distinct
+    value times the span to the next one (the same tie-safe cumulative
+    relation as ks_two_sample; where KS takes the sup, W1 takes the
+    integral, so small-but-everywhere shifts that KS underweights
+    show up).  Also emitted normalized by the pooled value range."""
+    s = series(spark, sf_dir).where(F.col("value").isNotNull())
+    w = Window.partitionBy("source", "doc_id")
+    s = s.withColumn(
+        "_half_at", F.floor((F.max("pos").over(w) + 1) / 2)
+    ).withColumn(
+        "_is_ref",
+        F.when(F.col("pos") < F.col("_half_at"), 1).otherwise(0),
+    )
+    byv = s.groupBy("source", "value").agg(
+        F.sum("_is_ref").alias("_r"),
+        F.sum(1 - F.col("_is_ref")).alias("_c"),
+    )
+    wo = (
+        Window.partitionBy("source")
+        .orderBy("value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    wlead = Window.partitionBy("source").orderBy("value")
+    c = (
+        byv.withColumn("_cr", F.sum("_r").over(wo))
+        .withColumn("_cc", F.sum("_c").over(wo))
+        .withColumn("_nr", F.sum("_r").over(wall))
+        .withColumn("_nc", F.sum("_c").over(wall))
+        .withColumn("_next", F.lead("value").over(wlead))
+    )
+    gap_term = F.when(
+        F.col("_next").isNotNull(),
+        F.abs(F.col("_cr") / F.col("_nr") - F.col("_cc") / F.col("_nc"))
+        * (F.col("_next") - F.col("value")),
+    ).otherwise(0.0)
+    agg = c.groupBy("source").agg(
+        F.max("_nr").cast("long").alias("n_ref"),
+        F.max("_nc").cast("long").alias("n_cur"),
+        F.sum(gap_term).alias("_w1"),
+        (F.max("value") - F.min("value")).alias("_range"),
+    )
+    return agg.select(
+        "source", "n_ref", "n_cur",
+        _r(F.col("_w1")).alias("w1"),
+        _r(F.col("_w1") / F.col("_range")).alias("w1_norm"),
+        F.when(F.col("_w1") / F.col("_range") > 0.05, "shifted")
+        .otherwise("stable")
+        .alias("verdict"),
+    )
+
+
+SQL_WASSERSTEIN_DRIFT = f"""
+WITH series AS ({SERIES_SQL}),
+nn AS (SELECT source, doc_id, pos, value,
+              CAST(floor((max(pos) OVER (PARTITION BY source, doc_id) + 1)
+                         / 2) AS BIGINT) AS half_at
+       FROM series WHERE value IS NOT NULL),
+lab AS (SELECT source, value,
+               CASE WHEN pos < half_at THEN 1 ELSE 0 END AS is_ref
+        FROM nn),
+byv AS (SELECT source, value,
+               sum(is_ref) AS r, sum(1 - is_ref) AS c
+        FROM lab GROUP BY 1, 2),
+cum AS (SELECT source, value,
+             sum(r) OVER w AS cr,
+             sum(c) OVER w AS cc,
+             sum(r) OVER (PARTITION BY source) AS nr,
+             sum(c) OVER (PARTITION BY source) AS nc,
+             lead(value) OVER (PARTITION BY source ORDER BY value)
+               AS next_v
+      FROM byv
+      WINDOW w AS (PARTITION BY source ORDER BY value ASC
+                   ROWS UNBOUNDED PRECEDING)),
+agg AS (
+  SELECT source,
+         CAST(max(nr) AS BIGINT) AS n_ref,
+         CAST(max(nc) AS BIGINT) AS n_cur,
+         sum(CASE WHEN next_v IS NOT NULL
+                  THEN abs(cr / CAST(nr AS DOUBLE)
+                           - cc / CAST(nc AS DOUBLE))
+                       * (next_v - value)
+                  ELSE 0.0 END) AS w1,
+         max(value) - min(value) AS rng
+  FROM cum GROUP BY 1)
+SELECT source, n_ref, n_cur, round(w1, 6) AS w1,
+       round(w1 / rng, 6) AS w1_norm,
+       CASE WHEN w1 / rng > 0.05 THEN 'shifted'
+            ELSE 'stable' END AS verdict
+FROM agg
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -10209,6 +10305,7 @@ FROM rk
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "brown_forsythe_var": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
     "chi2_independence": (q_chi2_independence, SQL_CHI2_INDEPENDENCE),
