@@ -79,4 +79,21 @@ from .sources.filetypes import read_filetype as ReadFileType
 from .sources.filetypes import read_filetype_many as MultiDataFileReader
 from .sources.readers import export_fluxnet as FormatEddyProFluxnetFileForUpload
 
+# Engine-native additions (no reference counterpart — the target-side
+# analytics battery), re-exported under their own names so notebook
+# users get one import surface:
+from .functions.dgim import dgim_add, dgim_estimate  # noqa: E402
+from .operators.analyses import (  # noqa: E402
+    dgim_window_count,
+    mann_kendall_bins,
+    seasonal_mann_kendall,
+)
+from .operators.fits import isotonic_fit  # noqa: E402
+from .operators.similarity import rrf_fusion_topk  # noqa: E402
+from .operators.spectral import (  # noqa: E402
+    ccf_peak_lag,
+    cointegration_pairs,
+    spectral_entropy,
+)
+
 __all__ = [n for n in dir() if not n.startswith("_")]
