@@ -10298,6 +10298,80 @@ FROM agg
 """
 
 
+def q_session_trigram_paths(spark, sf_dir):
+    """Top-10 within-session event trigram paths: the order-2 path
+    mining complement of markov_transitions' first-order matrix (which
+    cannot distinguish view->cart->buy from cart->view->buy).  Two
+    leads on the session window, one pair groupBy, deterministic
+    (count desc, path asc) rank, share of all trigrams."""
+    from .operators.sessions import sessionize
+
+    ev = _load(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    s = sessionize(ev, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0)
+    wo = Window.partitionBy("user_id", "session_id").orderBy(
+        "ts", "event_id"
+    )
+    t = (
+        s.withColumn("_n1", F.lead("event_type", 1).over(wo))
+        .withColumn("_n2", F.lead("event_type", 2).over(wo))
+        .where(F.col("_n1").isNotNull() & F.col("_n2").isNotNull())
+        .select(
+            F.concat_ws(
+                ">", "event_type", "_n1", "_n2"
+            ).alias("path")
+        )
+    )
+    counts = t.groupBy("path").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    wall = Window.partitionBy()
+    ranked = counts.withColumn(
+        "total", F.sum("n").over(wall).cast("long")
+    ).withColumn(
+        "rank",
+        F.row_number().over(
+            Window.partitionBy().orderBy(
+                F.col("n").desc(), F.col("path").asc()
+            )
+        ),
+    )
+    return ranked.where(F.col("rank") <= 10).select(
+        F.col("rank").cast("long").alias("rank"),
+        "path", "n", "total",
+        _r(F.col("n") / F.col("total")).alias("share"),
+    )
+
+
+SQL_SESSION_TRIGRAMS = """
+WITH e AS (SELECT user_id, ts, event_id, event_type, epoch(ts) AS ep
+           FROM events),
+m AS (
+  SELECT user_id, ts, event_id, event_type, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w >= 1800
+              THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ts, event_id, event_type,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m),
+t AS (
+  SELECT event_type || '>' || lead(event_type, 1) OVER w
+           || '>' || lead(event_type, 2) OVER w AS path
+  FROM s WINDOW w AS (PARTITION BY user_id, sid ORDER BY ts, event_id)),
+counts AS (SELECT path, CAST(count(*) AS BIGINT) AS n
+           FROM t WHERE path IS NOT NULL GROUP BY 1),
+rk AS (SELECT *, CAST(sum(n) OVER () AS BIGINT) AS total,
+              row_number() OVER (ORDER BY n DESC, path ASC) AS rank
+       FROM counts)
+SELECT CAST(rank AS BIGINT) AS rank, path, n, total,
+       round(n / CAST(total AS DOUBLE), 6) AS share
+FROM rk WHERE rank <= 10
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -10305,6 +10379,7 @@ FROM agg
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "session_trigram_paths": (q_session_trigram_paths, SQL_SESSION_TRIGRAMS),
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
     "brown_forsythe_var": (q_brown_forsythe, SQL_BROWN_FORSYTHE),
