@@ -10372,6 +10372,209 @@ FROM rk WHERE rank <= 10
 """
 
 
+def q_gap_length_histogram(spark, sf_dir):
+    """Distribution of missing-run lengths per source: gaps-and-islands
+    over the null mask (the GapFinder relation), bucketed into
+    1 / 2 / 3 / 4 / 5+ lengths with counts and the longest run — the
+    summary that decides interpolation limits (a corpus of length-1
+    blips tolerates limit=1; heavy 5+ tails need the lookup-table
+    fill).  One island window + two narrow groupBys."""
+    s = series(spark, sf_dir)
+    wo = Window.partitionBy("source", "doc_id").orderBy("pos")
+    m = s.withColumn("_isnull", F.col("value").isNull().cast("int"))
+    m = m.withColumn(
+        "_edge",
+        F.when(
+            F.lag("_isnull").over(wo).isNull()
+            | (F.lag("_isnull").over(wo) != F.col("_isnull")),
+            1,
+        ).otherwise(0),
+    ).withColumn(
+        "_run",
+        F.sum("_edge").over(
+            wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    runs = (
+        m.where(F.col("_isnull") == 1)
+        .groupBy("source", "doc_id", "_run")
+        .agg(F.count(F.lit(1)).alias("len"))
+    )
+    bucket = F.when(F.col("len") >= 5, F.lit("5+")).otherwise(
+        F.col("len").cast("string")
+    )
+    return (
+        runs.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_gaps"),
+            F.max("len").cast("long").alias("longest"),
+            F.sum("len").cast("long").alias("missing_total"),
+        )
+        .join(
+            runs.groupBy("source", bucket.alias("len_bucket")).agg(
+                F.count(F.lit(1)).cast("long").alias("n")
+            ),
+            "source",
+        )
+        .select("source", "len_bucket", "n", "n_gaps", "longest",
+                "missing_total")
+    )
+
+
+SQL_GAP_LENGTH_HISTOGRAM = f"""
+WITH series AS ({SERIES_SQL}),
+m AS (SELECT source, doc_id, pos,
+             CASE WHEN value IS NULL THEN 1 ELSE 0 END AS isnull_,
+             CASE WHEN lag(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                         OVER w IS NULL
+                    OR lag(CASE WHEN value IS NULL THEN 1 ELSE 0 END)
+                         OVER w
+                       <> CASE WHEN value IS NULL THEN 1 ELSE 0 END
+                  THEN 1 ELSE 0 END AS edge
+      FROM series
+      WINDOW w AS (PARTITION BY source, doc_id ORDER BY pos)),
+r AS (SELECT source, doc_id, isnull_,
+             sum(edge) OVER (PARTITION BY source, doc_id ORDER BY pos
+                             ROWS UNBOUNDED PRECEDING) AS run
+      FROM m),
+runs AS (SELECT source, doc_id, run, CAST(count(*) AS BIGINT) AS len
+         FROM r WHERE isnull_ = 1 GROUP BY 1, 2, 3),
+tot AS (SELECT source, CAST(count(*) AS BIGINT) AS n_gaps,
+               CAST(max(len) AS BIGINT) AS longest,
+               CAST(sum(len) AS BIGINT) AS missing_total
+        FROM runs GROUP BY 1),
+bk AS (SELECT source,
+              CASE WHEN len >= 5 THEN '5+'
+                   ELSE CAST(len AS VARCHAR) END AS len_bucket,
+              CAST(count(*) AS BIGINT) AS n
+       FROM runs GROUP BY 1, 2)
+SELECT b.source, b.len_bucket, b.n, t.n_gaps, t.longest,
+       t.missing_total
+FROM bk b JOIN tot t USING (source)
+"""
+
+
+def q_dow_hour_peak(spark, sf_dir):
+    """Weekly activity profile per event type: the peak
+    (day-of-week, hour) cell, its share, and the top-3 cells' share of
+    all events — the interpretable companion to chi2_independence's
+    association verdict.  ISO day numbering on both engines; one
+    count groupBy + one window rank."""
+    ev = _load(spark, sf_dir, "events").select(
+        "event_type",
+        F.dayofweek("ts").cast("int").alias("dow"),
+        F.hour("ts").cast("int").alias("hh"),
+    )
+    cells = ev.groupBy("event_type", "dow", "hh").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    wt = Window.partitionBy("event_type")
+    ranked = cells.withColumn(
+        "total", F.sum("n").over(wt)
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            wt.orderBy(
+                F.col("n").desc(), F.col("dow").asc(), F.col("hh").asc()
+            )
+        ),
+    )
+    top3 = ranked.where(F.col("rk") <= 3).groupBy("event_type").agg(
+        F.sum("n").alias("_top3")
+    )
+    peak = ranked.where(F.col("rk") == 1)
+    return peak.join(top3, "event_type").select(
+        "event_type",
+        F.col("dow").cast("long").alias("peak_dow"),
+        F.col("hh").cast("long").alias("peak_hour"),
+        F.col("n").cast("long").alias("peak_n"),
+        F.col("total").cast("long").alias("n_events"),
+        _r(F.col("n") / F.col("total")).alias("peak_share"),
+        _r(F.col("_top3") / F.col("total")).alias("top3_share"),
+    )
+
+
+SQL_DOW_HOUR_PEAK = """
+WITH e AS (SELECT event_type,
+                  CAST(dayofweek(ts) + 1 AS INTEGER) AS dow,
+                  CAST(hour(ts) AS INTEGER) AS hh
+           FROM events),
+cells AS (SELECT event_type, dow, hh, count(*) AS n
+          FROM e GROUP BY 1, 2, 3),
+rk AS (SELECT *,
+              sum(n) OVER (PARTITION BY event_type) AS total,
+              row_number() OVER (PARTITION BY event_type
+                                 ORDER BY n DESC, dow ASC, hh ASC) AS rk
+       FROM cells),
+top3 AS (SELECT event_type, sum(n) AS t3 FROM rk WHERE rk <= 3
+         GROUP BY 1)
+SELECT r.event_type,
+       CAST(r.dow AS BIGINT) AS peak_dow,
+       CAST(r.hh AS BIGINT) AS peak_hour,
+       CAST(r.n AS BIGINT) AS peak_n,
+       CAST(r.total AS BIGINT) AS n_events,
+       round(r.n / CAST(r.total AS DOUBLE), 6) AS peak_share,
+       round(t.t3 / CAST(r.total AS DOUBLE), 6) AS top3_share
+FROM rk r JOIN top3 t USING (event_type)
+WHERE r.rk = 1
+"""
+
+
+def q_session_duration_percentiles(spark, sf_dir):
+    """Session-duration percentiles by session size class (single /
+    small 2-4 / large 5+ events): exact p50/p90/p99 of wall duration
+    per class — the latency-distribution view of sessionize_users'
+    totals.  One sessionize window, one per-session aggregate, one
+    tiny percentile groupBy."""
+    from .operators.sessions import _epoch, sessionize
+
+    ev = _load(spark, sf_dir, "events").select("user_id", "ts")
+    s = sessionize(ev, ts_col="ts", key_cols=["user_id"], gap_seconds=1800.0)
+    per = s.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_ev"),
+        (F.max(_epoch("ts")) - F.min(_epoch("ts"))).alias("dur"),
+    )
+    cls = F.when(F.col("n_ev") == 1, "single").when(
+        F.col("n_ev") <= 4, "small"
+    ).otherwise("large")
+    return (
+        per.groupBy(cls.alias("size_class"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_sessions"),
+            _r(F.percentile("dur", F.lit(0.5))).alias("p50_s"),
+            _r(F.percentile("dur", F.lit(0.9))).alias("p90_s"),
+            _r(F.percentile("dur", F.lit(0.99))).alias("p99_s"),
+        )
+    )
+
+
+SQL_SESSION_DURATION_PCT = """
+WITH e AS (SELECT user_id, ts, epoch(ts) AS ep FROM events),
+m AS (
+  SELECT user_id, ts, ep,
+         CASE WHEN lag(ep) OVER w IS NULL OR ep - lag(ep) OVER w >= 1800
+              THEN 1 ELSE 0 END AS b
+  FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+s AS (
+  SELECT user_id, ep,
+         sum(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) - 1 AS sid
+  FROM m),
+per AS (SELECT user_id, sid, count(*) AS n_ev,
+               max(ep) - min(ep) AS dur
+        FROM s GROUP BY 1, 2),
+cls AS (SELECT CASE WHEN n_ev = 1 THEN 'single'
+                    WHEN n_ev <= 4 THEN 'small'
+                    ELSE 'large' END AS size_class, dur
+        FROM per)
+SELECT size_class, CAST(count(*) AS BIGINT) AS n_sessions,
+       round(quantile_cont(dur, 0.5), 6) AS p50_s,
+       round(quantile_cont(dur, 0.9), 6) AS p90_s,
+       round(quantile_cont(dur, 0.99), 6) AS p99_s
+FROM cls GROUP BY 1
+"""
+
+
 # Registry order is deliberate: the driver snapshot covers ~50 queries
 # front-to-back, so queries WITHOUT a prior driver-green CORRECTNESS row
 # run first (late round-2 additions + round-3 upgrades); the block after
@@ -10379,6 +10582,11 @@ FROM rk WHERE rank <= 10
 QUERIES = {
     # --- round-5 additions (never driver-verified; the rotation sort
     # below fronts them ahead of the stale window) ---------------------
+    "gap_length_histogram": (q_gap_length_histogram,
+                             SQL_GAP_LENGTH_HISTOGRAM),
+    "dow_hour_peak": (q_dow_hour_peak, SQL_DOW_HOUR_PEAK),
+    "session_duration_percentiles": (q_session_duration_percentiles,
+                                     SQL_SESSION_DURATION_PCT),
     "session_trigram_paths": (q_session_trigram_paths, SQL_SESSION_TRIGRAMS),
     "wasserstein_drift": (q_wasserstein_drift, SQL_WASSERSTEIN_DRIFT),
     "neyman_allocation": (q_neyman_allocation, SQL_NEYMAN_ALLOCATION),
